@@ -1,0 +1,82 @@
+"""Differential comparison harness mirroring the driver's t2 gate:
+row-count + schema + order-insensitive value comparison between a Spark
+DataFrame and a DuckDB oracle query over the same parquet tables.
+
+Comparison is EXACT on values (after canonicalization of container
+types) — queries are responsible for making float results
+engine-independent (decimal-exact sums, explicit rounding).
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import date, datetime
+from decimal import Decimal
+
+import duckdb
+
+from appsflyer_to_clickhouse_spark.schemas import TESTDATA_TABLES
+
+
+def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, Decimal):
+        return float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    if isinstance(v, datetime):
+        return v.replace(tzinfo=None).isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return v
+
+
+def _rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted(
+        tuple(repr(_canon(r[i])) for i in order) for r in rows
+    )
+    return [cols[i] for i in order], canon
+
+
+def compare(spark_df, oracle_query: str, sf_dir: str) -> None:
+    """Raises AssertionError with a diff summary on any mismatch."""
+    con = duckdb_conn(sf_dir)
+    cur = con.sql(oracle_query)
+    o_cols = list(cur.columns)
+    o_rows = cur.fetchall()
+
+    s_cols = list(spark_df.columns)
+    s_rows = [tuple(r) for r in spark_df.collect()]
+
+    assert sorted(s_cols) == sorted(o_cols), (
+        f"column mismatch: spark={sorted(s_cols)} oracle={sorted(o_cols)}"
+    )
+    assert len(s_rows) == len(o_rows), (
+        f"row count mismatch: spark={len(s_rows)} oracle={len(o_rows)}"
+    )
+
+    _, s_set = _rowset(s_cols, s_rows)
+    _, o_set = _rowset(o_cols, o_rows)
+    if s_set != o_set:
+        diffs = [
+            (a, b) for a, b in zip(s_set, o_set) if a != b
+        ][:5]
+        raise AssertionError(
+            f"value mismatch ({sum(1 for a, b in zip(s_set, o_set) if a != b)} rows differ); "
+            f"first diffs (spark vs oracle): {diffs}"
+        )
