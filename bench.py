@@ -1,0 +1,71 @@
+"""Benchmark harness: times every registered query at a scale factor.
+
+Usage: ``python bench.py`` — reads ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) and ``$SPARK_GRAFT_CPUS`` (default 32), runs
+each query in ``appsflyer_to_clickhouse_spark.plans.QUERIES`` to full
+materialization (noop datasource sink — JVM-side, no driver collect),
+and prints exactly ONE JSON line on stdout:
+
+    {"metric": "total_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+All logging goes to stderr so stdout stays machine-parseable.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+
+def _materialize(df) -> None:
+    """Run the full plan JVM-side. ``noop`` writes every row of every
+    column, so projections/UDF stages can't be pruned away the way a
+    bare ``count()`` would allow."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from appsflyer_to_clickhouse_spark.plans import QUERIES
+    from appsflyer_to_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        try:
+            _materialize(QUERIES[name](spark, sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
+        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
+            print(f"[bench] {name}: FAILED {exc}", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
