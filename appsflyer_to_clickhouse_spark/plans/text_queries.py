@@ -1,1 +1,336 @@
-"""Placeholder — populated in a later milestone."""
+"""SURVEY.md §2 Part C — text analysis + JSON extraction, oracle-checked.
+
+The training-data side of the engine: per-document token statistics,
+quality scoring, language-ID heuristic, min-k fingerprinting, and typed
+JSON field extraction. Every query is a map-only Project over the scan
+(zero shuffles) built from JVM built-ins — the 100 TB cost is exactly
+one codegen'd pass per query — and every query has an exact DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import TOKEN_SPLIT_RE, tokens, word_shingles
+from .registry import load, register
+
+# DuckDB twin of functions/text.py:tokens
+_TOK_SQL = (
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x != '')"
+)
+
+# BPE-ish tokenizer: word chunks OR single non-space-non-word chars —
+# the standard pre-tokenization shape (identical in Java regex / RE2).
+_BPE_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+# ---------------------------------------------------------------------------
+# text_analysis — per-doc token statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_analysis",
+    f"""
+    SELECT doc_id, lang, n_chars,
+           len(t) AS n_tokens,
+           len(list_distinct(t)) AS n_distinct_tokens,
+           round(CASE WHEN len(t) > 0
+                      THEN list_sum(list_transform(t, x -> length(x)))::DOUBLE
+                           / len(t)
+                      ELSE 0 END, 6) AS avg_token_len,
+           round(CASE WHEN len(t) > 0
+                      THEN len(list_distinct(t))::DOUBLE / len(t)
+                      ELSE 0 END, 6) AS ttr
+    FROM (SELECT doc_id, lang, n_chars, {_TOK_SQL} AS t FROM documents)
+    """,
+)
+def q_text_analysis(spark, sf_dir):
+    """Per-document token stats: counts, distinct counts, mean token
+    length, type-token ratio. One Project — tokenization and all stats
+    in a single codegen'd pass, no explode, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    d = docs.withColumn("t", t)
+    tok_len_sum = F.aggregate(
+        F.transform("t", lambda x: F.length(x)), F.lit(0), lambda a, x: a + x
+    )
+    nt = F.size("t")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        nt.alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_distinct_tokens"),
+        F.round(
+            F.when(nt > 0, tok_len_sum.cast("double") / nt).otherwise(0.0), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.when(nt > 0, F.size(F.array_distinct("t")).cast("double") / nt).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_token_count — whitespace + BPE-ish regex counting
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    f"""
+    SELECT doc_id,
+           len({_TOK_SQL}) AS ws_tokens,
+           len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS bpe_tokens,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_len_est
+    FROM documents
+    """,
+)
+def q_text_token_count(spark, sf_dir):
+    """Token counting three ways (whitespace split, BPE-ish regex
+    pre-tokenization, bytes/4 heuristic) — the standard LLM-pipeline
+    size estimators."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(tokens(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)).alias(
+            "bpe_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("byte_len_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_quality_score — length/punct/stopword heuristics
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
+
+
+@register(
+    "text_quality_score",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text, {_TOK_SQL} AS t FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             round(CASE WHEN length(text) > 0
+                   THEN (length(text) - length(regexp_replace(text,
+                        '[^a-z0-9 ]', '', 'g')))::DOUBLE / length(text)
+                   ELSE 0 END, 6) AS punct_ratio,
+             round(CASE WHEN len(t) > 0
+                   THEN len(list_filter(t, x -> list_contains({_STOP_SQL}, x)))::DOUBLE
+                        / len(t)
+                   ELSE 0 END, 6) AS stopword_ratio
+      FROM base
+    )
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+           (n_tokens >= 10 AND punct_ratio <= 0.1
+            AND stopword_ratio >= 0.01) AS keep
+    FROM feat
+    """,
+)
+def q_text_quality_score(spark, sf_dir):
+    """Document quality gate: token count, punctuation ratio, stopword
+    ratio, and the keep/drop decision — the classic pre-training
+    filter. Map-only."""
+    docs = load(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    d = docs.withColumn("t", t)
+    nt = F.size("t")
+    text_len = F.length("text")
+    punct = F.round(
+        F.when(
+            text_len > 0,
+            (
+                text_len - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+            ).cast("double")
+            / text_len,
+        ).otherwise(0.0),
+        6,
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stops = F.size(F.filter("t", lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = F.round(
+        F.when(nt > 0, stops.cast("double") / nt).otherwise(0.0), 6
+    )
+    return d.select(
+        "doc_id",
+        nt.alias("n_tokens"),
+        punct.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            (nt >= 10) & (punct <= 0.1) & (stop_ratio >= 0.01)
+        ).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_lang_id — marker-stopword n-gram heuristic
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "los", "las", "y", "es"),
+}
+
+
+def _lang_sql() -> str:
+    scores = []
+    for lang, words in _LANG_MARKERS.items():
+        lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+        scores.append(
+            f"len(list_filter(t, x -> list_contains({lst}, x))) AS s_{lang}"
+        )
+    score_sel = ", ".join(scores)
+    best = "greatest(s_en, s_de, s_fr, s_es)"
+    pred = f"""CASE WHEN {best} = 0 THEN 'unknown'
+         WHEN s_en = {best} THEN 'en'
+         WHEN s_de = {best} THEN 'de'
+         WHEN s_fr = {best} THEN 'fr'
+         ELSE 'es' END"""
+    return f"""
+    WITH base AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+    sc AS (SELECT doc_id, {score_sel} FROM base)
+    SELECT doc_id, s_en, s_de, s_fr, s_es, {pred} AS predicted_lang
+    FROM sc
+    """
+
+
+@register("text_lang_id", _lang_sql())
+def q_text_lang_id(spark, sf_dir):
+    """Language-ID by marker-stopword voting (deterministic argmax with
+    fixed priority en>de>fr>es on ties; zero markers -> 'unknown').
+    Map-only expression — the heuristic the quality pipeline runs
+    before expensive model-based lang-ID."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.withColumn("t", tokens(F.col("text")))
+    def marker_filter(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        # factory keeps the lambda unary (a 2-param lambda would be
+        # read by PySpark as (element, index))
+        return lambda x: F.array_contains(arr, x)
+
+    score_cols = {
+        lang: F.size(F.filter("t", marker_filter(words)))
+        for lang, words in _LANG_MARKERS.items()
+    }
+    d = d.select(
+        "doc_id", *[c.alias(f"s_{lang}") for lang, c in score_cols.items()]
+    )
+    best = F.greatest("s_en", "s_de", "s_fr", "s_es")
+    pred = (
+        F.when(best == 0, "unknown")
+        .when(F.col("s_en") == best, "en")
+        .when(F.col("s_de") == best, "de")
+        .when(F.col("s_fr") == best, "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id", "s_en", "s_de", "s_fr", "s_es", pred.alias("predicted_lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_fingerprint — min-k document fingerprint
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3
+                  THEN list_distinct(list_transform(range(len(t) - 2),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+                  ELSE []::VARCHAR[] END AS ss
+      FROM tk
+    )
+    SELECT doc_id,
+           array_to_string(list_sort(list_transform(ss, s -> md5(s)))[1:4],
+                           '') AS fingerprint
+    FROM sh
+    """,
+)
+def q_text_fingerprint(spark, sf_dir):
+    """Document fingerprint: concatenation of the 4 smallest shingle
+    hashes (min-k sketch — winnowing's order-free cousin). Two docs
+    share a fingerprint iff their smallest shingle hashes agree, a
+    cheap near-dup prefilter. Map-only."""
+    docs = load(spark, sf_dir, "documents")
+    sh = word_shingles(tokens(F.col("text")), 3)
+    fp = F.concat_ws(
+        "", F.slice(F.array_sort(F.transform(sh, lambda s: F.md5(s))), 1, 4)
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# json_props_extract — typed extraction with from_json
+# ---------------------------------------------------------------------------
+
+_PROPS_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType()),
+        T.StructField("tag", T.StringType()),
+        T.StructField("nested", T.StructType([T.StructField("v", T.DoubleType())])),
+    ]
+)
+
+
+@register(
+    "json_props_extract",
+    """
+    WITH enriched AS (
+      SELECT event_id,
+             '{"k": ' || CAST(props::JSON->>'k' AS VARCHAR)
+             || ', "tag": "t' || CAST(event_id % 7 AS VARCHAR)
+             || '", "nested": {"v": ' || CAST(event_id % 13 AS VARCHAR)
+             || '.5}}' AS j
+      FROM events
+    )
+    SELECT event_id,
+           CAST(j::JSON->>'k' AS INTEGER) AS k,
+           j::JSON->>'tag' AS tag,
+           CAST(j::JSON->'nested'->>'v' AS DOUBLE) AS nested_v,
+           CAST(json_extract_string(j, '$.k') AS INTEGER) AS k_path
+    FROM enriched
+    """,
+)
+def q_json_props_extract(spark, sf_dir):
+    """Typed field extraction from a JSON string column: ``from_json``
+    with an explicit schema (never schema inference — nondeterministic
+    at scale) plus a ``get_json_object`` path extract. The JSON is
+    enriched from events.props deterministically in both engines so the
+    test exercises nested objects, not just flat ints."""
+    ev = load(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit(', "tag": "t'),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit('", "nested": {"v": '),
+        (F.col("event_id") % 13).cast("string"),
+        F.lit(".5}}"),
+    )
+    d = ev.select("event_id", j.alias("j"))
+    parsed = F.from_json("j", _PROPS_SCHEMA)
+    return d.select(
+        "event_id",
+        parsed["k"].alias("k"),
+        parsed["tag"].alias("tag"),
+        parsed["nested"]["v"].alias("nested_v"),
+        F.get_json_object("j", "$.k").cast("int").alias("k_path"),
+    )
