@@ -1,1 +1,203 @@
-"""Placeholder — populated in a later milestone."""
+"""SURVEY.md §2 Part C — similarity search over embeddings, oracle-checked.
+
+Three tiers (operators/similarity.py): exact brute-force top-k, an
+IVF-style block-probe, and sign-LSH banded ANN. Dot products are
+bit-identical between Spark (sequential zip_with+aggregate fold) and
+DuckDB (list_dot_product) — verified over the full embeddings table —
+so even the float scores hash-match after identical round(6).
+
+The sign-LSH hyperplanes are md5-derived constants generated once in
+Python and embedded as literals in BOTH plans, so the ANN structure is
+exactly reproducible across engines (no runtime RNG).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    BAND_BITS,
+    NUM_BANDS,
+    band_values,
+    cosine,
+    cosine_topk,
+    dot,
+    hyperplanes,
+    sign_signature,
+)
+from .registry import load, register
+
+_DIM = 64
+_QUERY_ID = 0
+_K = 20
+_ANN_K = 10
+
+_COS_SQL = (
+    "list_dot_product(v, qv) / "
+    "(sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv)))"
+)
+
+
+def _emb(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_topk — exact brute force (correctness baseline)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID}
+    )
+    SELECT vec_id, round({_COS_SQL}, 6) AS cosine
+    FROM e, q
+    ORDER BY {_COS_SQL} DESC, vec_id
+    LIMIT {_K}
+    """,
+)
+def q_similarity_topk(spark, sf_dir):
+    """Exact cosine top-{_K} vs the query vector (vec_id={_QUERY_ID}):
+    broadcast 1-row query, score map-side, TakeOrderedAndProject — one
+    scan, zero shuffle, k rows out. The honest O(n*d) baseline the ANN
+    tiers are measured against."""
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == _QUERY_ID).select("v")
+    return cosine_topk(emb, qv, _K, "vec_id", "v")
+
+
+# ---------------------------------------------------------------------------
+# similarity_ivf_probe — coarse-block probe (IVF pattern)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_ivf_probe",
+    f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv, label AS qlabel FROM e WHERE vec_id = {_QUERY_ID}
+    )
+    SELECT vec_id, round({_COS_SQL}, 6) AS cosine
+    FROM e, q
+    WHERE e.label = q.qlabel
+    ORDER BY {_COS_SQL} DESC, vec_id
+    LIMIT {_ANN_K}
+    """,
+)
+def q_similarity_ivf_probe(spark, sf_dir):
+    """IVF-style probe: score ONLY the query's coarse block (``label``
+    stands in for a k-means centroid id; at 100 TB it is a partition
+    column, so the probe is partition pruning — 1/#blocks of the data
+    read, zero shuffle)."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == _QUERY_ID).select(
+            F.col("v").alias("qv"), F.col("label").alias("qlabel")
+        )
+    )
+    scored = (
+        emb.join(q, emb["label"] == q["qlabel"])
+        .select(
+            "vec_id",
+            cosine(
+                F.col("v"), F.col("qv"), dot(F.col("v"), F.col("v")), dot(F.col("qv"), F.col("qv"))
+            ).alias("cos"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(_ANN_K)
+        .select("vec_id", F.round("cos", 6).alias("cosine"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_signlsh — sign-LSH banded ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+_PLANES = hyperplanes(_DIM)
+
+
+def _plane_sql(p: int) -> str:
+    return "[" + ", ".join(repr(x) for x in _PLANES[p]) + "]"
+
+
+def _sig_sql(vcol: str) -> str:
+    terms = [
+        f"CASE WHEN list_dot_product({_plane_sql(p)}::DOUBLE[], {vcol}) > 0 "
+        f"THEN {2**p} ELSE 0 END"
+        for p in range(len(_PLANES))
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_SIGNLSH_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sig AS (
+  SELECT vec_id, v, {_sig_sql('v')} AS s FROM e
+), q AS (
+  SELECT v AS qv, s AS qs FROM sig WHERE vec_id = {_QUERY_ID}
+), bands AS (
+  SELECT vec_id, u.b, (s >> ({BAND_BITS} * u.b)) & {2**BAND_BITS - 1} AS bv
+  FROM sig, (SELECT unnest(range({NUM_BANDS})) AS b) u
+), qbands AS (
+  SELECT u.b, (qs >> ({BAND_BITS} * u.b)) & {2**BAND_BITS - 1} AS bv
+  FROM q, (SELECT unnest(range({NUM_BANDS})) AS b) u
+), cand AS (
+  SELECT DISTINCT bands.vec_id
+  FROM bands JOIN qbands ON bands.b = qbands.b AND bands.bv = qbands.bv
+)
+SELECT vec_id, round({_COS_SQL}, 6) AS cosine
+FROM (SELECT c.vec_id, e.v, q.qv FROM cand c JOIN e ON e.vec_id = c.vec_id, q)
+ORDER BY {_COS_SQL} DESC, vec_id
+LIMIT {_ANN_K}
+"""
+
+
+@register("similarity_signlsh", _SIGNLSH_ORACLE)
+def q_similarity_signlsh(spark, sf_dir):
+    """Sign-LSH ANN: 16-bit hyperplane signature per vector (map-only
+    expression), banded 4x4; candidates share >= 1 band with the query;
+    exact cosine re-ranks candidates only. At 100 TB: signatures are
+    computed once at ingest and stored; the probe shuffles only
+    (band, value) keys of the candidate ids — never vectors of
+    non-candidates, never all pairs."""
+    emb = _emb(spark, sf_dir)
+    sig = emb.select("vec_id", "v", sign_signature(F.col("v"), _PLANES).alias("s"))
+    q = F.broadcast(
+        sig.filter(F.col("vec_id") == _QUERY_ID).select(
+            F.col("v").alias("qv"), F.col("s").alias("qs")
+        )
+    )
+    banded = sig.select(
+        "vec_id", F.posexplode(band_values(F.col("s"))).alias("b", "bv")
+    )
+    qbanded = q.select(F.posexplode(band_values(F.col("qs"))).alias("b", "bv"))
+    cand = (
+        banded.join(F.broadcast(qbanded), ["b", "bv"])
+        .select("vec_id")
+        .distinct()
+    )
+    scored = cand.join(emb, "vec_id").crossJoin(
+        q.select("qv")
+    ).select(
+        "vec_id",
+        cosine(
+            F.col("v"), F.col("qv"), dot(F.col("v"), F.col("v")), dot(F.col("qv"), F.col("qv"))
+        ).alias("cos"),
+    )
+    return (
+        scored.orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+        .limit(_ANN_K)
+        .select("vec_id", F.round("cos", 6).alias("cosine"))
+    )
