@@ -9,6 +9,7 @@ from .registry import ORACLE, QUERIES, load  # noqa: F401
 # Import order groups SURVEY.md §2 Part A first, then the relational
 # vocabulary, then the Part C / training-data extensions.
 from . import etl_queries  # noqa: E402,F401
+from . import source_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401

@@ -1,0 +1,276 @@
+"""SURVEY.md §2 Part A source-side ops, oracle-checked with no network:
+``csv_parse_header_bom``, ``source_http_csv``, ``config_env``, plus the
+full ETL pipeline fed from a CSV file (VERDICT r1 item 6).
+
+Fixtures are deterministic byte-for-byte and written to /tmp by the
+query itself before reading (idempotent), so the driver can run these
+in any order; oracles are VALUES literals generated from the SAME
+Python constants the fixture/fake-fetcher use — the two sides cannot
+drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import resolve_config
+from ..operators.etl import run_installs_pipeline
+from ..schemas import APPSFLYER_TO_CH, DATETIME_CH_COLS, af_raw_schema, sink_columns
+from ..sources.csv_source import read_af_csv, write_fixture_csv
+from ..sources.http_source import fetch_installs_distributed, split_window
+from .registry import register
+
+_FIXTURE_PATH = "/tmp/spark_graft_fixtures/af_batch.csv"
+
+_FIXTURE_HEADER = [
+    "Attributed Touch Type",
+    "Install Time",
+    "Event Time",
+    "Media Source",
+    "Campaign",
+    "Campaign ID",
+    "AppsFlyer ID",
+]
+
+# Rows exercise: fractional-second truncation, single-digit-hour pad,
+# sentinel sets (datetime vs string asymmetry), ISO-T rejection, a
+# within-batch duplicate id (the reference quirk), and a falsy id.
+_FIXTURE_ROWS = [
+    ["click", "2024-01-05 10:00:00", "2024-01-05 10:01:02.999", "meta", "camp-a", "c1", "af-001"],
+    ["impression", "2024-01-05 4:03:22", "2024-01-05 10:02:00", "google", "null", "c2", "af-002"],
+    ["click", "", "not a date", "None", "", "c3", "af-003"],
+    ["click", "2024-01-05 11:00:00", "2024-01-05T11:00:00", "organic", "camp-b", "c4", "af-002"],
+    ["click", "2024-01-05 12:00:00", "2024-01-05 12:00:00", "meta", "camp-c", "c5", ""],
+]
+
+
+def _sql_str(v: str | None) -> str:
+    if v is None:
+        return "CAST(NULL AS VARCHAR)"
+    return "'" + v.replace("'", "''") + "'"
+
+
+# ---------------------------------------------------------------------------
+# csv_parse_header_bom
+# ---------------------------------------------------------------------------
+
+
+def _csv_oracle() -> str:
+    rows = ",\n      ".join(
+        "(" + ", ".join(_sql_str(v if v != "" else "") for v in r) + ")"
+        for r in _FIXTURE_ROWS
+    )
+    cols = ", ".join(f'"{h}"' for h in _FIXTURE_HEADER)
+    return f"SELECT * FROM (VALUES\n      {rows}) AS t({cols})"
+
+
+@register("csv_parse_header_bom", _csv_oracle())
+def q_csv_parse_header_bom(spark, sf_dir):
+    """CSV source with header + UTF-8 BOM on the first header cell
+    (reference main.py:125-129): the returned column must be
+    'Attributed Touch Type', not '\\ufeffAttributed Touch Type' — the
+    oracle's column-name comparison fails if the BOM survives. All
+    values strings; '' preserved (not nulled — that's the kernels'
+    job)."""
+    write_fixture_csv(_FIXTURE_PATH, _FIXTURE_HEADER, _FIXTURE_ROWS, bom=True)
+    return read_af_csv(spark, _FIXTURE_PATH)
+
+
+# ---------------------------------------------------------------------------
+# source_http_csv — partitioned fetch with an injected fetcher
+# ---------------------------------------------------------------------------
+
+_HTTP_FROM = "2024-01-05 00:00:00"
+_HTTP_TO = "2024-01-05 08:00:00"
+_HTTP_SPLITS = 4
+_ROWS_PER_WINDOW = 3
+
+
+def _window_rows(i: int, from_time: str) -> list[list[str]]:
+    """Deterministic fake API payload for sub-window i — shared by the
+    executor-side fake fetcher and the oracle generator."""
+    return [
+        [f"af-{i}-{j}", from_time, f"src-{(i + j) % 3}"]
+        for j in range(_ROWS_PER_WINDOW)
+    ]
+
+
+_HTTP_HEADER = ["AppsFlyer ID", "Install Time", "Media Source"]
+_WINDOWS = split_window(_HTTP_FROM, _HTTP_TO, _HTTP_SPLITS)
+
+
+def _fake_fetch(from_time: str, to_time: str) -> str:
+    """CSV text for a sub-window, BOM'd like the real export. Pure
+    function of the window — picklable, runs on executors."""
+    idx = next(i for i, (f, _) in enumerate(_WINDOWS) if f == from_time)
+    lines = ["﻿" + ",".join(_HTTP_HEADER)]
+    lines += [",".join(r) for r in _window_rows(idx, from_time)]
+    return "\n".join(lines) + "\n"
+
+
+def _http_oracle() -> str:
+    af_cols = list(APPSFLYER_TO_CH)
+    expected = []
+    for i, (f, _) in enumerate(_WINDOWS):
+        for row in _window_rows(i, f):
+            by_name = dict(zip(_HTTP_HEADER, row))
+            expected.append([by_name.get(c) for c in af_cols])
+    rows = ",\n      ".join(
+        "(" + ", ".join(_sql_str(v) for v in r) + ")" for r in expected
+    )
+    cols = ", ".join(f'"{c}"' for c in af_cols)
+    return f"SELECT * FROM (VALUES\n      {rows}) AS t({cols})"
+
+
+@register("source_http_csv", _http_oracle())
+def q_source_http_csv(spark, sf_dir):
+    """Windowed HTTP-CSV source, partitioned: the 8-hour window splits
+    into {_HTTP_SPLITS} sub-ranges fetched+parsed per-executor inside
+    mapInPandas (reference main.py:114-130 does ONE blocking driver-RAM
+    GET — this is the scale-out re-design, SURVEY.md §7). The fetcher
+    is injected (no network); BOM stripping and missing-column->NULL
+    tolerance are exercised end-to-end."""
+    return fetch_installs_distributed(
+        spark, _HTTP_FROM, _HTTP_TO, _fake_fetch, _HTTP_SPLITS
+    )
+
+
+# ---------------------------------------------------------------------------
+# config_env
+# ---------------------------------------------------------------------------
+
+_CFG_ENV = {
+    "APPSFLYER_TOKEN": "tok-x",
+    "APP_ID": "app.test",
+    "CH_HOST": "ch.local",
+    # CH_PORT deliberately unset -> default 9000 (reference main.py:13)
+    "CH_USER": "u1",
+    "CH_PASSWORD": "p1",
+    "CH_DATABASE": "db1",
+    "CH_TABLE": "installs",
+}
+
+
+@register(
+    "config_env",
+    """
+    SELECT 'tok-x' AS appsflyer_token, 'app.test' AS app_id,
+           'ch.local' AS ch_host, 9000 AS ch_port, 'u1' AS ch_user,
+           'db1' AS ch_database, 'installs' AS ch_table,
+           'jdbc:clickhouse://ch.local:9000/db1' AS jdbc_url
+    """,
+)
+def q_config_env(spark, sf_dir):
+    """Env-var config resolution with the reference's defaulting
+    (main.py:10-17): only CH_PORT has a default. Resolved driver-side
+    from an injected mapping (deterministic; never reads executor
+    env)."""
+    cfg = resolve_config(_CFG_ENV)
+    return spark.createDataFrame(
+        [
+            (
+                cfg.appsflyer_token,
+                cfg.app_id,
+                cfg.ch_host,
+                cfg.ch_port,
+                cfg.ch_user,
+                cfg.ch_database,
+                cfg.ch_table,
+                cfg.jdbc_url,
+            )
+        ],
+        "appsflyer_token string, app_id string, ch_host string, ch_port int, "
+        "ch_user string, ch_database string, ch_table string, jdbc_url string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# etl_pipeline_from_csv — the flagship pipeline fed from the CSV source
+# ---------------------------------------------------------------------------
+
+
+def _pipeline_csv_oracle() -> str:
+    """Expected pipeline output for the fixture, with the kernel
+    semantics applied by hand (reference main.py:87-105, 165,
+    157-181): fractional truncation, hour pad, sentinel asymmetry,
+    ISO-T rejection, within-batch dup kept, falsy id dropped."""
+    populated: list[dict[str, str | None]] = [
+        {
+            "attributed_touch_type": "click",
+            "install_time": "2024-01-05 10:00:00",
+            "event_time": "2024-01-05 10:01:02",
+            "media_source": "meta",
+            "campaign": "camp-a",
+            "campaignid": "c1",
+            "appsflyer_id": "af-001",
+        },
+        {
+            "attributed_touch_type": "impression",
+            "install_time": "2024-01-05 04:03:22",
+            "event_time": "2024-01-05 10:02:00",
+            "media_source": "google",
+            "campaign": None,  # 'null' string sentinel
+            "campaignid": "c2",
+            "appsflyer_id": "af-002",
+        },
+        {
+            "attributed_touch_type": "click",
+            "install_time": None,  # '' datetime sentinel
+            "event_time": None,  # 'not a date' fails strict gate
+            "media_source": None,  # 'None' string sentinel
+            "campaign": None,  # '' string sentinel
+            "campaignid": "c3",
+            "appsflyer_id": "af-003",
+        },
+        {
+            "attributed_touch_type": "click",
+            "install_time": "2024-01-05 11:00:00",
+            "event_time": None,  # ISO-T rejected by strict regex
+            "media_source": "organic",
+            "campaign": "camp-b",
+            "campaignid": "c4",
+            "appsflyer_id": "af-002",  # within-batch dup survives
+        },
+    ]
+    out_cols = sink_columns()
+    value_rows = []
+    for row in populated:
+        cells = []
+        for c in out_cols:
+            v = row.get(c)
+            if c in DATETIME_CH_COLS:
+                cells.append(
+                    f"TIMESTAMP '{v}'" if v else "CAST(NULL AS TIMESTAMP)"
+                )
+            else:
+                cells.append(_sql_str(v))
+        value_rows.append("(" + ", ".join(cells) + ")")
+    cols = ", ".join(out_cols)
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + ",\n      ".join(value_rows)
+        + f") AS t({cols})"
+    )
+
+
+@register("etl_pipeline_from_csv", _pipeline_csv_oracle())
+def q_etl_pipeline_from_csv(spark, sf_dir):
+    """The reference's entire main() fed from the CSV source: BOM'd
+    fixture -> read_af_csv -> project/rename (43 missing sources ->
+    NULL) -> kernels -> anti-join vs an empty sink. Golden-row oracle
+    derived by hand from the reference semantics."""
+    write_fixture_csv(_FIXTURE_PATH, _FIXTURE_HEADER, _FIXTURE_ROWS, bom=True)
+    raw = read_af_csv(spark, _FIXTURE_PATH)
+    empty_sink = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("install_time", T.TimestampType()),
+                T.StructField("appsflyer_id", T.StringType()),
+            ]
+        ),
+    )
+    return run_installs_pipeline(
+        raw, empty_sink, "2020-01-01 00:00:00", "2030-01-01 00:00:00"
+    )
