@@ -10,6 +10,7 @@ from .registry import ORACLE, QUERIES, load  # noqa: F401
 # vocabulary, then the Part C / training-data extensions.
 from . import etl_queries  # noqa: E402,F401
 from . import source_queries  # noqa: E402,F401
+from . import sink_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
