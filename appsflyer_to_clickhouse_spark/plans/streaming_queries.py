@@ -1,1 +1,42 @@
-"""Placeholder — populated in a later milestone."""
+"""SURVEY.md §2 Part C row 7 — streaming dedup over a file source.
+
+The registered query materializes a full availableNow streaming run
+(file source -> watermark dedup -> memory sink) and returns the
+distinct surviving keys, which is deterministic (survivor-row choice is
+not, so only the key set is exposed to the oracle). The multi-batch
+watermark-eviction behavior is pinned in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..streaming.dedup import run_availablenow_to_memory, stream_dedup_watermark
+from .registry import load, register
+
+_RUN_SEQ = iter(range(1_000_000))
+
+
+@register(
+    "stream_dedup_watermark",
+    "SELECT DISTINCT user_id FROM events",
+)
+def q_stream_dedup_watermark(spark, sf_dir):
+    """events replayed as a file stream -> withWatermark('ts','2 hours')
+    + dropDuplicatesWithinWatermark(user_id) -> memory sink
+    (availableNow). Output: the distinct keys that survived — exactly
+    DISTINCT user_id, whatever the batch boundaries were. State is
+    watermark-bounded; nothing is collected on the driver mid-stream."""
+    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    src = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    deduped = stream_dedup_watermark(
+        stream, key="user_id", ts_col="ts", watermark="2 hours"
+    ).select("user_id")
+    name = f"stream_dedup_wm_{next(_RUN_SEQ)}"
+    out = run_availablenow_to_memory(spark, deduped, name)
+    return out.select("user_id").distinct().select(F.col("user_id"))
