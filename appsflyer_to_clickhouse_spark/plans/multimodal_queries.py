@@ -1,0 +1,90 @@
+"""SURVEY.md §2 Part C row 5 — multimodal binary columns,
+oracle-checked at the byte level.
+
+The decode stage is a deterministic byte-feature extractor (this
+container has no image/audio codecs — multimodal/columns.py documents
+the gate), so the whole mapInPandas path — Arrow batching, binary
+payloads, typed metadata — is exercised and hash-checked against
+DuckDB's octet_length/ascii/md5 on the same bytes.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import functions as F
+
+from ..multimodal.columns import (
+    attach_binary_payload,
+    extract_binary_features,
+    read_binary_dir,
+)
+from .registry import load, register
+
+
+@register(
+    "multimodal_columns",
+    """
+    SELECT doc_id,
+           octet_length(text::BLOB) AS byte_len,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           md5(text) AS content_md5,
+           'text/plain' AS mime,
+           octet_length(text::BLOB) AS size_bytes
+    FROM documents
+    """,
+)
+def q_multimodal_columns(spark, sf_dir):
+    """Binary payload + metadata struct -> Arrow-batched mapInPandas
+    feature extraction (byte length, first byte, md5), joined back to
+    the typed metadata. The md5 computed in Python per batch must equal
+    DuckDB's md5 of the same bytes — a byte-exact check of the whole
+    binary path. (Documents are ASCII, so first_byte == codepoint.)"""
+    docs = load(spark, sf_dir, "documents")
+    bin_df = attach_binary_payload(docs, "text", "doc_id")
+    feats = extract_binary_features(bin_df, "doc_id")
+    meta = bin_df.select(
+        "doc_id", F.col("meta.mime").alias("mime"),
+        F.col("meta.size_bytes").alias("size_bytes"),
+    )
+    return feats.join(meta, "doc_id")
+
+
+_BIN_FILES = {
+    "a.bin": b"\x89PNG-ish deterministic payload",
+    "b.bin": b"RIFF-ish deterministic payload!!",
+    "c.txt": b"plain text payload",
+}
+
+
+def _bin_oracle() -> str:
+    import hashlib
+
+    rows = ",\n      ".join(
+        f"('{name}', {len(data)}, '{hashlib.md5(data).hexdigest()}')"
+        for name, data in sorted(_BIN_FILES.items())
+        if name.endswith(".bin")
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + rows
+        + ") AS t(file_name, byte_len, content_md5)"
+    )
+
+
+@register("multimodal_binary_files", _bin_oracle())
+def q_multimodal_binary_files(spark, sf_dir):
+    """binaryFile ingest edge: a directory of opaque files read with a
+    pushed-down glob (*.bin — the .txt must not appear), returning
+    per-file name/length/md5. Path prefix is stripped so the result is
+    location-independent."""
+    d = tempfile.mkdtemp(prefix="spark_graft_bin_")
+    for name, data in _BIN_FILES.items():
+        Path(d, name).write_bytes(data)
+    df = read_binary_dir(spark, d, glob="*.bin")
+    return df.select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("byte_len"),
+        F.md5("content").alias("content_md5"),
+    )
