@@ -6,6 +6,7 @@ pipeline operators (dedup, similarity search, text analysis, multimodal).
 Layout
 ------
 - ``session``    — SparkSession builder tuned for oracle comparison + local bench
+- ``config``     — env-driven pipeline config (reference main.py:10-17 surface)
 - ``schemas``    — fixed StructTypes + the 49-column AppsFlyer→CH mapping
 - ``functions``  — scalar kernels as Column→Column functions (never Python UDFs)
 - ``operators``  — ETL parity ops (SURVEY.md §2 Part A) + extension ops (Part C)

@@ -43,7 +43,7 @@ _FMT_SQL = "%Y-%m-%d %H:%M:%S"
 _PARSE_ORACLE = f"""
 WITH src AS (
   SELECT event_id,
-    CASE CAST(event_id % 8 AS INTEGER)
+    CASE CAST(event_id % 9 AS INTEGER)
       WHEN 0 THEN NULL
       WHEN 1 THEN ' n/a '
       WHEN 2 THEN 'NULL'
@@ -52,6 +52,7 @@ WITH src AS (
                                  '^(\\d{{4}}-\\d{{2}}-\\d{{2}}) 0(\\d):', '\\1 \\2:')
       WHEN 5 THEN replace(strftime(ts, '{_FMT_SQL}'), ' ', 'T')
       WHEN 6 THEN 'not a date'
+      WHEN 8 THEN '2025-13-45 23:59:59'
       ELSE strftime(ts, '{_FMT_SQL}')
     END AS raw_dt
   FROM events
@@ -77,10 +78,14 @@ FROM norm
 def q_parse_datetime(spark, sf_dir):
     """Lenient datetime kernel (reference main.py:87-105) over synthesized
     dirty inputs: NULLs, sentinels, fractional seconds, unpadded hours,
-    ISO-T (rejected), garbage."""
+    ISO-T (rejected), garbage, and a regex-valid but calendar-invalid
+    value ('2025-13-45 23:59:59'): the reference CRASHES on it
+    (strptime raises, main.py:101-103) — this engine and the oracle
+    both return NULL (try_to_timestamp / try_strptime), pinning the
+    documented divergence (ADVICE r1)."""
     ev = load(spark, sf_dir, "events")
     base = F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
-    m = (F.col("event_id") % 8).cast("int")
+    m = (F.col("event_id") % 9).cast("int")
     raw = (
         F.when(m == 0, F.lit(None).cast("string"))
         .when(m == 1, F.lit(" n/a "))
@@ -89,6 +94,7 @@ def q_parse_datetime(spark, sf_dir):
         .when(m == 4, F.regexp_replace(base, r"^(\d{4}-\d{2}-\d{2}) 0(\d):", r"$1 $2:"))
         .when(m == 5, F.regexp_replace(base, " ", "T"))
         .when(m == 6, F.lit("not a date"))
+        .when(m == 8, F.lit("2025-13-45 23:59:59"))
         .otherwise(base)
     )
     return ev.select(
@@ -313,13 +319,20 @@ def q_dedup_anti_join(spark, sf_dir):
 def _pipeline_oracle() -> str:
     """Generate the 49-column oracle from the same mapping the Spark
     side uses, so the two can't drift."""
+    # Non-datetime populated columns go through the same exact-case
+    # sentinel normalization the Spark side applies to EVERY string
+    # column (ADVICE r1: the oracle must mirror it, and the synthesized
+    # batch must actually contain sentinels — see raw CTE below).
+    def norm(c: str) -> str:
+        return f"CASE WHEN {c} IN ('', 'null', 'None') THEN NULL ELSE {c} END"
+
     populated = {
         "install_time": f"try_strptime(install_time_s, '{_FMT_SQL}')",
         "event_time": f"try_strptime(split_part(event_time_s, '.', 1), '{_FMT_SQL}')",
-        "media_source": "media_source",
-        "campaignid": "campaignid",
-        "campaign": "campaign",
-        "appsflyer_id": "appsflyer_id",
+        "media_source": norm("media_source"),
+        "campaignid": norm("campaignid"),
+        "campaign": norm("campaign"),
+        "appsflyer_id": norm("appsflyer_id"),
     }
     cols = []
     for c in reorder_campaignid(list(APPSFLYER_TO_CH.values())):
@@ -334,9 +347,11 @@ def _pipeline_oracle() -> str:
 WITH raw AS (
   SELECT strftime(ts, '{_FMT_SQL}') AS install_time_s,
          strftime(ts, '{_FMT_SQL}') || '.123' AS event_time_s,
-         event_type AS media_source,
+         CASE WHEN event_id % 89 = 0 THEN ''
+              ELSE event_type END AS media_source,
          'c' || CAST(event_id % 50 AS VARCHAR) AS campaignid,
-         props AS campaign,
+         CASE WHEN event_id % 83 = 0 THEN 'None'
+              ELSE props END AS campaign,
          CASE WHEN event_id % 97 = 0 THEN 'null'
               ELSE CAST(event_id // 3 AS VARCHAR) END AS appsflyer_id
   FROM events
@@ -361,9 +376,15 @@ def _synth_af_batch(spark, sf_dir):
     return ev.select(
         base.alias("Install Time"),
         F.concat(base, F.lit(".123")).alias("Event Time"),
-        F.col("event_type").alias("Media Source"),
+        # sentinel values planted so null_sentinel_normalize is
+        # exercised end-to-end on every populated column (ADVICE r1)
+        F.when(F.col("event_id") % 89 == 0, F.lit(""))
+        .otherwise(F.col("event_type"))
+        .alias("Media Source"),
         F.concat(F.lit("c"), (F.col("event_id") % 50).cast("string")).alias("Campaign ID"),
-        F.col("props").alias("Campaign"),
+        F.when(F.col("event_id") % 83 == 0, F.lit("None"))
+        .otherwise(F.col("props"))
+        .alias("Campaign"),
         F.when(F.col("event_id") % 97 == 0, F.lit("null"))
         .otherwise(F.expr("event_id DIV 3").cast("string"))
         .alias("AppsFlyer ID"),

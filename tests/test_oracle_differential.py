@@ -21,5 +21,6 @@ def test_query_matches_oracle(spark, name):
     if name in ORACLE:
         compare(df, ORACLE[name], SF_SMALL)
     else:
-        # rows-only check (non-SQL-expressible op)
-        assert df.count() >= 0
+        # rows-only check for non-SQL-expressible ops: must actually
+        # produce data (a `>= 0` fallback could never fail — VERDICT r1)
+        assert df.count() > 0, f"{name}: oracle-less query returned no rows"
