@@ -33,16 +33,20 @@ def tokens(text: Column) -> Column:
 
 def word_shingles(toks: Column, n: int = 3) -> Column:
     """Distinct word n-grams (space-joined) from a token array; fewer
-    than ``n`` tokens -> empty array. Pure expression — no explode."""
-    gram = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-        ),
-    )
-    return F.when(F.size(toks) >= n, F.array_distinct(gram)).otherwise(
-        F.array().cast("array<string>")
-    )
+    than ``n`` tokens -> empty array. Pure expression — no explode.
+
+    Built with zip_with over shifted slices, NOT an index lambda with
+    ``element_at(toks, i+j)``: a lambda body re-evaluates its captured
+    array expression per ELEMENT (HOFs are interpreted, no CSE), so the
+    element_at form re-tokenizes the whole document once per shingle
+    position — measured ~10x slower at sf0.1. zip_with evaluates each
+    slice once per row; the shorter side pads with NULL, null-
+    propagating concat marks the tail, filter drops it."""
+    out = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
 
 
 def hash60(col: Column) -> Column:
@@ -51,24 +55,50 @@ def hash60(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 8) -> Column:
-    """MinHash signature as an array of ``num_hashes`` hex strings.
+def minhash_signature(digests: Column, num_hashes: int = 8) -> Column:
+    """MinHash signature (array of ``num_hashes`` hex strings) from a
+    pre-staged ``shingle_digests`` column.
 
-    Each "permutation" i is the md5 keyed by salt ``'{i}|'``; the min is
-    taken over the *string* ordering of the hex digests — a valid
-    min-wise hash family, and exactly reproducible in DuckDB as
-    ``list_aggregate(list_transform(ss, s -> md5('i|' || s)), 'min')``.
+    Hash family: md5 keyed by salt ``'{i}|'`` supplies TWO independent
+    64-bit "permutations" per digest (hex halves [1,16] and [17,32]),
+    so ``num_hashes`` signatures cost ``num_hashes/2`` md5 calls per
+    shingle — md5 dominates this operator's cost at scale. Min is over
+    the *string* ordering of the halves — a valid min-wise family,
+    exactly reproducible in DuckDB as
+    ``list_aggregate(list_transform(ss, s -> substr(md5('i|'||s), 1, 16)), 'min')``.
     Empty shingle set -> NULL entries (propagates to no LSH bucket).
     """
+    assert num_hashes % 2 == 0, "num_hashes must be even (two per digest)"
+    return F.array(
+        *[
+            F.array_min(F.transform(digests, _half_picker(i, lo)))
+            for i in range(num_hashes // 2)
+            for lo in (1, 17)
+        ]
+    )
+
+
+def shingle_digests(shingles: Column, num_digests: int) -> Column:
+    """One md5 per (salt, shingle), materialized as array<array<string>>.
+
+    Split out from ``minhash_signature`` so callers can stage it in its
+    own Project: the digest array is referenced once per signature
+    entry, and higher-order functions are interpreted (no codegen CSE),
+    so inlining it would re-run every md5 per reference. A separate
+    column boundary makes Catalyst evaluate the md5s exactly once per
+    row (CollapseProject keeps non-cheap multi-referenced aliases)."""
+
     def salted(i: int):
-        # NB: a plain `lambda s, i=i:` would be seen by PySpark as a
-        # 2-arg (element, index) lambda — the salt must be closed over
-        # via a factory so the lambda stays unary.
+        # factory keeps the lambda unary (2-param = (element, index))
         return lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))
 
-    return F.array(
-        *[F.array_min(F.transform(shingles, salted(i))) for i in range(num_hashes)]
+    return F.transform(
+        shingles, lambda s: F.array(*[salted(i)(s) for i in range(num_digests)])
     )
+
+
+def _half_picker(i: int, lo: int):
+    return lambda d: F.substring(F.element_at(d, i + 1), lo, 16)
 
 
 def lsh_band_keys(signature: Column, bands: int, rows: int) -> Column:
@@ -103,16 +133,29 @@ def simhash32(items: Column) -> Column:
     For each bit i, vote = sum over items of (+1 if bit i of the item's
     60-bit hash is set else -1); bit i of the result is 1 iff vote > 0.
     Entire computation is one expression tree per row — map-only.
+
+    Single-pass design: ONE fold over the items carries all 32 bit
+    votes in an array accumulator, so each item is hashed exactly once
+    (higher-order functions are interpreted — no codegen CSE — so the
+    naive 32-aggregates form re-hashes every item 32 times and is two
+    orders of magnitude slower; measured at sf0.1).
     """
     hashes = F.transform(items, hash60)
-
-    def bit_vote(i: int):
-        return lambda acc, h: acc + F.when(
-            F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    out = F.lit(0).cast("bigint")
-    for i in range(32):
-        vote = F.aggregate(hashes, F.lit(0), bit_vote(i))
-        out = out + F.when(vote > 0, F.lit(2**i).cast("bigint")).otherwise(F.lit(0))
+    # votes[i] += getbit(h, i) * 2 - 1  — branch-free bit vote
+    # (getbit accepts a Column position; shiftright's numBits doesn't)
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 32),
+        lambda acc, h: F.transform(
+            acc,
+            lambda a, i: a + F.getbit(h, i) * F.lit(2) - F.lit(1),
+        ),
+    )
+    bits = F.transform(
+        votes,
+        lambda v, i: F.when(
+            v > 0, F.call_function("shiftleft", F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    out = F.aggregate(bits, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     return F.when(F.size(items) > 0, out).otherwise(F.lit(None).cast("bigint"))

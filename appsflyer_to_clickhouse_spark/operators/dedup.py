@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..functions.text import (
     lsh_band_keys,
     minhash_signature,
+    shingle_digests,
     simhash32,
     tokens,
     word_shingles,
@@ -68,11 +69,19 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Append ``shingles`` (distinct word n-grams) and ``sig`` (MinHash
-    array<string>) columns. Map-only: one Project, no explode, no
-    shuffle — signatures for 100 TB of docs cost one codegen'd pass."""
+    array<string>) columns. Map-only: staged Projects, no explode, no
+    shuffle — signatures for 100 TB of docs cost one pass, with each
+    shingle md5-hashed exactly once (the digest stage is its own
+    column so the ``num_hashes`` array_min expressions share it instead
+    of re-hashing — HOFs are interpreted, no codegen CSE)."""
     sh = word_shingles(tokens(F.col(text_col)), shingle_n)
-    return df.withColumn("shingles", sh).withColumn(
-        "sig", minhash_signature(F.col("shingles"), num_hashes)
+    return (
+        df.withColumn("shingles", sh)
+        .withColumn(
+            "__digests", shingle_digests(F.col("shingles"), num_hashes // 2)
+        )
+        .withColumn("sig", minhash_signature(F.col("__digests"), num_hashes))
+        .drop("__digests")
     )
 
 

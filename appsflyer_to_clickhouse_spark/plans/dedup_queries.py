@@ -52,9 +52,12 @@ sh AS (
   FROM tk
 )"""
 
+# Two 64-bit permutations per salted digest (hex halves) — mirrors
+# functions/text.py:minhash_signature's hash family exactly.
 _MIN_EXPRS = ", ".join(
-    f"list_aggregate(list_transform(ss, s -> md5('{i}|' || s)), 'min')"
-    for i in range(NUM_HASHES)
+    f"list_aggregate(list_transform(ss, s -> substr(md5('{i}|' || s), {lo}, 16)), 'min')"
+    for i in range(NUM_HASHES // 2)
+    for lo in (1, 17)
 )
 
 _BAND_KEYS = ", ".join(
