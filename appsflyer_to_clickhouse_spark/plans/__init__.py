@@ -17,3 +17,5 @@ from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401
 from . import streaming_queries  # noqa: E402,F401
 from . import multimodal_queries  # noqa: E402,F401
+from . import pipeline_queries  # noqa: E402,F401
+from . import mllib_queries  # noqa: E402,F401

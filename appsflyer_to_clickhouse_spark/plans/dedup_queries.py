@@ -35,13 +35,14 @@ MAX_HAMMING = 3
 # shared DuckDB oracle fragments (mirror functions/text.py exactly)
 # ---------------------------------------------------------------------------
 
-# tokens / distinct word 3-shingles of documents.text
-_SHINGLE_CTE = """
+# tokens / distinct word 3-shingles of <src>.text
+def shingle_cte(src: str = "documents") -> str:
+    return f"""
 tk AS (
   SELECT doc_id,
          list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                      x -> x != '') AS t
-  FROM documents
+  FROM {src}
 ),
 sh AS (
   SELECT doc_id,
@@ -51,6 +52,9 @@ sh AS (
               ELSE []::VARCHAR[] END AS ss
   FROM tk
 )"""
+
+
+_SHINGLE_CTE = shingle_cte("documents")
 
 # Two 64-bit permutations per salted digest (hex halves) — mirrors
 # functions/text.py:minhash_signature's hash family exactly.
@@ -65,8 +69,9 @@ _BAND_KEYS = ", ".join(
     for b in range(BANDS)
 )
 
-_CANDIDATES_CTE = f"""
-{_SHINGLE_CTE},
+def candidates_cte(src: str = "documents") -> str:
+    return f"""
+{shingle_cte(src)},
 mh AS (
   SELECT doc_id, [{_MIN_EXPRS}] AS sig FROM sh
 ),
@@ -81,6 +86,9 @@ cand AS (
     ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
   WHERE a.bucket IS NOT NULL
 )"""
+
+
+_CANDIDATES_CTE = candidates_cte("documents")
 
 
 # ---------------------------------------------------------------------------

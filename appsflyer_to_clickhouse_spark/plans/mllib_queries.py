@@ -1,0 +1,70 @@
+"""MLlib-backed scale variants of the dedup/similarity operators
+(SURVEY.md §2 Part C "Spark primitive" column names MLlib LSH as the
+scale-out path; these register it alongside the hand-rolled,
+oracle-checked md5 implementations).
+
+Both are seeded and deterministic but their hash families are JVM-
+internal, so no DuckDB twin exists — they carry rows-only checks, and
+tests/test_mllib_recall.py pins their recall against the exact
+brute-force results instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+_SEED = 42
+
+
+@register("dedup_minhash_mllib", None)
+def q_dedup_minhash_mllib(spark, sf_dir):
+    """MLlib MinHashLSH near-dup pairs over word 3-shingles (NGram),
+    matching the md5 implementation's unit of similarity: HashingTF
+    (binary, no fitted vocabulary — deterministic feature hashing) ->
+    MinHashLSH(seed=42, 5 tables) -> approxSimilarityJoin at Jaccard
+    distance <= 0.3. The distributed join is bucketed by LSH band
+    internally — the same never-all-pairs property as the md5
+    implementation."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
+    grams = NGram(n=3, inputCol="words", outputCol="shingles").transform(toks)
+    feats = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    ).transform(grams)
+    model = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=5, seed=_SEED
+    ).fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, 0.3, distCol="jaccard_dist")
+    return (
+        joined.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round("jaccard_dist", 6).alias("jaccard_dist"),
+        )
+        .distinct()
+    )
+
+
+@register("similarity_brp_mllib", None)
+def q_similarity_brp_mllib(spark, sf_dir):
+    """MLlib BucketedRandomProjectionLSH approximate nearest
+    neighbours: euclidean-bucketed probe of the query vector's
+    neighbourhood, k=10. The 100 TB form of similarity_topk when the
+    corpus is pre-bucketed at ingest."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, seed=_SEED
+    ).fit(emb)
+    query = emb.filter(F.col("vec_id") == 0).head()
+    nn = model.approxNearestNeighbors(emb, query["features"], 10, distCol="dist")
+    return nn.select("vec_id", F.round("dist", 6).alias("dist"))

@@ -113,6 +113,36 @@ _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it")
 _STOP_SQL = "[" + ", ".join(f"'{w}'" for w in _STOPWORDS) + "]"
 
 
+def quality_flags(docs):
+    """Quality features + keep flag appended as columns (shared by the
+    standalone query and the composite training-data pipeline)."""
+    d = docs.withColumn("t", tokens(F.col("text")))
+    nt = F.size("t")
+    text_len = F.length("text")
+    punct = F.round(
+        F.when(
+            text_len > 0,
+            (
+                text_len - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
+            ).cast("double")
+            / text_len,
+        ).otherwise(0.0),
+        6,
+    )
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    stops = F.size(F.filter("t", lambda x: F.array_contains(stop_arr, x)))
+    stop_ratio = F.round(
+        F.when(nt > 0, stops.cast("double") / nt).otherwise(0.0), 6
+    )
+    return d.select(
+        *docs.columns,
+        nt.alias("n_tokens"),
+        punct.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        ((nt >= 10) & (punct <= 0.1) & (stop_ratio >= 0.01)).alias("keep"),
+    )
+
+
 @register(
     "text_quality_score",
     f"""
@@ -142,33 +172,8 @@ def q_text_quality_score(spark, sf_dir):
     ratio, and the keep/drop decision — the classic pre-training
     filter. Map-only."""
     docs = load(spark, sf_dir, "documents")
-    t = tokens(F.col("text"))
-    d = docs.withColumn("t", t)
-    nt = F.size("t")
-    text_len = F.length("text")
-    punct = F.round(
-        F.when(
-            text_len > 0,
-            (
-                text_len - F.length(F.regexp_replace("text", "[^a-z0-9 ]", ""))
-            ).cast("double")
-            / text_len,
-        ).otherwise(0.0),
-        6,
-    )
-    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
-    stops = F.size(F.filter("t", lambda x: F.array_contains(stop_arr, x)))
-    stop_ratio = F.round(
-        F.when(nt > 0, stops.cast("double") / nt).otherwise(0.0), 6
-    )
-    return d.select(
-        "doc_id",
-        nt.alias("n_tokens"),
-        punct.alias("punct_ratio"),
-        stop_ratio.alias("stopword_ratio"),
-        (
-            (nt >= 10) & (punct <= 0.1) & (stop_ratio >= 0.01)
-        ).alias("keep"),
+    return quality_flags(docs).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio", "keep"
     )
 
 

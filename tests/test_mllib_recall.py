@@ -1,0 +1,35 @@
+"""Pin the MLlib (rows-only) variants against the oracle-checked exact
+implementations: the seeded LSH structures must recover the known
+near-dup pairs / true nearest neighbours. This is the stronger check
+standing in for the DuckDB oracle the JVM hash families can't have.
+"""
+
+from __future__ import annotations
+
+from appsflyer_to_clickhouse_spark.plans import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def test_mllib_minhash_recovers_exact_jaccard_pairs(spark):
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_ngram_jaccard"](spark, SF_SMALL).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in QUERIES["dedup_minhash_mllib"](spark, SF_SMALL).collect()
+    }
+    assert exact, "expected planted near-dup pairs in testdata"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"MLlib MinHashLSH recall {recall:.2f} vs exact pairs"
+
+
+def test_mllib_brp_neighbours_overlap_brute_force(spark):
+    brute = [r["vec_id"] for r in QUERIES["similarity_topk"](spark, SF_SMALL).collect()]
+    ann = {r["vec_id"] for r in QUERIES["similarity_brp_mllib"](spark, SF_SMALL).collect()}
+    # euclidean ANN vs cosine top-k agree on the near neighbourhood of
+    # the query; require the query itself plus most of the top-5
+    assert brute[0] in ann
+    overlap = len(set(brute[:5]) & ann)
+    assert overlap >= 3, f"only {overlap} of brute-force top-5 found by BRP-LSH"
