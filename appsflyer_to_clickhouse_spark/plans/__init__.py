@@ -12,6 +12,7 @@ from . import etl_queries  # noqa: E402,F401
 from . import source_queries  # noqa: E402,F401
 from . import sink_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
+from . import advanced_queries  # noqa: E402,F401
 from . import text_queries  # noqa: E402,F401
 from . import dedup_queries  # noqa: E402,F401
 from . import similarity_queries  # noqa: E402,F401

@@ -1,0 +1,265 @@
+"""Advanced relational operators beyond the reference's surface —
+the joins/aggregates SURVEY.md §2 Part B flags as absent from the
+reference but that any real analytics user reaches for. All exact
+DuckDB oracles.
+
+Scale notes are per-query; the common theme: non-equi joins broadcast
+the small side, ordered analytics use a single hash shuffle on the
+partition key, and top-k never globally sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# join_asof — most recent prior event (the time-series workhorse)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), views AS (
+      SELECT user_id, ts AS view_ts, value AS view_value
+      FROM events WHERE event_type = 'view'
+    )
+    SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value
+    FROM clicks c
+    ASOF LEFT JOIN views v
+      ON c.user_id = v.user_id AND c.ts >= v.view_ts
+    """,
+)
+def q_join_asof(spark, sf_dir):
+    """As-of join: each click paired with the user's most recent view
+    at-or-before it (DuckDB: native ASOF JOIN). Spark has no asof
+    operator, so it composes scalably: union both streams tagged,
+    ONE hash shuffle on user_id, and a running last_value(ignorenulls)
+    carries the latest view forward — O(n log n) within partitions,
+    no range join, no per-row subquery. Views sort before clicks on
+    ts ties, matching ASOF's >= bound."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        F.lit(None).cast("timestamp").alias("v_ts"),
+        F.lit(None).cast("double").alias("v_val"),
+        F.lit(1).alias("is_click"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id", "ts",
+        F.col("ts").alias("v_ts"),
+        F.col("value").alias("v_val"),
+        F.lit(0).alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_click")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(views).select(
+        "event_id", "user_id", "ts", "is_click",
+        F.last("v_ts", ignorenulls=True).over(w).alias("view_ts"),
+        F.last("v_val", ignorenulls=True).over(w).alias("view_value"),
+    )
+    return merged.filter(F.col("is_click") == 1).select(
+        "event_id", "user_id", "ts", "view_ts", "view_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_range — non-equi bucket join (broadcast nested loop on a dim)
+# ---------------------------------------------------------------------------
+
+_BUCKETS = [(i, 50.0 * i, 50.0 * (i + 1)) for i in range(10)]
+_BUCKET_SQL = ", ".join(f"({i}, {lo}, {hi})" for i, lo, hi in _BUCKETS)
+
+
+@register(
+    "join_range",
+    f"""
+    WITH buckets(bucket_id, lo, hi) AS (VALUES {_BUCKET_SQL})
+    SELECT e.event_id, b.bucket_id
+    FROM events e JOIN buckets b ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def q_join_range(spark, sf_dir):
+    """True non-equi (range) join: events matched to value intervals.
+    The interval dim is tiny and explicitly broadcast, so the physical
+    plan is BroadcastNestedLoopJoin — the right 100 TB shape when one
+    side is a handful of ranges (the alternative, binning with a CASE,
+    is what `case_bucketize` shows; this is the general form for
+    runtime-provided intervals)."""
+    ev = load(spark, sf_dir, "events")
+    buckets = spark.createDataFrame(_BUCKETS, "bucket_id int, lo double, hi double")
+    joined = ev.join(
+        F.broadcast(buckets),
+        (ev["value"] >= buckets["lo"]) & (ev["value"] < buckets["hi"]),
+    )
+    return joined.select("event_id", "bucket_id")
+
+
+# ---------------------------------------------------------------------------
+# unnest_tokens_topk — explode + aggregate + top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unnest_tokens_topk",
+    """
+    SELECT tok, CAST(count(*) AS BIGINT) AS n
+    FROM (
+      SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                    '[^a-z0-9]+'), x -> x != '')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def q_unnest_tokens_topk(spark, sf_dir):
+    """Lateral explode of the token array -> global term frequencies ->
+    top 20 (count desc, token asc tiebreak). Partial aggregation
+    collapses the exploded stream map-side, and the final top-k plans
+    as TakeOrderedAndProject — no global sort of the vocabulary."""
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = toks.groupBy("tok").agg(F.count("*").alias("n"))
+    return counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# agg_percentiles / agg_stats — ordered + moment statistics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.9]),
+                          x -> round(x::DOUBLE, 6)) AS qty_quantiles,
+           CAST(min(l_quantity) AS DOUBLE) AS qty_min,
+           CAST(max(l_quantity) AS DOUBLE) AS qty_max
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — Spark `percentile`
+    and DuckDB `quantile_cont` share the definition) per group. Exact
+    order statistics need the group's values together (one shuffle);
+    at 100 TB swap in approx_percentile (t-digest) the same way
+    agg_distinct_count notes approx_count_distinct."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.transform(
+            F.percentile(F.col("l_quantity"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))),
+            lambda x: F.round(x, 6),
+        ).alias("qty_quantiles"),
+        F.min("l_quantity").cast("double").alias("qty_min"),
+        F.max("l_quantity").cast("double").alias("qty_max"),
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_returnflag,
+           round(avg(l_extendedprice), 4) AS price_avg,
+           round(stddev_samp(l_extendedprice), 4) AS price_std,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_agg_stats(spark, sf_dir):
+    """Moment statistics (avg/stddev/corr) per group — single-pass
+    partial aggregation (sum/sum-of-squares/co-moments combine
+    associatively), so one shuffle regardless of scale. Rounded to
+    absorb float fold-order differences between engines."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("price_avg"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_std"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_tumbling_window — time-bucketed aggregation (batch twin of the
+# streaming windowed agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling_window(spark, sf_dir):
+    """Tumbling 1-day windows per event type via F.window — the batch
+    form of the Structured Streaming windowed aggregation (same
+    expression works under readStream + watermark; the streaming
+    variant's semantics are pinned in tests/test_streaming.py)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy_levenshtein — edit-distance verify over LSH candidates
+# ---------------------------------------------------------------------------
+
+
+def _fuzzy_oracle() -> str:
+    from .dedup_queries import candidates_cte
+
+    return f"""
+    WITH {candidates_cte('documents')}
+    SELECT c.id_a, c.id_b,
+           levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS lev40
+    FROM cand c
+    JOIN documents a ON a.doc_id = c.id_a
+    JOIN documents b ON b.doc_id = c.id_b
+    """
+
+
+@register("fuzzy_levenshtein", _fuzzy_oracle())
+def q_fuzzy_levenshtein(spark, sf_dir):
+    """Edit-distance verification over LSH candidate pairs (never all
+    pairs — Levenshtein is O(len^2) per pair, so the candidate bound is
+    what makes it usable at scale; prefixes cap the per-pair cost)."""
+    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
+    from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND
+
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
+    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    texts = docs.select("doc_id", F.substring("text", 1, 40).alias("prefix"))
+    return (
+        cand.join(texts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("prefix", "p_a"), "id_a")
+        .join(texts.withColumnRenamed("doc_id", "id_b").withColumnRenamed("prefix", "p_b"), "id_b")
+        .select(
+            "id_a", "id_b", F.levenshtein("p_a", "p_b").alias("lev40")
+        )
+    )
