@@ -85,6 +85,21 @@ def minhash_signatures(
     )
 
 
+def _in_group_pairs(ids: Column) -> Column:
+    """All (a, b) pairs with a < b from a sorted id array — pure
+    expression. ``ids`` is a materialized column attribute, so the
+    nested lambdas only re-read it (cheap), never recompute it."""
+    return F.flatten(
+        F.transform(
+            ids,
+            lambda a, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+
+
 def lsh_candidate_pairs(
     sig_df: DataFrame,
     id_col: str = "doc_id",
@@ -94,29 +109,28 @@ def lsh_candidate_pairs(
     """MinHash-LSH candidate pairs: docs sharing any band bucket.
 
     Explodes ``bands`` bucket keys per doc (a bands-x fanout of doc IDs
-    only — signatures/text are NOT carried through the shuffle), then
-    self-joins on (band, key). Returns distinct (id_a, id_b), id_a <
-    id_b. Skew note: a bucket of k near-identical docs yields k^2/2
-    pairs — bounded by duplicate-group size, and AQE skew-join splits
-    pathological buckets at runtime."""
+    only — signatures/text are NOT carried through the shuffle), groups
+    by (band, key), and explodes in-group pairs. One aggregation
+    instead of a self-join: the signature subplan is computed ONCE (a
+    self-join would recompute it on both sides — Spark has no common
+    subplan reuse across join inputs). Returns distinct (id_a, id_b),
+    id_a < id_b. Skew note: a bucket of k near-identical docs yields
+    k^2/2 pairs — bounded by duplicate-group size; collect_set keeps
+    only ids, never payloads."""
     banded = sig_df.select(
         F.col(id_col),
         F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias(
             "band", "bucket"
         ),
     ).filter(F.col("bucket").isNotNull())
-    a = banded.alias("a")
-    b = banded.alias("b")
+    groups = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        groups.select(F.explode(_in_group_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
 
@@ -161,9 +175,10 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 32-bit signature into 4 bytes;
     by pigeonhole, any pair within hamming distance 3 shares at least
-    one byte — join on (byte_index, byte_value), then filter exact
-    hamming via bit_count(xor). Candidate join is linear in docs x 4,
-    never all-pairs."""
+    one byte — group on (byte_index, byte_value), explode in-group
+    pairs (signature subplan computed once — see lsh_candidate_pairs),
+    then filter exact hamming via bit_count(xor). Candidate generation
+    is linear in docs x 4, never all-pairs."""
     bytes_arr = F.array(
         *[
             F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF))
@@ -175,22 +190,33 @@ def simhash_near_pairs(
         F.col("simhash"),
         F.posexplode(bytes_arr).alias("byte_idx", "byte_val"),
     ).filter(F.col("simhash").isNotNull())
-    a, b = banded.alias("a"), banded.alias("b")
-    ham: Column = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    groups = (
+        banded.groupBy("byte_idx", "byte_val")
+        .agg(
+            F.sort_array(
+                F.collect_set(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("items")
+        )
+        .filter(F.size("items") > 1)
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda a, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda b: F.struct(
+                    a["id"].alias("id_a"),
+                    b["id"].alias("id_b"),
+                    F.bit_count(a["simhash"].bitwiseXOR(b["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
+        )
     )
     return (
-        a.join(
-            b,
-            (F.col("a.byte_idx") == F.col("b.byte_idx"))
-            & (F.col("a.byte_val") == F.col("b.byte_val"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .filter(ham <= max_hamming)
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.alias("hamming"),
-        )
+        groups.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"), F.col("p.hamming"))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
