@@ -231,10 +231,15 @@ def q_time_window(spark, sf_dir):
 )
 def q_filter_time_range(spark, sf_dir):
     """Inclusive-both-bounds window predicate (reference main.py:116-118,
-    172-174), expressed so Catalyst pushes it into the parquet scan
-    (PushedFilters; at scale: row-group + partition pruning)."""
-    ev = load(spark, sf_dir, "events")
-    return filter_time_range(ev, "ts", WIN_FROM, WIN_TO).select(
+    172-174), pushed into the parquet scan. The testdata stores ts as
+    raw int64 nanos, so the bounds are translated to nanos and applied
+    to the physical column (registry.load_windowed) — PushedFilters
+    then carries the window into row-group pruning, exactly as a
+    TIMESTAMP column would at 100 TB. Plan shape pinned in
+    tests/test_plan_shapes.py."""
+    from .registry import load_windowed
+
+    return load_windowed(spark, sf_dir, "events", "ts", WIN_FROM, WIN_TO).select(
         "event_id", "ts", "user_id", "event_type"
     )
 

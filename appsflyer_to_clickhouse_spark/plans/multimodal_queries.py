@@ -51,6 +51,46 @@ def q_multimodal_columns(spark, sf_dir):
     return feats.join(meta, "doc_id")
 
 
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, i AS frame_idx,
+           least(i * greatest(octet_length(text::BLOB) // 4, 1),
+                 octet_length(text::BLOB) - 1) AS byte_offset
+    FROM documents, (SELECT unnest(range(4)) AS i) u
+    WHERE octet_length(text::BLOB) > 0
+    """,
+)
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Frame-sampling plan for video-like payloads: a 1->N fan-out
+    mapInPandas stage emitting (doc_id, frame_idx, byte_offset) rows
+    from each payload via the deterministic sampler (a real sampler
+    would seek keyframes at those offsets). Exercises the expanding
+    batch shape the feature extractor (1->1) doesn't."""
+    import pandas as pd_mod  # noqa: F401 — imported lazily on executors
+
+    from ..multimodal.columns import attach_binary_payload, sample_frame_offsets
+
+    docs = load(spark, sf_dir, "documents")
+    bin_df = attach_binary_payload(docs, "text", "doc_id")
+
+    def sample(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "byte_offset": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, off in enumerate(sample_frame_offsets(len(payload), 4)):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["byte_offset"].append(off)
+            yield pd.DataFrame(out)
+
+    return bin_df.mapInPandas(
+        sample, "doc_id long, frame_idx int, byte_offset long"
+    )
+
+
 _BIN_FILES = {
     "a.bin": b"\x89PNG-ish deterministic payload",
     "b.bin": b"RIFF-ish deterministic payload!!",

@@ -46,3 +46,43 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
         if isinstance(df.schema[c].dataType, T.LongType):
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
     return df
+
+
+def load_windowed(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    col: str,
+    from_time: str,
+    to_time: str,
+) -> DataFrame:
+    """Load with the time window pushed into the parquet scan.
+
+    For raw-nanos columns a predicate on the *converted* timestamp sits
+    above the conversion expression and cannot push (only IsNotNull
+    reaches the scan); translating the bounds to raw int64 nanos
+    filters the physical column, so PushedFilters carries the window
+    into row-group pruning. Exact translation of the inclusive
+    micro-second window: floor(n/1000) >= m  <=>  n >= 1000m, and
+    floor(n/1000) <= M  <=>  n <= 1000M + 999.
+    """
+    from datetime import datetime, timezone
+
+    raw = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if col in _NANOS_TS_COLS.get(table, ()) and isinstance(
+        raw.schema[col].dataType, T.LongType
+    ):
+        fmt = "%Y-%m-%d %H:%M:%S"
+
+        def micros(s: str) -> int:
+            dt = datetime.strptime(s, fmt).replace(tzinfo=timezone.utc)
+            return int(dt.timestamp()) * 1_000_000
+
+        lo = micros(from_time) * 1000
+        hi = micros(to_time) * 1000 + 999
+        raw = raw.filter((F.col(col) >= lo) & (F.col(col) <= hi))
+        return raw.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    c = F.col(col)
+    return load(spark, sf_dir, table).filter(
+        (c >= F.lit(from_time)) & (c <= F.lit(to_time))
+    )

@@ -20,6 +20,52 @@ _RUN_SEQ = iter(range(1_000_000))
 
 
 @register(
+    "stream_windowed_agg",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_stream_windowed_agg(spark, sf_dir):
+    """Streaming tumbling-window aggregation: events replayed as a file
+    stream -> groupBy(window('ts','1 day'), event_type).count() ->
+    complete-mode memory sink (availableNow). The final state equals
+    the batch aggregation whatever the micro-batch boundaries were, so
+    the DuckDB time_bucket oracle is exact. In production this runs
+    with a watermark in update mode; state is bounded by windows x
+    types."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    src = tempfile.mkdtemp(prefix="spark_graft_streamagg_src_")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(src)
+    agg = (
+        stream.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .count()
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("count").alias("n"),
+        )
+    )
+    name = f"stream_windowed_agg_{next(_RUN_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_dedup_watermark",
     "SELECT DISTINCT user_id FROM events",
 )

@@ -1,0 +1,72 @@
+"""Pin the physical-plan shapes the 100 TB design depends on. A
+regression that, e.g., turns the brute-force top-k into a global sort
+or adds a shuffle to a map-only text kernel passes the value oracle
+but fails here.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from appsflyer_to_clickhouse_spark.plans import QUERIES
+
+from .conftest import SF_SMALL
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_SMALL)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_similarity_topk_is_take_ordered_not_global_sort(spark):
+    plan = _plan(spark, "similarity_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_sort_limit_topk_is_take_ordered(spark):
+    plan = _plan(spark, "sort_limit_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_join_range_broadcasts_interval_dim(spark):
+    plan = _plan(spark, "join_range")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    plan = _plan(spark, "filter_time_range_pushdown")
+    assert "PushedFilters: [" in plan
+    # the time bounds must actually be in the pushed set
+    assert "GreaterThanOrEqual" in plan and "LessThanOrEqual" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["text_analysis", "text_token_count", "text_quality_score",
+     "text_lang_id", "text_fingerprint", "dedup_simhash"],
+)
+def test_text_kernels_are_map_only(spark, name):
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, f"{name} should not shuffle"
+
+
+def test_project_rename_prunes_scan_columns(spark):
+    plan = _plan(spark, "project_rename")
+    # only the 3 mapped source columns are read, not all 6 of events
+    assert "ReadSchema: struct<event_id:bigint,event_type:string,props:string>" in plan
+
+
+def test_etl_pipeline_antijoin_key_side_stays_distributed(spark):
+    plan = _plan(spark, "etl_pipeline")
+    assert "LeftAnti" in plan
+    # no driver-side collect anywhere in the lineage (single job plan)
+    assert "CollectLimit" not in plan
+
+
+def test_agg_groupby_has_partial_aggregation(spark):
+    plan = _plan(spark, "agg_groupby_q1")
+    # two HashAggregates (partial + final) around one shuffle
+    assert plan.count("HashAggregate") >= 2
