@@ -231,6 +231,54 @@ def q_events_tumbling_window(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# join_skew_salted — skew-mitigated equi-join, result equals plain join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_skew_salted",
+    """
+    WITH fact AS (
+      SELECT event_id,
+             CASE WHEN event_id % 10 < 7 THEN 0 ELSE user_id END AS k,
+             value
+      FROM events
+    ), dim AS (
+      SELECT user_id AS k, CAST(count(*) AS BIGINT) AS user_events
+      FROM events GROUP BY user_id
+    )
+    SELECT f.event_id, f.k, round(f.value, 4) AS value, d.user_events
+    FROM fact f JOIN dim d ON f.k = d.k
+    """,
+)
+def q_join_skew_salted(spark, sf_dir):
+    """Salted join under deliberate skew (70% of fact rows share key
+    0): the dim replicates 16x, the fact salts deterministically
+    (crc32 % 16), and the hot key spreads over 16 shuffle partitions.
+    The oracle is the PLAIN join — salting must not change the result
+    set, only the partitioning. At 100 TB this (or AQE skew-split) is
+    the difference between a straggler task holding 70% of the data
+    and even tasks."""
+    from ..operators.join_utils import salted_join
+
+    ev = load(spark, sf_dir, "events")
+    fact = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 10 < 7, 0)
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        F.round("value", 4).alias("value"),
+    )
+    dim = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count("*").alias("user_events")
+    )
+    salt = F.pmod(F.crc32(F.col("event_id").cast("string")), F.lit(16))
+    return salted_join(fact, dim, "k", salt, 16).select(
+        "event_id", "k", "value", "user_events"
+    )
+
+
 def _fuzzy_oracle() -> str:
     from .dedup_queries import candidates_cte
 

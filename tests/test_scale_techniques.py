@@ -1,0 +1,74 @@
+"""Scale techniques the registry queries can't show directly:
+bucketed co-located joins (no Exchange) and approximate-aggregate
+accuracy bounds (the documented 100 TB swaps for exact distinct /
+percentile).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from appsflyer_to_clickhouse_spark.plans.registry import load
+
+from .conftest import SF_SMALL
+
+
+def test_bucketed_join_avoids_shuffle(spark):
+    """Two tables bucketed by the join key join WITHOUT a shuffle:
+    SortMergeJoin directly over the bucketed scans — the pre-partitioned
+    layout a 100 TB fact/fact join relies on."""
+    ev = load(spark, SF_SMALL, "events")
+    left = ev.select("event_id", "user_id", "value")
+    right = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    wh = tempfile.mkdtemp(prefix="bucket_wh_")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, df in (("b_left", left), ("b_right", right)):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            (
+                df.write.mode("overwrite")
+                .bucketBy(8, "user_id")
+                .sortBy("user_id")
+                .format("parquet")
+                .option("path", f"{wh}/{name}")  # external: keep data out of ./spark-warehouse
+                .saveAsTable(name)
+            )
+        joined = spark.table("b_left").join(spark.table("b_right"), "user_id")
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "Exchange" not in plan, "bucketed join must not shuffle"
+        assert joined.count() == left.count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        for name in ("b_left", "b_right"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@pytest.mark.parametrize("col,rsd", [("l_partkey", 0.05), ("l_suppkey", 0.05)])
+def test_approx_count_distinct_within_rsd(spark, col, rsd):
+    """approx_count_distinct (HLL++) — the documented 100 TB swap for
+    the exact two-phase distinct — must land within its advertised
+    relative standard deviation (3 sigma) of the exact count."""
+    li = load(spark, SF_SMALL, "lineitem")
+    row = li.agg(
+        F.countDistinct(col).alias("exact"),
+        F.approx_count_distinct(col, rsd).alias("approx"),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) <= 3 * rsd * row["exact"], row
+
+
+def test_approx_percentile_close_to_exact(spark):
+    """approx_percentile — the t-digest swap for exact order
+    statistics — within 2% of exact medians."""
+    li = load(spark, SF_SMALL, "lineitem")
+    row = li.agg(
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("exact"),
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx"
+        ),
+    ).collect()[0]
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02, row
