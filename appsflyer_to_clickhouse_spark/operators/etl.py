@@ -28,7 +28,7 @@ def reorder_campaignid(cols: list[str]) -> list[str]:
     verified by execution, documented in SURVEY.md §2. We implement the
     intent: column order is just the select-list order.
     """
-    if "campaignid" not in cols:
+    if "campaignid" not in cols or "media_source" not in cols:
         return list(cols)
     out = [c for c in cols if c != "campaignid"]
     out.insert(out.index("media_source") + 1, "campaignid")

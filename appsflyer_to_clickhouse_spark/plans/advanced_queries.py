@@ -232,6 +232,60 @@ def q_events_tumbling_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# sql_scalar_subquery — the spark.sql() surface with a scalar subquery
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sql_scalar_subquery",
+    """
+    SELECT event_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE value > 2 * (SELECT avg(value) FROM events)
+    """,
+)
+def q_sql_scalar_subquery(spark, sf_dir):
+    """The SQL entry point: users can hand the engine SQL text —
+    temp views over the loaded frames, then spark.sql with a scalar
+    subquery (Catalyst plans it as a broadcast of the 1-row aggregate,
+    then a pushable filter). Identical text runs on DuckDB."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_id, event_type, round(value, 4) AS value
+        FROM events
+        WHERE value > 2 * (SELECT avg(value) FROM events)
+        """
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH a AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS k
+      FROM events WHERE event_id % 2 = 0
+    ), b AS (
+      SELECT DISTINCT CASE WHEN event_id % 7 = 0 THEN NULL ELSE user_id END AS k
+      FROM events WHERE event_id % 2 = 1
+    )
+    SELECT a.event_id, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys — still a hash join (the null bucket joins like
+    any other value), unlike a non-equi null workaround."""
+    ev = load(spark, sf_dir, "events")
+    k = F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("user_id"))
+    a = ev.filter(F.col("event_id") % 2 == 0).select("event_id", k.alias("k"))
+    b = ev.filter(F.col("event_id") % 2 == 1).select(k.alias("k")).distinct()
+    return a.join(b, a["k"].eqNullSafe(b["k"])).select(a["event_id"], a["k"])
+
+
+# ---------------------------------------------------------------------------
 # join_skew_salted — skew-mitigated equi-join, result equals plain join
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,83 @@
+"""Edge-case pins: empty-batch short-circuit, falsy-key drops, column
+reorder corners — the reference behaviors that only show up on unusual
+inputs (SURVEY.md §5 item 2).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from appsflyer_to_clickhouse_spark.operators.etl import (
+    dedup_anti_join,
+    reorder_campaignid,
+)
+from appsflyer_to_clickhouse_spark.schemas import ch_sink_schema
+from appsflyer_to_clickhouse_spark.sinks.parquet_sink import write_sink
+
+
+def test_reorder_campaignid_moves_after_media_source():
+    assert reorder_campaignid(["a", "media_source", "b", "campaignid"]) == [
+        "a", "media_source", "campaignid", "b",
+    ]
+
+
+def test_reorder_campaignid_noop_without_either_column():
+    assert reorder_campaignid(["a", "b"]) == ["a", "b"]
+    # campaignid present but media_source missing: unchanged, no crash
+    # (the reference would raise ValueError here — main.py:148-154)
+    assert reorder_campaignid(["a", "campaignid"]) == ["a", "campaignid"]
+
+
+def test_write_sink_skips_empty_batch(spark):
+    """Reference main.py:183 skips the INSERT when 0 rows survive; the
+    parquet sink must not create files for an empty frame."""
+    empty = spark.createDataFrame([], ch_sink_schema())
+    path = tempfile.mkdtemp(prefix="empty_sink_")
+    write_sink(empty, path, mode="append")
+    assert os.listdir(path) == []
+
+
+def test_anti_join_drops_falsy_keys(spark):
+    batch = spark.createDataFrame(
+        [("a", 1), ("", 2), (None, 3), ("b", 4)],
+        T.StructType(
+            [
+                T.StructField("appsflyer_id", T.StringType()),
+                T.StructField("n", T.IntegerType()),
+            ]
+        ),
+    )
+    existing = spark.createDataFrame([("b",)], "appsflyer_id string")
+    out = dedup_anti_join(batch, existing)
+    assert [r["appsflyer_id"] for r in out.collect()] == ["a"]
+
+
+def test_anti_join_keeps_within_batch_duplicates(spark):
+    """The reference quirk (main.py:179-180): two same-ID rows in one
+    batch BOTH survive the sink anti-join."""
+    batch = spark.createDataFrame(
+        [("x", 1), ("x", 2)], "appsflyer_id string, n int"
+    )
+    existing = spark.createDataFrame([], "appsflyer_id string")
+    assert dedup_anti_join(batch, existing).count() == 2
+
+
+def test_sentinel_asymmetry_between_kernels(spark):
+    """'NULL' (exact-case miss) survives string normalization but the
+    datetime kernel nulls it case-insensitively (SURVEY.md §7)."""
+    from appsflyer_to_clickhouse_spark.functions.kernels import (
+        null_sentinel_normalize,
+        parse_datetime_lenient,
+    )
+
+    df = spark.createDataFrame([("NULL",), (" null ",)], "raw string")
+    out = df.select(
+        null_sentinel_normalize(F.col("raw")).alias("s"),
+        parse_datetime_lenient(F.col("raw")).alias("d"),
+    ).collect()
+    assert [r["s"] for r in out] == ["NULL", " null "]  # strings pass through
+    assert [r["d"] for r in out] == [None, None]  # datetimes null out
