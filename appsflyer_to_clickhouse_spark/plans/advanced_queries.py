@@ -232,6 +232,100 @@ def q_events_tumbling_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# grouping sets / analytic windows / ordered collect
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT event_type, user_id % 5 AS user_bucket,
+           CAST(grouping(event_type) AS INTEGER) AS g_type,
+           CAST(grouping(user_id % 5) AS INTEGER) AS g_bucket,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+    """,
+)
+def q_grouping_sets_agg(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond the rollup/cube queries) with
+    grouping() markers disambiguating real NULLs from subtotal rows.
+    Plans as a single Expand + aggregate — one shuffle for all three
+    granularities."""
+    load(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id % 5 AS user_bucket,
+               CAST(grouping(event_type) AS INT) AS g_type,
+               CAST(grouping(user_id % 5) AS INT) AS g_bucket,
+               count(*) AS n
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 5), ())
+        """
+    )
+
+
+@register(
+    "window_analytics_suite",
+    """
+    SELECT event_id, user_id,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(event_id) OVER w AS first_ev,
+           nth_value(event_id, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_ev,
+           lead(event_id, 1) OVER w AS next_ev
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_window_analytics_suite(spark, sf_dir):
+    """The analytic-function family beyond row_number/lag: ntile,
+    percent_rank, cume_dist, first/nth_value, lead — all over ONE
+    window spec, so a single hash shuffle on user_id serves every
+    column (WindowExec shares the sort)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.first("event_id").over(w).alias("first_ev"),
+        F.nth_value("event_id", 2).over(wrows).alias("second_ev"),
+        F.lead("event_id", 1).over(w).alias("next_ev"),
+    )
+
+
+@register(
+    "agg_array_collect",
+    """
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS types,
+           string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_agg_array_collect(spark, sf_dir):
+    """Ordered collection aggregates: collect_set sorted into a
+    deterministic array + CSV string_agg twin. Collection order is
+    nondeterministic under parallelism, so ALWAYS sort before exposing
+    (the only way collect results can be contract-stable)."""
+    ev = load(spark, sf_dir, "events")
+    types = F.sort_array(F.collect_set("event_type"))
+    return ev.groupBy("user_id").agg(
+        types.alias("types"),
+        F.array_join(types, ",").alias("types_csv"),
+        F.count("*").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # sql_scalar_subquery — the spark.sql() surface with a scalar subquery
 # ---------------------------------------------------------------------------
 
