@@ -50,6 +50,24 @@ def q_dedup_minhash_mllib(spark, sf_dir):
     )
 
 
+@register("similarity_ivf_kmeans", None)
+def q_similarity_ivf_kmeans(spark, sf_dir):
+    """Real IVF: seeded KMeans builds 16 coarse clusters over the
+    embeddings, the query probes its 2 nearest clusters, exact cosine
+    re-ranks — the production form of similarity_ivf_probe (which uses
+    the pre-existing label column as a stand-in quantizer). Iterative
+    k-means is not SQL-expressible (rows-only here); recall vs brute
+    force is pinned in tests/test_mllib_recall.py."""
+    from ..operators.ivf import build_ivf, probe_ivf
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned, model = build_ivf(emb, "v", n_clusters=16)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["v"]]
+    return probe_ivf(assigned, model, qv, k=10, n_probe=2)
+
+
 @register("similarity_brp_mllib", None)
 def q_similarity_brp_mllib(spark, sf_dir):
     """MLlib BucketedRandomProjectionLSH approximate nearest

@@ -25,6 +25,14 @@ def test_mllib_minhash_recovers_exact_jaccard_pairs(spark):
     assert recall >= 0.9, f"MLlib MinHashLSH recall {recall:.2f} vs exact pairs"
 
 
+def test_ivf_kmeans_recovers_near_neighbours(spark):
+    brute = [r["vec_id"] for r in QUERIES["similarity_topk"](spark, SF_SMALL).collect()]
+    ivf = {r["vec_id"] for r in QUERIES["similarity_ivf_kmeans"](spark, SF_SMALL).collect()}
+    assert brute[0] in ivf  # the query itself lives in the probed cluster
+    overlap = len(set(brute[:5]) & ivf)
+    assert overlap >= 2, f"only {overlap} of brute-force top-5 found by IVF(n_probe=2)"
+
+
 def test_mllib_brp_neighbours_overlap_brute_force(spark):
     brute = [r["vec_id"] for r in QUERIES["similarity_topk"](spark, SF_SMALL).collect()]
     ann = {r["vec_id"] for r in QUERIES["similarity_brp_mllib"](spark, SF_SMALL).collect()}
