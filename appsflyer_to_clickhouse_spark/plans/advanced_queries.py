@@ -232,6 +232,56 @@ def q_events_tumbling_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# session_window_agg — gap-based session windows (built-in F.session_window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "session_window_agg",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_session_window_agg(spark, sf_dir):
+    """Gap-based session windows via the built-in F.session_window
+    (30-minute inactivity gap): Spark merges overlapping per-event
+    windows into sessions in one aggregation. The oracle derives the
+    identical sessions relationally (lag > gap -> new-session marker ->
+    running sum -> group), pinning the built-in's semantics. Works
+    unchanged under readStream + watermark for streaming sessions."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # grouping sets / analytic windows / ordered collect
 # ---------------------------------------------------------------------------
 
