@@ -232,6 +232,85 @@ def q_events_tumbling_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# unpivot_melt / null_safety_funcs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_melt",
+    """
+    SELECT l_orderkey, l_linenumber, metric, round(value, 4) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             round(l_quantity, 4) AS quantity,
+             round(l_extendedprice, 4) AS extendedprice,
+             round(l_discount, 4) AS discount
+      FROM lineitem WHERE l_orderkey % 100 = 0
+    )
+    UNPIVOT (value FOR metric IN (quantity, extendedprice, discount))
+    """,
+)
+def q_unpivot_melt(spark, sf_dir):
+    """Wide->long unpivot (melt): three measure columns become
+    (metric, value) rows — the inverse of pivot_agg. Pure Expand
+    projection, no shuffle."""
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 100 == 0)
+    wide = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 4).alias("quantity"),
+        F.round("l_extendedprice", 4).alias("extendedprice"),
+        F.round("l_discount", 4).alias("discount"),
+    )
+    return wide.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount"],
+        "metric",
+        "value",
+    )
+
+
+@register(
+    "null_safety_funcs",
+    """
+    SELECT event_id,
+           coalesce(CASE WHEN event_id % 5 = 0 THEN NULL ELSE event_type END,
+                    'unknown') AS etype,
+           nullif(event_type, 'error') AS etype_no_error,
+           round(value / nullif(CAST(event_id % 4 AS DOUBLE), 0), 4)
+               AS value_per_mod,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(event_id AS VARCHAR) END AS INTEGER)
+               AS maybe_int
+    FROM events
+    """,
+)
+def q_null_safety_funcs(spark, sf_dir):
+    """NULL-safety scalar family: coalesce, nullif, try_divide (NULL on
+    zero divisor, never an ANSI error), try_cast (NULL on bad input) —
+    the defensive layer a dirty 100 TB feed needs instead of
+    fail-the-job semantics."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(
+            F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(
+                F.col("event_type")
+            ),
+            F.lit("unknown"),
+        ).alias("etype"),
+        F.nullif(F.col("event_type"), F.lit("error")).alias("etype_no_error"),
+        F.round(
+            F.try_divide("value", (F.col("event_id") % 4).cast("double")), 4
+        ).alias("value_per_mod"),
+        F.when(F.col("event_id") % 3 == 0, F.lit("not-a-number"))
+        .otherwise(F.col("event_id").cast("string"))
+        .try_cast("int")
+        .alias("maybe_int"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # session_window_agg — gap-based session windows (built-in F.session_window)
 # ---------------------------------------------------------------------------
 
@@ -367,11 +446,15 @@ def q_agg_array_collect(spark, sf_dir):
     nondeterministic under parallelism, so ALWAYS sort before exposing
     (the only way collect results can be contract-stable)."""
     ev = load(spark, sf_dir, "events")
-    types = F.sort_array(F.collect_set("event_type"))
-    return ev.groupBy("user_id").agg(
-        types.alias("types"),
-        F.array_join(types, ",").alias("types_csv"),
+    # collect once, derive the CSV in a post-aggregation projection —
+    # two aggregate expressions over the same collect_set would run
+    # the collection twice
+    agged = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types"),
         F.count("*").alias("n"),
+    )
+    return agged.select(
+        "user_id", "types", F.array_join("types", ",").alias("types_csv"), "n"
     )
 
 
