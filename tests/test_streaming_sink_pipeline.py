@@ -1,0 +1,82 @@
+"""The streaming form of the reference's whole job: install stream ->
+watermark dedup -> foreachBatch append into the partitioned parquet
+sink. foreachBatch is the production pattern for sinks without a
+native streaming writer (JDBC/ClickHouse included): each micro-batch
+is a normal batch write, idempotent per epoch."""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import datetime
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from appsflyer_to_clickhouse_spark.schemas import ch_sink_schema, sink_columns
+from appsflyer_to_clickhouse_spark.sinks.parquet_sink import read_sink, write_sink
+from appsflyer_to_clickhouse_spark.streaming.dedup import stream_dedup_watermark
+
+_IN_SCHEMA = T.StructType(
+    [
+        T.StructField("appsflyer_id", T.StringType()),
+        T.StructField("install_time", T.TimestampType()),
+        T.StructField("media_source", T.StringType()),
+    ]
+)
+
+
+def _to_sink_shape(df):
+    cols = []
+    present = set(df.columns)
+    for c in sink_columns():
+        if c in present:
+            cols.append(F.col(c))
+        else:
+            dt = "timestamp" if c in {f.name for f in ch_sink_schema().fields if f.dataType.typeName()=="timestamp"} else "string"
+            cols.append(F.lit(None).cast(dt).alias(c))
+    return df.select(*cols)
+
+
+def test_stream_to_partitioned_sink(spark):
+    src = tempfile.mkdtemp(prefix="sp_src_")
+    ckpt = tempfile.mkdtemp(prefix="sp_ckpt_")
+    sink = tempfile.mkdtemp(prefix="sp_sink_")
+
+    rows = [
+        ("id-1", datetime(2024, 1, 5, 10, 0), "meta"),
+        ("id-1", datetime(2024, 1, 5, 10, 30), "meta"),  # in-window dup
+        ("id-2", datetime(2024, 1, 6, 9, 0), "google"),
+    ]
+    spark.createDataFrame(rows, _IN_SCHEMA).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{src}/b1")
+
+    stream = spark.readStream.schema(_IN_SCHEMA).parquet(f"{src}/b*")
+    deduped = stream_dedup_watermark(
+        stream, key="appsflyer_id", ts_col="install_time", watermark="2 hours"
+    )
+
+    q = (
+        deduped.writeStream.foreachBatch(
+            lambda batch, epoch: write_sink(_to_sink_shape(batch), sink)
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = read_sink(spark, sink)
+    got = {
+        (r["appsflyer_id"], r["install_time"].isoformat(), r["media_source"])
+        for r in out.collect()
+    }
+    assert got == {
+        ("id-1", "2024-01-05T10:00:00", "meta"),
+        ("id-2", "2024-01-06T09:00:00", "google"),
+    }
+    # partition layout: one dir per install_date
+    import os
+
+    dates = {d for d in os.listdir(sink) if d.startswith("install_date=")}
+    assert dates == {"install_date=2024-01-05", "install_date=2024-01-06"}
