@@ -41,6 +41,15 @@ def main() -> int:
 
     spark = get_spark(app_name="bench")
 
+    # untimed warmup: JVM/codegen/parquet-footer startup shouldn't be
+    # charged to whichever query happens to run first
+    try:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] warmup failed: {exc}", file=sys.stderr)
+
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
