@@ -232,6 +232,40 @@ def q_events_tumbling_window(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# agg_histogram — width_bucket histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_histogram",
+    """
+    -- width_bucket(value, 0, 500, 10) spelled out (DuckDB 1.0 lacks
+    -- the function): bucket width (500-0)/10 = 50, below-range -> 0,
+    -- at-or-above hi -> n+1
+    SELECT CASE WHEN value < 0 THEN CAST(0 AS BIGINT)
+                WHEN value >= 500 THEN CAST(11 AS BIGINT)
+                ELSE CAST(floor(value / 50.0) AS BIGINT) + 1 END AS bucket,
+           CAST(count(*) AS BIGINT) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_agg_histogram(spark, sf_dir):
+    """Equi-width histogram via width_bucket (identical bucketing rule
+    in both engines) — one partial-agg shuffle whatever the row count,
+    the constant-memory way to profile a 100 TB column."""
+    ev = load(spark, sf_dir, "events")
+    b = F.width_bucket("value", F.lit(0), F.lit(500), F.lit(10))
+    return ev.groupBy(b.cast("long").alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.round(F.min("value"), 4).alias("lo"),
+        F.round(F.max("value"), 4).alias("hi"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # unpivot_melt / null_safety_funcs
 # ---------------------------------------------------------------------------
 

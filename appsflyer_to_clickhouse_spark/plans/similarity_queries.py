@@ -45,6 +45,45 @@ def _emb(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# embedding_stats — corpus statistics over the vector column
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_stats",
+    """
+    WITH e AS (
+      SELECT label, sqrt(list_dot_product(embedding::DOUBLE[],
+                                          embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    )
+    SELECT label, CAST(count(*) AS BIGINT) AS n,
+           round(avg(nrm), 6) AS avg_norm,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm
+    FROM e GROUP BY label
+    """,
+)
+def q_embedding_stats(spark, sf_dir):
+    """Per-cluster vector statistics (count, L2-norm avg/min/max) —
+    the sanity pass a training pipeline runs before indexing (degenerate
+    norms -> broken embeddings). Norm is the same sequential-fold dot
+    as the similarity ops, so values are bit-identical pre-round."""
+    emb = _emb(spark, sf_dir)
+    nrm = F.sqrt(dot(F.col("v"), F.col("v")))
+    return (
+        emb.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("nrm"), 6).alias("avg_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # similarity_topk — exact brute force (correctness baseline)
 # ---------------------------------------------------------------------------
 
