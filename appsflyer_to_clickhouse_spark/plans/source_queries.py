@@ -137,6 +137,53 @@ def q_source_http_csv(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# file-format sources: JSON-lines and ORC round-trips
+# ---------------------------------------------------------------------------
+
+_FMT_ORACLE = """
+    SELECT event_id, event_type, round(value, 4) AS value
+    FROM events WHERE event_id % 10 = 0
+    """
+
+
+def _events_slice(spark, sf_dir):
+    from .registry import load
+
+    ev = load(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@register("source_jsonl", _FMT_ORACLE)
+def q_source_jsonl(spark, sf_dir):
+    """JSON-lines round trip: write an events slice as JSONL, read it
+    back with an EXPLICIT schema (never inferSchema — nondeterministic
+    at scale). Spark's JSON reader is splittable per line, so a 100 TB
+    JSONL drop parallelizes by block like CSV."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="spark_graft_jsonl_")
+    sl = _events_slice(spark, sf_dir)
+    sl.write.mode("overwrite").json(path)
+    return spark.read.schema(sl.schema).json(path)
+
+
+@register("source_orc", _FMT_ORACLE)
+def q_source_orc(spark, sf_dir):
+    """ORC round trip: columnar-format sibling of the parquet path
+    (predicate pushdown + column pruning work identically). The oracle
+    compares against the originating events slice, proving lossless
+    round-trip through the format."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="spark_graft_orc_")
+    sl = _events_slice(spark, sf_dir)
+    sl.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+# ---------------------------------------------------------------------------
 # config_env
 # ---------------------------------------------------------------------------
 
