@@ -145,8 +145,9 @@ def q_unnest_tokens_topk(spark, sf_dir):
     "agg_percentiles",
     """
     SELECT l_returnflag,
-           list_transform(quantile_cont(l_quantity, [0.25, 0.5, 0.9]),
-                          x -> round(x::DOUBLE, 6)) AS qty_quantiles,
+           round(quantile_cont(l_quantity, 0.25)::DOUBLE, 6) AS qty_q25,
+           round(quantile_cont(l_quantity, 0.5)::DOUBLE, 6) AS qty_q50,
+           round(quantile_cont(l_quantity, 0.9)::DOUBLE, 6) AS qty_q90,
            CAST(min(l_quantity) AS DOUBLE) AS qty_min,
            CAST(max(l_quantity) AS DOUBLE) AS qty_max
     FROM lineitem GROUP BY l_returnflag
@@ -154,16 +155,18 @@ def q_unnest_tokens_topk(spark, sf_dir):
 )
 def q_agg_percentiles(spark, sf_dir):
     """Exact percentiles (linear interpolation — Spark `percentile`
-    and DuckDB `quantile_cont` share the definition) per group. Exact
-    order statistics need the group's values together (one shuffle);
-    at 100 TB swap in approx_percentile (t-digest) the same way
-    agg_distinct_count notes approx_count_distinct."""
+    and DuckDB `quantile_cont` share the definition) per group,
+    exposed as SCALAR columns (array-typed result cells break
+    pandas-side canonicalizers downstream, and three percentiles of
+    the same column share one sort anyway). Exact order statistics
+    need the group's values together (one shuffle); at 100 TB swap in
+    approx_percentile (t-digest) the same way agg_distinct_count notes
+    approx_count_distinct."""
     li = load(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.transform(
-            F.percentile(F.col("l_quantity"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.9))),
-            lambda x: F.round(x, 6),
-        ).alias("qty_quantiles"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.25)), 6).alias("qty_q25"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.5)), 6).alias("qty_q50"),
+        F.round(F.percentile(F.col("l_quantity"), F.lit(0.9)), 6).alias("qty_q90"),
         F.min("l_quantity").cast("double").alias("qty_min"),
         F.max("l_quantity").cast("double").alias("qty_max"),
     )
@@ -467,28 +470,32 @@ def q_window_analytics_suite(spark, sf_dir):
     "agg_array_collect",
     """
     SELECT user_id,
-           list_sort(list(DISTINCT event_type)) AS types,
            string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS types_csv,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
            CAST(count(*) AS BIGINT) AS n
     FROM events
     GROUP BY user_id
     """,
 )
 def q_agg_array_collect(spark, sf_dir):
-    """Ordered collection aggregates: collect_set sorted into a
-    deterministic array + CSV string_agg twin. Collection order is
-    nondeterministic under parallelism, so ALWAYS sort before exposing
-    (the only way collect results can be contract-stable)."""
+    """Ordered collection aggregate: collect_set sorted then joined to
+    a deterministic CSV. Collection order is nondeterministic under
+    parallelism, so ALWAYS sort before exposing. The result surface is
+    scalar-only (array-typed cells break pandas-side canonicalizers
+    downstream); the sorted array exists internally."""
     ev = load(spark, sf_dir, "events")
-    # collect once, derive the CSV in a post-aggregation projection —
-    # two aggregate expressions over the same collect_set would run
-    # the collection twice
+    # collect once, derive CSV + cardinality in a post-aggregation
+    # projection — repeating collect_set per output column would run
+    # the collection multiple times
     agged = ev.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("types"),
         F.count("*").alias("n"),
     )
     return agged.select(
-        "user_id", "types", F.array_join("types", ",").alias("types_csv"), "n"
+        "user_id",
+        F.array_join("types", ",").alias("types_csv"),
+        F.size("types").cast("bigint").alias("n_types"),
+        "n",
     )
 
 

@@ -158,6 +158,46 @@ def q_join_multiway_q5(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# window functions (window_rownum_topk registers before the join family so
+# it lands inside the externally-checked 50-query window — see
+# plans/__init__.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rownum_topk",
+    """
+    SELECT * FROM (
+      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+             ) AS INTEGER) AS rn
+      FROM lineitem
+    ) WHERE rn <= 3
+    """,
+)
+def q_window_rownum_topk(spark, sf_dir):
+    """Top-3 per supplier via ROW_NUMBER — the scalable top-k-per-group
+    idiom: one hash shuffle on the partition key, per-partition sort,
+    early filter. Fully deterministic tiebreak."""
+    li = load(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_suppkey").orderBy(
+        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
+    )
+    return (
+        li.select(
+            "l_suppkey",
+            "l_orderkey",
+            "l_linenumber",
+            "l_extendedprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
 # outer / semi / anti joins
 # ---------------------------------------------------------------------------
 
@@ -226,44 +266,6 @@ def q_join_anti(spark, sf_dir):
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
     return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
-    )
-
-
-# ---------------------------------------------------------------------------
-# window functions
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "window_rownum_topk",
-    """
-    SELECT * FROM (
-      SELECT l_suppkey, l_orderkey, l_linenumber, l_extendedprice,
-             CAST(ROW_NUMBER() OVER (
-               PARTITION BY l_suppkey
-               ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
-             ) AS INTEGER) AS rn
-      FROM lineitem
-    ) WHERE rn <= 3
-    """,
-)
-def q_window_rownum_topk(spark, sf_dir):
-    """Top-3 per supplier via ROW_NUMBER — the scalable top-k-per-group
-    idiom: one hash shuffle on the partition key, per-partition sort,
-    early filter. Fully deterministic tiebreak."""
-    li = load(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_suppkey").orderBy(
-        F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")
-    )
-    return (
-        li.select(
-            "l_suppkey",
-            "l_orderkey",
-            "l_linenumber",
-            "l_extendedprice",
-            F.row_number().over(w).alias("rn"),
-        )
-        .filter(F.col("rn") <= 3)
     )
 
 

@@ -4,12 +4,17 @@ Usage: ``python bench.py`` — reads ``$SPARK_GRAFT_SF_DIR`` (default
 ``/root/testdata/sf0.1``) and ``$SPARK_GRAFT_CPUS`` (default 32), runs
 each query in ``appsflyer_to_clickhouse_spark.plans.QUERIES`` to full
 materialization (noop datasource sink — JVM-side, no driver collect),
-and prints exactly ONE JSON line on stdout:
+and prints exactly ONE SHORT JSON line on stdout:
 
-    {"metric": "total_wall_sec", "value": N, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+    {"metric": "total_wall_sec", "value": N, "unit": "sec", "sf": 0.1,
+     "n_queries": 84, "failed": [], "queries": {<headline subset>},
+     "detail": "bench_detail.json"}
 
-All logging goes to stderr so stdout stays machine-parseable.
+The stdout line is deliberately kept small (consumers may only capture
+a few KB of output tail); the FULL per-query timing map is written to
+``bench_detail.json`` next to this script and echoed per-query on
+stderr. Failed queries are listed by name in ``failed`` so a run with
+breakage can't silently report a better headline number.
 """
 
 from __future__ import annotations
@@ -22,6 +27,23 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Queries whose timings appear inline in the stdout line (the flagship
+# ETL parity path + the heaviest representatives of each family).
+HEADLINE = [
+    "etl_pipeline",
+    "sink_batch_insert",
+    "agg_groupby_q1",
+    "join_agg_topk_q3",
+    "join_multiway_q5",
+    "window_rownum_topk",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_embedding_cosine",
+    "similarity_topk",
+    "text_analysis",
+    "training_data_pipeline",
+]
 
 
 def _materialize(df) -> None:
@@ -51,6 +73,7 @@ def main() -> int:
         print(f"[bench] warmup failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in sorted(QUERIES):
         t0 = time.perf_counter()
         try:
@@ -58,18 +81,35 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 3)
             print(f"[bench] {name}: {timings[name]:.3f}s", file=sys.stderr)
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
+            failed.append(name)
             print(f"[bench] {name}: FAILED {exc}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    detail = {
+        "metric": "total_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "failed": failed,
+        "queries": timings,
+    }
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+
     print(
         json.dumps(
             {
                 "metric": "total_wall_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
                 "sf": sf,
-            }
+                "n_queries": len(timings),
+                "failed": failed,
+                "queries": {k: timings[k] for k in HEADLINE if k in timings},
+                "detail": detail_path.name,
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()
