@@ -127,25 +127,36 @@ def _concat_strict(cols: list[Column]) -> Column:
     return out
 
 
-def simhash32(items: Column) -> Column:
-    """32-bit SimHash over an array of strings (tokens or shingles).
+SIMHASH_BITS = 60
+
+
+def simhash60(items: Column) -> Column:
+    """60-bit SimHash over an array of strings (tokens or shingles).
 
     For each bit i, vote = sum over items of (+1 if bit i of the item's
     60-bit hash is set else -1); bit i of the result is 1 iff vote > 0.
     Entire computation is one expression tree per row — map-only.
 
-    Single-pass design: ONE fold over the items carries all 32 bit
+    60 bits (every bit of ``hash60``, all < 2^63 so signed-bigint-safe
+    in both engines) instead of 32 so the banded candidate stage can
+    use 15-bit bands: 4 x 2^15 = 131,072 buckets rather than the 4 x
+    256 a byte-banded 32-bit signature allows — the difference between
+    in-bucket pair counts growing ~n^2/1k (a wall at 100x data) and
+    ~n^2/131k, while the pigeonhole bound (hamming <= 3 => one of 4
+    bands identical) is unchanged.
+
+    Single-pass design: ONE fold over the items carries all 60 bit
     votes in an array accumulator, so each item is hashed exactly once
     (higher-order functions are interpreted — no codegen CSE — so the
-    naive 32-aggregates form re-hashes every item 32 times and is two
-    orders of magnitude slower; measured at sf0.1).
+    naive per-bit-aggregate form re-hashes every item 60 times and is
+    two orders of magnitude slower; measured at sf0.1).
     """
     hashes = F.transform(items, hash60)
     # votes[i] += getbit(h, i) * 2 - 1  — branch-free bit vote
     # (getbit accepts a Column position; shiftright's numBits doesn't)
     votes = F.aggregate(
         hashes,
-        F.array_repeat(F.lit(0), 32),
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
         lambda acc, h: F.transform(
             acc,
             lambda a, i: a + F.getbit(h, i) * F.lit(2) - F.lit(1),

@@ -25,13 +25,17 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    SIMHASH_BITS,
     lsh_band_keys,
     minhash_signature,
     shingle_digests,
-    simhash32,
+    simhash60,
     tokens,
     word_shingles,
 )
+
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15 -> 2^15 buckets/band
 
 
 def dedup_exact(df: DataFrame, subset: list[str] | None = None) -> DataFrame:
@@ -161,10 +165,10 @@ def jaccard_verify(
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:
-    """Append a 32-bit ``simhash`` column over distinct word n-grams.
-    Map-only, zero shuffle (functions/text.py:simhash32)."""
+    """Append a 60-bit ``simhash`` column over distinct word n-grams.
+    Map-only, zero shuffle (functions/text.py:simhash60)."""
     return df.withColumn(
-        "simhash", simhash32(word_shingles(tokens(F.col(text_col)), shingle_n))
+        "simhash", simhash60(word_shingles(tokens(F.col(text_col)), shingle_n))
     )
 
 
@@ -173,25 +177,31 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 32-bit signature into 4 bytes;
-    by pigeonhole, any pair within hamming distance 3 shares at least
-    one byte — group on (byte_index, byte_value), explode in-group
-    pairs (signature subplan computed once — see lsh_candidate_pairs),
-    then filter exact hamming via bit_count(xor). Candidate generation
-    is linear in docs x 4, never all-pairs."""
-    bytes_arr = F.array(
+    """SimHash near-dup pairs: band the 60-bit signature into 4 bands
+    of 15 bits; by pigeonhole, any pair within hamming distance 3
+    shares at least one band — group on (band_idx, band_val), explode
+    in-group pairs (signature subplan computed once — see
+    lsh_candidate_pairs), then filter exact hamming via bit_count(xor).
+    Candidate generation is linear in docs x 4, never all-pairs, and
+    bucket cardinality is 4 x 2^15 = 131,072 — corpus-size-independent
+    saturation doesn't hit until n >> 10^5 per band value (a byte-banded
+    32-bit signature saturates at 1,024 buckets, a quadratic wall at
+    100x data)."""
+    bands_arr = F.array(
         *[
-            F.shiftright(F.col("simhash"), 8 * i).bitwiseAND(F.lit(0xFF))
-            for i in range(4)
+            F.shiftright(F.col("simhash"), SIMHASH_BAND_BITS * i).bitwiseAND(
+                F.lit(2**SIMHASH_BAND_BITS - 1)
+            )
+            for i in range(SIMHASH_BANDS)
         ]
     )
     banded = sim_df.select(
         F.col(id_col),
         F.col("simhash"),
-        F.posexplode(bytes_arr).alias("byte_idx", "byte_val"),
+        F.posexplode(bands_arr).alias("band_idx", "band_val"),
     ).filter(F.col("simhash").isNotNull())
     groups = (
-        banded.groupBy("byte_idx", "byte_val")
+        banded.groupBy("band_idx", "band_val")
         .agg(
             F.sort_array(
                 F.collect_set(F.struct(F.col(id_col).alias("id"), "simhash"))
@@ -219,4 +229,86 @@ def simhash_near_pairs(
         .select(F.col("p.id_a"), F.col("p.id_b"), F.col("p.hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
+    )
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    planes: list[list[int]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+    band_bits: int = 15,
+    num_bands: int = 4,
+) -> DataFrame:
+    """Embedding near-dup pairs, blocked by sign-LSH bands — the scale
+    path for cosine dedup (a fixed-cardinality block key like a class
+    label caps the bucket count at #labels, so in-block pairs grow
+    ~n^2/#labels; a 15-bit sign-LSH band gives 2^15 buckets per band,
+    and bucket occupancy — hence pair count — tracks corpus density,
+    not a constant).
+
+    Stages: (1) map-only sign signature per vector over SPARSE ternary
+    planes (operators/similarity.py:sparse_planes — md5-derived, so the
+    oracle embeds the SAME planes; sparse keeps the expression inside
+    whole-stage codegen); (2) band the signature, groupBy (band_idx,
+    band_val), explode in-group id pairs — the signature subplan
+    computes ONCE (a banded self-join would recompute all the plane
+    dots on both sides); (3) join candidate ids back to vectors and
+    verify with EXACT cosine >= threshold. Verification touches only
+    LSH-colliding pairs, never all pairs. At 100 TB, signatures are
+    computed at ingest and stored; recall for near-identical vectors is
+    amplified by OR over bands — add bands to raise recall, bits to cut
+    candidates."""
+    from .similarity import band_values, dot, sparse_sign_signature_sql
+
+    sig = emb.select(
+        F.col(id_col),
+        F.expr(sparse_sign_signature_sql(planes, vec_col, "spark")).alias("s"),
+    )
+    banded = sig.select(
+        F.col(id_col),
+        F.posexplode(band_values(F.col("s"), band_bits, num_bands)).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    groups = (
+        banded.groupBy("band_idx", "band_val")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        groups.select(F.explode(_in_group_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+    n = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        dot(F.col(vec_col), F.col(vec_col)).alias("nn"),
+    )
+    joined = (
+        cand.join(
+            n.select(
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("va"),
+                F.col("nn").alias("nna"),
+            ),
+            "id_a",
+        )
+        .join(
+            n.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("vb"),
+                F.col("nn").alias("nnb"),
+            ),
+            "id_b",
+        )
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.sqrt("nna") * F.sqrt("nnb")), 6
+    )
+    return (
+        joined.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )

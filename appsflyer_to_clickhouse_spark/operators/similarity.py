@@ -63,22 +63,109 @@ def hyperplanes(dim: int, num_planes: int = NUM_PLANES) -> list[list[float]]:
     return planes
 
 
-def sign_signature(v: Column, planes: list[list[float]]) -> Column:
-    """16-bit sign-LSH signature: bit p set iff dot(w_p, v) > 0.
-    One expression per row — map-only, no shuffle."""
-    sig = F.lit(0)
-    for p, w in enumerate(planes):
-        wcol = F.array(*[F.lit(x) for x in w])
-        sig = sig + F.when(dot(wcol, v) > 0, F.lit(2**p)).otherwise(F.lit(0))
-    return sig.cast("int")
+def sparse_planes(
+    dim: int, num_planes: int, seed: str = "sp"
+) -> list[list[int]]:
+    """Ternary sparse random projections (Achlioptas 2003): component
+    (p, d) is +1 with prob 1/6, -1 with prob 1/6, else 0 — md5-derived,
+    so both engines regenerate the identical planes. Sparse planes make
+    each hyperplane dot a ~dim/3-term add/subtract of vector elements:
+    short enough to compile under whole-stage codegen (dense 64-float
+    planes at 60 planes blow the codegen budget and fall back to
+    interpreted evaluation — ~30x slower per row, measured at sf0.1)."""
+    planes = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            h = int(hashlib.md5(f"{seed}|{p}|{d}".encode()).hexdigest()[:15], 16) % 6
+            row.append(1 if h == 0 else (-1 if h == 1 else 0))
+        planes.append(row)
+    return planes
 
 
-def band_values(sig: Column) -> Column:
-    """Split the signature into NUM_BANDS values of BAND_BITS bits."""
+def sparse_dot_sql(w: list[int], vec_expr: str, index_base: int = 0) -> str:
+    """SQL text of dot(ternary plane, vec) as an explicit left-to-right
+    add/subtract chain — the SAME evaluation order in every engine, so
+    signs are bit-identical (IEEE addition is order-sensitive but both
+    sides run the identical sequence). ``index_base`` is 0 for Spark
+    SQL array subscripts, 1 for DuckDB."""
+    parts = [
+        ("+" if x == 1 else "-", f"{vec_expr}[{d + index_base}]")
+        for d, x in enumerate(w)
+        if x
+    ]
+    if not parts:
+        return "0.0"
+    s = parts[0][1] if parts[0][0] == "+" else "-" + parts[0][1]
+    for op, t in parts[1:]:
+        s += f" {op} {t}"
+    return "(" + s + ")"
+
+
+def sparse_sign_signature_sql(
+    planes: list[list[int]], vec_expr: str, dialect: str = "spark"
+) -> str:
+    """Sign-LSH signature over sparse ternary planes as ONE SQL string
+    (bit p set iff sparse_dot > 0), identical bit-for-bit between Spark
+    (``dialect='spark'``, 0-based arrays, ``L`` long literals) and
+    DuckDB (``dialect='duckdb'``, 1-based, ``::BIGINT``). Built as a
+    string so plan construction is a single parse — per-literal Column
+    building costs thousands of py4j round trips (measured ~6 s of
+    driver time at 60 planes x 64 dims)."""
+    if dialect == "spark":
+        base, lit = 0, lambda n: f"{n}L"
+    else:
+        base, lit = 1, lambda n: f"{n}::BIGINT"
+    terms = " + ".join(
+        f"(CASE WHEN {sparse_dot_sql(w, vec_expr, base)} > 0 "
+        f"THEN {lit(2**p)} ELSE {lit(0)} END)"
+        for p, w in enumerate(planes)
+    )
+    if dialect == "spark":
+        return f"cast({terms} as bigint)"
+    return f"({terms})"
+
+
+def _dot_sql(w: list[float], vec_expr: str) -> str:
+    """Spark-SQL text of dot(literal plane, vec_expr) with the same
+    sequential fold order as ``dot`` (and DuckDB's list_dot_product),
+    so signs are bit-identical across all three forms."""
+    arr = "array(" + ", ".join(f"{x!r}D" for x in w) + ")"
+    return (
+        f"aggregate(zip_with({arr}, {vec_expr}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+
+
+def sign_signature(vec_expr: str, planes: list[list[float]]) -> Column:
+    """Sign-LSH signature (one bit per plane): bit p set iff
+    dot(w_p, v) > 0. One expression per row — map-only, no shuffle.
+    Returned as bigint so up to 63 planes fit (the dedup blocking uses
+    60; the ANN probe uses 16).
+
+    ``vec_expr`` is a SQL expression string (usually a column name):
+    the whole signature is assembled as ONE SQL string parsed JVM-side
+    by a single ``F.expr`` call. Building it from per-literal Column
+    objects costs thousands of py4j round trips (~6 s of DRIVER time
+    for 60 planes x 64 dims — measured; the actual execution is
+    sub-second), so the string form is a ~10x plan-construction win,
+    not a style choice."""
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(w, vec_expr)} > 0 THEN {2**p}L ELSE 0L END)"
+        for p, w in enumerate(planes)
+    )
+    return F.expr(f"cast({terms} as bigint)")
+
+
+def band_values(
+    sig: Column, band_bits: int = BAND_BITS, num_bands: int = NUM_BANDS
+) -> Column:
+    """Split the signature into ``num_bands`` values of ``band_bits``
+    bits each."""
     return F.array(
         *[
-            F.shiftright(sig, BAND_BITS * b).bitwiseAND(F.lit(2**BAND_BITS - 1))
-            for b in range(NUM_BANDS)
+            F.shiftright(sig, band_bits * b).bitwiseAND(F.lit(2**band_bits - 1))
+            for b in range(num_bands)
         ]
     )
 

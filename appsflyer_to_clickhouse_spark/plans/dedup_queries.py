@@ -15,14 +15,18 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
+    SIMHASH_BAND_BITS,
+    SIMHASH_BANDS,
     dedup_exact,
     dedup_first_by_time,
+    embedding_cosine_pairs,
     jaccard_verify,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_near_pairs,
     simhash_signatures,
 )
+from ..functions.text import SIMHASH_BITS
 from .registry import load, register
 
 NUM_HASHES = 8
@@ -188,9 +192,10 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _simhash_oracle_expr() -> str:
-    """32-bit simhash as one SQL expression over hs (list of UBIGINT)."""
+    """60-bit simhash as one SQL expression over hs (list of UBIGINT) —
+    bit count mirrors functions/text.py:SIMHASH_BITS."""
     bits = []
-    for i in range(32):
+    for i in range(SIMHASH_BITS):
         vote = (
             f"list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
             f"THEN 1 ELSE -1 END))"
@@ -219,9 +224,11 @@ sim AS (
     f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
 )
 def q_dedup_simhash(spark, sf_dir):
-    """32-bit SimHash per document over word 3-shingles (60-bit md5-
+    """60-bit SimHash per document over word 3-shingles (60-bit md5-
     derived item hashes, bit-vote majority). Map-only — zero shuffle;
-    the whole signature is one codegen'd expression per row."""
+    the whole signature is one codegen'd expression per row. 60 bits
+    (not 32) so the pairs stage can band at 15 bits — see
+    functions/text.py:simhash60."""
     docs = load(spark, sf_dir, "documents")
     return simhash_signatures(docs, "text", 3).select("doc_id", "simhash")
 
@@ -231,89 +238,120 @@ def q_dedup_simhash(spark, sf_dir):
     f"""
     WITH {_SIMHASH_CTE},
     banded AS (
-      SELECT doc_id, simhash, u.byte_idx,
-             (simhash >> (8 * u.byte_idx)) & 255 AS byte_val
-      FROM sim, (SELECT unnest(range(4)) AS byte_idx) u
+      SELECT doc_id, simhash, u.band_idx,
+             (simhash >> ({SIMHASH_BAND_BITS} * u.band_idx))
+               & {2**SIMHASH_BAND_BITS - 1} AS band_val
+      FROM sim, (SELECT unnest(range({SIMHASH_BANDS})) AS band_idx) u
       WHERE simhash IS NOT NULL
     )
     SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.simhash, b.simhash)) AS hamming
     FROM banded a
     JOIN banded b
-      ON a.byte_idx = b.byte_idx AND a.byte_val = b.byte_val
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
      AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {MAX_HAMMING}
     """,
 )
 def q_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs within hamming distance {MAX_HAMMING}:
-    band the 32-bit signature into 4 bytes (pigeonhole guarantees a
-    shared byte at distance <= 3), join on (byte_idx, byte_val), filter
-    exact hamming via bit_count(xor). Linear candidate generation."""
+    band the 60-bit signature into {SIMHASH_BANDS} bands of
+    {SIMHASH_BAND_BITS} bits (pigeonhole guarantees a shared band at
+    distance <= 3), join on (band_idx, band_val), filter exact hamming
+    via bit_count(xor). Linear candidate generation with 4 x 2^15 =
+    131,072 buckets — bucket count no longer saturates at 1,024 the way
+    byte-banding a 32-bit signature does, so candidate pairs stay
+    ~n^2/131k instead of ~n^2/1k at 100x data."""
     docs = load(spark, sf_dir, "documents")
     sims = simhash_signatures(docs, "text", 3)
     return simhash_near_pairs(sims, "doc_id", MAX_HAMMING)
 
 
 # ---------------------------------------------------------------------------
-# embedding-cosine near-dup (label-blocked exact verification)
+# embedding-cosine near-dup (sign-LSH-blocked exact verification)
 # ---------------------------------------------------------------------------
 
-_COS_THRESHOLD = 0.35
+_COS_THRESHOLD = 0.2
+_EMB_DIM = 64
+_EMB_PLANES_N = 60  # 4 bands x 15 bits, same banding as simhash
+_EMB_BAND_BITS = 15
+_EMB_BANDS = 4
+
+
+def _emb_planes() -> list[list[int]]:
+    from ..operators.similarity import sparse_planes
+
+    return sparse_planes(_EMB_DIM, _EMB_PLANES_N)
+
+
+_PLANES = _emb_planes()
+
+
+def _emb_sig_sql_duckdb() -> str:
+    from ..operators.similarity import sparse_sign_signature_sql
+
+    return sparse_sign_signature_sql(_PLANES, "v", "duckdb")
+
+
+_EMB_SIG_SQL = _emb_sig_sql_duckdb()
 
 
 @register(
     "dedup_embedding_cosine",
     f"""
     WITH e AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    n AS (
-      SELECT vec_id, label, v, list_dot_product(v, v) AS nn FROM e
+    sig AS (
+      SELECT vec_id, v, {_EMB_SIG_SQL} AS s,
+             list_dot_product(v, v) AS nn
+      FROM e
+    ),
+    banded AS (
+      SELECT vec_id, u.band_idx,
+             (s >> ({_EMB_BAND_BITS} * u.band_idx))
+               & {2**_EMB_BAND_BITS - 1} AS band_val
+      FROM sig, (SELECT unnest(range({_EMB_BANDS})) AS band_idx) u
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band_idx = b.band_idx
+                   AND a.band_val = b.band_val
+                   AND a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, cosine FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             round(list_dot_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)),
+      SELECT c.id_a, c.id_b,
+             round(list_dot_product(x.v, y.v) / (sqrt(x.nn) * sqrt(y.nn)),
                    6) AS cosine
-      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+      FROM cand c
+      JOIN sig x ON x.vec_id = c.id_a
+      JOIN sig y ON y.vec_id = c.id_b
     )
     WHERE cosine >= {_COS_THRESHOLD}
     """,
 )
 def q_dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup pairs: exact cosine >= {_COS_THRESHOLD},
-    blocked on ``label`` (the cluster key) so the join is
-    per-block, never a full cross product. Dot products in double via
-    zip_with+aggregate — JVM expressions, no UDF. At 100 TB the block
-    key comes from an LSH/IVF assignment (see similarity_queries)."""
+    """Embedding near-dup pairs: exact cosine >= {_COS_THRESHOLD} over
+    sign-LSH-blocked candidates ({_EMB_PLANES_N} md5-derived SPARSE
+    ternary hyperplanes — Achlioptas random projections — banded
+    {_EMB_BANDS} x {_EMB_BAND_BITS} bits = 2^15 buckets per band).
+    Blocking on an LSH band — not a fixed-cardinality column like
+    ``label`` — keeps in-block pair counts tracking corpus density
+    instead of ~n^2/#labels, which is what survives a 100x scale-up.
+    The planes are deterministic literals embedded in BOTH plans with
+    the same left-to-right fold order, so the candidate set (hence the
+    result) is exactly reproducible cross-engine. Dot products in
+    double via JVM expressions inside codegen — no UDF."""
     emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    dot_self = F.aggregate(
-        F.zip_with("v", "v", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    n = emb.withColumn("nn", dot_self)
-    a, b = n.alias("a"), n.alias("b")
-    dot_ab = F.aggregate(
-        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cosine = F.round(
-        dot_ab / (F.sqrt(F.col("a.nn")) * F.sqrt(F.col("b.nn"))), 6
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cosine.alias("cosine"),
-        )
-        .filter(F.col("cosine") >= _COS_THRESHOLD)
+    return embedding_cosine_pairs(
+        emb,
+        _PLANES,
+        _COS_THRESHOLD,
+        "vec_id",
+        "v",
+        _EMB_BAND_BITS,
+        _EMB_BANDS,
     )

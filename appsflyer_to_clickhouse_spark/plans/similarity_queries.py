@@ -212,7 +212,7 @@ def q_similarity_signlsh(spark, sf_dir):
     (band, value) keys of the candidate ids — never vectors of
     non-candidates, never all pairs."""
     emb = _emb(spark, sf_dir)
-    sig = emb.select("vec_id", "v", sign_signature(F.col("v"), _PLANES).alias("s"))
+    sig = emb.select("vec_id", "v", sign_signature("v", _PLANES).alias("s"))
     q = F.broadcast(
         sig.filter(F.col("vec_id") == _QUERY_ID).select(
             F.col("v").alias("qv"), F.col("s").alias("qs")
