@@ -25,6 +25,7 @@ from __future__ import annotations
 import os
 import sys
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from .config import PipelineConfig, resolve_config
@@ -60,8 +61,11 @@ def _load_sink(spark: SparkSession, cfg: PipelineConfig, sink_path: str) -> Data
         )
     try:
         return read_sink(spark, sink_path)
-    except Exception:  # first run: empty sink
+    except AnalysisException:  # first run: missing or empty sink dir
         return spark.createDataFrame([], ch_sink_schema())
+    # any other failure (permissions, corrupt footer) propagates:
+    # silently substituting an empty sink would disable the anti-join
+    # dedup and re-insert the whole window as duplicates
 
 
 def run(spark: SparkSession | None = None, hours: int = 2) -> int:
@@ -76,12 +80,19 @@ def run(spark: SparkSession | None = None, hours: int = 2) -> int:
         raw = _load_raw(spark, cfg, from_time, to_time)
         sink = _load_sink(spark, cfg, sink_path)
         new_rows = run_installs_pipeline(raw, sink, from_time, to_time)
-        if cfg.ch_host:
-            write_clickhouse(new_rows, cfg)
-            n = -1  # count not re-read from CH; JDBC write is the action
-        else:
-            write_sink(new_rows, sink_path, mode="append")
+        # persist so the write and the count share ONE execution of the
+        # lineage — recomputing would re-fetch the whole AppsFlyer
+        # window (doubled API calls) and could report a count that
+        # diverges from the rows actually written
+        new_rows.persist()
+        try:
+            if cfg.ch_host:
+                write_clickhouse(new_rows, cfg)
+            else:
+                write_sink(new_rows, sink_path, mode="append")
             n = new_rows.count()
+        finally:
+            new_rows.unpersist()
         print(f"inserted {n} new rows", file=sys.stderr)
         return n
     finally:

@@ -26,8 +26,12 @@ from .registry import load, register
     WITH clicks AS (
       SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
     ), views AS (
-      SELECT user_id, ts AS view_ts, value AS view_value
-      FROM events WHERE event_type = 'view'
+      SELECT user_id, view_ts, view_value FROM (
+        SELECT user_id, ts AS view_ts, value AS view_value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'view'
+      ) WHERE rn = 1
     )
     SELECT c.event_id, c.user_id, c.ts, v.view_ts, v.view_value
     FROM clicks c
@@ -42,7 +46,10 @@ def q_join_asof(spark, sf_dir):
     ONE hash shuffle on user_id, and a running last_value(ignorenulls)
     carries the latest view forward — O(n log n) within partitions,
     no range join, no per-row subquery. Views sort before clicks on
-    ts ties, matching ASOF's >= bound."""
+    ts ties, matching ASOF's >= bound. Same-ts views are collapsed to
+    the max-event_id row FIRST (both engines), otherwise which view
+    supplies view_value on a tie is engine-arbitrary and the oracle
+    hash can flake."""
     ev = load(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts",
@@ -50,12 +57,18 @@ def q_join_asof(spark, sf_dir):
         F.lit(None).cast("double").alias("v_val"),
         F.lit(1).alias("is_click"),
     )
-    views = ev.filter(F.col("event_type") == "view").select(
-        F.lit(None).cast("long").alias("event_id"),
-        "user_id", "ts",
-        F.col("ts").alias("v_ts"),
-        F.col("value").alias("v_val"),
-        F.lit(0).alias("is_click"),
+    view_w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .withColumn("__rn", F.row_number().over(view_w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.lit(None).cast("long").alias("event_id"),
+            "user_id", "ts",
+            F.col("ts").alias("v_ts"),
+            F.col("value").alias("v_val"),
+            F.lit(0).alias("is_click"),
+        )
     )
     w = (
         Window.partitionBy("user_id")

@@ -9,6 +9,7 @@ watermark-eviction behavior is pinned in tests/test_streaming.py.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import functions as F
@@ -17,6 +18,25 @@ from ..streaming.dedup import run_availablenow_to_memory, stream_dedup_watermark
 from .registry import load, register
 
 _RUN_SEQ = iter(range(1_000_000))
+
+# replay source dirs memoized per (prefix, sf_dir, cols): repeat
+# invocations (bench loops, repeated oracle runs) must time the STREAM,
+# not a fresh parquet re-write of the source table — and must not
+# accumulate /tmp copies
+_SRC_CACHE: dict[tuple, str] = {}
+
+
+def _replay_src(spark, sf_dir: str, cols: list[str], prefix: str) -> str:
+    key = (prefix, sf_dir, tuple(cols))
+    cached = _SRC_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    src = tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_src_")
+    load(spark, sf_dir, "events").select(*cols).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    _SRC_CACHE[key] = src
+    return src
 
 
 @register(
@@ -37,9 +57,7 @@ def q_stream_windowed_agg(spark, sf_dir):
     the DuckDB time_bucket oracle is exact. In production this runs
     with a watermark in update mode; state is bounded by windows x
     types."""
-    ev = load(spark, sf_dir, "events").select("ts", "event_type")
-    src = tempfile.mkdtemp(prefix="spark_graft_streamagg_src_")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
+    src = _replay_src(spark, sf_dir, ["ts", "event_type"], "streamagg")
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     agg = (
@@ -75,9 +93,7 @@ def q_stream_dedup_watermark(spark, sf_dir):
     (availableNow). Output: the distinct keys that survived — exactly
     DISTINCT user_id, whatever the batch boundaries were. State is
     watermark-bounded; nothing is collected on the driver mid-stream."""
-    ev = load(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    src = tempfile.mkdtemp(prefix="spark_graft_stream_src_")
-    ev.repartition(4).write.mode("overwrite").parquet(src)
+    src = _replay_src(spark, sf_dir, ["event_id", "ts", "user_id"], "streamdedup")
     schema = spark.read.parquet(src).schema
     stream = spark.readStream.schema(schema).parquet(src)
     deduped = stream_dedup_watermark(

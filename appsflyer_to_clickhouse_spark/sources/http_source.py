@@ -80,7 +80,9 @@ def split_window(from_time: str, to_time: str, n: int) -> list[tuple[str, str]]:
 
     f = datetime.strptime(from_time, _FMT)
     t = datetime.strptime(to_time, _FMT)
-    if (t - f).total_seconds() <= 0 or n <= 1:
+    # fewer seconds than splits -> the -1s interior adjustment would
+    # invert sub-windows (end < start); fall back to a single window
+    if (t - f).total_seconds() < n or n <= 1:
         return [(from_time, to_time)]
     bounds = [f + (t - f) * i / n for i in range(n)] + [t]
     result = []
