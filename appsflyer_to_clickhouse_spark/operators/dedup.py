@@ -139,6 +139,83 @@ def lsh_candidate_pairs(
     )
 
 
+def lsh_candidate_pairs_salted(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows: int = 2,
+    salt: int = 4,
+) -> DataFrame:
+    """``lsh_candidate_pairs`` with skew-bounded pair GENERATION — the
+    same distinct (id_a, id_b) output, but no single task ever holds a
+    whole duplicate group's k^2/2 pair explosion.
+
+    The unsalted form's documented skew: a bucket of k near-identical
+    docs yields k^2/2 pairs inside ONE task (`lsh_candidate_pairs`,
+    above). Here each bucket's sorted id array is sliced into ``salt``
+    contiguous chunks; the salt*(salt+1)/2 chunk-pairs (i <= j) are
+    exploded into their own rows and REPARTITIONED on (band, bucket,
+    i, j), so each task generates at most (k/salt)^2 pairs — an
+    adversarial single-bucket cluster spreads over salt^2/2 tasks
+    instead of stalling one. Only ids move: signatures are still
+    computed once, payloads never shuffle.
+
+    Chunks are slices of the SORTED array, so for i < j every element
+    of chunk i precedes every element of chunk j — cross-chunk pairs
+    satisfy id_a < id_b by construction; in-chunk pairs (i == j) use
+    the usual triangular expansion."""
+    banded = sig_df.select(
+        F.col(id_col),
+        F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias(
+            "band", "bucket"
+        ),
+    ).filter(F.col("bucket").isNotNull())
+    groups = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    chunk_len = F.ceil(F.size("ids") / F.lit(salt)).cast("int")
+
+    def chunk(c: int) -> Column:
+        return F.slice(F.col("ids"), c * chunk_len + 1, chunk_len)
+
+    cells = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                chunk(i).alias("ca"),
+                chunk(j).alias("cb"),
+            )
+            for i in range(salt)
+            for j in range(i, salt)
+        ]
+    )
+    cell_rows = (
+        groups.select("band", "bucket", F.explode(cells).alias("c"))
+        .select("band", "bucket", "c.i", "c.j", "c.ca", "c.cb")
+        .filter((F.size("ca") > 0) & (F.size("cb") > 0))
+        .repartition("band", "bucket", "i", "j")
+    )
+    ca = F.col("ca")
+    cross = F.flatten(
+        F.transform(
+            ca,
+            lambda a: F.transform(
+                F.col("cb"),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
+    )
+    pairs = F.when(F.col("i") == F.col("j"), _in_group_pairs(ca)).otherwise(cross)
+    return (
+        cell_rows.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+
 def jaccard_verify(
     pairs: DataFrame,
     sig_df: DataFrame,

@@ -24,3 +24,4 @@ from . import pipeline_queries  # noqa: E402,F401
 from . import mllib_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
 from . import advanced_queries  # noqa: E402,F401
+from . import extra_queries  # noqa: E402,F401
