@@ -11,9 +11,15 @@ operator surface.
 
 from __future__ import annotations
 
+import tempfile
+
+from pyspark.sql import functions as F
+
 from ..operators.dedup import lsh_candidate_pairs_salted, minhash_signatures
+from ..streaming.sinks import dedup_append_batch_fn, run_foreach_batch_availablenow
 from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND, candidates_cte
 from .registry import load, register
+from .streaming_queries import _replay_src, _RUN_SEQ
 
 
 @register(
@@ -32,3 +38,90 @@ def q_dedup_minhash_lsh_salted(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
     return lsh_candidate_pairs_salted(sigs, "doc_id", BANDS, ROWS_PER_BAND, salt=4)
+
+
+@register(
+    "stream_foreachbatch_dedup_sink",
+    "SELECT DISTINCT user_id FROM events",
+)
+def q_stream_foreachbatch_dedup_sink(spark, sf_dir):
+    """End-to-end streaming append pipeline: events replayed as a
+    multi-batch file stream (maxFilesPerTrigger=1) -> foreachBatch
+    writer that drops in-batch duplicate keys, anti-joins against the
+    sink-so-far, and appends (streaming/sinks.py — the reference's
+    idempotent-insert contract per micro-batch, reusing the batch sink
+    code verbatim). Output: the sink read back — exactly DISTINCT
+    user_id regardless of how the input split into batches. Survivor
+    rows are batch-order-dependent, so only the key column is
+    exposed."""
+    src = _replay_src(spark, sf_dir, ["event_id", "ts", "user_id"], "streamfb")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink_path = tempfile.mkdtemp(prefix="spark_graft_fb_sink_") + "/out"
+    run_foreach_batch_availablenow(
+        stream, dedup_append_batch_fn(sink_path, ["user_id"])
+    )
+    return spark.read.parquet(sink_path).select("user_id")
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def q_stream_session_window(spark, sf_dir):
+    """STREAMING gap-based session windows: events replayed as a file
+    stream -> groupBy(F.session_window('ts', '30 minutes'), user_id)
+    -> complete-mode memory sink (availableNow). The final merged
+    sessions equal the batch session_window_agg whatever the
+    micro-batch boundaries were — pinned by the same relational
+    lag/cumsum oracle. In production this runs with a watermark in
+    update mode so session state is evicted once the gap can no longer
+    be extended."""
+    src = _replay_src(spark, sf_dir, ["ts", "user_id"], "streamsess")
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    name = f"stream_session_window_{next(_RUN_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

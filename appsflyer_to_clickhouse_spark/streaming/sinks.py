@@ -1,0 +1,77 @@
+"""foreachBatch streaming sinks — the streaming end of the reference's
+append-only pipeline (reference main.py:183-187 bulk-inserts each cron
+batch; here each micro-batch goes through the SAME dedup-then-append
+contract, continuously).
+
+``foreachBatch`` hands every micro-batch to a normal batch writer, so
+the batch sinks (``sinks/clickhouse_sink.py``, parquet) are reused
+verbatim — one sink implementation, two execution modes. Batches run
+sequentially within a query, so the anti-join against the sink sees
+all previously committed batches (the cross-batch half of dedup; the
+in-batch half is a dropDuplicates).
+
+ClickHouse remains gated exactly like the batch sink: no server/driver
+jar in this container, so the offline test path writes parquet and the
+JDBC fn is exercised up to the driver boundary.
+"""
+
+from __future__ import annotations
+
+import tempfile
+from typing import Callable
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame
+
+from ..config import PipelineConfig
+from ..sinks.clickhouse_sink import write_clickhouse
+
+BatchFn = Callable[[DataFrame, int], None]
+
+
+def dedup_append_batch_fn(sink_path: str, keys: list[str]) -> BatchFn:
+    """Batch writer: drop in-batch duplicate keys, anti-join against
+    everything already in the sink, append the survivors — the
+    reference's idempotent-insert contract per micro-batch. At scale
+    the sink read is partition-pruned the same way the batch
+    anti-join's is (sinks/parquet_sink.py)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(keys)
+        try:
+            existing = spark.read.parquet(sink_path).select(*keys).distinct()
+            batch = batch.join(existing, keys, "left_anti")
+        except AnalysisException:  # first batch: sink doesn't exist yet
+            pass
+        batch.write.mode("append").parquet(sink_path)
+
+    return fn
+
+
+def clickhouse_batch_fn(cfg: PipelineConfig) -> BatchFn:
+    """Batch writer that bulk-inserts each micro-batch into ClickHouse
+    via the batch sink (gated on the JDBC driver, like the batch
+    path)."""
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        write_clickhouse(batch_df, cfg)
+
+    return fn
+
+
+def run_foreach_batch_availablenow(
+    df: DataFrame, batch_fn: BatchFn, checkpoint_dir: str | None = None
+) -> None:
+    """Drain all currently-available input through ``batch_fn`` (one
+    availableNow run) and block until done. In production the same
+    writer runs with a processing-time trigger; availableNow makes the
+    run finite and testable."""
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="spark_graft_fb_ckpt_")
+    q = (
+        df.writeStream.foreachBatch(batch_fn)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
