@@ -70,3 +70,30 @@ def test_agg_groupby_has_partial_aggregation(spark):
     plan = _plan(spark, "agg_groupby_q1")
     # two HashAggregates (partial + final) around one shuffle
     assert plan.count("HashAggregate") >= 2
+
+
+def test_embedding_cosine_is_blocked_not_all_pairs(spark):
+    plan = _plan(spark, "dedup_embedding_cosine")
+    # candidate generation must go through the banded groupBy, never a
+    # cross product of the vector table with itself
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the in-bucket pair expansion exists (generator over the grouped ids)
+    assert "Generate" in plan
+
+
+def test_salted_lsh_redistributes_chunk_pairs(spark):
+    plan = _plan(spark, "dedup_minhash_lsh_salted")
+    # the explicit repartition on (band, bucket, i, j) is the entire
+    # point — chunk-pair rows must hash-exchange before pair generation
+    assert "REPARTITION_BY_COL" in plan
+    assert ", i#" in plan and ", j#" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_band_on_15_bits(spark):
+    plan = _plan(spark, "dedup_simhash_pairs")
+    # 15-bit band mask (32767) — a regression back to byte-banding
+    # (255) reintroduces the 1,024-bucket saturation
+    assert "32767" in plan
+    assert "CartesianProduct" not in plan
