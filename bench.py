@@ -71,6 +71,15 @@ def main() -> int:
         ).mode("overwrite").save()
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] warmup failed: {exc}", file=sys.stderr)
+    # ...and neither should the Arrow Python-worker fleet spin-up be
+    # charged to the first pandas-UDF query (one worker per core, ~100s
+    # of ms each): run one trivial mapInPandas across all partitions
+    try:
+        spark.range(0, 10_000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
+            .mapInPandas(lambda it: it, "id long") \
+            .write.format("noop").mode("overwrite").save()
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] python-worker warmup failed: {exc}", file=sys.stderr)
 
     timings: dict[str, float] = {}
     failed: list[str] = []
