@@ -71,19 +71,22 @@ def main() -> int:
         ).mode("overwrite").save()
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] warmup failed: {exc}", file=sys.stderr)
-    # ...and neither should the Arrow Python-worker fleet spin-up be
-    # charged to the first pandas-UDF query (one worker per core, ~100s
-    # of ms each): run one trivial mapInPandas across all partitions
-    try:
-        spark.range(0, 10_000, 1, int(os.environ.get("SPARK_GRAFT_CPUS", "32"))) \
-            .mapInPandas(lambda it: it, "id long") \
-            .write.format("noop").mode("overwrite").save()
-    except Exception as exc:  # noqa: BLE001
-        print(f"[bench] python-worker warmup failed: {exc}", file=sys.stderr)
-
     timings: dict[str, float] = {}
     failed: list[str] = []
-    for name in sorted(QUERIES):
+    # Pandas-UDF queries run LAST: once Arrow/Python evaluation has
+    # executed in the JVM, the interpreted-HOF hot paths (virtual
+    # Expression.eval call sites) measurably deoptimize — the md5-HOF
+    # dedup queries were observed 3-10x slower AFTER any pandas stage
+    # (worst with a full 32-worker fleet). Running the python group at
+    # the end keeps the JVM-only timings clean and charges the
+    # worker-fleet spin-up to the group that needs it.
+    python_udf_queries = {
+        "multimodal_columns",
+        "multimodal_frame_sample",
+        "source_http_csv",
+    }
+    order = sorted(QUERIES, key=lambda n: (n in python_udf_queries, n))
+    for name in order:
         t0 = time.perf_counter()
         try:
             _materialize(QUERIES[name](spark, sf_dir))
