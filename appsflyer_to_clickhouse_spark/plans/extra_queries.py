@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import lsh_candidate_pairs_salted, minhash_signatures
 from ..streaming.sinks import dedup_append_batch_fn, run_foreach_batch_availablenow
+from ..streaming.stateful import stateful_user_counter
 from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND, candidates_cte
 from .registry import load, register
 from .streaming_queries import _replay_src, _RUN_SEQ
@@ -125,3 +126,46 @@ def q_stream_session_window(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_stateful_counter",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS events_seen
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_counter(spark, sf_dir):
+    """Custom stateful operator end-to-end: events replayed as a
+    multi-batch file stream -> applyInPandasWithState per-user counter
+    (streaming/stateful.py; Arrow-batched, state scales with keys not
+    events) -> update-mode memory sink. The per-batch emissions are
+    batch-boundary-dependent, but the FINAL per-key counter equals the
+    batch COUNT(*) per user exactly — so taking max(events_seen) per
+    key gives a deterministic, oracle-checkable surface for a
+    non-relational stateful operator."""
+    import pyspark.sql.functions as F2
+
+    src = _replay_src(spark, sf_dir, ["ts", "user_id"], "streamstate")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    counted = stateful_user_counter(stream)
+    name = f"stream_stateful_counter_{next(_RUN_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F2.max("events_seen").alias("events_seen"))
+    )

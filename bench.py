@@ -84,6 +84,7 @@ def main() -> int:
         "multimodal_columns",
         "multimodal_frame_sample",
         "source_http_csv",
+        "stream_stateful_counter",
     }
     order = sorted(QUERIES, key=lambda n: (n in python_udf_queries, n))
     for name in order:
