@@ -216,6 +216,67 @@ def lsh_candidate_pairs_salted(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over an undirected pair list — the step
+    that turns near-dup PAIRS into dedup GROUPS (keep one survivor per
+    component). Returns (id, component) where component = min id
+    reachable from ``id``.
+
+    Algorithm: min-label propagation to fixpoint — each iteration every
+    node takes the min of its own label and its neighbors' labels; at
+    convergence every node holds the component's global min id.
+    Iterations = O(component diameter), which for near-dup clusters is
+    tiny (duplicate groups are dense). Each iteration is ONE join + ONE
+    groupBy on the edge list; labels are localCheckpoint'ed per
+    iteration — without that, iterative lineage doubles per step and
+    the job re-executes the whole history (the classic iterative-Spark
+    trap). The driver-side loop holds only a changed-row COUNT, never
+    data. At 100 TB the same algorithm runs under GraphFrames
+    connectedComponents with checkpointing; this form has no extra
+    dependency and an exact recursive-CTE oracle."""
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.id == neigh.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("nlabel", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
 def jaccard_verify(
     pairs: DataFrame,
     sig_df: DataFrame,

@@ -15,7 +15,12 @@ import tempfile
 
 from pyspark.sql import functions as F
 
-from ..operators.dedup import lsh_candidate_pairs_salted, minhash_signatures
+from ..operators.dedup import (
+    connected_components,
+    lsh_candidate_pairs,
+    lsh_candidate_pairs_salted,
+    minhash_signatures,
+)
 from ..streaming.sinks import dedup_append_batch_fn, run_foreach_batch_availablenow
 from ..streaming.stateful import stateful_user_counter
 from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND, candidates_cte
@@ -39,6 +44,45 @@ def q_dedup_minhash_lsh_salted(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
     return lsh_candidate_pairs_salted(sigs, "doc_id", BANDS, ROWS_PER_BAND, salt=4)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE
+    {candidates_cte('documents')},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b, id_a FROM cand
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """,
+)
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTERS: connected components over the MinHash-LSH
+    candidate pairs (min-label propagation to fixpoint,
+    operators/dedup.py:connected_components). This is the step that
+    makes dedup actionable — keep min(doc_id) per component, drop the
+    rest. The oracle computes the identical components via a recursive
+    transitive-closure CTE, so an ITERATIVE Spark algorithm is still
+    exactly oracle-checked. At 100 TB: same algorithm under GraphFrames
+    with checkpointing; candidate graphs are sparse (LSH-bounded), so
+    the edge list — not the corpus — is the working set."""
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    from pyspark.sql import functions as F2
+
+    return connected_components(pairs).select(
+        F2.col("id").alias("doc_id"), "component"
+    )
 
 
 @register(
