@@ -10,6 +10,14 @@ One place owns the session config so tests, ``__spark_entry__`` and
 - shuffle partitions default to core count for local mode; on a real
   cluster this would be ~2-3x total executor cores (or left to AQE with
   ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` high).
+- ``-XX:ReservedCodeCacheSize=1g`` — whole-stage codegen emits one or
+  more JIT-compiled classes per distinct plan fragment; a workload that
+  runs many distinct queries in one JVM (bench.py runs ~90) fills the
+  default 240 MB code cache, after which HotSpot silently stops
+  compiling and everything runs interpreted (measured: 1.6-2x total
+  bench wall, with individual late-running queries 8x slower). On a
+  real cluster set the same flag in ``spark.executor.extraJavaOptions``
+  (done below; in local mode driver == executor).
 """
 
 from __future__ import annotations
@@ -40,6 +48,8 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
