@@ -25,3 +25,4 @@ from . import mllib_queries  # noqa: E402,F401
 from . import relational_queries  # noqa: E402,F401
 from . import advanced_queries  # noqa: E402,F401
 from . import extra_queries  # noqa: E402,F401
+from . import curation_queries  # noqa: E402,F401

@@ -1,0 +1,274 @@
+"""Corpus-curation operators a large-scale training-data build needs
+beyond dedup/similarity: deterministic stratified sampling, per-source
+quotas, GPT-style sequence packing, sliding-window chunking, and PII
+scrubbing. All JVM-side (no Python UDFs) with exact DuckDB oracles.
+
+Scale notes (the design constraint for each op):
+
+- ``sample_stratified`` / ``text_pii_scrub``: map-only Projects — one
+  codegen'd pass over the scan, zero shuffles at any corpus size.
+- ``quota_per_source`` / ``text_pack_sequences``: ONE shuffle on the
+  stratum key (source); within-stratum window functions never need a
+  global sort. Packing is per-stratum by design — that's also how real
+  pipelines shard the work (pack each input shard independently) so no
+  single task ever sees the whole corpus's token stream.
+- ``text_chunk_overlap``: map-side 1->N explode; output cardinality is
+  sum(ceil(n_chars/stride)), bounded linearly by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.text import hash60
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# sample_stratified — deterministic per-stratum downsampling
+# ---------------------------------------------------------------------------
+
+# per-language keep rates: the standard corpus-mixing move (keep all of
+# the low-resource strata, downsample the dominant one)
+_RATES = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
+_RATE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())
+    + " ELSE 1.0 END"
+)
+
+# 2^60 as a double is exact; hash60 < 2^60, so u = hash/2^60 is the
+# same IEEE-754 quotient in both engines (no rounding slop to paper
+# over with round()).
+_TWO60 = float(1 << 60)
+
+
+@register(
+    "sample_stratified",
+    f"""
+    SELECT doc_id, lang,
+           round(('0x' || substr(md5('sample|' || doc_id), 1, 15))::UBIGINT
+                 / {_TWO60!r}, 6) AS u
+    FROM documents
+    WHERE ('0x' || substr(md5('sample|' || doc_id), 1, 15))::UBIGINT
+          / {_TWO60!r} < ({_RATE_SQL})
+    """,
+)
+def q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling: keep a doc iff a uniform
+    variate derived from md5('sample|'||doc_id) falls under its
+    stratum's rate. Unlike ``df.sample`` this is reproducible across
+    runs/engines AND stable under repartition — the keep decision is a
+    pure function of the row, so the sampled corpus is re-derivable
+    (the property an audit of a 100 TB training set actually needs).
+    Map-only: zero shuffles."""
+    docs = load(spark, sf_dir, "documents")
+    u = hash60(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))) / F.lit(
+        _TWO60
+    )
+    rate = F.lit(1.0)
+    for k, v in _RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return (
+        docs.filter(u < rate)
+        .select("doc_id", "lang", F.round(u, 6).alias("u"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# quota_per_source — per-stratum curation quota
+# ---------------------------------------------------------------------------
+
+_QUOTA = 10
+
+
+@register(
+    "quota_per_source",
+    f"""
+    SELECT doc_id, source, n_chars, rank_in_source
+    FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id) AS rank_in_source
+      FROM documents
+    )
+    WHERE rank_in_source <= {_QUOTA}
+    """,
+)
+def q_quota_per_source(spark, sf_dir):
+    """Per-source quota: keep the top-N docs per source by length
+    (doc_id tiebreak makes the survivor set deterministic). The
+    anti-domain-domination knob of corpus curation — caps any one
+    source's contribution no matter how big it is. One shuffle on
+    source; rank is computed within partitions, no global sort."""
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.withColumn("rank_in_source", F.row_number().over(w))
+        .filter(F.col("rank_in_source") <= _QUOTA)
+        .select("doc_id", "source", "n_chars", "rank_in_source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_pack_sequences — GPT-style token-stream packing
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 128
+# BPE-ish pre-tokenization (same expression as text_token_count)
+_BPE_RE = "[a-z0-9]+|[^a-z0-9\\s]"
+
+
+@register(
+    "text_pack_sequences",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_tok
+      FROM documents
+    ), offs AS (
+      SELECT doc_id, source, n_tok,
+             coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_off
+      FROM toks
+    )
+    SELECT doc_id, source, n_tok,
+           start_off // {_SEQ_LEN} AS first_seq,
+           (start_off + n_tok - 1) // {_SEQ_LEN} AS last_seq,
+           (start_off + n_tok - 1) // {_SEQ_LEN}
+             - start_off // {_SEQ_LEN} + 1 AS n_seqs,
+           start_off % {_SEQ_LEN} AS offset_in_first
+    FROM offs
+    WHERE n_tok > 0
+    """,
+)
+def q_text_pack_sequences(spark, sf_dir):
+    """Sequence packing for LLM pretraining: conceptually concatenate
+    each source's docs in doc_id order into one token stream and chop
+    it into fixed ``_SEQ_LEN`` sequences; emit each doc's span (first/
+    last sequence index, offset) — the index a packed-dataset writer
+    needs. Packing per source is deliberate: each shard's running
+    offset is an independent window, so the cumsum shuffles on source
+    instead of funneling the whole corpus through one global-order
+    task (the scale trap of Window.orderBy without partitionBy)."""
+    docs = load(spark, sf_dir, "documents")
+    n_tok = F.size(
+        F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0)
+    ).alias("n_tok")
+    toks = docs.select("doc_id", "source", n_tok)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    offs = toks.withColumn("start_off", start).filter(F.col("n_tok") > 0)
+    first_seq = F.expr(f"start_off DIV {_SEQ_LEN}")
+    last_seq = F.expr(f"(start_off + n_tok - 1) DIV {_SEQ_LEN}")
+    return offs.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (last_seq - first_seq + 1).alias("n_seqs"),
+        (F.col("start_off") % _SEQ_LEN).alias("offset_in_first"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_overlap — sliding-window chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK = 240
+_STRIDE = 180
+
+
+@register(
+    "text_chunk_overlap",
+    f"""
+    SELECT doc_id,
+           (pos - 1) // {_STRIDE} AS chunk_idx,
+           length(substr(text, pos, {_CHUNK})) AS chunk_len,
+           md5(substr(text, pos, {_CHUNK})) AS chunk_md5
+    FROM documents,
+         unnest(generate_series(1, greatest(n_chars, 1), {_STRIDE})) AS t(pos)
+    """,
+)
+def q_text_chunk_overlap(spark, sf_dir):
+    """Overlapping character chunks (window {_CHUNK}, stride {_STRIDE})
+    — the RAG/embedding-prep shape. A map-side 1->N explode: chunk
+    positions come from ``sequence()`` so the fan-out happens where the
+    row already is (no shuffle); chunks are emitted as md5+length so
+    the result stays narrow even though the intermediate is text."""
+    docs = load(spark, sf_dir, "documents")
+    pos = F.explode(
+        F.sequence(
+            F.lit(1), F.greatest(F.col("n_chars"), F.lit(1)), F.lit(_STRIDE)
+        )
+    ).alias("pos")
+    chunk = F.substring(F.col("text"), F.col("pos"), _CHUNK)
+    return docs.select("doc_id", "text", pos).select(
+        "doc_id",
+        ((F.col("pos") - 1) / _STRIDE).cast("long").alias("chunk_idx"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_pii_scrub — regex PII redaction
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex/RE2 common subset (no lookaround)
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_IP_RE = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id
+                  || '@example.com from 10.0.0.' || (doc_id % 256) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RE}')) AS n_emails,
+           len(regexp_extract_all(t, '{_IP_RE}')) AS n_ips,
+           length(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                 '{_IP_RE}', '<IP>', 'g')) AS scrubbed_len,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_IP_RE}', '<IP>', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing: redact emails and IPv4s with typed placeholders,
+    report per-doc match counts plus the scrubbed text's length/md5.
+    Deterministic PII is appended to every doc first so the op is
+    exercised on every row regardless of the synthetic corpus content.
+    Patterns stay in the Java-regex/RE2 common subset so the DuckDB
+    twin matches byte-for-byte. Map-only: one codegen'd pass."""
+    docs = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10.0.0."),
+        (F.col("doc_id") % 256).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return docs.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).alias("n_emails"),
+        F.regexp_count(aug, F.lit(_IP_RE)).alias("n_ips"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )

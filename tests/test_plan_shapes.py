@@ -97,3 +97,36 @@ def test_simhash_pairs_band_on_15_bits(spark):
     # (255) reintroduces the 1,024-bucket saturation
     assert "32767" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["sample_stratified", "text_pii_scrub"])
+def test_curation_map_only_ops_do_not_shuffle(spark, name):
+    plan = _plan(spark, name)
+    assert "Exchange" not in plan, f"{name} should not shuffle"
+
+
+def test_chunk_overlap_explodes_map_side(spark):
+    plan = _plan(spark, "text_chunk_overlap")
+    assert "Generate" in plan  # the 1->N fan-out
+    assert "Exchange" not in plan  # ...without a shuffle
+
+
+@pytest.mark.parametrize("name", ["text_pack_sequences", "quota_per_source"])
+def test_stratum_window_ops_shuffle_once_on_stratum(spark, name):
+    plan = _plan(spark, name)
+    # exactly one exchange, hash-keyed on the stratum — a global-order
+    # window would show rangepartitioning / SinglePartition instead
+    assert plan.count(") Exchange") == 1, name
+    assert "hashpartitioning(source" in plan, name
+    assert "rangepartitioning" not in plan, name
+    assert "SinglePartition" not in plan, name
+
+
+def test_quota_per_source_limits_before_shuffle(spark):
+    # Spark's WindowGroupLimit kicks in for row_number()<=K: each map
+    # task keeps only its local top-K per stratum BEFORE the exchange,
+    # so the shuffle carries at most K rows per (task, stratum) — the
+    # property that makes the quota viable on an unbounded corpus
+    plan = _plan(spark, "quota_per_source")
+    assert "WindowGroupLimit" in plan
+    assert ", Partial" in plan and ", Final" in plan
