@@ -72,3 +72,47 @@ def test_approx_percentile_close_to_exact(spark):
         ),
     ).collect()[0]
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.02, row
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark):
+    """Catalyst's InjectRuntimeFilter (on by default) is the engine's
+    bloom-prefilter answer for dedup-against-history at 100 TB: when
+    one join side is selective, the probe side is pre-filtered with a
+    bloom filter built from the build side's keys, cutting shuffle
+    traffic before the real join. The default thresholds (probe scan
+    >= 10 GB) are sized for clusters, so lower them here to pin that
+    the rule actually fires and the filtered result stays exact."""
+    li = load(spark, SF_SMALL, "lineitem")
+    ord_ = load(spark, SF_SMALL, "orders")
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "1GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        # force a shuffle join; a broadcast join needs no runtime filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sel = ord_.filter(F.col("o_orderpriority") == "1-URGENT").select(
+            "o_orderkey"
+        )
+        joined = li.join(sel, li.l_orderkey == sel.o_orderkey).select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = spark._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "bloom_filter" in plan.lower() or "might_contain" in plan.lower(), (
+            "runtime bloom filter was not injected:\n" + plan[:2000]
+        )
+        # the injected filter must not change the exact result
+        expected = (
+            li.join(ord_, li.l_orderkey == ord_.o_orderkey)
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
