@@ -240,3 +240,68 @@ def q_similarity_signlsh(spark, sf_dir):
         .limit(_ANN_K)
         .select("vec_id", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize_int8 — vector compression for index builds
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v, mx,
+             CASE WHEN mx > 0
+                  THEN list_transform(v, x -> CAST(floor(x * (127.0 / mx) + 0.5)
+                                                   AS BIGINT))
+                  ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS qv,
+             CASE WHEN mx > 0
+                  THEN list_transform(v, x -> x - floor(x * (127.0 / mx) + 0.5)
+                                                 / (127.0 / mx))
+                  ELSE list_transform(v, x -> CAST(0.0 AS DOUBLE)) END AS d
+      FROM q
+    )
+    SELECT vec_id, round(mx, 6) AS max_abs,
+           md5(array_to_string(qv, ',')) AS quant_md5,
+           round(sqrt(list_dot_product(d, d)), 6) AS l2_err
+    FROM s
+    """,
+)
+def q_embedding_quantize_int8(spark, sf_dir):
+    """Symmetric int8 scalar quantization per vector (scale = 127 /
+    max|x|) — the 4x compression step an ANN index build applies before
+    sharding a 100 TB vector corpus, plus the reconstruction-L2 error a
+    quality gate thresholds on. Map-only: one Project, zero shuffles;
+    the quantized vector leaves the plan as an md5 so the result stays
+    narrow. Rounding is the explicit floor(x*s + 0.5) formula (not
+    engine round(), whose half-way tie rule differs), and the error
+    fold is the same sequential dot as the similarity ops — both
+    engines bit-identical pre-round."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mx = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    e = emb.withColumn("mx", mx)
+    scale = F.lit(127.0) / F.col("mx")
+    qv = F.when(
+        F.col("mx") > 0,
+        F.transform("v", lambda x: F.floor(x * scale + 0.5).cast("bigint")),
+    ).otherwise(F.transform("v", lambda x: F.lit(0).cast("bigint")))
+    d = F.when(
+        F.col("mx") > 0,
+        F.transform("v", lambda x: x - F.floor(x * scale + 0.5) / scale),
+    ).otherwise(F.transform("v", lambda x: F.lit(0.0)))
+    e = e.withColumn("qv", qv).withColumn("d", d)
+    return e.select(
+        "vec_id",
+        F.round("mx", 6).alias("max_abs"),
+        F.md5(
+            F.array_join(F.transform("qv", lambda x: x.cast("string")), ",")
+        ).alias("quant_md5"),
+        F.round(F.sqrt(dot(F.col("d"), F.col("d"))), 6).alias("l2_err"),
+    )

@@ -130,3 +130,8 @@ def test_quota_per_source_limits_before_shuffle(spark):
     plan = _plan(spark, "quota_per_source")
     assert "WindowGroupLimit" in plan
     assert ", Partial" in plan and ", Final" in plan
+
+
+def test_embedding_quantize_is_map_only(spark):
+    plan = _plan(spark, "embedding_quantize_int8")
+    assert "Exchange" not in plan
