@@ -22,25 +22,14 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.text import hash60
+from .curation_params import RATE_SQL as _RATE_SQL
+from .curation_params import RATES as _RATES
+from .curation_params import TWO60 as _TWO60
 from .registry import load, register
 
 # ---------------------------------------------------------------------------
 # sample_stratified — deterministic per-stratum downsampling
 # ---------------------------------------------------------------------------
-
-# per-language keep rates: the standard corpus-mixing move (keep all of
-# the low-resource strata, downsample the dominant one)
-_RATES = {"en": 0.5, "de": 1.0, "es": 1.0, "fr": 1.0, "zh": 0.25}
-_RATE_SQL = (
-    "CASE lang "
-    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in _RATES.items())
-    + " ELSE 1.0 END"
-)
-
-# 2^60 as a double is exact; hash60 < 2^60, so u = hash/2^60 is the
-# same IEEE-754 quotient in both engines (no rounding slop to paper
-# over with round()).
-_TWO60 = float(1 << 60)
 
 
 @register(

@@ -28,12 +28,18 @@ from .dedup_queries import (
     ROWS_PER_BAND,
     candidates_cte,
 )
+from .curation_params import RATE_SQL as _RATE_SQL
+from .curation_params import RATES as _RATES
+from .curation_params import TWO60 as _TWO60
 from .registry import load, register
 from .text_queries import _STOP_SQL, quality_flags
 
-_QUAL_CTE = f"""
+def _qual_cte(extra_cols: str = "") -> str:
+    """quality gate -> exact-dedup CTE chain; ``extra_cols`` (e.g.
+    ``", source"``) threads passthrough columns to ``uniq``."""
+    return f"""
 qf AS (
-  SELECT doc_id, text, lang,
+  SELECT doc_id, text, lang{extra_cols},
          len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                          x -> x != '')) AS n_tokens,
          round(CASE WHEN length(text) > 0
@@ -51,15 +57,18 @@ qf AS (
   FROM documents
 ),
 qual AS (
-  SELECT doc_id, text, lang, n_tokens FROM qf
+  SELECT doc_id, text, lang{extra_cols}, n_tokens FROM qf
   WHERE n_tokens >= 10 AND punct_ratio <= 0.1 AND stopword_ratio >= 0.01
 ),
 uniq AS (
-  SELECT doc_id, text, lang, n_tokens FROM (
+  SELECT doc_id, text, lang{extra_cols}, n_tokens FROM (
     SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
     FROM qual
   ) WHERE rn = 1
 )"""
+
+
+_QUAL_CTE = _qual_cte()
 
 
 @register(
@@ -100,3 +109,121 @@ def q_training_data_pipeline(spark, sf_dir):
     dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
     survivors = uniq.join(dropped, "doc_id", "left_anti")
     return survivors.select("doc_id", "lang", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# corpus_build_pipeline — the full curation composition
+# ---------------------------------------------------------------------------
+
+_PACK_LEN = 128  # sequence length for the packing stage
+_PIPE_QUOTA = 15  # per-source cap after sampling
+
+
+@register(
+    "corpus_build_pipeline",
+    f"""
+    WITH {_qual_cte(', source')},
+    {candidates_cte('uniq')},
+    jacc AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.ss, b.ss))::DOUBLE
+             / len(list_distinct(list_concat(a.ss, b.ss)))::DOUBLE AS j
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b FROM jacc WHERE round(j, 6) >= {JACCARD_THRESHOLD}
+    ),
+    samp AS (
+      SELECT doc_id, lang, source, n_tokens FROM uniq u
+      WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = u.doc_id)
+        AND ('0x' || substr(md5('sample|' || doc_id), 1, 15))::UBIGINT
+            / {_TWO60!r} < ({_RATE_SQL})
+    ),
+    quota AS (
+      SELECT doc_id, lang, source, n_tokens, rank_in_source FROM (
+        SELECT samp.*,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_tokens DESC, doc_id)
+                 AS rank_in_source
+        FROM samp
+      ) WHERE rank_in_source <= {_PIPE_QUOTA}
+    ),
+    offs AS (
+      SELECT doc_id, lang, source, n_tokens,
+             coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS start_off
+      FROM quota
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           start_off // {_PACK_LEN} AS first_seq,
+           (start_off + n_tokens - 1) // {_PACK_LEN} AS last_seq,
+           start_off % {_PACK_LEN} AS offset_in_first
+    FROM offs
+    """,
+)
+def q_corpus_build_pipeline(spark, sf_dir):
+    """The full corpus build: quality gate -> exact dedup -> MinHash-LSH
+    near-dup dedup -> deterministic stratified sample (per-lang rates)
+    -> per-source quota -> per-source sequence packing. Every stage is
+    an already-oracle-checked operator; this checks the end-to-end
+    composition a production pre-training data build actually runs.
+
+    Shuffle budget on top of training_data_pipeline's (one window, one
+    banded join, one anti-join): the sample is map-only, and the quota
+    + packing windows share ONE additional hash shuffle on source —
+    quota's partial WindowGroupLimit caps what that exchange carries."""
+    docs = load(spark, sf_dir, "documents")
+    qual = quality_flags(docs).filter(F.col("keep")).select(
+        "doc_id", "text", "lang", "source", "n_tokens"
+    )
+    uniq = dedup_first_by_time(qual, keys=["text"], time_col="doc_id")
+    sigs = minhash_signatures(uniq, "text", NUM_HASHES, 3)
+    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    near = jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
+    dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = uniq.join(dropped, "doc_id", "left_anti")
+
+    from pyspark.sql import Window
+
+    from ..functions.text import hash60
+
+    u = hash60(
+        F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))
+    ) / F.lit(_TWO60)
+    rate = F.lit(1.0)
+    for k, v in _RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    samp = survivors.filter(u < rate).select(
+        "doc_id", "lang", "source", "n_tokens"
+    )
+
+    wq = Window.partitionBy("source").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    quota = (
+        samp.withColumn("rank_in_source", F.row_number().over(wq))
+        .filter(F.col("rank_in_source") <= _PIPE_QUOTA)
+        .drop("rank_in_source")
+    )
+
+    wp = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum("n_tokens").over(wp), F.lit(0))
+    offs = quota.withColumn("start_off", start)
+    first_seq = F.expr(f"start_off DIV {_PACK_LEN}")
+    last_seq = F.expr(f"(start_off + n_tokens - 1) DIV {_PACK_LEN}")
+    return offs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_tokens",
+        first_seq.alias("first_seq"),
+        last_seq.alias("last_seq"),
+        (F.col("start_off") % _PACK_LEN).alias("offset_in_first"),
+    )
