@@ -65,32 +65,46 @@ def attach_binary_payload(
     )
 
 
-def extract_binary_features(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def extract_binary_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
+) -> DataFrame:
     """Arrow-batched byte-level feature extraction over the payload
     column: length, first byte, md5. This is the mapInPandas stage a
     real decoder plugs into — same signature, same batch shape; the
     features here are deterministic so the whole path is oracle-
-    checkable (DuckDB: octet_length / ascii / md5)."""
+    checkable (DuckDB: octet_length / ascii / md5).
+
+    ``passthrough`` columns are copied from the input batch to the
+    output, so metadata rides along in the SAME Arrow pass — never
+    join a Python stage's output back to its own input (that costs a
+    second scan plus a shuffle join on 100 TB; copying a column
+    through the batch costs nothing)."""
+    out_schema = T.StructType(
+        list(FEATURE_SCHEMA.fields) + [df.schema[c] for c in passthrough]
+    )
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
 
         for pdf in batches:
             payloads = pdf["payload"]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf[id_col],
-                    "byte_len": payloads.map(len).astype("int64"),
-                    "first_byte": payloads.map(
-                        lambda b: b[0] if len(b) else None
-                    ).astype("Int32"),
-                    "content_md5": payloads.map(
-                        lambda b: hashlib.md5(b).hexdigest()
-                    ),
-                }
-            )
+            data = {
+                "doc_id": pdf[id_col],
+                "byte_len": payloads.map(len).astype("int64"),
+                "first_byte": payloads.map(
+                    lambda b: b[0] if len(b) else None
+                ).astype("Int32"),
+                "content_md5": payloads.map(
+                    lambda b: hashlib.md5(b).hexdigest()
+                ),
+            }
+            for c in passthrough:
+                data[c] = pdf[c]
+            yield pd.DataFrame(data)
 
-    return df.mapInPandas(extract, FEATURE_SCHEMA)
+    return df.mapInPandas(extract, out_schema)
 
 
 def decode_image(payload: bytes) -> "tuple[int, int]":

@@ -25,7 +25,7 @@ from ..streaming.sinks import dedup_append_batch_fn, run_foreach_batch_available
 from ..streaming.stateful import stateful_user_counter
 from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND, candidates_cte
 from .registry import load, register
-from .streaming_queries import _replay_src, _RUN_SEQ
+from .streaming_queries import _replay_src, _RUN_SEQ, stream_shuffle_partitions
 
 
 @register(
@@ -106,9 +106,10 @@ def q_stream_foreachbatch_dedup_sink(spark, sf_dir):
         .parquet(src)
     )
     sink_path = tempfile.mkdtemp(prefix="spark_graft_fb_sink_") + "/out"
-    run_foreach_batch_availablenow(
-        stream, dedup_append_batch_fn(sink_path, ["user_id"])
-    )
+    with stream_shuffle_partitions(spark):
+        run_foreach_batch_availablenow(
+            stream, dedup_append_batch_fn(sink_path, ["user_id"])
+        )
     return spark.read.parquet(sink_path).select("user_id")
 
 
@@ -160,15 +161,16 @@ def q_stream_session_window(spark, sf_dir):
     )
     name = f"stream_session_window_{next(_RUN_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -203,15 +205,16 @@ def q_stream_stateful_counter(spark, sf_dir):
     counted = stateful_user_counter(stream)
     name = f"stream_stateful_counter_{next(_RUN_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
-    q = (
-        counted.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            counted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return (
         spark.table(name)
         .groupBy("user_id")

@@ -37,18 +37,21 @@ from .registry import load, register
 )
 def q_multimodal_columns(spark, sf_dir):
     """Binary payload + metadata struct -> Arrow-batched mapInPandas
-    feature extraction (byte length, first byte, md5), joined back to
-    the typed metadata. The md5 computed in Python per batch must equal
-    DuckDB's md5 of the same bytes — a byte-exact check of the whole
-    binary path. (Documents are ASCII, so first_byte == codepoint.)"""
+    feature extraction (byte length, first byte, md5) with the typed
+    metadata flattened into the same Arrow pass (one scan, zero
+    joins). The md5 computed in Python per batch must equal DuckDB's
+    md5 of the same bytes — a byte-exact check of the whole binary
+    path. (Documents are ASCII, so first_byte == codepoint.)"""
     docs = load(spark, sf_dir, "documents")
-    bin_df = attach_binary_payload(docs, "text", "doc_id")
-    feats = extract_binary_features(bin_df, "doc_id")
-    meta = bin_df.select(
-        "doc_id", F.col("meta.mime").alias("mime"),
+    bin_df = attach_binary_payload(docs, "text", "doc_id").select(
+        "doc_id",
+        "payload",
+        F.col("meta.mime").alias("mime"),
         F.col("meta.size_bytes").alias("size_bytes"),
     )
-    return feats.join(meta, "doc_id")
+    return extract_binary_features(
+        bin_df, "doc_id", passthrough=("mime", "size_bytes")
+    )
 
 
 @register(

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+from contextlib import contextmanager
 
 from pyspark.sql import functions as F
 
@@ -18,6 +19,26 @@ from ..streaming.dedup import run_availablenow_to_memory, stream_dedup_watermark
 from .registry import load, register
 
 _RUN_SEQ = iter(range(1_000_000))
+
+
+@contextmanager
+def stream_shuffle_partitions(spark, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` around a streaming run.
+
+    Stateful streaming operators create one state-store instance per
+    shuffle partition per micro-batch (open + commit + maintenance
+    each); the batch-tuned 32 costs real wall time when the keyspace
+    is a few thousand keys. The partition count is baked into the
+    query's (fresh) checkpoint at start, so scoping the session conf
+    around start()/awaitTermination() is safe and leaks nothing. At
+    production scale this knob is sized to distinct-key cardinality —
+    it is deliberately independent of the batch shuffle width."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 # replay source dirs memoized per (prefix, sf_dir, cols): repeat
 # invocations (bench loops, repeated oracle runs) must time the STREAM,
@@ -71,15 +92,16 @@ def q_stream_windowed_agg(spark, sf_dir):
     )
     name = f"stream_windowed_agg_{next(_RUN_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -100,5 +122,6 @@ def q_stream_dedup_watermark(spark, sf_dir):
         stream, key="user_id", ts_col="ts", watermark="2 hours"
     ).select("user_id")
     name = f"stream_dedup_wm_{next(_RUN_SEQ)}"
-    out = run_availablenow_to_memory(spark, deduped, name)
+    with stream_shuffle_partitions(spark):
+        out = run_availablenow_to_memory(spark, deduped, name)
     return out.select("user_id").distinct().select(F.col("user_id"))
