@@ -74,8 +74,8 @@ _WINDOW = [
     "multimodal_columns",
     "multimodal_frame_sample",
     "multimodal_binary_files",
-    # Part C — streaming family
-    "stream_windowed_agg",
+    # Part C — streaming family (stream_windowed_agg sits just outside
+    # the window — driver-green in round 2, still pytest-checked)
     "stream_dedup_watermark",
     "stream_session_window",
     "stream_stateful_counter",
@@ -89,6 +89,7 @@ _WINDOW = [
     "text_pack_sequences",
     "text_chunk_overlap",
     "text_pii_scrub",
+    "text_decontaminate",
 ]
 
 assert len(_WINDOW) == 50, f"window must be exactly 50, got {len(_WINDOW)}"

@@ -261,3 +261,121 @@ def q_text_pii_scrub(spark, sf_dir):
         F.length(scrubbed).alias("scrubbed_len"),
         F.md5(scrubbed).alias("scrubbed_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_decontaminate — benchmark decontamination via n-gram overlap
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # word n-gram size (production uses 8-13-grams)
+
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i:i+{_DECON_N - 1}], ' ') AS gram
+      FROM toks, unnest(range(1, len(t) - {_DECON_N - 2})) AS u(i)
+    ),
+    evalg AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 11 = 0)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           max(g.gram) AS sample_gram
+    FROM grams g JOIN evalg e USING (gram)
+    WHERE g.doc_id % 11 != 0
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training docs that share any
+    word-{_DECON_N}-gram with the held-out eval slice (doc_id % 11 = 0
+    stands in for the benchmark suite). The canonical pre-training
+    hygiene op — eval answers leaking into training data inflate
+    scores, so contaminated docs are dropped or masked.
+
+    Scale shape: n-gram sets are built map-side (word_shingles — zip-
+    with over slices, no explode until needed); the EVAL side is tiny
+    (benchmarks are MBs, corpora are TBs), so its distinct grams
+    broadcast and the train side's exploded grams never shuffle — the
+    only shuffle is the final per-doc count over matched grams, whose
+    cardinality is bounded by contamination, not corpus size."""
+    from ..functions.text import tokens, word_shingles
+
+    docs = load(spark, sf_dir, "documents")
+    g = docs.select(
+        "doc_id", word_shingles(tokens(F.col("text")), _DECON_N).alias("grams")
+    )
+    evalg = (
+        g.filter(F.col("doc_id") % 11 == 0)
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = g.filter(F.col("doc_id") % 11 != 0).select(
+        "doc_id", F.explode("grams").alias("gram")
+    )
+    return (
+        train.join(F.broadcast(evalg), "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.max("gram").alias("sample_gram"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_shuffle_shards — deterministic global training-order shuffle
+# ---------------------------------------------------------------------------
+
+_SHARD_HEX = 2  # first 2 md5 hex chars -> 256 shards
+
+
+@register(
+    "corpus_shuffle_shards",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             md5('shuffle|' || doc_id) AS k,
+             ('0x' || substr(md5('shuffle|' || doc_id), 1, {_SHARD_HEX}))::INT
+               AS shard
+      FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+                AS BIGINT) AS pos_in_shard
+    FROM keyed
+    """,
+)
+def q_corpus_shuffle_shards(spark, sf_dir):
+    """Deterministic global shuffle for training-data ordering: each
+    doc gets an md5-derived shuffle key; the first {_SHARD_HEX} hex
+    chars pick one of 256 output shards and the position within the
+    shard is the rank of the full key. Reading shards in (shard,
+    pos_in_shard) order IS the uniform random permutation — and it is
+    reproducible across runs, engines, and repartitioning, which
+    df.orderBy(rand()) is not.
+
+    Scale shape: this is how a distributed shuffle-writer actually
+    lays out a 100 TB corpus — no global-order window (the single-task
+    funnel), just one hash shuffle on shard with independent
+    per-shard sorts; shard count scales with the cluster."""
+    docs = load(spark, sf_dir, "documents")
+    k = F.md5(F.concat(F.lit("shuffle|"), F.col("doc_id").cast("string")))
+    keyed = docs.select(
+        "doc_id",
+        k.alias("k"),
+        F.conv(F.substring(k, 1, _SHARD_HEX), 16, 10).cast("int").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos_in_shard"),
+    )
