@@ -135,3 +135,21 @@ def test_quota_per_source_limits_before_shuffle(spark):
 def test_embedding_quantize_is_map_only(spark):
     plan = _plan(spark, "embedding_quantize_int8")
     assert "Exchange" not in plan
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    """The eval side (benchmark grams) must broadcast; a sort-merge
+    join here would shuffle every training n-gram — the scale trap
+    decontamination is designed around."""
+    plan = _plan(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_shuffle_shards_avoids_global_sort(spark):
+    """Training-order shuffle must be a hash exchange on shard with
+    per-shard sorts — never a rangepartitioning exchange (the
+    global-order single-task funnel at corpus scale)."""
+    plan = _plan(spark, "corpus_shuffle_shards")
+    assert "Exchange rangepartitioning" not in plan
+    assert "hashpartitioning(shard" in plan
