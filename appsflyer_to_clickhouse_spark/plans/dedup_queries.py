@@ -179,7 +179,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard computed ONLY over LSH candidates (the
     verify stage of a near-dup pipeline): intersect/union of distinct
     shingle sets, threshold {JACCARD_THRESHOLD}. At 100 TB the pair
-    count is bounded by duplicate-group sizes, not n^2."""
+    count is bounded by duplicate-group sizes, not n^2.
+
+    Deliberately NOT persisted: column pruning hands each branch a
+    cheap subplan (verify reads only shingles — no md5), and caching
+    the full signature frame was measured 3x SLOWER cold than the 3
+    pruned passes. Contrast training_data_pipeline, where the shared
+    upstream (quality gate + window dedup) is expensive enough that
+    persist pays."""
     docs = load(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
     cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)

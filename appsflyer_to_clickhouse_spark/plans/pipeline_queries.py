@@ -98,12 +98,23 @@ def q_training_data_pipeline(spark, sf_dir):
     their composition end-to-end (the order matters: quality first so
     near-dup never hashes junk; exact dedup before LSH so identical
     texts cost one signature)."""
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
     qual = quality_flags(docs).filter(F.col("keep")).select(
         "doc_id", "text", "lang", "n_tokens"
     )
-    uniq = dedup_first_by_time(qual, keys=["text"], time_col="doc_id")
-    sigs = minhash_signatures(uniq, "text", NUM_HASHES, 3)
+    # uniq feeds the signature path AND the survivor anti-join; sigs
+    # feeds candidate generation AND both verify sides. Column pruning
+    # makes each branch's subplan distinct, so ReusedExchange cannot
+    # collapse them — persist computes each stage once (the single-job
+    # form of the stage materialization a 100 TB build does anyway).
+    uniq = dedup_first_by_time(qual, keys=["text"], time_col="doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(uniq, "text", NUM_HASHES, 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
     near = jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
     dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
@@ -175,12 +186,19 @@ def q_corpus_build_pipeline(spark, sf_dir):
     banded join, one anti-join): the sample is map-only, and the quota
     + packing windows share ONE additional hash shuffle on source —
     quota's partial WindowGroupLimit caps what that exchange carries."""
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
     qual = quality_flags(docs).filter(F.col("keep")).select(
         "doc_id", "text", "lang", "source", "n_tokens"
     )
-    uniq = dedup_first_by_time(qual, keys=["text"], time_col="doc_id")
-    sigs = minhash_signatures(uniq, "text", NUM_HASHES, 3)
+    # same persist rationale as training_data_pipeline (uniq x2, sigs x3)
+    uniq = dedup_first_by_time(qual, keys=["text"], time_col="doc_id").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs = minhash_signatures(uniq, "text", NUM_HASHES, 3).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
     near = jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
     dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
