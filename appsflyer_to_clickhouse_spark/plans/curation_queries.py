@@ -25,7 +25,7 @@ from ..functions.text import hash60
 from .curation_params import RATE_SQL as _RATE_SQL
 from .curation_params import RATES as _RATES
 from .curation_params import TWO60 as _TWO60
-from .registry import load, register
+from .registry import load, load_fanout, register
 
 # ---------------------------------------------------------------------------
 # sample_stratified — deterministic per-stratum downsampling
@@ -308,7 +308,7 @@ def q_text_decontaminate(spark, sf_dir):
     cardinality is bounded by contamination, not corpus size."""
     from ..functions.text import tokens, word_shingles
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     g = docs.select(
         "doc_id", word_shingles(tokens(F.col("text")), _DECON_N).alias("grams")
     )

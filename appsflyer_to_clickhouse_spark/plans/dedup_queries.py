@@ -27,7 +27,7 @@ from ..operators.dedup import (
     simhash_signatures,
 )
 from ..functions.text import SIMHASH_BITS
-from .registry import load, register
+from .registry import load, load_fanout, register
 
 NUM_HASHES = 8
 BANDS = 4
@@ -154,7 +154,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     pairs over documents.text word 3-shingles. Signatures are map-only
     (zero shuffle); the only shuffle is the (band, bucket) join — never
     an all-pairs product."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
     return lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
 
@@ -187,7 +187,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     pruned passes. Contrast training_data_pipeline, where the shared
     upstream (quality gate + window dedup) is expensive enough that
     persist pays."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
     cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
     return jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
@@ -236,7 +236,7 @@ def q_dedup_simhash(spark, sf_dir):
     the whole signature is one codegen'd expression per row. 60 bits
     (not 32) so the pairs stage can band at 15 bits — see
     functions/text.py:simhash60."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     return simhash_signatures(docs, "text", 3).select("doc_id", "simhash")
 
 
@@ -269,7 +269,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     131,072 buckets — bucket count no longer saturates at 1,024 the way
     byte-banding a 32-bit signature does, so candidate pairs stay
     ~n^2/131k instead of ~n^2/1k at 100x data."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     sims = simhash_signatures(docs, "text", 3)
     return simhash_near_pairs(sims, "doc_id", MAX_HAMMING)
 
@@ -350,7 +350,7 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     the same left-to-right fold order, so the candidate set (hence the
     result) is exactly reproducible cross-engine. Dot products in
     double via JVM expressions inside codegen — no UDF."""
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return embedding_cosine_pairs(

@@ -24,7 +24,7 @@ from ..operators.dedup import (
 from ..streaming.sinks import dedup_append_batch_fn, run_foreach_batch_availablenow
 from ..streaming.stateful import stateful_user_counter
 from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND, candidates_cte
-from .registry import load, register
+from .registry import load, load_fanout, register
 from .streaming_queries import _replay_src, _RUN_SEQ, stream_shuffle_partitions
 
 
@@ -41,7 +41,7 @@ def q_dedup_minhash_lsh_salted(spark, sf_dir):
     instead of stalling one (operators/dedup.py:
     lsh_candidate_pairs_salted). This is the variant you run at 100 TB
     when duplicate-group sizes are unknown."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
     return lsh_candidate_pairs_salted(sigs, "doc_id", BANDS, ROWS_PER_BAND, salt=4)
 
@@ -75,7 +75,7 @@ def q_dedup_clusters(spark, sf_dir):
     exactly oracle-checked. At 100 TB: same algorithm under GraphFrames
     with checkpointing; candidate graphs are sparse (LSH-bounded), so
     the edge list — not the corpus — is the working set."""
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
     pairs = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
     from pyspark.sql import functions as F2

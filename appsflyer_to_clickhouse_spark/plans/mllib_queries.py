@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import load, load_fanout, register
 
 _SEED = 42
 
@@ -29,7 +29,7 @@ def q_dedup_minhash_mllib(spark, sf_dir):
     implementation."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_fanout(spark, sf_dir, "documents").select("doc_id", "text")
     toks = Tokenizer(inputCol="text", outputCol="words").transform(docs)
     grams = NGram(n=3, inputCol="words", outputCol="shingles").transform(toks)
     feats = HashingTF(
@@ -60,7 +60,7 @@ def q_similarity_ivf_kmeans(spark, sf_dir):
     force is pinned in tests/test_mllib_recall.py."""
     from ..operators.ivf import build_ivf, probe_ivf
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     assigned, model = build_ivf(emb, "v", n_clusters=16)
@@ -77,7 +77,7 @@ def q_similarity_brp_mllib(spark, sf_dir):
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    emb = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
     model = BucketedRandomProjectionLSH(

@@ -31,7 +31,7 @@ from .dedup_queries import (
 from .curation_params import RATE_SQL as _RATE_SQL
 from .curation_params import RATES as _RATES
 from .curation_params import TWO60 as _TWO60
-from .registry import load, register
+from .registry import load, load_fanout, register
 from .text_queries import _STOP_SQL, quality_flags
 
 def _qual_cte(extra_cols: str = "") -> str:
@@ -100,7 +100,7 @@ def q_training_data_pipeline(spark, sf_dir):
     texts cost one signature)."""
     from pyspark import StorageLevel
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     qual = quality_flags(docs).filter(F.col("keep")).select(
         "doc_id", "text", "lang", "n_tokens"
     )
@@ -188,7 +188,7 @@ def q_corpus_build_pipeline(spark, sf_dir):
     quota's partial WindowGroupLimit caps what that exchange carries."""
     from pyspark import StorageLevel
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     qual = quality_flags(docs).filter(F.col("keep")).select(
         "doc_id", "text", "lang", "source", "n_tokens"
     )

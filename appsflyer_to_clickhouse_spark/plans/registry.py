@@ -48,6 +48,29 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+def load_fanout(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """``load()`` plus a round-robin fan-out when the scan yields fewer
+    input splits than cores.
+
+    The testdata tables are single-file, single-row-group parquet, so
+    Spark's split planning hands the whole scan ONE task — and any
+    md5/shingle-heavy map stage downstream would run on one core of 32.
+    At production scale the scan has thousands of row-group splits and
+    this branch never fires (the repartition is skipped, not merely
+    cheap). Round-robin rather than a key: nothing downstream depends
+    on the distribution, and the fanned payload is the raw scan output
+    — a few MB here, exactly one pass of the source at any scale.
+
+    Use for queries whose cost is per-row hashing (signature families,
+    n-gram decontamination); keep plain ``load`` for cheap map-only
+    kernels so their zero-Exchange plan pins stay meaningful."""
+    df = load(spark, sf_dir, table)
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def load_windowed(
     spark: SparkSession,
     sf_dir: str,

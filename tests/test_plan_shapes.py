@@ -46,11 +46,21 @@ def test_filter_pushdown_reaches_scan(spark):
 @pytest.mark.parametrize(
     "name",
     ["text_analysis", "text_token_count", "text_quality_score",
-     "text_lang_id", "text_fingerprint", "dedup_simhash"],
+     "text_lang_id", "text_fingerprint"],
 )
 def test_text_kernels_are_map_only(spark, name):
     plan = _plan(spark, name)
     assert "Exchange" not in plan, f"{name} should not shuffle"
+
+
+def test_simhash_computation_has_no_key_shuffle(spark):
+    """dedup_simhash's computation is map-only; the only allowed
+    Exchange is load_fanout's explicit round-robin input fan-out
+    (single-split testdata stand-in — skipped entirely when the scan
+    has enough splits). Any key-based exchange is a regression."""
+    plan = _plan(spark, "dedup_simhash")
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
 
 
 def test_project_rename_prunes_scan_columns(spark):
