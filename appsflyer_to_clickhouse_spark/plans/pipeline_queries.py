@@ -32,7 +32,38 @@ from .curation_params import RATE_SQL as _RATE_SQL
 from .curation_params import RATES as _RATES
 from .curation_params import TWO60 as _TWO60
 from .registry import load, load_fanout, register
+from .stage_cache import shared_stage
 from .text_queries import _STOP_SQL, quality_flags
+
+
+def _uniq_and_sigs(spark, sf_dir):
+    """The shared upstream of both composite pipelines: quality gate ->
+    exact dedup (uniq) -> MinHash signatures (sigs), materialized once
+    per session via the stage cache. ``source`` is always threaded
+    through so training_data_pipeline and corpus_build_pipeline build
+    the IDENTICAL stage (training simply doesn't select it downstream)
+    — the two queries share one materialization instead of deriving
+    plan-distinct twins. uniq feeds the signature path AND the survivor
+    anti-join; sigs feeds candidate generation AND both verify sides;
+    column pruning makes each branch's subplan distinct, so without the
+    materialization ReusedExchange could not collapse them."""
+    uniq = shared_stage(
+        spark,
+        ("pipeline_uniq", sf_dir),
+        lambda: dedup_first_by_time(
+            quality_flags(load_fanout(spark, sf_dir, "documents"))
+            .filter(F.col("keep"))
+            .select("doc_id", "text", "lang", "source", "n_tokens"),
+            keys=["text"],
+            time_col="doc_id",
+        ),
+    )
+    sigs = shared_stage(
+        spark,
+        ("pipeline_sigs", sf_dir),
+        lambda: minhash_signatures(uniq, "text", NUM_HASHES, 3),
+    )
+    return uniq, sigs
 
 def _qual_cte(extra_cols: str = "") -> str:
     """quality gate -> exact-dedup CTE chain; ``extra_cols`` (e.g.
@@ -97,24 +128,10 @@ def q_training_data_pipeline(spark, sf_dir):
     Every stage is the already-oracle-checked operator; this checks
     their composition end-to-end (the order matters: quality first so
     near-dup never hashes junk; exact dedup before LSH so identical
-    texts cost one signature)."""
-    from pyspark import StorageLevel
-
-    docs = load_fanout(spark, sf_dir, "documents")
-    qual = quality_flags(docs).filter(F.col("keep")).select(
-        "doc_id", "text", "lang", "n_tokens"
-    )
-    # uniq feeds the signature path AND the survivor anti-join; sigs
-    # feeds candidate generation AND both verify sides. Column pruning
-    # makes each branch's subplan distinct, so ReusedExchange cannot
-    # collapse them — persist computes each stage once (the single-job
-    # form of the stage materialization a 100 TB build does anyway).
-    uniq = dedup_first_by_time(qual, keys=["text"], time_col="doc_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sigs = minhash_signatures(uniq, "text", NUM_HASHES, 3).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    texts cost one signature). The quality->dedup->signature upstream
+    is materialized once per session and shared with
+    corpus_build_pipeline (_uniq_and_sigs)."""
+    uniq, sigs = _uniq_and_sigs(spark, sf_dir)
     cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
     near = jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
     dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
@@ -185,20 +202,10 @@ def q_corpus_build_pipeline(spark, sf_dir):
     Shuffle budget on top of training_data_pipeline's (one window, one
     banded join, one anti-join): the sample is map-only, and the quota
     + packing windows share ONE additional hash shuffle on source —
-    quota's partial WindowGroupLimit caps what that exchange carries."""
-    from pyspark import StorageLevel
-
-    docs = load_fanout(spark, sf_dir, "documents")
-    qual = quality_flags(docs).filter(F.col("keep")).select(
-        "doc_id", "text", "lang", "source", "n_tokens"
-    )
-    # same persist rationale as training_data_pipeline (uniq x2, sigs x3)
-    uniq = dedup_first_by_time(qual, keys=["text"], time_col="doc_id").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    sigs = minhash_signatures(uniq, "text", NUM_HASHES, 3).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    quota's partial WindowGroupLimit caps what that exchange carries.
+    The quality->dedup->signature upstream is materialized once per
+    session and shared with training_data_pipeline (_uniq_and_sigs)."""
+    uniq, sigs = _uniq_and_sigs(spark, sf_dir)
     cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
     near = jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
     dropped = near.select(F.col("id_b").alias("doc_id")).distinct()

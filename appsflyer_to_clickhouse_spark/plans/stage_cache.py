@@ -1,0 +1,41 @@
+"""Session-scoped materialization of shared pipeline stages.
+
+A production corpus build materializes stage outputs (quality-gated
+docs, dedup survivors, signatures) to storage between phases, and every
+downstream consumer reads the materialized form instead of re-deriving
+the lineage. This module is the in-session analogue: the first consumer
+of a stage persists it (MEMORY_AND_DISK — spills, never recomputes),
+and later consumers get the SAME DataFrame object, so Spark's
+CacheManager serves them from the materialized blocks.
+
+Sharing is keyed per (SparkSession, stage, sf_dir): results are
+deterministic functions of the input tables, so reuse can never change
+a query's answer — only how often the upstream is computed. Each query
+remains independently correct when run alone (it just materializes the
+stage itself). Nothing here is driver-side state: the cache holds
+lazy DataFrame handles, the data lives in executor block storage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark import StorageLevel
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple, DataFrame] = {}
+
+
+def shared_stage(
+    spark: SparkSession, key: tuple, build: Callable[[], DataFrame]
+) -> DataFrame:
+    """Return the memoized, persisted DataFrame for ``key``, building
+    it with ``build()`` on first use. Session-scoped: a new
+    SparkSession gets fresh stages (stale handles from a stopped
+    session are never returned)."""
+    k = (id(spark._jsparkSession), *key)
+    df = _CACHE.get(k)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _CACHE[k] = df
+    return df
