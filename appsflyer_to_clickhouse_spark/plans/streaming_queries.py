@@ -14,6 +14,7 @@ import tempfile
 from contextlib import contextmanager
 
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..streaming.dedup import run_availablenow_to_memory, stream_dedup_watermark
 from .registry import load, register
@@ -53,9 +54,15 @@ def _replay_src(spark, sf_dir: str, cols: list[str], prefix: str) -> str:
     if cached is not None and os.path.isdir(cached):
         return cached
     src = tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_src_")
-    load(spark, sf_dir, "events").select(*cols).repartition(4).write.mode(
-        "overwrite"
-    ).parquet(src)
+    df = load(spark, sf_dir, "events").select(*cols)
+    # event-time columns must be TIMESTAMP (with local tz): watermarks
+    # reject TIMESTAMP_NTZ, which is what a naive parquet timestamp
+    # reads back as. The session tz is pinned to UTC, so the cast is
+    # value-preserving.
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    df.repartition(4).write.mode("overwrite").parquet(src)
     _SRC_CACHE[key] = src
     return src
 
