@@ -376,3 +376,47 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         _EMB_BAND_BITS,
         _EMB_BANDS,
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_exact_normalized — normalization-keyed exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_normalized",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))
+               AS norm_key
+      FROM documents
+    )
+    SELECT norm_key,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM norm
+    GROUP BY norm_key
+    """,
+)
+def q_dedup_exact_normalized(spark, sf_dir):
+    """Normalization-keyed exact dedup: lowercase, collapse every
+    non-alphanumeric run to one space, trim, md5 — the standard
+    'fuzzy-exact' corpus pass that catches whitespace/punctuation/case
+    variants plain text-equality misses. Map-side the row shrinks to
+    (doc_id, 16-byte key) before the single groupBy shuffle; min()
+    picks the survivor deterministically. At 100 TB this is one
+    partial-agg exchange keyed by a uniform hash — no skew by
+    construction."""
+    docs = load(spark, sf_dir, "documents")
+    norm_key = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+    )
+    return (
+        docs.select("doc_id", norm_key.alias("norm_key"))
+        .groupBy("norm_key")
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+            F.count("*").cast("bigint").alias("n_copies"),
+        )
+    )

@@ -283,6 +283,96 @@ def q_text_fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# text_repetition — Gopher-style repetition quality signals
+# ---------------------------------------------------------------------------
+
+# raw (NON-distinct) word n-grams as a DuckDB list expression
+def _raw_grams_sql(n: int) -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(1, n + 1))
+    return (
+        f"CASE WHEN len(t) >= {n} THEN "
+        f"list_transform(range(len(t) - {n - 1}), i -> {parts}) "
+        "ELSE []::VARCHAR[] END"
+    )
+
+
+def _raw_grams(toks, n: int):
+    """Raw word n-grams (duplicates KEPT — repetition is the signal).
+    Same zip_with-over-slices construction as word_shingles, minus the
+    dedup."""
+    out = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(out, lambda x: x.isNotNull())
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+    gr AS (
+      SELECT doc_id,
+             {_raw_grams_sql(2)} AS bg,
+             {_raw_grams_sql(3)} AS tg
+      FROM tk
+    )
+    SELECT doc_id,
+           CAST(len(bg) AS INTEGER) AS n_bigrams,
+           round(CASE WHEN len(bg) > 0
+                 THEN 1.0 - len(list_distinct(bg))::DOUBLE / len(bg)
+                 ELSE 0 END, 6) AS dup_bigram_frac,
+           round(CASE WHEN len(tg) > 0
+                 THEN 1.0 - len(list_distinct(tg))::DOUBLE / len(tg)
+                 ELSE 0 END, 6) AS dup_trigram_frac,
+           round(CASE WHEN len(bg) > 0
+                 THEN list_max(list_transform(list_distinct(bg),
+                      d -> len(list_filter(bg, x -> x = d))))::DOUBLE / len(bg)
+                 ELSE 0 END, 6) AS top_bigram_frac
+    FROM gr
+    """,
+)
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals: duplicate-bigram fraction,
+    duplicate-trigram fraction, and the share of the single most
+    frequent bigram — the classic filters for boilerplate/spam docs.
+    Map-only over the scan. The top-bigram count is a nested HOF
+    (per distinct gram, count its occurrences): O(distinct x n) per doc,
+    bounded by document length — the 100 TB cost is per-doc, never
+    cross-doc, so it parallelizes embarrassingly; docs beyond a few
+    thousand tokens would switch to the explode+count form."""
+    docs = load(spark, sf_dir, "documents")
+    d = docs.withColumn("t", tokens(F.col("text")))
+    bg, tg = _raw_grams(F.col("t"), 2), _raw_grams(F.col("t"), 3)
+    d = d.select("doc_id", bg.alias("bg"), tg.alias("tg"))
+    nbg, ntg = F.size("bg"), F.size("tg")
+
+    def dup_frac(arr, n):
+        return F.round(
+            F.when(
+                n > 0, 1.0 - F.size(F.array_distinct(arr)).cast("double") / n
+            ).otherwise(0.0),
+            6,
+        )
+
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct("bg"),
+            lambda dgram: F.size(F.filter("bg", lambda x: x == dgram)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        nbg.cast("int").alias("n_bigrams"),
+        dup_frac(F.col("bg"), nbg).alias("dup_bigram_frac"),
+        dup_frac(F.col("tg"), ntg).alias("dup_trigram_frac"),
+        F.round(
+            F.when(nbg > 0, top_cnt.cast("double") / nbg).otherwise(0.0), 6
+        ).alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # json_props_extract — typed extraction with from_json
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,421 @@
+"""TPC-H shapes beyond q1/q3/q5 (SURVEY.md §2 relational vocabulary,
+adapted to the reduced testdata star schema — no partsupp/commitdate/
+shipmode columns, so q4/q11/q12 filters are re-expressed on the columns
+that exist).
+
+Each query is a distinct physical-plan shape the engine must get right
+at 100 TB:
+
+- q6  : scan-filter-aggregate with every predicate pushed to parquet —
+        the plan is a zero-shuffle partial/final agg over a pruned scan.
+- q7  : multi-way join where the two small dims (supplier, nation)
+        broadcast and the one big⋈big join (lineitem⋈orders) is the
+        only shuffle; group on derived (nation, nation, year).
+- q10 : big⋈big join + high-cardinality groupBy, finished by a
+        TakeOrderedAndProject top-k (no global sort materialization).
+- q14 : conditional aggregate ratio (promo revenue) — single-row
+        output, decimal-exact on both engines.
+- q17 : self-aggregation join (per-part avg) feeding a filtered join —
+        the shuffle on l_partkey is reused by Spark for both sides.
+- q18 : agg-HAVING as a join filter (large orders), then enrich.
+- q19 : disjunctive conjunct-groups predicate evaluated INSIDE the
+        join — Catalyst extracts the common p_partkey equi-key and the
+        OR-of-ANDs becomes a post-join filter, not a cartesian.
+- q22 : scalar subquery threshold + NOT EXISTS anti-join with a
+        pushed time filter (inactive high-balance accounts).
+
+Money arithmetic goes through the shared DECIMAL fragments
+(relational_queries._REV et al.) so Spark and DuckDB cannot drift on
+float-sum ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+from .relational_queries import _REV, _money_sum
+
+_TS = "TIMESTAMP '{}'"
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# q6 — forecast revenue change: pure pushdown scan-agg
+# ---------------------------------------------------------------------------
+
+_Q6_DISC_REV = (
+    "CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))"
+)
+
+_Q6_ORACLE = f"""
+SELECT {_money_sum(_Q6_DISC_REV, 'revenue')},
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+@register("agg_filter_q6", _Q6_ORACLE)
+def q_agg_filter_q6(spark, sf_dir):
+    """TPC-H Q6: every predicate is scan-pushable (shipdate range,
+    discount range, quantity bound), so the physical plan is a pruned
+    parquet scan feeding a partial+final agg — one row crosses the
+    exchange per task regardless of scale."""
+    li = load(spark, sf_dir, "lineitem")
+    f = (
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.filter(f).agg(
+        F.expr(_money_sum(_Q6_DISC_REV, "revenue")),
+        F.expr("CAST(COUNT(*) AS BIGINT) AS n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q7 — volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+_Q7_N1, _Q7_N2 = "NATION_3", "NATION_7"
+
+_Q7_ORACLE = f"""
+SELECT n1.n_name AS supp_nation,
+       n2.n_name AS cust_nation,
+       CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+       {_money_sum(_REV, 'volume')}
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = '{_Q7_N1}' AND n2.n_name = '{_Q7_N2}')
+   OR (n1.n_name = '{_Q7_N2}' AND n2.n_name = '{_Q7_N1}')
+GROUP BY 1, 2, 3
+"""
+
+
+@register("join_volume_q7", _Q7_ORACLE)
+def q_join_volume_q7(spark, sf_dir):
+    """TPC-H Q7: shipping volume between two nations by year. supplier
+    and nation broadcast (supplier is 1/60th of customer in TPC-H; at
+    100 TB it may tip to shuffle — AQE decides, the hint is only on the
+    two 25-row nation dims). lineitem⋈orders is the sole big shuffle;
+    orders⋈customer shuffles on o_custkey. The disjunctive nation pair
+    filter runs post-join on broadcast-local columns."""
+    li = load(spark, sf_dir, "lineitem")
+    sup = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    n1 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ))
+    n2 = F.broadcast(nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ))
+    pair = (
+        (F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2)
+    ) | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+    joined = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(F.expr(_money_sum(_REV, "volume")))
+
+
+# ---------------------------------------------------------------------------
+# q10 — returned-item customer ranking
+# ---------------------------------------------------------------------------
+
+_Q10_ORACLE = f"""
+SELECT c_custkey, c_name, {_money_sum(_REV, 'revenue')},
+       c_acctbal, n_name
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@register("join_returns_q10", _Q10_ORACLE)
+def q_join_returns_q10(spark, sf_dir):
+    """TPC-H Q10: which customers returned the most in a half-year.
+    Both filters push to their scans before the joins; the groupBy is
+    high-cardinality (per customer) but the LIMIT 20 over ORDER BY
+    becomes TakeOrderedAndProject — only 20 rows per partition reach
+    the driver-side heap, never a global sort."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1998-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("1998-07-01 00:00:00"))
+    )
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.expr(_money_sum(_REV, "revenue")))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — promo revenue ratio (conditional aggregate)
+# ---------------------------------------------------------------------------
+
+_Q14_PROMO = f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(12,4)) END"
+
+_Q14_ORACLE = f"""
+SELECT CAST(ROUND(
+         100.0 * CAST(SUM({_Q14_PROMO}) AS DOUBLE)
+               / CAST(SUM({_REV}) AS DOUBLE), 6) AS DOUBLE) AS promo_pct
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1998-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-04-01 00:00:00'
+"""
+
+
+@register("agg_ratio_q14", _Q14_ORACLE)
+def q_agg_ratio_q14(spark, sf_dir):
+    """TPC-H Q14: promo revenue share for one month. part joins on its
+    key — broadcast at test scale and a plain shuffle join at 100 TB
+    (AQE decides; no hint). Both decimal sums happen in ONE aggregate
+    pass; the ratio is computed on the two exact decimal totals, so the
+    float division happens once on two exact inputs — identical in both
+    engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1998-03-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-04-01 00:00:00"))
+    )
+    part = load(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.expr(
+            f"CAST(ROUND(100.0 * CAST(SUM({_Q14_PROMO}) AS DOUBLE)"
+            f" / CAST(SUM({_REV}) AS DOUBLE), 6) AS DOUBLE) AS promo_pct"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q17 — small-quantity orders vs per-part average
+# ---------------------------------------------------------------------------
+
+_Q17_ORACLE = f"""
+WITH part_avg AS (
+  SELECT l_partkey AS pk, AVG(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4))) AS DOUBLE)
+            / 7.0, 6) AS DOUBLE) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_small
+FROM lineitem
+JOIN part_avg ON l_partkey = pk
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#15'
+  AND l_quantity < 0.5 * avg_qty
+"""
+
+
+@register("subquery_avg_q17", _Q17_ORACLE)
+def q_subquery_avg_q17(spark, sf_dir):
+    """TPC-H Q17: lineitems ordering less than half the part's average
+    quantity. The per-part average is a groupBy on l_partkey and the
+    probe side joins on the same key, so the exchange is REUSED (one
+    physical shuffle of lineitem by partkey serves both subplans).
+    AVG(l_quantity) sums integer-valued doubles — exact in binary, no
+    rounding needed before the comparison."""
+    li = load(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#15")
+    return (
+        li.join(part_avg, li.l_partkey == part_avg.pk)
+        .join(part, li.l_partkey == part.p_partkey)
+        .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+        .agg(
+            F.expr(
+                "CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))"
+                " AS DOUBLE) / 7.0, 6) AS DOUBLE) AS avg_yearly"
+            ),
+            F.expr("CAST(COUNT(*) AS BIGINT) AS n_small"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q18 — large orders (agg-HAVING as join filter)
+# ---------------------------------------------------------------------------
+
+_Q18_ORACLE = """
+WITH big AS (
+  SELECT l_orderkey AS bk, SUM(l_quantity) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 120
+)
+SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+       CAST(ROUND(CAST(o_totalprice AS DOUBLE), 2) AS DOUBLE) AS o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM big
+JOIN orders ON o_orderkey = bk
+JOIN customer ON c_custkey = o_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@register("having_join_q18", _Q18_ORACLE)
+def q_having_join_q18(spark, sf_dir):
+    """TPC-H Q18: orders whose total quantity exceeds a threshold,
+    enriched with customer data. The HAVING reduces lineitem to a small
+    key set BEFORE the joins — at scale the aggregated side is a tiny
+    fraction of orders and AQE converts the join to broadcast at
+    runtime. Top-100 via TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("bk"))
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 120)
+    )
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.bk == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.round(F.col("o_totalprice").cast("double"), 2)
+            .cast("double")
+            .alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q19 — disjunctive conjunct-groups join predicate
+# ---------------------------------------------------------------------------
+
+_Q19_PRED = """
+   (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+    AND l_quantity BETWEEN 1 AND 20)
+OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+    AND l_quantity BETWEEN 10 AND 35)
+OR (p_brand = 'Brand#2'  AND p_size BETWEEN 20 AND 50
+    AND l_quantity BETWEEN 20 AND 50)
+"""
+
+_Q19_ORACLE = f"""
+SELECT {_money_sum(_REV, 'revenue')},
+       CAST(COUNT(*) AS BIGINT) AS n_matched
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE {_Q19_PRED}
+"""
+
+
+@register("join_disjunctive_q19", _Q19_ORACLE)
+def q_join_disjunctive_q19(spark, sf_dir):
+    """TPC-H Q19: revenue from three OR'd (brand, size, quantity)
+    conjunct groups. The equi-key p_partkey is extracted by Catalyst so
+    this stays a hash join with the disjunction as a post-join filter
+    — never a nested-loop; the p_brand/p_size prefilter (union of the
+    groups) is pushed to the part scan."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    joined = li.join(part, li.l_partkey == part.p_partkey).filter(
+        F.expr(_Q19_PRED)
+    )
+    return joined.agg(
+        F.expr(_money_sum(_REV, "revenue")),
+        F.expr("CAST(COUNT(*) AS BIGINT) AS n_matched"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q22 — inactive high-balance accounts (scalar subquery + anti join)
+# ---------------------------------------------------------------------------
+
+_Q22_ORACLE = """
+WITH threshold AS (
+  SELECT AVG(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0
+), recent AS (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+)
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE), 2)
+            AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg_bal FROM threshold)
+  AND c_custkey NOT IN (SELECT o_custkey FROM recent)
+GROUP BY c_nationkey
+"""
+
+
+@register("antijoin_subquery_q22", _Q22_ORACLE)
+def q_antijoin_subquery_q22(spark, sf_dir):
+    """TPC-H Q22 shape: high-balance customers with no recent orders,
+    grouped by nation. The scalar average is one tiny aggregate
+    broadcast into the filter; the NOT IN is a left-anti join against
+    the date-filtered DISTINCT o_custkey set (the filter pushes to the
+    orders scan, so the anti build side shrinks before the shuffle)."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= _ts("2000-01-01 00:00:00"))
+        .select("o_custkey")
+        .distinct()
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    inactive = rich.join(
+        recent, rich.c_custkey == recent.o_custkey, "left_anti"
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.expr("CAST(COUNT(*) AS BIGINT) AS numcust"),
+        F.expr(
+            "CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE), 2)"
+            " AS DOUBLE) AS totacctbal"
+        ),
+    )
