@@ -252,39 +252,51 @@ def connected_components(
     n_edges = sym.count()
     npart = max(1, min(32, n_edges // 100_000 + 1))
     sym = sym.repartition(npart, "dst")
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
-        .repartition(npart, "id")
-        .localCheckpoint()
-    )
-    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
-    for _ in range(max_iter):
-        neigh = (
-            sym.join(labels, sym.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("label").alias("nlabel"))
-        )
-        new_labels = (
-            labels.join(neigh, labels.id == neigh.src, "left")
-            .select(
-                "id",
-                F.least(
-                    F.col("label"), F.coalesce("nlabel", F.col("label"))
-                ).alias("label"),
-            )
+    # every shuffle INSIDE the loop (the join, the groupBy, the
+    # repartitions) must be graph-sized too: at the session's batch
+    # width each iteration schedules 32-partition exchanges over a few
+    # thousand rows, and the fixed per-task cost dominates the loop.
+    # Scope the conf around the fixpoint; it is restored before return.
+    spark = pairs.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    try:
+        labels = (
+            sym.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("label", F.col("id"))
             .repartition(npart, "id")
             .localCheckpoint()
         )
-        # labels are monotonically non-increasing (least of self +
-        # neighbors), so sum(label) is stationary IFF converged — one
-        # aggregate per iteration replaces a join-based changed count
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
+        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+        for _ in range(max_iter):
+            neigh = (
+                sym.join(labels, sym.dst == labels.id)
+                .groupBy("src")
+                .agg(F.min("label").alias("nlabel"))
+            )
+            new_labels = (
+                labels.join(neigh, labels.id == neigh.src, "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("label"), F.coalesce("nlabel", F.col("label"))
+                    ).alias("label"),
+                )
+                .repartition(npart, "id")
+                .localCheckpoint()
+            )
+            # labels are monotonically non-increasing (least of self +
+            # neighbors), so sum(label) is stationary IFF converged —
+            # one aggregate per iteration replaces a join-based changed
+            # count
+            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+            labels = new_labels
+            if new_sum == prev_sum:
+                break
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select(F.col("id"), F.col("label").alias("component"))
 
 

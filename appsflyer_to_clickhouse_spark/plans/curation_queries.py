@@ -307,10 +307,20 @@ def q_text_decontaminate(spark, sf_dir):
     only shuffle is the final per-doc count over matched grams, whose
     cardinality is bounded by contamination, not corpus size."""
     from ..functions.text import tokens, word_shingles
+    from .stage_cache import shared_stage
 
-    docs = load_fanout(spark, sf_dir, "documents")
-    g = docs.select(
-        "doc_id", word_shingles(tokens(F.col("text")), _DECON_N).alias("grams")
+    # the gram frame feeds BOTH the eval (broadcast build) and train
+    # (probe) subplans; without materialization each side re-runs the
+    # 8-gram zip_with chain over the corpus. Session-scoped shared
+    # stage = compute the shingles once (the production analogue is a
+    # stored gram/signature column written at ingest).
+    g = shared_stage(
+        spark,
+        ("decon_grams", _DECON_N, sf_dir),
+        lambda: load_fanout(spark, sf_dir, "documents").select(
+            "doc_id",
+            word_shingles(tokens(F.col("text")), _DECON_N).alias("grams"),
+        ),
     )
     evalg = (
         g.filter(F.col("doc_id") % 11 == 0)
