@@ -220,3 +220,127 @@ def q_stream_stateful_counter(spark, sf_dir):
         .groupBy("user_id")
         .agg(F2.max("events_seen").alias("events_seen"))
     )
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                AS DOUBLE) AS total_value
+    FROM events
+    JOIN customer ON c_custkey = user_id
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_static_join(spark, sf_dir):
+    """Stream-static enrichment join: the events stream joins the
+    customer dim BATCH-side (re-read per micro-batch, broadcast — the
+    standard pattern for slowly-changing dims; no state, no watermark
+    needed for inner equi-joins against static data), then a streaming
+    groupBy aggregates per segment in complete mode under availableNow.
+    The final state equals the batch join+agg whatever the batch
+    boundaries were, so the oracle is exact. At 100 TB the dim
+    broadcast is per-executor-once and the only shuffle is the
+    6-segment aggregation."""
+    src = _replay_src(spark, sf_dir, ["user_id", "value"], "streamsj")
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
+    dim = F.broadcast(
+        load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    joined = stream.join(dim, stream.user_id == dim.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.expr("CAST(count(*) AS BIGINT) AS n_events"),
+        F.expr(
+            "CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)"
+            " AS DOUBLE) AS total_value"
+        ),
+    )
+    name = f"stream_static_join_{next(_RUN_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+# bucketed-table cache: (session id, sf_dir) -> (orders_table, lineitem_table)
+_BUCKET_TABLES: dict[tuple, tuple[str, str]] = {}
+_N_BUCKETS = 8
+
+
+def _bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
+    """Write orders + lineitem as bucketed tables (bucketBy the join
+    key, same bucket count both sides) once per (session, sf_dir).
+    External location under /tmp so no warehouse dir lands in the repo;
+    the in-session catalog carries the bucketing metadata."""
+    key = (id(spark._jsparkSession), sf_dir)
+    cached = _BUCKET_TABLES.get(key)
+    if cached is not None and all(spark.catalog.tableExists(t) for t in cached):
+        return cached
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").split("/")[-1])
+    names = (f"b_orders_{tag}", f"b_lineitem_{tag}")
+    for name, table, bkey in (
+        (names[0], "orders", "o_orderkey"),
+        (names[1], "lineitem", "l_orderkey"),
+    ):
+        path = tempfile.mkdtemp(prefix=f"spark_graft_bucket_{name}_")
+        (
+            load(spark, sf_dir, table)
+            .write.mode("overwrite")
+            .option("path", path)
+            .bucketBy(_N_BUCKETS, bkey)
+            .sortBy(bkey)
+            .saveAsTable(name)
+        )
+    _BUCKET_TABLES[key] = names
+    return names
+
+
+@register(
+    "join_bucketed_colocate",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))
+                AS DOUBLE), 2) AS DOUBLE) AS total_price
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def q_join_bucketed_colocate(spark, sf_dir):
+    """Co-located big⋈big join via bucketing: both sides are written
+    bucketBy(N, join_key) + sortBy, so the join consumes the on-disk
+    bucket layout directly — NO Exchange on either join input (pinned
+    in tests/test_plan_shapes.py). This is THE technique for repeated
+    large-fact joins at 100 TB: the shuffle is paid once at write time
+    and amortized over every subsequent join; only the final 5-row
+    segment aggregation exchanges. Bucket count at production scale is
+    sized so each bucket fits an executor core's memory (~2-4k buckets
+    for 100 TB facts), and writers emit one file per bucket per task —
+    repartition by the bucket key first keeps file counts linear."""
+    t_orders, t_lineitem = _bucketed_tables(spark, sf_dir)
+    o = spark.table(t_orders)
+    li = spark.table(t_lineitem)
+    # merge hint: at test scale the orders side fits the broadcast
+    # threshold and Catalyst would ignore the bucket layout; at 100 TB
+    # both sides exceed it and SMJ-over-buckets is what happens anyway.
+    return (
+        li.hint("merge").join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n_items"),
+            F.expr(
+                "CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)))"
+                " AS DOUBLE), 2) AS DOUBLE) AS total_price"
+            ),
+        )
+    )

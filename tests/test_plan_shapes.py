@@ -163,3 +163,17 @@ def test_shuffle_shards_avoids_global_sort(spark):
     plan = _plan(spark, "corpus_shuffle_shards")
     assert "Exchange rangepartitioning" not in plan
     assert "hashpartitioning(shard" in plan
+
+
+def test_bucketed_join_has_no_join_side_exchange(spark):
+    """Both join inputs are bucketed by the join key with equal bucket
+    counts, so the SortMergeJoin must read the bucket layout directly:
+    the ONLY Exchange in the plan is the final small aggregation —
+    never below the join."""
+    plan = _plan(spark, "join_bucketed_colocate")
+    assert "SortMergeJoin" in plan
+    assert "SelectedBucketsCount" in plan  # scans consume bucket layout
+    # no shuffle on either join key — the bucket layout satisfies the
+    # join's distribution; the only exchange is the final aggregation
+    assert "hashpartitioning(l_orderkey" not in plan, plan
+    assert "hashpartitioning(o_orderkey" not in plan, plan
