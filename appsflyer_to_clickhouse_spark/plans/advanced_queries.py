@@ -646,3 +646,87 @@ def q_fuzzy_levenshtein(spark, sf_dir):
             "id_a", "id_b", F.levenshtein("p_a", "p_b").alias("lev40")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# window_time_range_sum — interval RANGE frame (rolling 1-hour sum)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_time_range_sum",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE), 4) AS DOUBLE) AS rolling_1h_value
+    FROM events
+    """,
+)
+def q_window_time_range_sum(spark, sf_dir):
+    """Time-interval RANGE frame: per event, the sum of the same
+    user's values over the trailing hour — the hypertable-style rolling
+    aggregate. The frame is keyed on epoch MICROS (integer-exact in
+    both engines; a seconds cast would merge sub-second neighbors), and
+    the windowed sum is decimal so frame-internal addition order cannot
+    drift. One shuffle on user_id; frames never cross partitions, so
+    the state per task is one in-flight hour of one user's events at
+    any scale."""
+    from pyspark.sql import Window as W2
+
+    ev = load(spark, sf_dir, "events")
+    # events.ts reads as TIMESTAMP_NTZ; unix_micros requires TIMESTAMP,
+    # and the cast is value-preserving under the pinned UTC session tz
+    w = (
+        W2.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    rolling = F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(rolling.cast("double"), 4).cast("double").alias("rolling_1h_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_hopping_window — overlapping (sliding) windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_hopping_window",
+    """
+    SELECT time_bucket(INTERVAL 1 DAY, ts) - k.k * INTERVAL 1 DAY
+             AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                AS DOUBLE) AS total_value
+    FROM events, (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) k(k)
+    GROUP BY 1, 2
+    """,
+)
+def q_events_hopping_window(spark, sf_dir):
+    """Hopping windows (width 2 days, slide 1 day): every event lands
+    in exactly width/slide = 2 overlapping windows. F.window with a
+    slideDuration explodes the assignment map-side — the fan-out factor
+    is width/slide, a design constant, so the shuffle grows by exactly
+    2x and the state by #windows x #types. The oracle derives the same
+    two window starts per event arithmetically (epoch-aligned like
+    Spark's window())."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 days", "1 day").alias("w"), "event_type")
+        .agg(
+            F.expr("CAST(count(*) AS BIGINT) AS n"),
+            F.expr(
+                "CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)"
+                " AS DOUBLE) AS total_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )

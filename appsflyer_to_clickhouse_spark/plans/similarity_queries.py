@@ -305,3 +305,101 @@ def q_embedding_quantize_int8(spark, sf_dir):
         ).alias("quant_md5"),
         F.round(F.sqrt(dot(F.col("d"), F.col("d"))), 6).alias("l2_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_knn_batch — batched k-NN graph over LSH candidates
+# ---------------------------------------------------------------------------
+
+_KNN_EVERY = 50  # query batch = vec_id % 50 == 0
+_KNN_K = 3
+
+_KNN_ORACLE = f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), sig AS (
+  SELECT vec_id, v, {{sig}} AS s FROM e
+), bands AS (
+  SELECT vec_id, u.b, (s >> ({BAND_BITS} * u.b)) & {2**BAND_BITS - 1} AS bv
+  FROM sig, (SELECT unnest(range({NUM_BANDS})) AS b) u
+), sbands AS (
+  SELECT * FROM bands WHERE vec_id % {_KNN_EVERY} = 0
+), cand AS (
+  SELECT DISTINCT sb.vec_id AS src_id, b.vec_id AS dst_id
+  FROM sbands sb
+  JOIN bands b ON b.b = sb.b AND b.bv = sb.bv AND b.vec_id != sb.vec_id
+), scored AS (
+  SELECT src_id, dst_id,
+         list_dot_product(es.v, ed.v)
+           / (sqrt(list_dot_product(es.v, es.v))
+              * sqrt(list_dot_product(ed.v, ed.v))) AS cos
+  FROM cand
+  JOIN e es ON es.vec_id = src_id
+  JOIN e ed ON ed.vec_id = dst_id
+)
+SELECT src_id, dst_id, round(cos, 6) AS cosine
+FROM (
+  SELECT src_id, dst_id, cos,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY cos DESC, dst_id) AS rn
+  FROM scored
+)
+WHERE rn <= {_KNN_K}
+"""
+
+
+@register(
+    "similarity_knn_batch",
+    _KNN_ORACLE.replace("{sig}", _sig_sql("v")),
+)
+def q_similarity_knn_batch(spark, sf_dir):
+    """Batched k-NN graph: for every query-batch vector (vec_id % 50
+    == 0 stands in for 'the new docs in this increment'), its top-3
+    nearest neighbors among sign-LSH band-mates, exact
+    cosine re-rank, row_number per source. This is the primitive behind
+    graph-based near-dup clustering and embedding-drift monitoring.
+    Scale shape: candidates come from the banded join only (never
+    all-pairs); vectors attach to the bounded candidate pair list, not
+    to every band row; the final top-k is a per-src window over
+    candidate-count rows. All shuffles are proportional to batch size x
+    bucket density, not corpus^2."""
+    from pyspark.sql import Window as W2
+
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = emb.select("vec_id", "v", sign_signature("v", _PLANES).alias("s"))
+    banded = sig.select(
+        "vec_id", F.posexplode(band_values(F.col("s"))).alias("b", "bv")
+    )
+    sbanded = banded.filter(F.col("vec_id") % _KNN_EVERY == 0).select(
+        F.col("vec_id").alias("src_id"), "b", "bv"
+    )
+    cand = (
+        sbanded.join(banded, ["b", "bv"])
+        .filter(F.col("vec_id") != F.col("src_id"))
+        .select("src_id", F.col("vec_id").alias("dst_id"))
+        .distinct()
+    )
+    es = emb.select(F.col("vec_id").alias("src_id"), F.col("v").alias("sv"))
+    ed = emb.select(F.col("vec_id").alias("dst_id"), F.col("v").alias("dv"))
+    scored = (
+        cand.join(es, "src_id")
+        .join(ed, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            cosine(
+                F.col("sv"),
+                F.col("dv"),
+                dot(F.col("sv"), F.col("sv")),
+                dot(F.col("dv"), F.col("dv")),
+            ).alias("cos"),
+        )
+    )
+    w = W2.partitionBy("src_id").orderBy(F.col("cos").desc(), F.col("dst_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KNN_K)
+        .select("src_id", "dst_id", F.round("cos", 6).alias("cosine"))
+    )

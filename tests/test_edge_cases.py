@@ -81,3 +81,61 @@ def test_sentinel_asymmetry_between_kernels(spark):
     ).collect()
     assert [r["s"] for r in out] == ["NULL", " null "]  # strings pass through
     assert [r["d"] for r in out] == [None, None]  # datetimes null out
+
+
+def test_text_repetition_degenerate_docs(spark):
+    """Empty / single-token / all-identical docs: fractions must hit
+    their closed-form values, never NULL or divide-by-zero."""
+    from appsflyer_to_clickhouse_spark.plans.text_queries import (
+        q_text_repetition,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "", "en", "s", 0),
+            (2, "word", "en", "s", 4),
+            (3, "spam spam spam spam", "en", "s", 19),
+            (4, "all words differ here", "en", "s", 21),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("__rep_docs")
+
+    # call the kernel directly on a substitute frame
+    import appsflyer_to_clickhouse_spark.plans.text_queries as tq
+    from unittest import mock
+
+    with mock.patch.object(tq, "load", lambda s, d, t: docs):
+        out = {r["doc_id"]: r for r in q_text_repetition(spark, "unused").collect()}
+
+    assert out[1]["n_bigrams"] == 0 and out[1]["dup_bigram_frac"] == 0.0
+    assert out[2]["n_bigrams"] == 0 and out[2]["top_bigram_frac"] == 0.0
+    # "spam spam spam spam": 3 bigrams all identical
+    assert out[3]["n_bigrams"] == 3
+    assert out[3]["dup_bigram_frac"] == round(1 - 1 / 3, 6)
+    assert out[3]["top_bigram_frac"] == 1.0
+    # fully distinct bigrams
+    assert out[4]["dup_bigram_frac"] == 0.0
+    assert out[4]["top_bigram_frac"] == round(1 / 3, 6)
+
+
+def test_dedup_exact_normalized_collapses_variants(spark):
+    """Case / punctuation / whitespace variants map to one key; the
+    survivor is the min doc_id."""
+    from unittest import mock
+
+    import appsflyer_to_clickhouse_spark.plans.dedup_queries as dq
+
+    docs = spark.createDataFrame(
+        [
+            (10, "Hello,   World!"),
+            (11, "hello world"),
+            (12, "HELLO-WORLD"),
+            (13, "different text"),
+        ],
+        "doc_id long, text string",
+    )
+    with mock.patch.object(dq, "load", lambda s, d, t: docs):
+        rows = dq.q_dedup_exact_normalized(spark, "unused").collect()
+    by_keep = {r["keep_doc_id"]: r["n_copies"] for r in rows}
+    assert by_keep == {10: 3, 13: 1}

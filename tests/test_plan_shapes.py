@@ -177,3 +177,41 @@ def test_bucketed_join_has_no_join_side_exchange(spark):
     # join's distribution; the only exchange is the final aggregation
     assert "hashpartitioning(l_orderkey" not in plan, plan
     assert "hashpartitioning(o_orderkey" not in plan, plan
+
+
+def test_q6_all_predicates_pushed_no_join(spark):
+    """TPC-H q6 must be a pure pruned-scan aggregate: every predicate
+    reaches the parquet reader and there is no join anywhere."""
+    plan = _plan(spark, "agg_filter_q6")
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "LessThan(l_quantity" in plan
+    assert "Join" not in plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    """TPC-H q10's ORDER BY + LIMIT must be TakeOrderedAndProject (a
+    per-partition heap), never a global sort; the returnflag filter
+    must reach the lineitem scan."""
+    plan = _plan(spark, "join_returns_q10")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q17_partkey_exchange_planned_once(spark):
+    """TPC-H q17 aggregates lineitem by partkey AND probes it by the
+    same key: the plan must contain exactly ONE l_partkey exchange —
+    a second one would mean the self-join reshuffles what is already
+    partitioned correctly."""
+    import re
+
+    plan = _plan(spark, "subquery_avg_q17")
+    assert len(re.findall(r"hashpartitioning\(l_partkey", plan)) == 1, plan
+
+
+def test_q22_anti_join_with_pushed_window(spark):
+    """TPC-H q22: the NOT-IN must plan as a left-anti hash join and the
+    recency filter must reach the orders scan (the anti build side
+    shrinks before its shuffle)."""
+    plan = _plan(spark, "antijoin_subquery_q22")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
