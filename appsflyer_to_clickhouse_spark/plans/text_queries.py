@@ -443,3 +443,91 @@ def q_json_props_extract(spark, sf_dir):
         parsed["nested"]["v"].alias("nested_v"),
         F.get_json_object("j", "$.k").cast("int").alias("k_path"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_vocab_encode — corpus vocab build + token-id encoding
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 256
+_ENCODE_FIRST = 16  # encode the first N tokens of each doc
+
+
+@register(
+    "text_vocab_encode",
+    f"""
+    WITH tk AS (SELECT doc_id, {_TOK_SQL} AS t FROM documents),
+    cnt AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS c
+      FROM tk, unnest(t) AS u(tok)
+      GROUP BY tok
+    ),
+    vocab AS (
+      SELECT tok, row_number() OVER (ORDER BY c DESC, tok) - 1 AS tid
+      FROM cnt
+      ORDER BY c DESC, tok
+      LIMIT {_VOCAB_SIZE}
+    ),
+    pos AS (
+      SELECT doc_id, h[u.i + 1] AS tok, u.i + 1 AS p
+      FROM (SELECT doc_id, t[1:{_ENCODE_FIRST}] AS h FROM tk),
+           (SELECT unnest(range(len(h))) AS i) u
+    )
+    SELECT p.doc_id,
+           string_agg(CAST(coalesce(v.tid, -1) AS VARCHAR), ','
+                      ORDER BY p.p) AS token_ids
+    FROM pos p
+    LEFT JOIN vocab v ON v.tok = p.tok
+    GROUP BY p.doc_id
+    """,
+)
+def q_text_vocab_encode(spark, sf_dir):
+    """Vocabulary build + encode — the tokens-to-ids bridge every
+    training pipeline runs: (1) count tokens corpus-wide, (2) rank the
+    top-256 into (token, id) with a deterministic (count desc, token)
+    order, (3) re-encode each document's first 16 tokens as ids
+    (-1 = OOV), emitted as a CSV string.
+
+    Scale shape: the count is explode -> partial/final agg (shuffle
+    bounded by distinct tokens, not corpus tokens); the rank is a
+    single-partition window over the VOCAB TABLE ONLY — bounded by
+    vocab size (a design constant), never by the corpus; the encode
+    side broadcast-joins the tiny vocab and re-assembles per-doc order
+    with sort_array over (pos, id) structs — one groupBy shuffle keyed
+    by doc_id."""
+    from pyspark.sql import Window as W2
+
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    cnt = (
+        tk.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = W2.orderBy(F.desc("c"), F.asc("tok"))
+    vocab = (
+        cnt.orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_SIZE)
+        .select("tok", (F.row_number().over(w) - 1).alias("tid"))
+    )
+    pos = tk.select(
+        "doc_id",
+        F.posexplode(F.slice("t", 1, _ENCODE_FIRST)).alias("p", "tok"),
+    )
+    joined = pos.join(F.broadcast(vocab), "tok", "left").select(
+        "doc_id",
+        F.struct(
+            F.col("p"), F.coalesce("tid", F.lit(-1)).alias("tid")
+        ).alias("pt"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pt")).alias("pts"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                ",",
+                F.transform("pts", lambda s: s.tid.cast("string")),
+            ).alias("token_ids"),
+        )
+    )
