@@ -147,3 +147,46 @@ def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFram
         .option("pathGlobFilter", glob)
         .load(path)
     )
+
+
+GROUP_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_docs", T.LongType()),
+        T.StructField("total_bytes", T.LongType()),
+        T.StructField("group_md5", T.StringType()),
+    ]
+)
+
+
+def group_binary_fingerprint(df: DataFrame, group_col: str = "source") -> DataFrame:
+    """Per-group binary fingerprint via ``applyInPandas`` (grouped-map:
+    the whole group arrives as ONE pandas frame — the API for
+    group-holistic Python logic that mapInPandas batches can't
+    express). Features: doc count, total payload bytes, and an
+    order-insensitive group digest (md5 of the doc_id-sorted per-doc
+    md5s) — the manifest a multimodal ingest writes per shard to detect
+    upstream content drift.
+
+    Scale: one shuffle on the group key; each group must fit a worker's
+    memory (true for manifest-sized groups; a corpus-scale variant
+    pre-aggregates per-partition digests first). Determinism: the
+    in-group sort happens INSIDE the UDF, so output is partitioning-
+    independent."""
+    import hashlib as _hl
+
+    def fingerprint(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        md5s = pdf["payload"].map(lambda b: _hl.md5(b).hexdigest())
+        return pd.DataFrame(
+            {
+                "source": [pdf[group_col].iloc[0]],
+                "n_docs": [len(pdf)],
+                "total_bytes": [int(pdf["payload"].map(len).sum())],
+                "group_md5": [_hl.md5("".join(md5s).encode()).hexdigest()],
+            }
+        )
+
+    return df.groupBy(group_col).applyInPandas(fingerprint, GROUP_FEATURE_SCHEMA)

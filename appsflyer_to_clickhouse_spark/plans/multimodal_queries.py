@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..multimodal.columns import (
     attach_binary_payload,
     extract_binary_features,
+    group_binary_fingerprint,
     read_binary_dir,
 )
 from .registry import load, register
@@ -131,3 +132,31 @@ def q_multimodal_binary_files(spark, sf_dir):
         F.col("length").alias("byte_len"),
         F.md5("content").alias("content_md5"),
     )
+
+
+@register(
+    "multimodal_group_fingerprint",
+    """
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+           md5(string_agg(md5(text), '' ORDER BY doc_id)) AS group_md5
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_multimodal_group_fingerprint(spark, sf_dir):
+    """Per-source shard manifest over binary payloads via grouped-map
+    applyInPandas (the whole group as one pandas frame — the API shape
+    for group-holistic Python logic): doc count, byte total, and an
+    order-insensitive group digest (md5 of doc_id-sorted per-doc md5s),
+    byte-exact against DuckDB's ordered string_agg. One shuffle on the
+    group key."""
+    docs = load(spark, sf_dir, "documents")
+    # payload + group key in ONE projection (attach_binary_payload's
+    # encode, with `source` threaded through — never join a stage back
+    # to its own input)
+    bin_df = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "source"
+    )
+    return group_binary_fingerprint(bin_df, "source")

@@ -83,6 +83,7 @@ def main() -> int:
     python_udf_queries = {
         "multimodal_columns",
         "multimodal_frame_sample",
+        "multimodal_group_fingerprint",
         "source_http_csv",
         "stream_stateful_counter",
     }

@@ -1,0 +1,50 @@
+"""Pins on the __spark_entry__ driver contract itself: the external
+harness hands us ITS session (arbitrary conf), checks the first 50
+registered queries, and may call any query repeatedly.
+"""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+from appsflyer_to_clickhouse_spark.plans import ORACLE, QUERIES
+
+from .conftest import SF_SMALL
+from .oracle_harness import compare
+
+
+def test_queries_and_oracles_align():
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(osql) <= set(qs)
+    # every windowed (first-50) query must have an exact oracle
+    window = list(qs)[:50]
+    missing = [n for n in window if n not in osql]
+    assert not missing, f"windowed queries without oracle: {missing}"
+    # the rows-only remainder is the known MLlib set, nothing else
+    rows_only = set(qs) - set(osql)
+    assert rows_only == {
+        "dedup_minhash_mllib",
+        "similarity_ivf_kmeans",
+        "similarity_brp_mllib",
+    }, rows_only
+
+
+def test_wrapper_rescues_wrong_session_timezone(spark):
+    """The driver may hand us a session with any timezone; the
+    queries() wrapper must pin UTC per call or every timestamp compare
+    drifts. Probe: break the conf, run a timestamp-heavy query twice,
+    hash-match the oracle both times."""
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        q = entry_mod.queries()["parse_datetime_lenient"]
+        for _ in range(2):
+            compare(q(spark, SF_SMALL), ORACLE["parse_datetime_lenient"], SF_SMALL)
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_registry_window_is_exactly_fifty():
+    assert list(QUERIES)[:50] == list(entry_mod.queries())[:50]
+    assert len(QUERIES) >= 115
