@@ -389,3 +389,59 @@ def q_corpus_shuffle_shards(spark, sf_dir):
         "shard",
         F.row_number().over(w).cast("long").alias("pos_in_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# mix_sources_weighted — stride-scheduled source mixing
+# ---------------------------------------------------------------------------
+
+# per-source mixing weight: sources are consumed at these relative
+# rates (2x = upweighted, 0.5x = downweighted) — the data-mixture knob
+_MIX_W_SQL = (
+    "CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 2.0 "
+    "WHEN CAST(substr(source, 4) AS INTEGER) >= 15 THEN 0.5 "
+    "ELSE 1.0 END"
+)
+
+
+@register(
+    "mix_sources_weighted",
+    f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                  AS BIGINT) AS rank_in_source,
+             {_MIX_W_SQL} AS w
+      FROM documents
+    )
+    SELECT doc_id, source, rank_in_source,
+           round(rank_in_source / w, 6) AS mix_key
+    FROM ranked
+    """,
+)
+def q_mix_sources_weighted(spark, sf_dir):
+    """Weighted source mixing via stride scheduling: the r-th document
+    of source s gets interleave key r / w_s, so consuming docs in
+    mix_key order feeds sources at their weight ratios (w=2 appears
+    twice as often early; w=0.5 half as often) — the standard
+    data-mixture scheduling primitive. ONE window shuffle keyed on
+    source (per-stratum ranks, never a global order); the key is pure
+    arithmetic after that, and the actual training order is realized
+    downstream by corpus_shuffle_shards-style sharding, never a global
+    sort."""
+    from pyspark.sql import Window as W2
+
+    docs = load(spark, sf_dir, "documents")
+    w = W2.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("rank_in_source"),
+        F.expr(_MIX_W_SQL).alias("w"),
+    )
+    return ranked.select(
+        "doc_id",
+        "source",
+        "rank_in_source",
+        F.round(F.col("rank_in_source") / F.col("w"), 6).alias("mix_key"),
+    )
