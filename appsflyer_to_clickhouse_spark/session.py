@@ -12,7 +12,7 @@ One place owns the session config so tests, ``__spark_entry__`` and
   ``spark.sql.adaptive.coalescePartitions.initialPartitionNum`` high).
 - ``-XX:ReservedCodeCacheSize=1g`` — whole-stage codegen emits one or
   more JIT-compiled classes per distinct plan fragment; a workload that
-  runs many distinct queries in one JVM (bench.py runs ~90) fills the
+  runs many distinct queries in one JVM (bench.py runs 110+) fills the
   default 240 MB code cache, after which HotSpot silently stops
   compiling and everything runs interpreted (measured: 1.6-2x total
   bench wall, with individual late-running queries 8x slower). On a
