@@ -82,3 +82,42 @@ def test_kernel_matches_reference_port(spark, vals):
             assert g is None, f"{v!r}: expected NULL on calendar-invalid"
         else:
             assert g == expected, f"{v!r}: spark={g!r} reference={expected!r}"
+
+
+# ---------------------------------------------------------------------------
+# text_repetition's sorted-run fold vs the naive per-distinct recount
+# ---------------------------------------------------------------------------
+
+_tokens = st.lists(
+    st.sampled_from(["a", "b", "c", "ab", "x1", "the"]), min_size=0, max_size=30
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_tokens, min_size=1, max_size=8))
+def test_repetition_fold_equals_naive_count(spark, docs):
+    """The O(n) sorted-run fold that computes the top-bigram count must
+    agree with the naive 'count occurrences of every distinct bigram,
+    take the max' definition on arbitrary token streams."""
+    from unittest import mock
+
+    import appsflyer_to_clickhouse_spark.plans.text_queries as tq
+
+    rows = [(i, " ".join(toks), "en", "s", len(" ".join(toks))) for i, toks in enumerate(docs)]
+    frame = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with mock.patch.object(tq, "load", lambda s, d, t: frame):
+        got = {
+            r["doc_id"]: r
+            for r in tq.q_text_repetition(spark, "unused").collect()
+        }
+    for i, toks in enumerate(docs):
+        bigrams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        n = len(bigrams)
+        top = max((bigrams.count(g) for g in set(bigrams)), default=0)
+        assert got[i]["n_bigrams"] == n
+        expect_top = round(top / n, 6) if n else 0.0
+        assert got[i]["top_bigram_frac"] == expect_top, (toks, bigrams)
+        expect_dup = round(1 - len(set(bigrams)) / n, 6) if n else 0.0
+        assert got[i]["dup_bigram_frac"] == expect_dup

@@ -92,3 +92,40 @@ def test_signlsh_blocking_beats_label_blocking(spark):
     # fixed-cardinality label key (measured: ~40 vs ~12,000 at sf0.01)
     assert lsh_pairs * 10 <= label_pairs, (lsh_pairs, label_pairs)
     assert lsh_pairs > 0
+
+
+def test_knn_batch_candidates_bounded(spark):
+    """similarity_knn_batch's candidate set must be LSH-bounded: far
+    below batch_size x corpus (the brute-force frontier). Deterministic
+    under the md5-derived planes."""
+    from appsflyer_to_clickhouse_spark.operators.similarity import (
+        band_values,
+        sign_signature,
+    )
+    from appsflyer_to_clickhouse_spark.plans.similarity_queries import (
+        _KNN_EVERY,
+        _PLANES as _SIM_PLANES,
+    )
+
+    emb = load(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    sig = emb.select("vec_id", sign_signature("v", _SIM_PLANES).alias("s"))
+    banded = sig.select(
+        "vec_id", F.posexplode(band_values(F.col("s"))).alias("b", "bv")
+    )
+    srcs = banded.filter(F.col("vec_id") % _KNN_EVERY == 0).select(
+        F.col("vec_id").alias("src_id"), "b", "bv"
+    )
+    cand = (
+        srcs.join(banded, ["b", "bv"])
+        .filter(F.col("vec_id") != F.col("src_id"))
+        .select("src_id", "vec_id")
+        .distinct()
+    )
+    n_src = emb.filter(F.col("vec_id") % _KNN_EVERY == 0).count()
+    n_all = emb.count()
+    n_cand = cand.count()
+    assert n_cand > 0
+    # bounded: under a quarter of the brute-force batch x corpus frontier
+    assert n_cand * 4 <= n_src * n_all, (n_cand, n_src, n_all)
