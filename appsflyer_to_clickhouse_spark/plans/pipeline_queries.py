@@ -47,16 +47,27 @@ def _uniq_and_sigs(spark, sf_dir):
     anti-join; sigs feeds candidate generation AND both verify sides;
     column pruning makes each branch's subplan distinct, so without the
     materialization ReusedExchange could not collapse them."""
+    # exact dedup keyed on md5(text), not text itself: identical groups
+    # (the window's partition key only needs equality), but the shuffle
+    # and in-partition sort carry a 32-char key instead of the full
+    # document — ~10x fewer key bytes through the exchange
     uniq = shared_stage(
         spark,
         ("pipeline_uniq", sf_dir),
         lambda: dedup_first_by_time(
             quality_flags(load_fanout(spark, sf_dir, "documents"))
             .filter(F.col("keep"))
-            .select("doc_id", "text", "lang", "source", "n_tokens"),
-            keys=["text"],
+            .select(
+                "doc_id",
+                "text",
+                "lang",
+                "source",
+                "n_tokens",
+                F.md5("text").alias("__tk"),
+            ),
+            keys=["__tk"],
             time_col="doc_id",
-        ),
+        ).drop("__tk"),
     )
     sigs = shared_stage(
         spark,
