@@ -116,3 +116,52 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """AQE skew-join handling — the runtime answer to hot keys at
+    100 TB (session.py enables it; thresholds here are shrunk to make
+    a local frame 'skewed'). Pins BOTH behaviors: (a) a skewed
+    SortMergeJoin partition is split (skew=true in the final adaptive
+    plan); (b) with a downstream hash-distribution requirement
+    (groupBy over the join) AQE correctly declines to split — the
+    split would break the agg's partitioning contract — so relying on
+    skew-join alone is NOT enough for join+agg pipelines (that's what
+    the explicit salting operator is for)."""
+    from pyspark.sql import functions as F2
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.range(200_000).select(
+            F2.lit(0).alias("k"), F2.col("id").alias("v")
+        ).union(
+            spark.range(200).select(
+                (F2.col("id") % 7 + 1).alias("k"), F2.col("id").alias("v")
+            )
+        )
+        right = spark.range(8).select(
+            F2.col("id").alias("k"), F2.lit("x").alias("tag")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 200_200
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+
+        agg = left.join(right, "k").groupBy("k").count()
+        assert len(agg.collect()) == 8
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in agg_plan
+        assert "skew=true" not in agg_plan  # declined: agg needs hash dist
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
