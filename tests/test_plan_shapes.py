@@ -215,3 +215,24 @@ def test_q22_anti_join_with_pushed_window(spark):
     plan = _plan(spark, "antijoin_subquery_q22")
     assert "LeftAnti" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_ohlc_windows_and_agg_share_one_exchange(spark):
+    """timeseries_ohlc: both row_number directions and the bar
+    aggregate run over the SAME (event_type, day) hash exchange — the
+    plan must contain exactly one, or the positional picks are paying
+    extra shuffles."""
+    import re
+
+    plan = _plan(spark, "timeseries_ohlc")
+    assert len(re.findall(r"hashpartitioning\(event_type", plan)) == 1, plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_gapfill_never_sorts_globally(spark):
+    """timeseries_gapfill: the spine explode, join, and LOCF window are
+    all per-user — no global range sort, no cartesian product."""
+    plan = _plan(spark, "timeseries_gapfill")
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
