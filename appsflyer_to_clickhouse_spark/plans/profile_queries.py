@@ -1,0 +1,126 @@
+"""Data-quality profiling — the pre-flight pass every large ingest
+runs before heavier curation (null audit, cardinality audit, sketch
+validation).
+
+Scale shapes:
+
+- ``profile_null_stats``: one single-row aggregate per profiled column,
+  unioned. Each branch is an independent column-pruned scan (the
+  parquet reader materializes ONLY that column) feeding a partial+final
+  agg — one row crosses each exchange per task. Column-at-a-time beats
+  an unpivot/stack profile at scale: stack multiplies the scanned bytes
+  by #columns through one exchange, while independent branches
+  parallelize and prune.
+- ``agg_approx_distinct_bounded``: pins the HLL++ sketch against the
+  exact distinct count INSIDE the query — the result row carries the
+  exact counts plus booleans asserting the estimate landed within the
+  configured rsd envelope, so the oracle (exact counts + TRUE) verifies
+  estimate QUALITY cross-engine without requiring the engines'
+  sketches to be byte-identical (they aren't: Spark is HLL++,
+  DuckDB's approx_count_distinct is its own HLL).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# profile_null_stats — per-column null ratio + exact cardinality
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ["user_id", "event_type", "value", "props"]
+
+
+def _profile_branch_sql(col: str) -> str:
+    return f"""
+  SELECT '{col}' AS column_name,
+         CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(count(*) - count({col}) AS BIGINT) AS n_null,
+         round((count(*) - count({col})) * 1.0 / count(*), 6) AS null_frac,
+         CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct
+  FROM events"""
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    _profile_branch_sql(c) for c in _PROFILE_COLS
+)
+
+
+@register("profile_null_stats", _PROFILE_ORACLE)
+def q_profile_null_stats(spark, sf_dir):
+    """Column profile of the events table: row count, null count/ratio,
+    exact distinct cardinality per column. One aggregate branch per
+    column, unioned — each branch's scan reads only its own column
+    (column pruning), so profiling N columns costs N pruned scans that
+    run concurrently, not one scan multiplied N-fold through a stack
+    exchange. COUNT(col) counts non-nulls, so n_null is derived without
+    a CASE."""
+    ev = load(spark, sf_dir, "events")
+    branches = [
+        ev.agg(
+            F.lit(c).alias("column_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count(c)).alias("n_null"),
+            F.round((F.count("*") - F.count(c)) / F.count("*"), 6).alias(
+                "null_frac"
+            ),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+        )
+        for c in _PROFILE_COLS
+    ]
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionAll(b)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_distinct_bounded — HLL estimate pinned against exact
+# ---------------------------------------------------------------------------
+
+_APPROX_ORACLE = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_within_5pct,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS exact_events,
+       TRUE AS events_within_5pct
+FROM events
+"""
+
+
+@register("agg_approx_distinct_bounded", _APPROX_ORACLE)
+def q_agg_approx_distinct_bounded(spark, sf_dir):
+    """approx_count_distinct (HLL++, rsd=2%) validated against the
+    exact distinct count in the same aggregate. The estimate itself is
+    engine-specific (sketch hashing differs), so the cross-engine
+    contract is the exact count plus a boolean that the estimate landed
+    within 5% (2.5 sigma of the configured rsd). At 100 TB the approx
+    path is the one that survives: a fixed-size sketch merges across
+    partitions with no distinct shuffle, while exact COUNT(DISTINCT)
+    re-shuffles the keyspace. The low-cardinality column (user_id,
+    ~hundreds) exercises HLL's sparse/exact regime; event_id (millions
+    at scale) the dense estimating regime."""
+    ev = load(spark, sf_dir, "events")
+
+    def ok(est, exact):
+        return (
+            F.abs(est.cast("double") - exact.cast("double"))
+            / exact.cast("double")
+            <= 0.05
+        )
+
+    agg = ev.agg(
+        F.count_distinct(F.col("user_id")).alias("exact_users"),
+        F.approx_count_distinct("user_id", 0.02).alias("est_users"),
+        F.count_distinct(F.col("event_id")).alias("exact_events"),
+        F.approx_count_distinct("event_id", 0.02).alias("est_events"),
+    )
+    return agg.select(
+        F.col("exact_users").cast("bigint").alias("exact_users"),
+        ok(F.col("est_users"), F.col("exact_users")).alias("users_within_5pct"),
+        F.col("exact_events").cast("bigint").alias("exact_events"),
+        ok(F.col("est_events"), F.col("exact_events")).alias(
+            "events_within_5pct"
+        ),
+    )

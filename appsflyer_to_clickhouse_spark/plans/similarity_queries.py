@@ -403,3 +403,50 @@ def q_similarity_knn_batch(spark, sf_dir):
         .filter(F.col("rn") <= _KNN_K)
         .select("src_id", "dst_id", F.round("cos", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_centroids — per-label mean vector (exact, decimal-summed)
+# ---------------------------------------------------------------------------
+
+# Shared Spark-SQL/DuckDB aggregate fragment: float components widen to
+# double (exact), sum in DECIMAL(20,10) (order-independent — float sums
+# would flake the oracle hash), then one double division + round.
+_CENTROID_AGG = (
+    "CAST(ROUND(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(20,10)))"
+    " AS DOUBLE) / COUNT(*), 6) AS DOUBLE) AS centroid"
+)
+
+_CENTROID_ORACLE = f"""
+SELECT label,
+       CAST(i - 1 AS INTEGER) AS dim,
+       {_CENTROID_AGG},
+       CAST(count(*) AS BIGINT) AS n_vecs
+FROM (
+  SELECT label, unnest(embedding) AS e,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+)
+GROUP BY label, i
+"""
+
+
+@register("embedding_centroids", _CENTROID_ORACLE)
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label mean embedding — the centroid build step behind IVF
+    coarse quantizers and class prototypes, exposed long-form
+    (label, dim, centroid) because array-typed result cells break
+    canonicalizers downstream. posexplode fans each vector into
+    (label, dim, component) rows map-side; ONE exchange keyed
+    (label, dim) — cardinality #labels x dim, a constant — carries
+    partially-summed decimals, never vectors. Component sums run in
+    DECIMAL (associative, engine-order-independent); the mean divides
+    once in double."""
+    emb = load(spark, sf_dir, "embeddings")
+    parts = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "e")
+    )
+    return parts.groupBy("label", "dim").agg(
+        F.expr(_CENTROID_AGG),
+        F.count("*").alias("n_vecs"),
+    )

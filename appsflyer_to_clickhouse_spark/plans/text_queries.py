@@ -531,3 +531,67 @@ def q_text_vocab_encode(spark, sf_dir):
             ).alias("token_ids"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_tfidf_topk — corpus-wide TF-IDF scoring
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+)
+SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+       round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+FROM tf JOIN df USING (tok) CROSS JOIN n
+ORDER BY tfidf DESC, doc_id ASC, tok ASC
+LIMIT 20
+"""
+
+
+@register("text_tfidf_topk", _TFIDF_ORACLE)
+def q_text_tfidf_topk(spark, sf_dir):
+    """Corpus-wide TF-IDF (smoothed: tf * ln((N+1)/(df+1))), global
+    top-20 most distinctive (doc, term) pairs. Shuffle budget: one
+    exchange keyed (doc_id, token) for TF, one keyed token for DF —
+    both bounded by distinct pairs / vocabulary, never raw token
+    occurrences (partial aggregation collapses those map-side). DF is
+    vocabulary-sized so it broadcasts back onto TF; the corpus size N
+    is a 1-row broadcast cross join. Final top-k plans as
+    TakeOrderedAndProject under a total order (score, doc, term) so
+    rank-20 boundary ties are engine-deterministic."""
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("tfidf"), F.asc("doc_id"), F.asc("tok")
+    ).limit(20)

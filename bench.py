@@ -73,13 +73,20 @@ def main() -> int:
         print(f"[bench] warmup failed: {exc}", file=sys.stderr)
     timings: dict[str, float] = {}
     failed: list[str] = []
-    # Pandas-UDF queries run LAST: once Arrow/Python evaluation has
-    # executed in the JVM, the interpreted-HOF hot paths (virtual
-    # Expression.eval call sites) measurably deoptimize — the md5-HOF
-    # dedup queries were observed 3-10x slower AFTER any pandas stage
-    # (worst with a full 32-worker fleet). Running the python group at
-    # the end keeps the JVM-only timings clean and charges the
-    # worker-fleet spin-up to the group that needs it.
+    # Queries run grouped by execution style, cleanest-JVM-first; an
+    # alphabetical order interleaves the groups and contaminates
+    # timings with cross-query JVM state:
+    #   0. plain codegen'd relational/ETL plans
+    #   1. md5/HOF-heavy signature families — their interpreted-HOF hot
+    #      paths pollute HotSpot profiles at virtual Expression.eval
+    #      call sites, after which plain codegen'd queries were
+    #      measured 3-6x slower (etl_pipeline 2.6s alone vs 17s when
+    #      run mid-dedup-family)
+    #   2. streaming (micro-batch harness overhead, own thread pools)
+    #   3. pandas/Arrow queries LAST: python worker-fleet spin-up is
+    #      charged to the group that needs it and the post-Arrow JVM
+    #      deopt (measured 3-10x on md5-HOF queries) never touches the
+    #      JVM-only groups.
     python_udf_queries = {
         "multimodal_columns",
         "multimodal_frame_sample",
@@ -87,7 +94,27 @@ def main() -> int:
         "source_http_csv",
         "stream_stateful_counter",
     }
-    order = sorted(QUERIES, key=lambda n: (n in python_udf_queries, n))
+    hof_prefixes = (
+        "dedup_",
+        "similarity_",
+        "embedding_",
+        "corpus_",
+        "training_",
+        "fuzzy_",
+        "text_fingerprint",
+        "text_decontaminate",
+    )
+
+    def group(n: str) -> int:
+        if n in python_udf_queries:
+            return 3
+        if n.startswith("stream_"):
+            return 2
+        if n.startswith(hof_prefixes):
+            return 1
+        return 0
+
+    order = sorted(QUERIES, key=lambda n: (group(n), n))
     for name in order:
         t0 = time.perf_counter()
         try:
