@@ -23,6 +23,16 @@ at 100 TB:
         OR-of-ANDs becomes a post-join filter, not a cartesian.
 - q22 : scalar subquery threshold + NOT EXISTS anti-join with a
         pushed time filter (inactive high-balance accounts).
+- q13 : outer join with the filter in the JOIN CONDITION (zero-count
+        groups survive) + count-of-counts double aggregate.
+- q15 : argmax-of-aggregate — the revenue view is shared-stage
+        materialized once and consumed by both the join and the
+        broadcast scalar max (no ReuseExchange fires otherwise).
+- q16 : distinct-count expand-aggregate behind a broadcast anti-join
+        exclusion and a fully-pruned dimension broadcast.
+- q21 : the EXISTS/NOT-EXISTS pair collapsed into grouped aggregation
+        (two keyed shuffles) instead of two correlated self-joins of
+        the fact table.
 
 Money arithmetic goes through the shared DECIMAL fragments
 (relational_queries._REV et al.) so Spark and DuckDB cannot drift on
@@ -418,4 +428,241 @@ def q_antijoin_subquery_q22(spark, sf_dir):
             "CAST(ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(12,4))) AS DOUBLE), 2)"
             " AS DOUBLE) AS totacctbal"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q13 — customer order-count distribution (count-of-counts)
+# ---------------------------------------------------------------------------
+
+_Q13_ORACLE = """
+WITH c_orders AS (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+"""
+
+
+@register("groupcount_dist_q13", _Q13_ORACLE)
+def q_groupcount_dist_q13(spark, sf_dir):
+    """TPC-H Q13: per-customer order counts (customers with zero
+    surviving orders INCLUDED via the left join + count of the
+    nullable key), then the distribution of those counts. The filter
+    lives in the JOIN CONDITION, not a WHERE — a WHERE would silently
+    turn the outer join inner and drop zero-order customers. Two-level
+    aggregate: the first shuffles by custkey, the second's keyspace is
+    tiny (distinct counts) so its exchange moves almost nothing."""
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    joined = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+# ---------------------------------------------------------------------------
+# q15 — top supplier by quarterly revenue (scalar-max subquery)
+# ---------------------------------------------------------------------------
+
+_Q15_REV_SQL = f"""
+  SELECT l_suppkey AS supplier_no,
+         SUM({_REV}) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+"""
+
+_Q15_ORACLE = f"""
+WITH revenue AS ({_Q15_REV_SQL})
+SELECT s_suppkey, s_name,
+       CAST(ROUND(CAST(total_revenue AS DOUBLE), 2) AS DOUBLE) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+"""
+
+
+@register("scalar_max_join_q15", _Q15_ORACLE)
+def q_scalar_max_join_q15(spark, sf_dir):
+    """TPC-H Q15: quarterly revenue per supplier, keep the one(s) at
+    the global max. The revenue view feeds BOTH the join side and the
+    scalar max; left as two lazy lineages Spark recomputes the
+    scan+agg for each (verified: no ReusedExchange fires, even under
+    AQE — the two subplans adapt differently), so the view is
+    materialized ONCE via the shared-stage persist (the classic
+    'materialize the CTE between phases' answer; at 100 TB the view is
+    supplier-cardinality, trivially cacheable). The max then reaches
+    the comparison as a 1-row broadcast, on the exact DECIMAL revenue
+    — comparing rounded doubles could tie two suppliers the decimal
+    keeps distinct."""
+    from .stage_cache import shared_stage
+
+    def build_rev():
+        li = load(spark, sf_dir, "lineitem")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+                & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
+            )
+            .groupBy(F.col("l_suppkey").alias("supplier_no"))
+            .agg(F.expr(f"SUM({_REV}) AS total_revenue"))
+        )
+
+    rev = shared_stage(spark, ("q15_revenue", sf_dir), build_rev)
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        supp.join(rev, supp.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.expr(
+                "CAST(ROUND(CAST(total_revenue AS DOUBLE), 2) AS DOUBLE)"
+                " AS total_revenue"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — supplier diversity per part attribute (adapted: lineitem is the
+# part-supplier relation; the testdata has no partsupp table)
+# ---------------------------------------------------------------------------
+
+_Q16_ORACLE = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7'
+  )
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+LIMIT 30
+"""
+
+
+@register("distinct_suppliers_q16", _Q16_ORACLE)
+def q_distinct_suppliers_q16(spark, sf_dir):
+    """TPC-H Q16 on the reduced schema (lineitem stands in for
+    partsupp): distinct-supplier counts per surviving (brand, type,
+    size). All three part predicates prune the part scan before its
+    broadcast; the complaint-supplier exclusion is a broadcast LEFT
+    ANTI join (NOT IN over a subquery — null-safe here because
+    s_suppkey is a key). COUNT(DISTINCT) triggers Spark's two-phase
+    expand-aggregate; the top-30 orders by a total key so boundary
+    ties are deterministic."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49)
+    )
+    bad_supp = load(spark, sf_dir, "supplier").filter(
+        F.col("s_name").like("%7")
+    ).select(F.col("s_suppkey").alias("l_suppkey"))
+    return (
+        li.join(bad_supp, "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"),
+            F.asc("p_brand"),
+            F.asc("p_type"),
+            F.asc("p_size"),
+        )
+        .limit(30)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q21 — suppliers solely to blame for late multi-supplier orders
+# (adapted: late = shipped >60 days after order date; the testdata has
+# no commitdate/receiptdate)
+# ---------------------------------------------------------------------------
+
+_Q21_ORACLE = """
+WITH flagged AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey
+), per_order AS (
+  SELECT l_orderkey,
+         CAST(count(*) AS BIGINT) AS n_supp,
+         CAST(sum(late) AS BIGINT) AS n_late,
+         max(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+  FROM flagged
+  GROUP BY l_orderkey
+)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM per_order
+JOIN supplier ON s_suppkey = late_supp
+WHERE n_supp > 1 AND n_late = 1
+GROUP BY s_name
+"""
+
+
+@register("exists_blame_q21", _Q21_ORACLE)
+def q_exists_blame_q21(spark, sf_dir):
+    """TPC-H Q21's EXISTS / NOT-EXISTS pair re-expressed as grouped
+    aggregation — the scale-friendly form: instead of two correlated
+    self-joins of lineitem (the textbook plan), ONE shuffle keyed
+    (orderkey, suppkey) flags each supplier's lateness, a second keyed
+    orderkey derives [other supplier exists] = n_supp > 1 and [no other
+    late supplier] = n_late = 1, and max(CASE) recovers the single late
+    supplier's key without a join back. The status filter rides the
+    join condition into the orders scan."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    flagged = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"),
+                    1,
+                ).otherwise(0)
+            ).alias("late")
+        )
+    )
+    per_order = flagged.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("late").cast("bigint").alias("n_late"),
+        F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias(
+            "late_supp"
+        ),
+    )
+    supp = load(spark, sf_dir, "supplier")
+    return (
+        per_order.filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(
+            F.broadcast(supp), per_order.late_supp == supp.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
     )

@@ -236,3 +236,15 @@ def test_gapfill_never_sorts_globally(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q15_revenue_view_materialized_once(spark):
+    """TPC-H q15: the revenue view feeds both the supplier join and
+    the scalar max — the shared-stage persist must serve both from
+    cached blocks, leaving at most ONE lineitem parquet scan in the
+    plan (the materializing one)."""
+    import re
+
+    plan = _plan(spark, "scalar_max_join_q15")
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    assert len(re.findall(r"lineitem\.parquet", plan)) <= 1, plan
