@@ -1,0 +1,164 @@
+"""Product-analytics vocabulary over ``events`` / ``orders``: ordered
+funnels and retention cohorts — the attribution-adjacent queries an
+AppsFlyer-style install pipeline feeds downstream.
+
+Scale shapes:
+
+- ``events_funnel``: a strictly-ordered 3-step funnel (view -> click ->
+  purchase, each step at-or-after the previous) as CHAINED unbounded
+  windows over one user_id partition: step N's conditional min can
+  reference step N-1's window result in the same partitioning, so the
+  whole funnel — all three step times, the per-user collapse, and the
+  final count — runs over ONE hash exchange of the fact stream
+  (pinned in test_plan_shapes; the naive iterated join-agg form plans
+  SIX user_id exchanges). Unbounded frames need no per-user sort, and
+  nothing is collected into per-user lists.
+- ``orders_retention_cohort``: classic cohort retention. Two shuffles
+  (first-order month per customer, then (cohort, offset) counts);
+  the month arithmetic is integer year*12+month deltas — exact on both
+  engines, no interval/float drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import load, register
+
+# ---------------------------------------------------------------------------
+# events_funnel — strictly-ordered step conversion
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = """
+WITH s1 AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+  FROM events GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1
+                  THEN e.ts END) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id,
+         min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2
+                  THEN e.ts END) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  GROUP BY e.user_id
+)
+SELECT CAST(count(t1) AS BIGINT) AS n_view,
+       CAST(count(t2) AS BIGINT) AS n_view_click,
+       CAST(count(t3) AS BIGINT) AS n_view_click_purchase,
+       round(count(t2) * 1.0 / count(t1), 6) AS click_rate,
+       round(count(t3) * 1.0 / count(t2), 6) AS purchase_rate
+FROM s1
+LEFT JOIN s2 ON s1.user_id = s2.user_id
+LEFT JOIN s3 ON s1.user_id = s3.user_id
+"""
+
+
+@register("events_funnel", _FUNNEL_ORACLE)
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel: step N counts only events at-or-after the user's
+    step-N-1 time (a user who clicked before ever viewing does NOT
+    convert). Each step time is a conditional min WINDOW over
+    partitionBy(user_id) that references the previous step's window
+    result — chained windows share one partitioning, so the physical
+    plan carries exactly ONE user_id exchange for the entire funnel
+    (the textbook per-step join-aggregate form re-shuffles the fact
+    stream per step — measured six user_id exchanges). The per-user
+    groupBy collapses rows over the SAME partitioning (no new
+    exchange), and COUNT of the non-null step times yields totals and
+    conversion rates in one final single-row aggregate."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    stepped = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") >= F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    stepped = stepped.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    stepped = stepped.withColumn("t3", t3)
+    per_user = stepped.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_view_click"),
+        F.count("t3").alias("n_view_click_purchase"),
+        F.round(F.count("t2") / F.count("t1"), 6).alias("click_rate"),
+        F.round(F.count("t3") / F.count("t2"), 6).alias("purchase_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_retention_cohort — month-cohort retention triangle
+# ---------------------------------------------------------------------------
+
+_COHORT_ORACLE = """
+WITH first_order AS (
+  SELECT o_custkey,
+         min(EXTRACT(year FROM o_orderdate) * 12
+             + EXTRACT(month FROM o_orderdate)) AS cohort_ym
+  FROM orders GROUP BY o_custkey
+)
+SELECT CAST(f.cohort_ym // 12 AS INTEGER) AS cohort_year,
+       CAST(f.cohort_ym % 12 AS INTEGER) AS cohort_month0,
+       CAST(EXTRACT(year FROM o.o_orderdate) * 12
+            + EXTRACT(month FROM o.o_orderdate) - f.cohort_ym
+            AS INTEGER) AS month_offset,
+       CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+FROM orders o
+JOIN first_order f ON o.o_custkey = f.o_custkey
+GROUP BY f.cohort_ym, month_offset
+"""
+
+
+@register("orders_retention_cohort", _COHORT_ORACLE)
+def q_orders_retention_cohort(spark, sf_dir):
+    """Cohort retention triangle: customers bucketed by first-order
+    month, activity counted per months-since-first. The cohort key is
+    integer year*12+month (exact cross-engine; month arithmetic via
+    intervals or months_between drifts on day-of-month edge cases).
+    first_order and the enriched aggregate both key on custkey so the
+    join reuses the first shuffle; the (cohort, offset) output space is
+    months^2/2 — tiny at any scale."""
+    orders = load(spark, sf_dir, "orders")
+    ym = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).alias("ym")
+    first = orders.select("o_custkey", ym).groupBy("o_custkey").agg(
+        F.min("ym").alias("cohort_ym")
+    )
+    return (
+        orders.select("o_custkey", "o_orderkey", ym)
+        .join(first, "o_custkey")
+        .groupBy(
+            "cohort_ym",
+            (F.col("ym") - F.col("cohort_ym")).cast("int").alias("month_offset"),
+        )
+        .agg(F.count_distinct(F.col("o_custkey")).alias("n_active"))
+        .select(
+            F.expr("CAST(cohort_ym DIV 12 AS INTEGER) AS cohort_year"),
+            F.expr("CAST(cohort_ym % 12 AS INTEGER) AS cohort_month0"),
+            "month_offset",
+            "n_active",
+        )
+    )

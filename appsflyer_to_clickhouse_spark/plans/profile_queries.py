@@ -124,3 +124,44 @@ def q_agg_approx_distinct_bounded(spark, sf_dir):
             "events_within_5pct"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_approx_quantile_bounded — KLL/GK quantile sketch pinned vs exact
+# ---------------------------------------------------------------------------
+
+_APPROX_Q_ORACLE = """
+SELECT round(quantile_cont(value, 0.5)::DOUBLE, 6) AS exact_q50,
+       TRUE AS q50_within_1pct,
+       round(quantile_cont(value, 0.99)::DOUBLE, 6) AS exact_q99,
+       TRUE AS q99_within_1pct
+FROM events
+"""
+
+
+@register("agg_approx_quantile_bounded", _APPROX_Q_ORACLE)
+def q_agg_approx_quantile_bounded(spark, sf_dir):
+    """percentile_approx (Greenwald-Khanna, accuracy=10000) validated
+    against the exact interpolated percentile in the same pass — the
+    same estimate-quality contract as agg_approx_distinct_bounded:
+    exact values cross-check the oracle, booleans pin the sketch
+    within 1% relative error. At 100 TB the sketch is the only viable
+    path: fixed-size state merging across partitions, while the exact
+    percentile must co-locate each group's values."""
+    ev = load(spark, sf_dir, "events")
+
+    def ok(est, exact):
+        return F.abs(est - exact) / F.abs(exact) <= 0.01
+
+    agg = ev.agg(
+        F.expr("percentile(value, 0.5)").alias("x50"),
+        F.expr("percentile_approx(value, 0.5, 10000)").alias("a50"),
+        F.expr("percentile(value, 0.99)").alias("x99"),
+        F.expr("percentile_approx(value, 0.99, 10000)").alias("a99"),
+    )
+    return agg.select(
+        F.round(F.col("x50"), 6).alias("exact_q50"),
+        ok(F.col("a50"), F.col("x50")).alias("q50_within_1pct"),
+        F.round(F.col("x99"), 6).alias("exact_q99"),
+        ok(F.col("a99"), F.col("x99")).alias("q99_within_1pct"),
+    )

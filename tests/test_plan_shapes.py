@@ -248,3 +248,13 @@ def test_q15_revenue_view_materialized_once(spark):
     plan = _plan(spark, "scalar_max_join_q15")
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert len(re.findall(r"lineitem\.parquet", plan)) <= 1, plan
+
+
+def test_funnel_single_user_exchange(spark):
+    """events_funnel: the chained step windows, the per-user collapse,
+    and the final aggregate must all ride ONE user_id hash exchange —
+    a second one means a funnel step re-shuffled the fact stream."""
+    import re
+
+    plan = _plan(spark, "events_funnel")
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
