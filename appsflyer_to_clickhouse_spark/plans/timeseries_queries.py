@@ -15,6 +15,12 @@ Scale shapes:
   hash exchange on the bar key (Spark plans both windows over the same
   partitioning; no second shuffle), and the bar aggregate reuses it
   again — one shuffle total.
+- ``timeseries_interpolate``: linear interpolation across gaps — the
+  backward (last ignorenulls) and forward (first ignorenulls) neighbor
+  contexts are windows over the SAME user_id partitioning as the fill.
+- ``timeseries_zscore_anomaly``: trailing 7-day rolling z-score with
+  moments from exact decimal sum/sum-of-squares (windowed stddev_samp
+  on doubles is partial-order-dependent and flakes cross-engine).
 
 Value parity: per-day sums go through exact DECIMAL(14,6) arithmetic
 (float addition is order-dependent; the decimal cast is the proven
@@ -179,4 +185,189 @@ def q_timeseries_ohlc(spark, sf_dir):
         F.round(F.max(F.when(F.col("rn_last") == 1, F.col("value"))), 6).alias("close"),
         F.round(F.sum("value_dec").cast("double"), 6).cast("double").alias("volume"),
         F.count("*").alias("n_ticks"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_interpolate — linear interpolation across gaps
+# ---------------------------------------------------------------------------
+
+_INTERP_ORACLE = f"""
+WITH daily AS (
+  SELECT user_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM({_VAL_DEC}) AS day_value
+  FROM events
+  GROUP BY 1, 2
+), spine AS (
+  SELECT user_id,
+         unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS day
+  FROM daily
+  GROUP BY user_id
+), ctx AS (
+  SELECT s.user_id, s.day,
+         d.day_value IS NOT NULL AS observed,
+         last_value(d.day IGNORE NULLS) OVER w_prev AS day_p,
+         last_value(d.day_value IGNORE NULLS) OVER w_prev AS val_p,
+         first_value(d.day IGNORE NULLS) OVER w_next AS day_n,
+         first_value(d.day_value IGNORE NULLS) OVER w_next AS val_n
+  FROM spine s
+  LEFT JOIN daily d ON d.user_id = s.user_id AND d.day = s.day
+  WINDOW
+    w_prev AS (PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    w_next AS (PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, day, observed,
+       CAST(round(CASE
+         WHEN observed THEN CAST(val_p AS DOUBLE)
+         WHEN day_n IS NULL THEN CAST(val_p AS DOUBLE)
+         ELSE CAST(val_p AS DOUBLE)
+              + (CAST(val_n AS DOUBLE) - CAST(val_p AS DOUBLE))
+              * (date_diff('day', day_p, day) * 1.0
+                 / date_diff('day', day_p, day_n))
+       END, 6) AS DOUBLE) AS interp_value
+FROM ctx
+"""
+
+
+@register("timeseries_interpolate", _INTERP_ORACLE)
+def q_timeseries_interpolate(spark, sf_dir):
+    """Gap-fill by LINEAR interpolation (TimescaleDB's
+    ``interpolate()``): each missing day gets
+    v_p + (v_n - v_p) * (day - day_p) / (day_n - day_p) between its
+    neighboring observations; trailing days past the last observation
+    fall back to carry-forward. Both neighbor contexts come from
+    ignore-nulls windows over the SAME user_id partitioning — one
+    exchange serves the backward (last) and forward (first) passes and
+    the spine join. Day distances are integer datediffs; the value
+    arithmetic runs on exact decimal observations widened to double in
+    the same expression order on both engines."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(F.sum(F.expr(_VAL_DEC)).alias("day_value"))
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left")
+    w_prev = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_next = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    observed = F.col("day_value").isNotNull()
+    obs_day = F.when(observed, F.col("day"))
+    ctx = joined.select(
+        "user_id",
+        "day",
+        observed.alias("observed"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("day_p"),
+        F.last("day_value", ignorenulls=True).over(w_prev).alias("val_p"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("day_n"),
+        F.first("day_value", ignorenulls=True).over(w_next).alias("val_n"),
+    )
+    vp = F.col("val_p").cast("double")
+    vn = F.col("val_n").cast("double")
+    frac = F.datediff("day", "day_p") / F.datediff("day_n", "day_p")
+    interp = (
+        F.when(F.col("observed"), vp)
+        .when(F.col("day_n").isNull(), vp)
+        .otherwise(vp + (vn - vp) * frac)
+    )
+    return ctx.select(
+        "user_id",
+        "day",
+        "observed",
+        F.round(interp, 6).cast("double").alias("interp_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_zscore_anomaly — trailing-window anomaly flags, exact math
+# ---------------------------------------------------------------------------
+
+_ZSCORE_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+         SUM({_VAL_DEC}) AS v
+  FROM events
+  GROUP BY 1, 2
+), ctx AS (
+  SELECT event_type, day, v,
+         CAST(count(*)  OVER w AS BIGINT) AS n,
+         SUM(v)     OVER w AS s,
+         SUM(v * v) OVER w AS sq
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, day,
+       CAST(round(CAST(v AS DOUBLE), 6) AS DOUBLE) AS day_value,
+       CAST(round(CASE WHEN n < 3 THEN NULL ELSE
+         (CAST(v AS DOUBLE) - CAST(s AS DOUBLE) / n)
+         / sqrt((n * CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                / (CAST(n AS DOUBLE) * (n - 1)))
+       END, 4) AS DOUBLE) AS zscore
+FROM ctx
+"""
+
+
+@register("timeseries_zscore_anomaly", _ZSCORE_ORACLE)
+def q_timeseries_zscore_anomaly(spark, sf_dir):
+    """Rolling anomaly score: each (event_type, day) rollup scored
+    against its trailing 7-day window's mean and sample stddev. The
+    moments come from DECIMAL sum and sum-of-squares over the window —
+    stddev_samp on doubles is partial-order-dependent and flakes a
+    cross-engine hash; the decimal sums are exact, and the variance
+    formula (n*sq - s^2) / (n*(n-1)) then runs in double with one
+    fixed expression order. Windows under 3 observations emit NULL
+    (z-score of a 1-2 sample window is noise). One exchange keyed
+    event_type; the frame is ROWS-bounded so state per group is 7
+    rows."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("DAY", F.col("ts")).alias("day")
+    ).agg(F.sum(F.expr(_VAL_DEC)).alias("v"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, W.currentRow)
+    )
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "v",
+        F.count("*").over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("sq"),
+    )
+    vd = F.col("v").cast("double")
+    sd = F.col("s").cast("double")
+    sqd = F.col("sq").cast("double")
+    n = F.col("n")
+    z = (vd - sd / n) / F.sqrt(
+        (n * sqd - sd * sd) / (n.cast("double") * (n - 1))
+    )
+    return ctx.select(
+        "event_type",
+        "day",
+        F.round(vd, 6).cast("double").alias("day_value"),
+        F.round(F.when(n < 3, F.lit(None)).otherwise(z), 4)
+        .cast("double")
+        .alias("zscore"),
     )
