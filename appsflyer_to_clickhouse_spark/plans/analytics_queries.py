@@ -162,3 +162,70 @@ def q_orders_retention_cohort(spark, sf_dir):
             "n_active",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scd2_change_intervals — slowly-changing-dimension type-2 build
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS INTEGER) AS version
+  FROM ordered
+  WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, version,
+       ts AS valid_from,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+       lead(ts) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+         AS is_current
+FROM changes
+"""
+
+
+@register("scd2_change_intervals", _SCD2_ORACLE)
+def q_scd2_change_intervals(spark, sf_dir):
+    """SCD type-2 history build: collapse each user's event stream into
+    versioned [valid_from, valid_to) intervals, one row per attribute
+    CHANGE (lag detects the edge; the open current version has NULL
+    valid_to). The (ts, event_id) order key makes same-second edges
+    deterministic. All three windows — change detection, versioning,
+    interval close — partition by user_id, so the whole build rides ONE
+    hash exchange of the stream; at 100 TB output size tracks change
+    count, not event count, and the change filter runs before the
+    second/third windows see any data."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w_ord))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            "event_type",
+            "ts",
+            F.row_number().over(w_ord).cast("int").alias("version"),
+        )
+    )
+    w_ver = W.partitionBy("user_id").orderBy("version")
+    return changes.select(
+        "user_id",
+        "event_type",
+        "version",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_ver).alias("valid_to"),
+        F.lead("ts").over(w_ver).isNull().alias("is_current"),
+    )

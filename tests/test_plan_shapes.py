@@ -258,3 +258,12 @@ def test_funnel_single_user_exchange(spark):
 
     plan = _plan(spark, "events_funnel")
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+
+
+def test_scd2_single_user_exchange(spark):
+    """scd2_change_intervals: change detection, versioning, and
+    interval close are all user_id windows — one hash exchange total."""
+    import re
+
+    plan = _plan(spark, "scd2_change_intervals")
+    assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
