@@ -730,3 +730,106 @@ def q_events_hopping_window(spark, sf_dir):
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# window_rank_family — the full ranking vocabulary, tie semantics intact
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank_family",
+    """
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(rank()       OVER wt AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+           round(percent_rank() OVER wt, 6) AS prank,
+           round(cume_dist()    OVER wt, 6) AS cdist,
+           CAST(ntile(4) OVER wu AS BIGINT) AS quartile
+    FROM orders
+    WINDOW
+      wt AS (PARTITION BY o_orderpriority ORDER BY o_orderstatus),
+      wu AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_window_rank_family(spark, sf_dir):
+    """rank / dense_rank / percent_rank / cume_dist / ntile in one
+    pass. The first four order by a TIE-PRONE key on purpose — their
+    results are functions of the order-key VALUES alone, so ties are
+    cross-engine deterministic; ntile assigns by row POSITION, so its
+    window gets a total order (totalprice, orderkey) or bucket
+    membership would be engine-arbitrary. Both windows share the
+    o_orderpriority partitioning: one hash exchange, two sorts."""
+    from pyspark.sql import Window as W2
+
+    orders = load(spark, sf_dir, "orders")
+    wt = W2.partitionBy("o_orderpriority").orderBy("o_orderstatus")
+    wu = W2.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(wt).cast("bigint").alias("rnk"),
+        F.dense_rank().over(wt).cast("bigint").alias("drnk"),
+        F.round(F.percent_rank().over(wt), 6).alias("prank"),
+        F.round(F.cume_dist().over(wt), 6).alias("cdist"),
+        F.ntile(4).over(wu).cast("bigint").alias("quartile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_range_bucketed — big x big interval join via grid cells
+# ---------------------------------------------------------------------------
+
+_RB_ORACLE = """
+WITH purchases AS (
+  SELECT event_id AS p_id, ts AS p_ts FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.p_id, e.event_id
+FROM purchases p
+JOIN events e
+  ON e.ts >= p.p_ts AND e.ts < p.p_ts + INTERVAL 10 MINUTE
+"""
+
+
+@register("join_range_bucketed", _RB_ORACLE)
+def q_join_range_bucketed(spark, sf_dir):
+    """Big x big temporal range join — the shape BroadcastNestedLoop
+    (join_range) cannot survive when NEITHER side broadcasts. Each
+    10-minute interval [p_ts, p_ts+10m) registers in the grid cells it
+    can overlap (its start's cell and the next; cell width = max
+    interval length, so exactly 2); each probe event maps to its ONE
+    cell. The join becomes an EQUI-join on the cell key — a plain hash
+    shuffle both sides — plus the residual range predicate, and since
+    a probe's cell is unique, no pair can match twice (no distinct
+    pass). Cost scales with pairs per cell (data density), never
+    |left| x |right|."""
+    ev = load(spark, sf_dir, "events")
+    cell = lambda c: F.window(c, "10 minutes").getField("start")  # noqa: E731
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    iv = purchases.select(
+        "p_id",
+        "p_ts",
+        F.explode(
+            F.array(
+                cell(F.col("p_ts")),
+                cell(F.col("p_ts")) + F.expr("INTERVAL 10 MINUTES"),
+            )
+        ).alias("cell"),
+    )
+    pts = ev.select("event_id", "ts", cell(F.col("ts")).alias("cell"))
+    return (
+        iv.join(pts, "cell")
+        .filter(
+            (F.col("ts") >= F.col("p_ts"))
+            & (F.col("ts") < F.col("p_ts") + F.expr("INTERVAL 10 MINUTES"))
+        )
+        .select("p_id", "event_id")
+    )

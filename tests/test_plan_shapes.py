@@ -267,3 +267,26 @@ def test_scd2_single_user_exchange(spark):
 
     plan = _plan(spark, "scd2_change_intervals")
     assert len(re.findall(r"hashpartitioning\(user_id", plan)) == 1, plan
+
+
+def test_rank_family_shares_one_exchange(spark):
+    """window_rank_family: both window specs partition by
+    o_orderpriority — one exchange, two sorts."""
+    import re
+
+    plan = _plan(spark, "window_rank_family")
+    assert len(re.findall(r"hashpartitioning\(o_orderpriority", plan)) == 1
+
+
+def test_range_bucketed_is_equi_join_not_nested_loop(spark):
+    """join_range_bucketed: the grid-cell rewrite must plan as an
+    equi-join (hash or sort-merge on the cell key); a NestedLoop means
+    the rewrite regressed to comparing every interval with every
+    point."""
+    plan = _plan(spark, "join_range_bucketed")
+    assert "NestedLoop" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )
