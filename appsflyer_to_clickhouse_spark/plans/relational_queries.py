@@ -611,3 +611,86 @@ def q_math_funcs(spark, sf_dir):
         F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
         F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bag-semantics set ops + explicit grouping sets (round-3 completions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_set_intersect_all(spark, sf_dir):
+    """Bag-semantics intersect: each nationkey survives min(countL,
+    countR) times — physically a count-matching join, not the distinct
+    hash of INTERSECT."""
+    nk_c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    nk_s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return nk_c.intersectAll(nk_s)
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_set_except_all(spark, sf_dir):
+    """Bag-semantics except: each key keeps max(countL - countR, 0)
+    copies — multiplicity arithmetic the DISTINCT form erases."""
+    nk_c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    nk_s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return nk_c.exceptAll(nk_s)
+
+
+@register(
+    "grouping_sets_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                AS BIGINT) AS gid,
+           CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def q_grouping_sets_agg(spark, sf_dir):
+    """Arbitrary GROUPING SETS (not derivable from rollup/cube alone)
+    with grouping() flags disambiguating real NULL group keys from
+    subtotal rows — the flags are part of the result contract, since a
+    NULL l_linestatus detail row and the l_returnflag subtotal are
+    otherwise indistinguishable. Spark expands each input row once per
+    set (Expand), then one hash aggregate — same single-exchange
+    shape as a plain groupBy, multiplied by #sets map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                    AS BIGINT) AS gid,
+               CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
