@@ -165,3 +165,76 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_sorted_layout_prunes_row_groups(spark, tmp_path):
+    """Zone-map pruning: writing a time-series table SORTED by ts gives
+    each parquet row group a tight disjoint [min, max] ts range, so a
+    time-window predicate can skip almost every row group from footer
+    stats alone; the same data written in hash-shuffled order leaves
+    every row group's range spanning the whole table and nothing can
+    prune. This is THE layout decision for 100 TB time-partitioned
+    facts (sortWithinPartitions at write time costs one sort, saves
+    every windowed scan forever). Asserted from the footers directly —
+    engine-agnostic — plus result parity through Spark on both
+    layouts."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from appsflyer_to_clickhouse_spark.plans.registry import load
+
+    ev = load(spark, "/root/testdata/sf0.01", "events")
+    sorted_dir = str(tmp_path / "sorted")
+    shuffled_dir = str(tmp_path / "shuffled")
+    (
+        ev.repartition(1)
+        .sortWithinPartitions("ts")
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(sorted_dir)
+    )
+    (
+        ev.repartition(1)
+        .sortWithinPartitions(F.md5(F.col("event_id").cast("string")))
+        .write.option("parquet.block.size", 64 * 1024)
+        .parquet(shuffled_dir)
+    )
+
+    lo, hi = "2024-01-10 00:00:00", "2024-01-11 00:00:00"
+
+    def overlapping_fraction(d: str) -> tuple[int, int]:
+        import glob
+        import datetime as dt
+
+        lo_t = dt.datetime.fromisoformat(lo)
+        hi_t = dt.datetime.fromisoformat(hi)
+        total = hit = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            ts_idx = [
+                i for i in range(md.num_columns)
+                if md.schema.column(i).name == "ts"
+            ][0]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ts_idx).statistics
+                total += 1
+                mn, mx = st.min, st.max
+                if mn.tzinfo is not None:
+                    mn = mn.replace(tzinfo=None)
+                    mx = mx.replace(tzinfo=None)
+                if not (mx < lo_t or mn >= hi_t):
+                    hit += 1
+        return hit, total
+
+    s_hit, s_total = overlapping_fraction(sorted_dir)
+    u_hit, u_total = overlapping_fraction(shuffled_dir)
+    assert s_total >= 5, f"need multiple row groups, got {s_total}"
+    # sorted: the 1-day window (1/30 of the span) touches a small slice
+    assert s_hit / s_total <= 0.34, (s_hit, s_total)
+    # shuffled: every row group spans the whole month -> zero pruning
+    assert u_hit == u_total, (u_hit, u_total)
+
+    # result parity: layout never changes answers
+    pred = (F.col("ts") >= lo) & (F.col("ts") < hi)
+    n_sorted = spark.read.parquet(sorted_dir).filter(pred).count()
+    n_shuffled = spark.read.parquet(shuffled_dir).filter(pred).count()
+    assert n_sorted == n_shuffled > 0
