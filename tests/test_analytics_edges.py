@@ -1,0 +1,107 @@
+"""Adversarial-input differential tests for the time-series /
+analytics families: a crafted ``events`` table exercises exactly the
+edges the sf tables rarely hit — single-observation users, multi-day
+gaps, funnel steps out of order, same-timestamp ties — and every query
+must STILL hash-match its DuckDB oracle on that input (same contract
+as the driver's t2 gate, harder data).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+
+from appsflyer_to_clickhouse_spark.plans import ORACLE, QUERIES
+from appsflyer_to_clickhouse_spark.schemas import TESTDATA_TABLES
+
+from .oracle_harness import compare
+
+_EDGE_QUERIES = [
+    "timeseries_gapfill",
+    "timeseries_interpolate",
+    "timeseries_ohlc",
+    "timeseries_zscore_anomaly",
+    "events_funnel",
+    "scd2_change_intervals",
+    "window_lag_sessionize",
+    "join_range_bucketed",
+]
+
+
+def _t(day: int, h: int = 0, m: int = 0, s: int = 0):
+    return dt.datetime(2024, 1, day, h, m, s)
+
+
+_ROWS = [
+    # user 1: a single lone event — 1-day spine, version-1 SCD row,
+    # zscore window of one (NULL z)
+    (100, _t(3, 12), 1, "view", 10.0, "{}"),
+    # user 2: observations on day 1 and day 5 — 3 missing days between;
+    # interpolation fractions 1/4, 2/4, 3/4 and LOCF past nothing
+    (200, _t(1, 6), 2, "view", 8.0, "{}"),
+    (201, _t(5, 6), 2, "view", 16.0, "{}"),
+    # user 3: click BEFORE any view — must NOT convert step 2
+    (300, _t(2, 1), 3, "click", 1.0, "{}"),
+    (301, _t(2, 2), 3, "view", 1.0, "{}"),
+    # user 4: click at EXACTLY the first-view timestamp (>= boundary)
+    (400, _t(4, 8), 4, "view", 2.0, "{}"),
+    (401, _t(4, 8), 4, "click", 2.0, "{}"),
+    (402, _t(4, 9), 4, "purchase", 2.0, "{}"),
+    # user 5: purchase before its click — the early purchase must not
+    # complete the funnel; the later one does
+    (500, _t(6, 1), 5, "view", 3.0, "{}"),
+    (501, _t(6, 2), 5, "purchase", 3.0, "{}"),
+    (502, _t(6, 3), 5, "click", 3.0, "{}"),
+    (503, _t(6, 4), 5, "purchase", 3.0, "{}"),
+    # user 6: same-timestamp tie with distinct event_ids and values —
+    # OHLC open/close and SCD2 ordering must use the event_id tiebreak
+    (600, _t(7, 5), 6, "view", 50.0, "{}"),
+    (601, _t(7, 5), 6, "click", 60.0, "{}"),
+    (602, _t(7, 5), 6, "view", 70.0, "{}"),
+]
+
+
+@pytest.fixture(scope="module")
+def edge_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_sf")
+    src = "/root/testdata/sf0.001"
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    # single parquet FILE (like the driver testdata — both engines read
+    # the same path), naive microsecond timestamps
+    cols = list(zip(*_ROWS))
+    table = pa.table(
+        {
+            "event_id": pa.array(cols[0], pa.int64()),
+            "ts": pa.array(cols[1], pa.timestamp("us")),
+            "user_id": pa.array(cols[2], pa.int64()),
+            "event_type": pa.array(cols[3], pa.string()),
+            "value": pa.array(cols[4], pa.float64()),
+            "props": pa.array(cols[5], pa.string()),
+        }
+    )
+    pq.write_table(table, str(d / "events.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _EDGE_QUERIES)
+def test_edge_semantics_match_oracle(spark, edge_dir, name):
+    compare(QUERIES[name](spark, edge_dir), ORACLE[name], edge_dir)
+
+
+def test_funnel_edge_counts(spark, edge_dir):
+    """Pin the intended funnel semantics on the crafted rows: 6 viewing
+    users; the at-boundary clicks (users 4 and 6, ts == first view) and
+    user 5's post-view click convert, while user 3's click-before-view
+    does not; users 4 and 5 purchase at-or-after their click (user 5's
+    EARLIER purchase alone would not have counted)."""
+    row = QUERIES["events_funnel"](spark, edge_dir).collect()[0]
+    assert row.n_view == 6
+    assert row.n_view_click == 3  # users 4, 5, 6
+    assert row.n_view_click_purchase == 2  # users 4 and 5
