@@ -114,8 +114,9 @@ def q_features_hashed_ngrams(spark, sf_dir):
     the exploded token stream map-side; the one exchange carries at
     most docs x {_N_BUCKETS} rows."""
     from ..functions.text import tokens
+    from .registry import load_fanout
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     bucket = (
         F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10)

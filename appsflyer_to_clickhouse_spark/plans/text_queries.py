@@ -571,8 +571,9 @@ def q_text_tfidf_topk(spark, sf_dir):
     TakeOrderedAndProject under a total order (score, doc, term) so
     rank-20 boundary ties are engine-deterministic."""
     from ..functions.text import tokens
+    from .registry import load_fanout
 
-    docs = load(spark, sf_dir, "documents")
+    docs = load_fanout(spark, sf_dir, "documents")
     tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
