@@ -1,0 +1,137 @@
+"""Sink maintenance: partition-scoped MERGE upsert and small-file
+compaction over the install_date-partitioned parquet sink — the two
+table-management operations an append-only warehouse needs once data
+arrives continuously (the lakehouse MERGE INTO / OPTIMIZE pair,
+re-expressed on plain partitioned parquet).
+
+Both operations touch ONLY the partitions they must: dynamic partition
+overwrite (``spark.sql.sources.partitionOverwriteMode=dynamic``)
+replaces exactly the directories the written frame contains, so at
+100 TB a merge of one day's batch rewrites one day's partitions, never
+the table. Partition transparency is the contract that makes this
+safe: install_date is derived from install_time, so a row's partition
+is a pure function of its content and an upsert can never strand a
+stale copy in another directory.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+from pyspark.errors import AnalysisException
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..schemas import sink_columns
+from .parquet_sink import PARTITION_COL
+
+
+@contextmanager
+def _dynamic_overwrite(spark: SparkSession):
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, "static")
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str = "appsflyer_id",
+    order_col: str = "event_time",
+) -> None:
+    """Latest-wins MERGE of ``batch`` into the partitioned sink.
+
+    Scale shape: (1) the batch's distinct install_dates — bounded by
+    the batch's time span, a handful of values — select which sink
+    partitions participate; (2) only those partitions are read back
+    (directory-level pruning, no full-table scan); (3) one window keyed
+    (install_date, key) picks the winner — highest ``order_col``, batch
+    beating sink on ties; (4) dynamic partition overwrite rewrites
+    exactly the participating directories. Untouched partitions are
+    never read, never written.
+
+    Identity is (install_date, key): install_date derives from
+    install_time, so a "moved" row is a different record by definition
+    — the invariant that keeps the merge partition-local at any scale.
+    """
+    dated = batch.select(*sink_columns()).withColumn(
+        PARTITION_COL, F.to_date("install_time")
+    )
+    dates = [r[0] for r in dated.select(PARTITION_COL).distinct().collect()]
+    if not dates:
+        return
+    try:
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(PARTITION_COL).isin(dates))
+            .select(*sink_columns(), PARTITION_COL)
+        )
+    except AnalysisException:  # first merge: sink does not exist yet
+        existing = None
+    # other read failures (permissions, corrupt footers) propagate —
+    # silently treating them as "empty sink" would resurrect stale rows
+
+    tagged_new = dated.withColumn("_src", F.lit(1))
+    merged_src = (
+        tagged_new
+        if existing is None
+        else existing.withColumn("_src", F.lit(0)).unionByName(tagged_new)
+    )
+    w = Window.partitionBy(PARTITION_COL, key).orderBy(
+        F.col(order_col).desc_nulls_last(), F.col("_src").desc()
+    )
+    winners = (
+        merged_src.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*sink_columns(), PARTITION_COL)
+    )
+    with _dynamic_overwrite(spark):
+        (
+            winners.write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(path)
+        )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_rows_per_file: int = 1_000_000,
+    partitions: list | None = None,
+) -> None:
+    """Bin-pack each partition's small files into
+    ceil(rows / target_rows_per_file) outputs (OPTIMIZE/rewrite).
+
+    Continuous micro-batch appends leave partitions with one file per
+    trigger; scans then pay per-file open/footer costs and lose
+    row-group locality. Compaction reads the partition once,
+    repartitions to the target file count, and dynamically overwrites
+    just that directory. ``partitions`` limits the pass to named
+    install_dates (the incremental form — compact yesterday, not the
+    table); None compacts everything. At production scale the target is
+    bytes-based (~1 GB files); rows are the stand-in here because the
+    testdata rowsize is uniform."""
+    df = spark.read.parquet(path)
+    if partitions is not None:
+        df = df.filter(F.col(PARTITION_COL).isin(partitions))
+    counts = {
+        r[0]: r[1]
+        for r in df.groupBy(PARTITION_COL).count().collect()
+    }
+    if not counts:
+        return
+    with _dynamic_overwrite(spark):
+        for pdate, n in counts.items():
+            n_files = max(1, -(-n // target_rows_per_file))
+            part = df.filter(F.col(PARTITION_COL) == pdate)
+            (
+                part.repartition(n_files)
+                .write.mode("overwrite")
+                .partitionBy(PARTITION_COL)
+                .parquet(path)
+            )

@@ -64,11 +64,21 @@ def main() -> int:
     spark = get_spark(app_name="bench")
 
     # untimed warmup: JVM/codegen/parquet-footer startup shouldn't be
-    # charged to whichever query happens to run first
+    # charged to whichever query happens to run first — exercise the
+    # scan AND the generic agg/join/exchange codegen paths (a bare scan
+    # leaves the first aggregate query paying ~3-4s of compiler time)
     try:
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
-            "noop"
-        ).mode("overwrite").save()
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(5000)
+        (
+            li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+            .join(li.select("l_returnflag").distinct(), "l_returnflag")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] warmup failed: {exc}", file=sys.stderr)
     timings: dict[str, float] = {}

@@ -1,0 +1,118 @@
+"""Sink maintenance pins: partition-scoped MERGE upsert (latest-wins,
+untouched partitions physically untouched) and small-file compaction
+(fewer files, identical rows)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from appsflyer_to_clickhouse_spark.schemas import ch_sink_schema, sink_columns
+from appsflyer_to_clickhouse_spark.sinks.maintenance import (
+    compact_partitions,
+    merge_upsert,
+)
+from appsflyer_to_clickhouse_spark.sinks.parquet_sink import write_sink
+
+
+def _rows(spark, triples):
+    """Sink-shaped frame from (appsflyer_id, install_time, event_time);
+    every other column NULL."""
+    base = spark.createDataFrame(
+        [(a, i, e) for a, i, e in triples],
+        "appsflyer_id string, install_time_s string, event_time_s string",
+    ).select(
+        F.col("appsflyer_id"),
+        F.to_timestamp("install_time_s").alias("install_time"),
+        F.to_timestamp("event_time_s").alias("event_time"),
+    )
+    missing = [
+        f for f in ch_sink_schema().fields
+        if f.name not in ("appsflyer_id", "install_time", "event_time")
+    ]
+    for f in missing:
+        base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+    return base.select(*sink_columns())
+
+
+def _files(path: str, date: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/install_date={date}/*.parquet")
+    }
+
+
+def test_merge_upsert_latest_wins_and_partition_scoped(spark):
+    path = tempfile.mkdtemp(prefix="merge_sink_")
+    write_sink(
+        _rows(
+            spark,
+            [
+                ("a", "2024-01-01 10:00:00", "2024-01-01 10:00:00"),
+                ("b", "2024-01-01 11:00:00", "2024-01-01 11:00:00"),
+                ("c", "2024-01-02 09:00:00", "2024-01-02 09:00:00"),
+            ],
+        ),
+        path,
+    )
+    day2_before = _files(path, "2024-01-02")
+    assert day2_before
+
+    batch = _rows(
+        spark,
+        [
+            # newer event_time for a -> wins
+            ("a", "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+            # OLDER event_time for b -> existing sink row must survive
+            ("b", "2024-01-01 11:00:00", "2024-01-01 09:00:00"),
+            # brand-new key, same partition
+            ("d", "2024-01-01 13:00:00", "2024-01-01 13:00:00"),
+        ],
+    )
+    merge_upsert(spark, batch, path)
+
+    got = {
+        r["appsflyer_id"]: r["event_time"].isoformat()
+        for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        "a": "2024-01-01T12:00:00",
+        "b": "2024-01-01T11:00:00",
+        "c": "2024-01-02T09:00:00",
+        "d": "2024-01-01T13:00:00",
+    }
+    # day-2 partition was not part of the batch: same files, same mtimes
+    assert _files(path, "2024-01-02") == day2_before
+
+
+def test_merge_into_missing_sink_bootstraps(spark):
+    path = tempfile.mkdtemp(prefix="merge_boot_") + "/fresh"
+    merge_upsert(
+        spark,
+        _rows(spark, [("x", "2024-01-03 08:00:00", "2024-01-03 08:00:00")]),
+        path,
+    )
+    assert spark.read.parquet(path).count() == 1
+
+
+def test_compact_reduces_files_preserves_rows(spark):
+    path = tempfile.mkdtemp(prefix="compact_sink_")
+    for h in range(5):  # five appends -> >= five files in the partition
+        write_sink(
+            _rows(
+                spark,
+                [(f"k{h}", f"2024-01-05 0{h}:00:00", f"2024-01-05 0{h}:00:00")],
+            ),
+            path,
+        )
+    before = spark.read.parquet(path).collect()
+    assert len(_files(path, "2024-01-05")) >= 5
+
+    compact_partitions(spark, path, target_rows_per_file=1_000_000)
+
+    assert len(_files(path, "2024-01-05")) == 1
+    after = spark.read.parquet(path).collect()
+    assert sorted(map(str, before)) == sorted(map(str, after))
