@@ -70,3 +70,76 @@ def q_scan_sink_keys_pruned(spark, sf_dir):
     return scan_sink_keys_pruned(
         spark, path, "2024-01-08 00:00:00", "2024-01-25 00:00:00"
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_merge_upsert — partition-scoped MERGE, oracle-checked round-trip
+# ---------------------------------------------------------------------------
+
+_MERGE_ORACLE = """
+WITH initial AS (
+  SELECT CAST(event_id // 3 AS VARCHAR) AS appsflyer_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS install_time,
+         ts AS event_time
+  FROM events WHERE event_id % 3 = 0
+), batch AS (
+  SELECT CAST(event_id // 3 AS VARCHAR) AS appsflyer_id,
+         CAST(date_trunc('day', ts) AS TIMESTAMP) AS install_time,
+         ts + INTERVAL 1 HOUR AS event_time
+  FROM events WHERE event_id % 6 = 0
+), unioned AS (
+  SELECT *, 0 AS src FROM initial
+  UNION ALL
+  SELECT *, 1 AS src FROM batch
+), ranked AS (
+  SELECT appsflyer_id, install_time, event_time,
+         row_number() OVER (
+           PARTITION BY CAST(install_time AS DATE), appsflyer_id
+           ORDER BY event_time DESC, src DESC
+         ) AS rn
+  FROM unioned
+)
+SELECT appsflyer_id, install_time, event_time
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("sink_merge_upsert", _MERGE_ORACLE)
+def q_sink_merge_upsert(spark, sf_dir):
+    """MERGE INTO round-trip: an initial sink state plus an
+    overlapping batch with strictly newer event_times; after
+    merge_upsert the sink must hold exactly the per-(install_date,
+    key) latest-wins winners — expressed independently in the oracle
+    as a window over the unioned inputs. The merge reads back only the
+    batch's partitions and dynamically overwrites only those
+    directories (physical partition-scoping pinned in
+    tests/test_sink_maintenance.py); correctness of WHAT survives is
+    pinned here. Idempotent by construction, so bench re-runs converge
+    to the same state."""
+    from ..schemas import ch_sink_schema, sink_columns
+    from ..sinks.maintenance import merge_upsert
+
+    ev = load(spark, sf_dir, "events")
+
+    def shaped(df, event_time_col):
+        base = df.select(
+            F.expr("event_id DIV 3").cast("string").alias("appsflyer_id"),
+            F.date_trunc("DAY", F.col("ts")).alias("install_time"),
+            event_time_col.alias("event_time"),
+        )
+        for f in ch_sink_schema().fields:
+            if f.name not in ("appsflyer_id", "install_time", "event_time"):
+                base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return base.select(*sink_columns())
+
+    initial = shaped(ev.filter(F.col("event_id") % 3 == 0), F.col("ts"))
+    batch = shaped(
+        ev.filter(F.col("event_id") % 6 == 0),
+        F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_merge_")
+    write_sink(initial, path, mode="append")
+    merge_upsert(spark, batch, path)
+    return read_sink(spark, path).select(
+        "appsflyer_id", "install_time", "event_time"
+    )
