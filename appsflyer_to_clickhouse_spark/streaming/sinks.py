@@ -75,3 +75,27 @@ def run_foreach_batch_availablenow(
         .start()
     )
     q.awaitTermination()
+
+
+def merge_upsert_batch_fn(
+    sink_path: str,
+    key: str = "appsflyer_id",
+    order_col: str = "event_time",
+) -> BatchFn:
+    """CDC-style streaming upsert: every micro-batch MERGEs into the
+    partitioned sink with latest-wins semantics
+    (sinks/maintenance.merge_upsert), so the sink converges to the
+    newest version of every key no matter how updates are spread
+    across batches — and an out-of-order batch can never overwrite a
+    newer committed row (the order_col window decides, not arrival
+    order). Each merge touches only the batch's install_date
+    partitions; foreachBatch runs batches sequentially, so merge N+1
+    reads merge N's commits."""
+    from ..sinks.maintenance import merge_upsert
+
+    def fn(batch_df: DataFrame, batch_id: int) -> None:
+        merge_upsert(
+            batch_df.sparkSession, batch_df, sink_path, key, order_col
+        )
+
+    return fn

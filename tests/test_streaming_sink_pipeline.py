@@ -80,3 +80,63 @@ def test_stream_to_partitioned_sink(spark):
 
     dates = {d for d in os.listdir(sink) if d.startswith("install_date=")}
     assert dates == {"install_date=2024-01-05", "install_date=2024-01-06"}
+
+
+def test_streaming_merge_upsert_converges_to_latest(spark, tmp_path):
+    """CDC upsert through foreachBatch: updates to the same key spread
+    over micro-batches (including an out-of-order OLD update arriving
+    last) must converge to the per-key latest-wins state a single
+    batch merge would produce."""
+    from pyspark.sql import functions as F
+
+    from appsflyer_to_clickhouse_spark.schemas import (
+        ch_sink_schema,
+        sink_columns,
+    )
+    from appsflyer_to_clickhouse_spark.streaming.sinks import (
+        merge_upsert_batch_fn,
+        run_foreach_batch_availablenow,
+    )
+
+    def shaped(triples):
+        base = spark.createDataFrame(
+            triples,
+            "appsflyer_id string, install_time_s string, event_time_s string",
+        ).select(
+            "appsflyer_id",
+            F.to_timestamp("install_time_s").alias("install_time"),
+            F.to_timestamp("event_time_s").alias("event_time"),
+        )
+        for f in ch_sink_schema().fields:
+            if f.name not in ("appsflyer_id", "install_time", "event_time"):
+                base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return base.select(*sink_columns())
+
+    src = str(tmp_path / "src")
+    batches = [
+        [("k1", "2024-01-01 08:00:00", "2024-01-01 08:00:00"),
+         ("k2", "2024-01-01 09:00:00", "2024-01-01 09:00:00")],
+        [("k1", "2024-01-01 08:00:00", "2024-01-01 10:00:00"),  # newer k1
+         ("k3", "2024-01-02 07:00:00", "2024-01-02 07:00:00")],
+        [("k2", "2024-01-01 09:00:00", "2024-01-01 07:30:00")],  # STALE k2
+    ]
+    for i, rows in enumerate(batches):
+        shaped(rows).repartition(1).write.parquet(f"{src}/b{i}")
+    paths = [f"{src}/b{i}" for i in range(len(batches))]
+    stream = (
+        spark.readStream.schema(spark.read.parquet(*paths).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/b*")
+    )
+    sink = str(tmp_path / "sink")
+    run_foreach_batch_availablenow(stream, merge_upsert_batch_fn(sink))
+
+    got = {
+        r["appsflyer_id"]: r["event_time"].isoformat()
+        for r in spark.read.parquet(sink).collect()
+    }
+    assert got == {
+        "k1": "2024-01-01T10:00:00",
+        "k2": "2024-01-01T09:00:00",  # stale update did not regress
+        "k3": "2024-01-02T07:00:00",
+    }
