@@ -833,3 +833,39 @@ def q_join_range_bucketed(spark, sf_dir):
         )
         .select("p_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_argminmax — positional aggregates (max_by / min_by)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_argminmax",
+    """
+    SELECT event_type,
+           arg_max(event_id, ts) AS latest_event_id,
+           arg_min(event_id, ts) AS earliest_event_id,
+           round(arg_max(value, ts), 6) AS latest_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_agg_argminmax(spark, sf_dir):
+    """Positional aggregates: the row-valued argmax/argmin pattern
+    (Spark max_by/min_by = DuckDB arg_max/arg_min) that replaces the
+    join-back-after-groupBy idiom with ONE aggregate pass — at scale
+    that deletes a whole shuffle+join from 'latest row per key'
+    queries. The ordering key ts is unique per event_type group in this
+    data (microsecond stamps), making the picked rows deterministic;
+    on tie-prone keys compose the tiebreak into the ordering value
+    (struct(ts, event_id)) — the OHLC query shows the window
+    formulation of the same contract."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("max_by(event_id, ts)").alias("latest_event_id"),
+        F.expr("min_by(event_id, ts)").alias("earliest_event_id"),
+        F.round(F.expr("max_by(value, ts)"), 6).alias("latest_value"),
+        F.count("*").alias("n"),
+    )
