@@ -229,3 +229,73 @@ def q_scd2_change_intervals(spark, sf_dir):
         F.lead("ts").over(w_ver).alias("valid_to"),
         F.lead("ts").over(w_ver).isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_rfm_segments — quartile-coded RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+_RFM_REF_TS = "TIMESTAMP '1998-08-01 00:00:00'"
+
+_RFM_ORACLE = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                        CAST({_RFM_REF_TS} AS DATE)) AS BIGINT) AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4)))
+              AS DOUBLE), 2) AS DOUBLE) AS monetary
+  FROM orders
+  GROUP BY o_custkey
+)
+SELECT o_custkey, recency_days, frequency, monetary,
+       CAST(ntile(4) OVER (ORDER BY recency_days ASC,  o_custkey) AS BIGINT) AS r_q,
+       CAST(ntile(4) OVER (ORDER BY frequency   DESC, o_custkey) AS BIGINT) AS f_q,
+       CAST(ntile(4) OVER (ORDER BY monetary    DESC, o_custkey) AS BIGINT) AS m_q
+FROM per_cust
+"""
+
+
+@register("orders_rfm_segments", _RFM_ORACLE)
+def q_orders_rfm_segments(spark, sf_dir):
+    """RFM segmentation: per-customer recency (days before a fixed
+    reference date — never now(), which would be nondeterministic),
+    frequency, and decimal-exact monetary total, then quartile codes
+    per dimension. The ntile windows are GLOBAL rankings — ntile
+    assigns by row position, so each gets a total order (metric +
+    custkey tiebreak). A global ntile is a single-partition window:
+    fine here because its input is the per-customer AGGREGATE
+    (customers, not orders); at 100 TB swap ntile for a percentile
+    threshold join (approx_percentile thresholds broadcast onto the
+    stream) — same output contract, no single-task stage."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-08-01").cast("date"), F.max("o_orderdate")
+        ).cast("bigint").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.expr(
+            "CAST(ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(14,4)))"
+            " AS DOUBLE), 2) AS DOUBLE)"
+        ).alias("monetary"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(W.orderBy(F.asc("recency_days"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("r_q"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("f_q"),
+        F.ntile(4)
+        .over(W.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .cast("bigint")
+        .alias("m_q"),
+    )
