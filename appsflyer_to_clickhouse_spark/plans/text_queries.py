@@ -423,8 +423,12 @@ def q_json_props_extract(spark, sf_dir):
     with an explicit schema (never schema inference — nondeterministic
     at scale) plus a ``get_json_object`` path extract. The JSON is
     enriched from events.props deterministically in both engines so the
-    test exercises nested objects, not just flat ints."""
-    ev = load(spark, sf_dir, "events")
+    test exercises nested objects, not just flat ints. Parsing is the
+    per-row cost here, so the single-split testdata scan fans out
+    first (load_fanout; a no-op on real multi-split inputs)."""
+    from .registry import load_fanout
+
+    ev = load_fanout(spark, sf_dir, "events")
     j = F.concat(
         F.lit('{"k": '),
         F.get_json_object("props", "$.k"),

@@ -73,7 +73,14 @@ def main() -> int:
         li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(5000)
         (
             li.groupBy("l_returnflag")
-            .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("q"))
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("l_quantity").alias("q"),
+                # distinct + approx sketches plan an Expand stage whose
+                # codegen otherwise bills the first profiling query
+                F.countDistinct("l_partkey").alias("d"),
+                F.approx_count_distinct("l_suppkey").alias("ad"),
+            )
             .join(li.select("l_returnflag").distinct(), "l_returnflag")
             .write.format("noop")
             .mode("overwrite")
