@@ -116,3 +116,51 @@ def test_compact_reduces_files_preserves_rows(spark):
     assert len(_files(path, "2024-01-05")) == 1
     after = spark.read.parquet(path).collect()
     assert sorted(map(str, before)) == sorted(map(str, after))
+
+
+def test_merge_upsert_idempotent(spark):
+    """Re-merging the identical batch must be a no-op on CONTENT:
+    latest-wins with the batch preferred on ties converges after one
+    application (the re-run safety the reference gets from its
+    anti-join, extended to updates)."""
+    path = tempfile.mkdtemp(prefix="merge_idem_")
+    write_sink(
+        _rows(spark, [("a", "2024-01-01 10:00:00", "2024-01-01 10:00:00")]),
+        path,
+    )
+    batch = _rows(
+        spark, [("a", "2024-01-01 10:00:00", "2024-01-01 12:00:00")]
+    )
+    merge_upsert(spark, batch, path)
+    first = sorted(map(str, spark.read.parquet(path).collect()))
+    merge_upsert(spark, batch, path)
+    second = sorted(map(str, spark.read.parquet(path).collect()))
+    assert first == second
+
+
+def test_compact_partitions_incremental_scope(spark):
+    """compact_partitions(partitions=[...]) must rewrite ONLY the named
+    partition; the other keeps its files and mtimes byte-for-byte."""
+    path = tempfile.mkdtemp(prefix="compact_scope_")
+    for h in range(3):
+        write_sink(
+            _rows(
+                spark,
+                [
+                    (f"a{h}", f"2024-01-07 0{h}:00:00", f"2024-01-07 0{h}:00:00"),
+                    (f"b{h}", f"2024-01-08 0{h}:00:00", f"2024-01-08 0{h}:00:00"),
+                ],
+            ),
+            path,
+        )
+    day8_before = _files(path, "2024-01-08")
+    assert len(_files(path, "2024-01-07")) >= 3
+
+    import datetime as dt
+
+    compact_partitions(
+        spark, path, target_rows_per_file=10**6,
+        partitions=[dt.date(2024, 1, 7)],
+    )
+    assert len(_files(path, "2024-01-07")) == 1
+    assert _files(path, "2024-01-08") == day8_before
