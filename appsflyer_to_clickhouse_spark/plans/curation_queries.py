@@ -445,3 +445,68 @@ def q_mix_sources_weighted(spark, sf_dir):
         "rank_in_source",
         F.round(F.col("rank_in_source") / F.col("w"), 6).alias("mix_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_weighted_reservoir — Efraimidis-Spirakis weighted k-sample
+# ---------------------------------------------------------------------------
+
+_WR_K = 5  # docs kept per language
+
+# E-S key: u^(1/w) maximized <=> -ln(u)/w minimized; the log form keeps
+# the arithmetic in a well-conditioned range. u is the md5-derived
+# 60-bit uniform both engines compute identically; ln/division are the
+# only non-exactly-specified steps and a selection flip would need two
+# keys within ~1 ulp of each other.
+_WR_KEY_DUCK = (
+    f"-ln((('0x' || substr(md5('wres|' || doc_id), 1, 15))::UBIGINT + 1)"
+    f" / {float(2**60 + 2)!r}) / n_chars"
+)
+
+
+@register(
+    "sample_weighted_reservoir",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id, lang, n_chars,
+             {_WR_KEY_DUCK} AS k,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {_WR_KEY_DUCK} ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight,
+           round(k, 6) AS es_key
+    FROM keyed WHERE rn <= {_WR_K}
+    """,
+)
+def q_sample_weighted_reservoir(spark, sf_dir):
+    """Distributed weighted sampling WITHOUT replacement (Efraimidis-
+    Spirakis 2006): per language, keep the {_WR_K} docs with the
+    smallest -ln(u)/weight keys — exactly equivalent to drawing
+    {_WR_K} docs sequentially with probability proportional to
+    n_chars, but embarrassingly parallel: the key is a map-side
+    expression over the md5-derived uniform, and the per-stratum top-k
+    is a WindowGroupLimit that caps each task's contribution at K rows
+    BEFORE the stratum exchange — the same partial-top-k shape as
+    quota_per_source, so no task ever holds a stratum's full
+    population. The uniform is (h+1)/(2^60+2), strictly inside (0,1),
+    so ln never sees 0 or 1."""
+    docs = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        (hash60(F.concat(F.lit("wres|"), F.col("doc_id").cast("string"))) + 1)
+        / F.lit(float(2**60 + 2))
+    )
+    key = -F.log(u) / F.col("n_chars")
+    w = Window.partitionBy("lang").orderBy(F.asc("k"), F.asc("doc_id"))
+    keyed = docs.select(
+        "doc_id", "lang", "n_chars", key.alias("k")
+    ).withColumn("rn", F.row_number().over(w))
+    return keyed.filter(F.col("rn") <= _WR_K).select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        F.round("k", 6).alias("es_key"),
+    )

@@ -290,3 +290,11 @@ def test_range_bucketed_is_equi_join_not_nested_loop(spark):
         or "ShuffledHashJoin" in plan
         or "BroadcastHashJoin" in plan
     )
+
+
+def test_weighted_reservoir_limits_before_shuffle(spark):
+    """sample_weighted_reservoir: the per-stratum top-k must plan as
+    WindowGroupLimit (partial top-k before the stratum exchange), same
+    contract as quota_per_source."""
+    plan = _plan(spark, "sample_weighted_reservoir")
+    assert "WindowGroupLimit" in plan
