@@ -160,3 +160,65 @@ def q_multimodal_group_fingerprint(spark, sf_dir):
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"), "source"
     )
     return group_binary_fingerprint(bin_df, "source")
+
+
+# ---------------------------------------------------------------------------
+# multimodal_audio_windows — metadata-driven analysis-window planning
+# ---------------------------------------------------------------------------
+
+_SR = 16_000          # samples/sec
+_WIN = 4_000          # 250 ms analysis window
+_HOP = 2_000          # 125 ms hop (50% overlap)
+
+_AUDIO_ORACLE = f"""
+WITH meta AS (
+  SELECT doc_id,
+         {_SR} AS sample_rate,
+         n_chars * 40 AS n_samples
+  FROM documents WHERE n_chars * 40 >= {_WIN}
+)
+SELECT doc_id,
+       CAST(u.w AS INTEGER) AS window_idx,
+       CAST(u.w * {_HOP} AS BIGINT) AS start_sample,
+       CAST(u.w * {_HOP} + {_WIN} AS BIGINT) AS end_sample,
+       CAST(round(u.w * {_HOP} * 1000.0 / sample_rate, 3) AS DOUBLE)
+         AS start_ms
+FROM meta,
+     (SELECT unnest(range(0, ((n_samples - {_WIN}) // {_HOP}) + 1)) AS w) u
+"""
+
+
+@register("multimodal_audio_windows", _AUDIO_ORACLE)
+def q_multimodal_audio_windows(spark, sf_dir):
+    """Audio analysis-window planning from TYPED METADATA ALONE —
+    the scheduling half of feature extraction (the DSP half is the
+    codec-gated mapInPandas of multimodal_columns). Each clip's
+    (sample_rate, n_samples) yields its overlapping 250ms/125ms-hop
+    window plan as a map-side sequence() explode: 1 -> n_windows rows,
+    no shuffle, output linear in total audio duration. At 100 TB this
+    is how per-window work (VAD, fbank, embedding) is fanned out to
+    executors WITHOUT moving payload bytes — windows join back to the
+    binary column by doc_id only where a batch actually decodes.
+    Synthetic metadata derives deterministically from n_chars (the
+    container ships no audio codecs; the planning math is the real
+    surface)."""
+    docs = load(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        F.lit(_SR).alias("sample_rate"),
+        (F.col("n_chars") * 40).alias("n_samples"),
+    ).filter(F.col("n_samples") >= _WIN)
+    n_win = ((F.col("n_samples") - _WIN) / _HOP).cast("long")
+    return meta.select(
+        "doc_id",
+        "sample_rate",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_win)).alias("w"),
+    ).select(
+        "doc_id",
+        F.col("w").cast("int").alias("window_idx"),
+        (F.col("w") * _HOP).cast("bigint").alias("start_sample"),
+        (F.col("w") * _HOP + _WIN).cast("bigint").alias("end_sample"),
+        F.round(F.col("w") * _HOP * 1000.0 / F.col("sample_rate"), 3)
+        .cast("double")
+        .alias("start_ms"),
+    )
