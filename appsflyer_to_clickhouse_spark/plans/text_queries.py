@@ -600,3 +600,71 @@ def q_text_tfidf_topk(spark, sf_dir):
     return scored.orderBy(
         F.desc("tfidf"), F.asc("doc_id"), F.asc("tok")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# text_unigram_logprob — corpus-LM document scoring (perplexity filter)
+# ---------------------------------------------------------------------------
+
+# Per-token ln p is cast to DECIMAL(20,12) BEFORE the per-doc sum:
+# decimal addition is order-independent (float sums are not), and the
+# 12-digit rounding absorbs any last-ulp ln() difference between the
+# engines' libm implementations.
+_LP_DEC = "CAST(ln((c + 1.0) / (tot + v)) AS DECIMAL(20,12))"
+
+_UNIGRAM_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS tok
+  FROM documents
+), cnt AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY tok
+), corpus AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS tot, CAST(count(*) AS DOUBLE) AS v
+  FROM cnt
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(round(CAST(sum({_LP_DEC}) AS DOUBLE) / count(*), 6) AS DOUBLE)
+         AS avg_logprob
+FROM tok t
+JOIN cnt ON cnt.tok = t.tok
+CROSS JOIN corpus
+GROUP BY t.doc_id
+"""
+
+
+@register("text_unigram_logprob", _UNIGRAM_ORACLE)
+def q_text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM document scoring — the statistical form of the
+    quality filter (a document whose tokens are improbable under the
+    corpus distribution is noise; avg_logprob is -perplexity in log
+    space). Laplace-smoothed p(tok) = (c+1)/(total+V) comes from the
+    vocabulary-bounded count table, which BROADCASTS back onto the
+    token stream (vocabularies are MBs at any corpus size); the scalar
+    (total, V) row is a second broadcast. One vocabulary shuffle + one
+    per-doc aggregate — the token stream itself never shuffles twice.
+    Per-token log-probs sum in DECIMAL so the per-doc reduction is
+    order-independent cross-engine."""
+    from ..functions.text import tokens
+    from .registry import load_fanout
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    cnt = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    corpus = cnt.agg(
+        F.sum("c").cast("double").alias("tot"),
+        F.count("*").cast("double").alias("v"),
+    )
+    scored = (
+        tok.join(F.broadcast(cnt), "tok")
+        .crossJoin(F.broadcast(corpus))
+        .select("doc_id", F.expr(_LP_DEC).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6)
+        .cast("double")
+        .alias("avg_logprob"),
+    )
