@@ -869,3 +869,112 @@ def q_agg_argminmax(spark, sf_dir):
         F.round(F.expr("max_by(value, ts)"), 6).alias("latest_value"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_corr_exact — Pearson correlation from exact decimal co-moments
+# ---------------------------------------------------------------------------
+
+# (18,3): DuckDB promotes narrower decimals to a 64-bit DECIMAL(18)
+# fast path whose multiplication overflows on squared prices; at 18
+# digits it switches to int128, and Spark's product precision
+# 18+18+1=37 still fits 38 with NO scale loss — exact on both engines
+_CX = "CAST(l_quantity AS DECIMAL(18,3))"
+_CY = "CAST(l_extendedprice AS DECIMAL(18,3))"
+
+@register(
+    "agg_corr_exact",
+    f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE) AS n,
+             CAST(SUM({_CX}) AS DOUBLE) AS sx,
+             CAST(SUM({_CY}) AS DOUBLE) AS sy,
+             CAST(SUM({_CX} * {_CX}) AS DOUBLE) AS sxx,
+             CAST(SUM({_CY} * {_CY}) AS DOUBLE) AS syy,
+             CAST(SUM({_CX} * {_CY}) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n,
+           round((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)),
+                 6) AS corr_qty_price,
+           round((n * sxy - sx * sy) / (n * (n - 1)), 4) AS covar_samp
+    FROM m
+    """,
+)
+def q_agg_corr_exact(spark, sf_dir):
+    """Pearson correlation + sample covariance per group from exact
+    decimal co-moments — the built-in corr()/covar_samp() stream
+    doubles in partial order, so their last digits are
+    run-dependent and can never hash-match an independent engine; the
+    five decimal sums are exact and the closed form then runs in one
+    fixed double expression. Same one-exchange partial/final aggregate
+    plan as any groupBy."""
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.expr(f"CAST(SUM({_CX}) AS DOUBLE)").alias("sx"),
+        F.expr(f"CAST(SUM({_CY}) AS DOUBLE)").alias("sy"),
+        F.expr(f"CAST(SUM({_CX} * {_CX}) AS DOUBLE)").alias("sxx"),
+        F.expr(f"CAST(SUM({_CY} * {_CY}) AS DOUBLE)").alias("syy"),
+        F.expr(f"CAST(SUM({_CX} * {_CY}) AS DOUBLE)").alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n"),
+        F.round(
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            6,
+        ).alias("corr_qty_price"),
+        F.round((n * sxy - sx * sy) / (n * (n - 1)), 4).alias("covar_samp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# agg_mode_deterministic — most-frequent value with a total tiebreak
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_mode_deterministic",
+    """
+    WITH counted AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY count(*) DESC, event_type ASC) AS rn
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id, event_type AS mode_type, c AS mode_count
+    FROM counted WHERE rn = 1
+    """,
+)
+def q_agg_mode_deterministic(spark, sf_dir):
+    """Per-key mode with an explicit total tiebreak (count desc, value
+    asc) — the built-in mode() leaves ties engine-arbitrary, which is
+    exactly the nondeterminism a cross-engine contract can't tolerate.
+    Count + window share the user_id-prefixed partitioning: one
+    exchange, and the rn=1 filter is a WindowGroupLimit partial top-1
+    before it."""
+    from pyspark.sql import Window as W2
+
+    ev = load(spark, sf_dir, "events")
+    counted = ev.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c")
+    )
+    w = W2.partitionBy("user_id").orderBy(
+        F.desc("c"), F.asc("event_type")
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("c").alias("mode_count"),
+        )
+    )
