@@ -978,3 +978,55 @@ def q_agg_mode_deterministic(spark, sf_dir):
             F.col("c").alias("mode_count"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# array_funcs — the array scalar-function family, scalar-typed outputs
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "array_funcs",
+    """
+    SELECT vec_id,
+           len(embedding) AS n_dims,
+           round(embedding[1]::DOUBLE, 6) AS first_dim,
+           round(list_aggregate(embedding[1:8]::DOUBLE[], 'sum'), 6)
+             AS head_sum,
+           round(list_sort(embedding::DOUBLE[])[1], 6) AS min_dim,
+           round(list_sort(embedding::DOUBLE[])[len(embedding)], 6)
+             AS max_dim,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0.0))
+                AS BIGINT) AS n_positive,
+           round(list_aggregate(
+                   list_transform(embedding::DOUBLE[], x -> abs(x)), 'max'),
+                 6) AS max_abs
+    FROM embeddings
+    """,
+)
+def q_array_funcs(spark, sf_dir):
+    """The array scalar vocabulary over a real vector column — size,
+    subscript, slice+fold, sort-derived min/max, filtered count,
+    transform+fold — all in ONE map-only Project (no explode, no
+    shuffle; outputs stay scalar because array-typed result cells
+    break downstream canonicalizers). The slice fold runs
+    left-to-right identically on both engines, so even the float sums
+    hash-match after round(6)."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    head_sum = F.aggregate(
+        F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x
+    )
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("n_dims"),
+        F.round(F.element_at(v, 1), 6).alias("first_dim"),
+        F.round(head_sum, 6).alias("head_sum"),
+        F.round(F.array_min(v), 6).alias("min_dim"),
+        F.round(F.array_max(v), 6).alias("max_dim"),
+        F.size(F.filter(v, lambda x: x > 0.0)).cast("bigint").alias(
+            "n_positive"
+        ),
+        F.round(max_abs, 6).alias("max_abs"),
+    )
