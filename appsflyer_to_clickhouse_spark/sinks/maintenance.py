@@ -135,3 +135,41 @@ def compact_partitions(
                 .partitionBy(PARTITION_COL)
                 .parquet(path)
             )
+
+
+def refresh_rollup_incremental(
+    spark: SparkSession,
+    sink_path: str,
+    rollup_path: str,
+    dates: list | None = None,
+) -> None:
+    """Incrementally maintain a per-install_date rollup of the sink —
+    the continuous-aggregate / materialized-view refresh pattern.
+
+    The rollup (rows, distinct keys, first/last install_time per date)
+    is itself partitioned by install_date, so a refresh recomputes
+    ONLY the named dates: read those sink partitions (directory
+    pruning), re-aggregate, dynamically overwrite those rollup
+    directories. ``dates=None`` bootstraps/refreshes everything.
+    Because each date's aggregate depends on nothing outside its own
+    partition, incremental refresh is EXACTLY equal to a full
+    recompute restricted to those dates — the invariant that makes
+    day-scoped refresh safe after any append/merge/compaction that
+    touched those days. At 100 TB the daily cadence is: ingest a day,
+    merge it, refresh that day's rollup — the full-table recompute
+    never runs."""
+    df = spark.read.parquet(sink_path)
+    if dates is not None:
+        df = df.filter(F.col(PARTITION_COL).isin(dates))
+    rollup = df.groupBy(PARTITION_COL).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct(F.col("appsflyer_id")).alias("n_keys"),
+        F.min("install_time").alias("first_install"),
+        F.max("install_time").alias("last_install"),
+    )
+    with _dynamic_overwrite(spark):
+        (
+            rollup.write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(rollup_path)
+        )

@@ -164,3 +164,66 @@ def test_compact_partitions_incremental_scope(spark):
     )
     assert len(_files(path, "2024-01-07")) == 1
     assert _files(path, "2024-01-08") == day8_before
+
+
+def test_incremental_rollup_refresh_equals_full_recompute(spark):
+    """Continuous-aggregate maintenance: after appending a new day and
+    updating an existing one, refreshing ONLY the touched dates must
+    (a) leave the untouched date's rollup files byte-identical and
+    (b) produce exactly the rollup a full recompute would."""
+    import datetime as dt
+
+    from appsflyer_to_clickhouse_spark.sinks.maintenance import (
+        refresh_rollup_incremental,
+    )
+
+    sink = tempfile.mkdtemp(prefix="rollup_sink_")
+    rollup = tempfile.mkdtemp(prefix="rollup_agg_")
+    write_sink(
+        _rows(
+            spark,
+            [
+                ("a", "2024-02-01 08:00:00", "2024-02-01 08:00:00"),
+                ("b", "2024-02-01 09:00:00", "2024-02-01 09:00:00"),
+                ("c", "2024-02-02 07:00:00", "2024-02-02 07:00:00"),
+            ],
+        ),
+        sink,
+    )
+    refresh_rollup_incremental(spark, sink, rollup)  # bootstrap: all dates
+    day2_rollup_before = _files(rollup, "2024-02-02")
+
+    # day 1 gains a row; day 3 is new; day 2 untouched
+    write_sink(
+        _rows(
+            spark,
+            [
+                ("d", "2024-02-01 10:00:00", "2024-02-01 10:00:00"),
+                ("e", "2024-02-03 11:00:00", "2024-02-03 11:00:00"),
+            ],
+        ),
+        sink,
+    )
+    refresh_rollup_incremental(
+        spark, sink, rollup,
+        dates=[dt.date(2024, 2, 1), dt.date(2024, 2, 3)],
+    )
+
+    assert _files(rollup, "2024-02-02") == day2_rollup_before
+
+    got = {
+        str(r["install_date"]): (r["n_rows"], r["n_keys"])
+        for r in spark.read.parquet(rollup).collect()
+    }
+    assert got == {
+        "2024-02-01": (3, 3),
+        "2024-02-02": (1, 1),
+        "2024-02-03": (1, 1),
+    }
+
+    # full recompute agrees row-for-row with the incremental state
+    full = tempfile.mkdtemp(prefix="rollup_full_")
+    refresh_rollup_incremental(spark, sink, full)
+    a = sorted(map(str, spark.read.parquet(rollup).collect()))
+    b = sorted(map(str, spark.read.parquet(full).collect()))
+    assert a == b
