@@ -143,3 +143,49 @@ def q_sink_merge_upsert(spark, sf_dir):
     return read_sink(spark, path).select(
         "appsflyer_id", "install_time", "event_time"
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_rollup_refresh — continuous-aggregate round-trip
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = """
+SELECT CAST(date_trunc('day', ts) AS DATE) AS install_date,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT event_id // 3) AS BIGINT) AS n_keys,
+       min(ts) AS first_install,
+       max(ts) AS last_install
+FROM events
+GROUP BY 1
+"""
+
+
+@register("sink_rollup_refresh", _ROLLUP_ORACLE)
+def q_sink_rollup_refresh(spark, sf_dir):
+    """Continuous-aggregate round-trip: seed the partitioned sink from
+    events, run the incremental rollup refresh (bootstrap form), read
+    the materialized rollup back; the oracle recomputes the same
+    per-date aggregate straight from the source, so any loss in the
+    write->refresh->read path (partition mapping, distinct counting,
+    min/max typing) breaks the hash. Incremental day-scoped refresh
+    equivalence and untouched-partition byte-identity are pinned in
+    tests/test_sink_maintenance.py."""
+    from ..schemas import ch_sink_schema, sink_columns
+    from ..sinks.maintenance import refresh_rollup_incremental
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.expr("event_id DIV 3").cast("string").alias("appsflyer_id"),
+        F.col("ts").alias("install_time"),
+        F.col("ts").alias("event_time"),
+    )
+    for f in ch_sink_schema().fields:
+        if f.name not in ("appsflyer_id", "install_time", "event_time"):
+            base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+    sink = tempfile.mkdtemp(prefix="spark_graft_rollup_sink_")
+    rollup = tempfile.mkdtemp(prefix="spark_graft_rollup_")
+    write_sink(base.select(*sink_columns()), sink, mode="append")
+    refresh_rollup_incremental(spark, sink, rollup)
+    return spark.read.parquet(rollup).select(
+        "install_date", "n_rows", "n_keys", "first_install", "last_install"
+    )
