@@ -299,3 +299,121 @@ def q_orders_rfm_segments(spark, sf_dir):
         .cast("bigint")
         .alias("m_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_markov_transitions — first-order behavior transition matrix
+# ---------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+), pair AS (
+  SELECT prev_type, event_type AS next_type,
+         CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, next_type
+)
+SELECT prev_type, next_type, n,
+       round(n * 1.0 / sum(n) OVER (PARTITION BY prev_type), 6) AS p
+FROM pair
+"""
+
+
+@register("events_markov_transitions", _MARKOV_ORACLE)
+def q_events_markov_transitions(spark, sf_dir):
+    """First-order transition matrix of user behavior: adjacent
+    event-type pairs per user (lag over the (ts, event_id) total
+    order), counted globally, normalized to row-stochastic
+    probabilities. One user_id exchange for the sequencing, one
+    (prev, next) aggregate whose keyspace is #types^2 — a constant —
+    and the normalizing window runs over that constant-size result.
+    The integer-ratio probabilities are engine-exact before
+    rounding."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    pair = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count("*").alias("n"))
+    wp = W.partitionBy("prev_type")
+    return pair.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_pareto_concentration — cumulative revenue share (80/20 curve)
+# ---------------------------------------------------------------------------
+
+_PARETO_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey,
+         SUM(CAST(o_totalprice AS DECIMAL(14,4))) AS rev
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey, rev,
+         CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS BIGINT)
+           AS rnk,
+         SUM(rev) OVER (ORDER BY rev DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_rev,
+         SUM(rev) OVER () AS total_rev,
+         CAST(count(*) OVER () AS BIGINT) AS n_cust
+  FROM per_cust
+)
+SELECT rnk, o_custkey,
+       CAST(round(CAST(rev AS DOUBLE), 2) AS DOUBLE) AS rev,
+       round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6)
+         AS cum_share,
+       round(rnk * 1.0 / n_cust, 6) AS cust_share
+FROM ranked
+WHERE round(CAST(cum_rev AS DOUBLE) / CAST(total_rev AS DOUBLE), 6) <= 0.8
+"""
+
+
+@register("orders_pareto_concentration", _PARETO_ORACLE)
+def q_orders_pareto_concentration(spark, sf_dir):
+    """Pareto/ABC analysis: the customers whose cumulative revenue
+    share stays within 80%, with each one's rank, exact-decimal
+    revenue, and the cumulative/population shares — the concentration
+    curve behind tiering decisions. The running sum needs a global
+    order, but over the per-customer AGGREGATE (like RFM's ntile);
+    decimal revenue makes cum/total engine-exact so the 80% cutoff
+    can't flake on a float boundary."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("SUM(CAST(o_totalprice AS DECIMAL(14,4)))").alias("rev")
+    )
+    wo = W.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    wall = W.partitionBy()
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev",
+        F.row_number().over(wo).cast("bigint").alias("rnk"),
+        F.sum("rev").over(wo.rowsBetween(W.unboundedPreceding, W.currentRow)).alias("cum_rev"),
+        F.sum("rev").over(wall).alias("total_rev"),
+        F.count("*").over(wall).cast("bigint").alias("n_cust"),
+    )
+    cum_share = F.round(
+        F.col("cum_rev").cast("double") / F.col("total_rev").cast("double"), 6
+    )
+    return ranked.select(
+        "rnk",
+        "o_custkey",
+        F.expr("CAST(ROUND(CAST(rev AS DOUBLE), 2) AS DOUBLE) AS rev"),
+        cum_share.alias("cum_share"),
+        F.round(F.col("rnk") / F.col("n_cust"), 6).alias("cust_share"),
+    ).filter(F.col("cum_share") <= 0.8)
