@@ -105,3 +105,93 @@ def test_funnel_edge_counts(spark, edge_dir):
     assert row.n_view == 6
     assert row.n_view_click == 3  # users 4, 5, 6
     assert row.n_view_click_purchase == 2  # users 4 and 5
+
+
+# ---------------------------------------------------------------------------
+# crafted customer/orders edges: zero-order customers, revenue ties,
+# year-boundary cohorts, urgent-only customers
+# ---------------------------------------------------------------------------
+
+_CUSTOMERS = [
+    (1, "C1", 0, 100.0, "SEG_A"),
+    (2, "C2", 1, 200.0, "SEG_A"),
+    (3, "C3", 2, 300.0, "SEG_B"),
+    (4, "C4", 3, 400.0, "SEG_B"),
+    (5, "C5", 4, 500.0, "SEG_C"),  # no orders at all
+]
+
+_ORDERS = [
+    # c1: single order, 1-URGENT only -> q13 must count it as ZERO
+    (10, 1, "F", 1000.0, dt.datetime(2024, 1, 5), "1-URGENT"),
+    # c2: orders spanning a year boundary -> cohort offsets 0, 2, 12
+    (20, 2, "O", 500.0, dt.datetime(2024, 1, 10), "5-LOW"),
+    (21, 2, "O", 500.0, dt.datetime(2024, 3, 15), "5-LOW"),
+    (22, 2, "P", 500.0, dt.datetime(2025, 1, 20), "5-LOW"),
+    # c3 and c4: IDENTICAL total revenue -> rank tiebreak must decide
+    (30, 3, "F", 750.0, dt.datetime(2024, 6, 1), "2-HIGH"),
+    (40, 4, "F", 750.0, dt.datetime(2024, 6, 2), "2-HIGH"),
+]
+
+
+@pytest.fixture(scope="module")
+def orders_edge_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_orders_sf")
+    src = "/root/testdata/sf0.001"
+    for t in TESTDATA_TABLES:
+        if t not in ("customer", "orders"):
+            os.symlink(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    ccols = list(zip(*_CUSTOMERS))
+    pq.write_table(
+        pa.table(
+            {
+                "c_custkey": pa.array(ccols[0], pa.int64()),
+                "c_name": pa.array(ccols[1], pa.string()),
+                "c_nationkey": pa.array(ccols[2], pa.int32()),
+                "c_acctbal": pa.array(ccols[3], pa.float64()),
+                "c_mktsegment": pa.array(ccols[4], pa.string()),
+            }
+        ),
+        str(d / "customer.parquet"),
+    )
+    ocols = list(zip(*_ORDERS))
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array(ocols[0], pa.int64()),
+                "o_custkey": pa.array(ocols[1], pa.int64()),
+                "o_orderstatus": pa.array(ocols[2], pa.string()),
+                "o_totalprice": pa.array(ocols[3], pa.float64()),
+                "o_orderdate": pa.array(ocols[4], pa.timestamp("us")),
+                "o_orderpriority": pa.array(ocols[5], pa.string()),
+            }
+        ),
+        str(d / "orders.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "orders_retention_cohort",
+        "orders_rfm_segments",
+        "orders_pareto_concentration",
+        "groupcount_dist_q13",
+    ],
+)
+def test_orders_edge_semantics_match_oracle(spark, orders_edge_dir, name):
+    compare(QUERIES[name](spark, orders_edge_dir), ORACLE[name], orders_edge_dir)
+
+
+def test_q13_counts_urgent_only_customer_as_zero(spark, orders_edge_dir):
+    """c1 has only a 1-URGENT order (excluded in the join condition)
+    and c5 has none: both land in the zero-order bucket, which a WHERE
+    instead of a join-condition filter would silently drop."""
+    rows = {
+        r["c_count"]: r["custdist"]
+        for r in QUERIES["groupcount_dist_q13"](spark, orders_edge_dir).collect()
+    }
+    assert rows[0] == 2  # c1 (urgent-only) and c5 (orderless)
