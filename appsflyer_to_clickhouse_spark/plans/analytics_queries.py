@@ -417,3 +417,89 @@ def q_orders_pareto_concentration(spark, sf_dir):
         cum_share.alias("cum_share"),
         F.round(F.col("rnk") / F.col("n_cust"), 6).alias("cust_share"),
     ).filter(F.col("cum_share") <= 0.8)
+
+
+# ---------------------------------------------------------------------------
+# market_basket_copurchase — co-occurrence mining with lift
+# ---------------------------------------------------------------------------
+
+_BASKET_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(count(*) AS BIGINT) AS n_both
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey
+              AND a.l_partkey < b.l_partkey
+  GROUP BY part_a, part_b
+), cnt AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c FROM items GROUP BY 1
+), tot AS (
+  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM items
+)
+SELECT part_a, part_b, n_both,
+       round(n_both * 1.0 * n_orders / (ca.c * cb.c), 6) AS lift
+FROM pairs
+JOIN cnt ca ON ca.l_partkey = part_a
+JOIN cnt cb ON cb.l_partkey = part_b
+CROSS JOIN tot
+ORDER BY n_both DESC, part_a ASC, part_b ASC
+LIMIT 20
+"""
+
+
+@register("market_basket_copurchase", _BASKET_ORACLE)
+def q_market_basket_copurchase(spark, sf_dir):
+    """Market-basket co-occurrence: top part pairs bought in the same
+    order, with lift = P(a,b)/(P(a)P(b)). Pair generation groups each
+    basket and explodes in-basket combinations — bounded by basket
+    size squared (baskets are small by nature), NEVER an item-level
+    self-join of the fact table; this is the same grouped in-bucket
+    pair machinery the LSH dedup family uses. Per-part supports
+    broadcast back onto the pair counts, and lift is an exact integer
+    ratio before rounding. Top-20 under a total order."""
+    from ..operators.dedup import _in_group_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = (
+        baskets.select(F.explode(_in_group_pairs(F.col("parts"))).alias("p"))
+        .select(
+            F.col("p.id_a").alias("part_a"), F.col("p.id_b").alias("part_b")
+        )
+        .groupBy("part_a", "part_b")
+        .agg(F.count("*").alias("n_both"))
+    )
+    cnt = items.groupBy("l_partkey").agg(F.count("*").alias("c"))
+    tot = items.agg(
+        F.count_distinct(F.col("l_orderkey")).alias("n_orders")
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("part_a"),
+                                   F.col("c").alias("ca"))),
+            "part_a",
+        )
+        .join(
+            F.broadcast(cnt.select(F.col("l_partkey").alias("part_b"),
+                                   F.col("c").alias("cb"))),
+            "part_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * F.col("n_orders") / (F.col("ca") * F.col("cb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("n_both"), F.asc("part_a"), F.asc("part_b")
+    ).limit(20)
