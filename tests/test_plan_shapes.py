@@ -298,3 +298,32 @@ def test_weighted_reservoir_limits_before_shuffle(spark):
     contract as quota_per_source."""
     plan = _plan(spark, "sample_weighted_reservoir")
     assert "WindowGroupLimit" in plan
+
+
+def test_no_registered_query_plans_a_cartesian_product(spark):
+    """Global invariant across the whole registry: no query may plan a
+    CartesianProduct — every cross join in the suite is a broadcast of
+    a scalar/stats row (BroadcastNestedLoopJoin with a 1-row side) and
+    every join has an equi-key or an explicit broadcast. A cartesian
+    anywhere is an |L|x|R| wall at scale. Side-effecting round-trip
+    queries (sink writes, stream replays, iterative builds) are
+    exercised by their own tests and skipped here; plan construction
+    alone must stay side-effect-free for everything else."""
+    skip_prefixes = ("stream_", "sink_", "source_http")
+    skip_exact = {
+        "similarity_ivf_kmeans",  # driver-side KMeans fit at build
+        "join_bucketed_colocate",  # writes bucketed tables at build
+        "dedup_clusters",  # iterative localCheckpoint at build
+        "config_env",  # no scan at all
+    }
+    checked = 0
+    offenders = []
+    for name in QUERIES:
+        if name.startswith(skip_prefixes) or name in skip_exact:
+            continue
+        plan = _plan(spark, name)
+        checked += 1
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert checked > 100, f"sweep unexpectedly small: {checked}"
+    assert not offenders, f"cartesian products in: {offenders}"
