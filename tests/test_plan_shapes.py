@@ -317,13 +317,20 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "config_env",  # no scan at all
     }
     checked = 0
-    offenders = []
+    cartesian = []
+    row_python = []
     for name in QUERIES:
         if name.startswith(skip_prefixes) or name in skip_exact:
             continue
         plan = _plan(spark, name)
         checked += 1
         if "CartesianProduct" in plan:
-            offenders.append(name)
+            cartesian.append(name)
+        # Arrow-batched pandas stages (ArrowEvalPython / MapInPandas /
+        # FlatMapGroupsInPandas) are the sanctioned Python path;
+        # row-at-a-time BatchEvalPython is never acceptable
+        if "BatchEvalPython" in plan:
+            row_python.append(name)
     assert checked > 100, f"sweep unexpectedly small: {checked}"
-    assert not offenders, f"cartesian products in: {offenders}"
+    assert not cartesian, f"cartesian products in: {cartesian}"
+    assert not row_python, f"row-at-a-time Python UDFs in: {row_python}"
