@@ -668,3 +668,57 @@ def q_text_unigram_logprob(spark, sf_dir):
         .cast("double")
         .alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# unnest_outer_preserve — outer explode (empty arrays keep their row)
+# ---------------------------------------------------------------------------
+
+_OUTER_ORACLE = """
+WITH src AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 0 THEN ''
+              ELSE text END AS text2
+  FROM documents
+), tk AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text2), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM src
+), exploded AS (
+  SELECT doc_id, unnest(t) AS tok FROM tk WHERE len(t) > 0
+  UNION ALL
+  SELECT doc_id, NULL AS tok FROM tk WHERE len(t) = 0
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(tok) AS BIGINT) AS n_tokens,
+       CAST(count(*) FILTER (WHERE tok IS NULL) AS BIGINT) AS n_null_marker
+FROM exploded
+GROUP BY doc_id
+"""
+
+
+@register("unnest_outer_preserve", _OUTER_ORACLE)
+def q_unnest_outer_preserve(spark, sf_dir):
+    """OUTER explode semantics: a document whose token array is empty
+    must SURVIVE the lateral unnest as one NULL-token row — plain
+    explode silently drops it, and any per-doc aggregate built
+    downstream then undercounts the corpus (the classic silent-loss
+    bug in tokenize-then-regroup pipelines). Empty arrays are
+    synthesized (doc_id % 97) so the preserved path is exercised on
+    every run; the oracle models the outer join as the union of the
+    non-empty explode and the empty-marker rows."""
+    from ..functions.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    text2 = F.when(F.col("doc_id") % 97 == 0, F.lit("")).otherwise(
+        F.col("text")
+    )
+    tk = docs.select("doc_id", tokens(text2).alias("t"))
+    exploded = tk.select("doc_id", F.explode_outer("t").alias("tok"))
+    return exploded.groupBy("doc_id").agg(
+        F.count("*").alias("n_rows"),
+        F.count("tok").alias("n_tokens"),
+        F.count(F.when(F.col("tok").isNull(), 1)).alias("n_null_marker"),
+    )
