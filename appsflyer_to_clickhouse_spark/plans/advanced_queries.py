@@ -927,11 +927,15 @@ def q_agg_corr_exact(spark, sf_dir):
         "l_returnflag",
         n.cast("bigint").alias("n"),
         F.round(
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)),
+            F.try_divide(
+                n * sxy - sx * sy,
+                F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy),
+            ),
             6,
         ).alias("corr_qty_price"),
-        F.round((n * sxy - sx * sy) / (n * (n - 1)), 4).alias("covar_samp"),
+        F.round(
+            F.try_divide(n * sxy - sx * sy, n * (n - 1)), 4
+        ).alias("covar_samp"),
     )
 
 

@@ -99,12 +99,18 @@ def q_events_funnel(spark, sf_dir):
         F.max("t2").alias("t2"),
         F.max("t3").alias("t3"),
     )
+    # try_divide: an empty corpus (or zero clickers) must yield NULL
+    # rates, matching DuckDB's NULL-on-zero-divisor — ANSI `/` throws
     return per_user.agg(
         F.count("t1").alias("n_view"),
         F.count("t2").alias("n_view_click"),
         F.count("t3").alias("n_view_click_purchase"),
-        F.round(F.count("t2") / F.count("t1"), 6).alias("click_rate"),
-        F.round(F.count("t3") / F.count("t2"), 6).alias("purchase_rate"),
+        F.round(F.try_divide(F.count("t2"), F.count("t1")), 6).alias(
+            "click_rate"
+        ),
+        F.round(F.try_divide(F.count("t3"), F.count("t2")), 6).alias(
+            "purchase_rate"
+        ),
     )
 
 

@@ -72,9 +72,16 @@ def q_features_standardize(spark, sf_dir):
         .crossJoin(F.broadcast(stats))
         .select(
             "event_id",
-            F.round((F.col("value") - s / n) / std, 6).alias("value_z"),
+            # try_divide: zero variance / constant column / empty input
+            # yield NULL scalings (DuckDB NULL-on-zero-divisor) instead
+            # of an ANSI divide-by-zero crash
             F.round(
-                (F.col("value") - F.col("mn")) / (F.col("mx") - F.col("mn")),
+                F.try_divide(F.col("value") - F.try_divide(s, n), std), 6
+            ).alias("value_z"),
+            F.round(
+                F.try_divide(
+                    F.col("value") - F.col("mn"), F.col("mx") - F.col("mn")
+                ),
                 6,
             ).alias("value_minmax"),
         )

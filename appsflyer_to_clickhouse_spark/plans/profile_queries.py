@@ -63,9 +63,11 @@ def q_profile_null_stats(spark, sf_dir):
             F.lit(c).alias("column_name"),
             F.count("*").alias("n_rows"),
             (F.count("*") - F.count(c)).alias("n_null"),
-            F.round((F.count("*") - F.count(c)) / F.count("*"), 6).alias(
-                "null_frac"
-            ),
+            # try_divide: an empty table yields NULL null_frac (DuckDB
+            # NULL-on-zero-divisor; ANSI `/` throws)
+            F.round(
+                F.try_divide(F.count("*") - F.count(c), F.count("*")), 6
+            ).alias("null_frac"),
             F.count_distinct(F.col(c)).alias("n_distinct"),
         )
         for c in _PROFILE_COLS
@@ -104,9 +106,12 @@ def q_agg_approx_distinct_bounded(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
 
     def ok(est, exact):
+        # try_divide: empty input (exact=0) yields NULL, not a crash
         return (
-            F.abs(est.cast("double") - exact.cast("double"))
-            / exact.cast("double")
+            F.try_divide(
+                F.abs(est.cast("double") - exact.cast("double")),
+                exact.cast("double"),
+            )
             <= 0.05
         )
 
@@ -151,7 +156,7 @@ def q_agg_approx_quantile_bounded(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
 
     def ok(est, exact):
-        return F.abs(est - exact) / F.abs(exact) <= 0.01
+        return F.try_divide(F.abs(est - exact), F.abs(exact)) <= 0.01
 
     agg = ev.agg(
         F.expr("percentile(value, 0.5)").alias("x50"),

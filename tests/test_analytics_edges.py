@@ -195,3 +195,55 @@ def test_q13_counts_urgent_only_customer_as_zero(spark, orders_edge_dir):
         for r in QUERIES["groupcount_dist_q13"](spark, orders_edge_dir).collect()
     }
     assert rows[0] == 2  # c1 (urgent-only) and c5 (orderless)
+
+
+# ---------------------------------------------------------------------------
+# empty-events edges: every aggregate/window family must agree with the
+# oracle on ZERO input rows (0/0 rates, empty windows, empty spines)
+# ---------------------------------------------------------------------------
+
+_EMPTY_QUERIES = [
+    "timeseries_gapfill",
+    "timeseries_interpolate",
+    "timeseries_ohlc",
+    "timeseries_zscore_anomaly",
+    "events_funnel",          # 0/0 conversion rates
+    "scd2_change_intervals",
+    "events_markov_transitions",
+    "agg_mode_deterministic",
+    "profile_null_stats",     # count(*)=0 -> 0/0 null_frac
+    "distinct_keys",
+    "count_rows",             # lineitem-based: unaffected, sanity
+    "features_standardize",   # empty stats row, empty output
+]
+
+
+@pytest.fixture(scope="module")
+def empty_events_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("edge_empty_sf")
+    src = "/root/testdata/sf0.001"
+    for t in TESTDATA_TABLES:
+        if t != "events":
+            os.symlink(f"{src}/{t}.parquet", str(d / f"{t}.parquet"))
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "value": pa.array([], pa.float64()),
+                "props": pa.array([], pa.string()),
+            }
+        ),
+        str(d / "events.parquet"),
+    )
+    return str(d)
+
+
+@pytest.mark.parametrize("name", _EMPTY_QUERIES)
+def test_empty_events_match_oracle(spark, empty_events_dir, name):
+    compare(QUERIES[name](spark, empty_events_dir), ORACLE[name], empty_events_dir)
