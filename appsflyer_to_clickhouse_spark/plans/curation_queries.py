@@ -484,9 +484,9 @@ _WR_KEY_DUCK = (
 )
 def q_sample_weighted_reservoir(spark, sf_dir):
     """Distributed weighted sampling WITHOUT replacement (Efraimidis-
-    Spirakis 2006): per language, keep the {_WR_K} docs with the
+    Spirakis 2006): per language, keep the 5 docs with the
     smallest -ln(u)/weight keys — exactly equivalent to drawing
-    {_WR_K} docs sequentially with probability proportional to
+    5 docs sequentially with probability proportional to
     n_chars, but embarrassingly parallel: the key is a map-side
     expression over the md5-derived uniform, and the per-stratum top-k
     is a WindowGroupLimit that caps each task's contribution at K rows

@@ -113,13 +113,13 @@ GROUP BY doc_id, bucket
 def q_features_hashed_ngrams(spark, sf_dir):
     """Hashing-trick term featurizer (HashingTF semantics, md5-bucketed
     so both engines derive the identical feature matrix): each token
-    maps to one of {_N_BUCKETS} buckets via the first 60 bits of its
+    maps to one of 64 buckets via the first 60 bits of its
     md5; per-doc (bucket, tf) pairs are the sparse feature rows a
     trainer consumes. Collisions are the accepted trade (fixed
     dimensionality, no vocabulary build, no OOV) — the vocabulary-true
     alternative is text_vocab_encode. Partial aggregation collapses
     the exploded token stream map-side; the one exchange carries at
-    most docs x {_N_BUCKETS} rows."""
+    most docs x 64 rows."""
     from ..functions.text import tokens
     from .registry import load_fanout
 
