@@ -509,3 +509,85 @@ def q_market_basket_copurchase(spark, sf_dir):
     return scored.orderBy(
         F.desc("n_both"), F.asc("part_a"), F.asc("part_b")
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# entity_resolution_match — normalize-then-block record linkage
+# ---------------------------------------------------------------------------
+
+# gmail-style canonicalization, written once per dialect: lowercase,
+# split local@domain, strip the +tag, drop dots in the local part.
+_ER_NORM_SPARK = (
+    "concat(replace(substring_index(substring_index(lower({c}), '@', 1),"
+    " '+', 1), '.', ''), '@', substring_index(lower({c}), '@', -1))"
+)
+_ER_NORM_DUCK = (
+    "replace(split_part(split_part(lower({c}), '@', 1), '+', 1), '.', '')"
+    " || '@' || split_part(lower({c}), '@', 2)"
+)
+
+_ER_ORACLE = f"""
+WITH ids AS (
+  SELECT DISTINCT user_id FROM events
+), crm AS (
+  SELECT user_id,
+         'User.' || CAST(user_id AS VARCHAR) || '+promo@Example.COM'
+           AS email
+  FROM ids
+), billing AS (
+  SELECT user_id,
+         CASE WHEN user_id % 3 = 0
+              THEN 'USER' || CAST(user_id AS VARCHAR) || '@example.com'
+              ELSE 'other' || CAST(user_id AS VARCHAR) || '@elsewhere.net'
+         END AS email
+  FROM ids
+)
+SELECT c.user_id AS crm_id, b.user_id AS billing_id,
+       {_ER_NORM_DUCK.format(c='c.email')} AS matched_key
+FROM crm c
+JOIN billing b
+  ON {_ER_NORM_DUCK.format(c='c.email')}
+   = {_ER_NORM_DUCK.format(c='b.email')}
+"""
+
+
+@register("entity_resolution_match", _ER_ORACLE)
+def q_entity_resolution_match(spark, sf_dir):
+    """Record linkage by canonicalization: two synthesized contact
+    sources format the same identity differently (case, dots in the
+    local part, +tags); gmail-style normalization produces the
+    blocking key and the match is a plain equi-join on it — the
+    normalize-then-block shape that replaces quadratic fuzzy matching
+    for the deterministic tier of entity resolution (the residual
+    fuzzy tier over blocked candidates is what the LSH dedup family
+    already provides). Normalization is map-side; the only shuffle is
+    the key join, and at scale the smaller source broadcasts."""
+    ev = load(spark, sf_dir, "events")
+    ids = ev.select("user_id").distinct()
+    uid_s = F.col("user_id").cast("string")
+    crm = ids.select(
+        F.col("user_id").alias("crm_id"),
+        F.concat(F.lit("User."), uid_s, F.lit("+promo@Example.COM")).alias(
+            "email"
+        ),
+    )
+    billing = ids.select(
+        F.col("user_id").alias("billing_id"),
+        F.when(
+            F.col("user_id") % 3 == 0,
+            F.concat(F.lit("USER"), uid_s, F.lit("@example.com")),
+        )
+        .otherwise(
+            F.concat(F.lit("other"), uid_s, F.lit("@elsewhere.net"))
+        )
+        .alias("email"),
+    )
+    crm_n = crm.select(
+        "crm_id", F.expr(_ER_NORM_SPARK.format(c="email")).alias("k")
+    )
+    bil_n = billing.select(
+        "billing_id", F.expr(_ER_NORM_SPARK.format(c="email")).alias("k")
+    )
+    return crm_n.join(bil_n, "k").select(
+        "crm_id", "billing_id", F.col("k").alias("matched_key")
+    )

@@ -371,3 +371,71 @@ def q_timeseries_zscore_anomaly(spark, sf_dir):
         .cast("double")
         .alias("zscore"),
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_time_weighted_avg — TWA over irregular samples (LOCF-held)
+# ---------------------------------------------------------------------------
+
+_TWA_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, ts, {_VAL_DEC} AS v,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+), seg AS (
+  SELECT user_id, v,
+         CAST(date_diff('second', ts, nxt) AS BIGINT) AS dur_s
+  FROM seq WHERE nxt IS NOT NULL
+)
+SELECT user_id,
+       CAST(sum(dur_s) AS BIGINT) AS observed_s,
+       CAST(round(CAST(sum(v * dur_s) AS DOUBLE) / sum(dur_s), 6)
+            AS DOUBLE) AS time_weighted_avg,
+       CAST(count(*) AS BIGINT) AS n_segments
+FROM seg
+GROUP BY user_id
+HAVING sum(dur_s) > 0
+"""
+
+
+@register("timeseries_time_weighted_avg", _TWA_ORACLE)
+def q_timeseries_time_weighted_avg(spark, sf_dir):
+    """Time-weighted average over IRREGULAR samples (TimescaleDB's
+    time_weight with LOCF interpolation): each observation holds until
+    the next one, so its weight is the integer-second duration of its
+    segment — the plain AVG the naive query computes instead
+    over-weights bursts of rapid samples. lead() and the aggregate
+    share one user_id exchange; decimal value x integer duration keeps
+    every product exact, with one double division at the end. Users
+    whose samples all share one second (zero observed duration) drop
+    via HAVING rather than dividing by zero."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.expr(_VAL_DEC).alias("v"),
+        F.lead("ts").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    seg = seq.select(
+        "user_id",
+        "v",
+        (
+            F.unix_timestamp(F.col("nxt").cast("timestamp"))
+            - F.unix_timestamp(F.col("ts").cast("timestamp"))
+        ).cast("bigint").alias("dur_s"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.sum("dur_s").cast("bigint").alias("observed_s"),
+            F.round(
+                F.sum(F.col("v") * F.col("dur_s")).cast("double")
+                / F.sum("dur_s"),
+                6,
+            ).cast("double").alias("time_weighted_avg"),
+            F.count("*").alias("n_segments"),
+        )
+        .filter(F.col("observed_s") > 0)
+        .select("user_id", "observed_s", "time_weighted_avg", "n_segments")
+    )
