@@ -170,3 +170,56 @@ def q_agg_approx_quantile_bounded(spark, sf_dir):
         F.round(F.col("x99"), 6).alias("exact_q99"),
         ok(F.col("a99"), F.col("x99")).alias("q99_within_1pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_hll_sketch_merge — mergeable per-partition sketches
+# ---------------------------------------------------------------------------
+
+_HLL_MERGE_ORACLE = """
+SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS exact_total,
+       TRUE AS merged_within_5pct,
+       CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT) AS n_days
+FROM events
+"""
+
+
+@register("agg_hll_sketch_merge", _HLL_MERGE_ORACLE)
+def q_agg_hll_sketch_merge(spark, sf_dir):
+    """Sketch MERGEABILITY — the property that makes approximate
+    distinct counting viable at 100 TB: per-day HLL sketches
+    (hll_sketch_agg, Apache DataSketches) union into a global sketch
+    (hll_union_agg) whose estimate must land within 5% of the exact
+    distinct count. In production the per-partition sketches are
+    STORED (a few KB per day) and any date-range's distinct count is a
+    sketch union over metadata-sized state — the raw keyspace is never
+    re-shuffled. The oracle pins the exact total and the bound; the
+    sketch bytes themselves are engine-specific by nature."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("DAY", F.col("ts")).alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.agg(
+        F.count_distinct(F.col("user_id")).alias("exact_total")
+    )
+    return (
+        exact.crossJoin(F.broadcast(merged))
+        .select(
+            F.col("exact_total").cast("bigint").alias("exact_total"),
+            (
+                F.try_divide(
+                    F.abs(
+                        F.col("est").cast("double")
+                        - F.col("exact_total").cast("double")
+                    ),
+                    F.col("exact_total").cast("double"),
+                )
+                <= 0.05
+            ).alias("merged_within_5pct"),
+            F.col("n_days").cast("bigint").alias("n_days"),
+        )
+    )
