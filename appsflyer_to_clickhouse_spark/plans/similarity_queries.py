@@ -308,6 +308,93 @@ def q_embedding_quantize_int8(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# similarity_quantized_topk — top-k over the int8-quantized corpus
+# ---------------------------------------------------------------------------
+
+# the quantizer shared with embedding_quantize_int8, as a SQL fragment
+# over a DOUBLE[] column {v}: explicit floor(x*s + 0.5) so both engines
+# round identically
+_QUANT_SQL = (
+    "CASE WHEN {mx} > 0 THEN list_transform({v}, x -> "
+    "CAST(floor(x * (127.0 / {mx}) + 0.5) AS DOUBLE)) "
+    "ELSE list_transform({v}, x -> CAST(0.0 AS DOUBLE)) END"
+)
+
+
+@register(
+    "similarity_quantized_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS mx
+      FROM embeddings
+    ), q AS (
+      SELECT {_QUANT_SQL.format(v='v', mx='mx')} AS qq
+      FROM e WHERE vec_id = {_QUERY_ID}
+    ), s AS (
+      SELECT vec_id, {_QUANT_SQL.format(v='v', mx='mx')} AS qv FROM e
+    ), scored AS (
+      SELECT vec_id,
+             CAST(list_dot_product(qv, qq) AS BIGINT) AS int_dot,
+             list_dot_product(qv, qq)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(qq, qq))) AS qcos
+      FROM s, q
+    )
+    SELECT vec_id, int_dot, round(qcos, 6) AS quant_cosine
+    FROM scored
+    ORDER BY qcos DESC, vec_id
+    LIMIT {_ANN_K}
+    """,
+)
+def q_similarity_quantized_topk(spark, sf_dir):
+    """Top-{_ANN_K} cosine over the int8-QUANTIZED corpus — the scoring
+    half of a quantized ANN index: at 100 TB the index holds int8
+    codes (4x less scan bandwidth than float32) and candidates are
+    scored on integer dot products; per-vector symmetric scales cancel
+    out of the cosine, so quantized cosine tracks the float ranking.
+    Same zero-shuffle shape as similarity_topk (broadcast 1-row
+    quantized query, map-side score, TakeOrderedAndProject), and the
+    arithmetic is EXACT cross-engine: every product of two int8 codes
+    is an integer below 2^14, the 64-term fold stays under 2^53, so
+    the doubles are exact integers and the cosine is one deterministic
+    double expression over them."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    mx = F.array_max(F.transform("v", lambda x: F.abs(x)))
+    scale = F.lit(127.0) / F.col("mx")
+    qv = F.when(
+        F.col("mx") > 0,
+        F.transform("v", lambda x: F.floor(x * scale + 0.5).cast("double")),
+    ).otherwise(F.transform("v", lambda x: F.lit(0.0)))
+    quant = e.withColumn("mx", mx).select("vec_id", qv.alias("qv"))
+    qq = quant.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("qv").alias("qq")
+    )
+    scored = quant.crossJoin(F.broadcast(qq)).select(
+        "vec_id",
+        dot(F.col("qv"), F.col("qq")).alias("dp"),
+        (
+            dot(F.col("qv"), F.col("qq"))
+            / (
+                F.sqrt(dot(F.col("qv"), F.col("qv")))
+                * F.sqrt(dot(F.col("qq"), F.col("qq")))
+            )
+        ).alias("qcos"),
+    )
+    return (
+        scored.orderBy(F.desc("qcos"), "vec_id")
+        .limit(_ANN_K)
+        .select(
+            "vec_id",
+            F.col("dp").cast("bigint").alias("int_dot"),
+            F.round("qcos", 6).alias("quant_cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # similarity_knn_batch — batched k-NN graph over LSH candidates
 # ---------------------------------------------------------------------------
 

@@ -113,6 +113,71 @@ def q_stream_windowed_agg(spark, sf_dir):
 
 
 @register(
+    "stream_stream_join",
+    """
+    SELECT v.user_id,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(min(epoch_us(p.ts) - epoch_us(v.ts)) AS BIGINT)
+               AS min_lag_us
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = v.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY 1
+    """,
+)
+def q_stream_stream_join(spark, sf_dir):
+    """Watermarked stream-stream interval join — the attribution shape
+    (purchase within 1 hour of a view, per user) the reference's batch
+    anti-join can never express incrementally. Two file streams over
+    the same replayed events table; BOTH sides carry a watermark and
+    the join predicate carries the event-time range, so each side's
+    buffered state is evicted once the other side's watermark passes
+    the join window — bounded state at any scale (joins without the
+    time bound buffer one side forever). Joined pairs land in a memory
+    sink (append — inner-join matches are final the moment they emit);
+    the per-user rollup runs as a batch query over the sink, keeping
+    the streaming graph single-stateful-operator. The replay arrives
+    as ONE availableNow batch, so no row can lag the watermark and the
+    result is exactly the batch interval join the oracle runs; in
+    production the delay is sized to real arrival disorder."""
+    src = _replay_src(spark, sf_dir, ["ts", "user_id", "event_type"], "streamjoin")
+    schema = spark.read.parquet(src).schema
+
+    def side(event_type: str, alias: str):
+        return (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "2 days")
+        )
+
+    pairs = side("view", "v").join(
+        side("purchase", "p"),
+        F.expr(
+            "p_user_id = v_user_id AND "
+            "p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select(
+        F.col("v_user_id").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("lag_us"),
+    )
+    name = f"stream_stream_join_{next(_RUN_SEQ)}"
+    with stream_shuffle_partitions(spark):
+        out = run_availablenow_to_memory(spark, pairs, name)
+    return out.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("lag_us").alias("min_lag_us"),
+    )
+
+
+@register(
     "stream_dedup_watermark",
     "SELECT DISTINCT user_id FROM events",
 )
