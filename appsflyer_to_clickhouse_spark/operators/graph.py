@@ -1,0 +1,75 @@
+"""Iterative graph algorithms over DataFrame edge lists.
+
+The reference has no graph surface (SURVEY.md §2 Part B); this module
+extends the training-data family: near-dup PAIRS become GROUPS via
+``operators.dedup.connected_components``, and PageRank below ranks
+nodes of a similarity/co-occurrence graph by centrality — the signal a
+curation pipeline uses to pick canonical documents or important
+entities. Same iterative-Spark discipline as connected_components:
+localCheckpoint per iteration (lineage would otherwise double per
+step), shuffles sized to the GRAPH (not the session's batch width),
+and the driver holds nothing but loop control.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Power-iteration PageRank over a directed edge list (``src``,
+    ``dst``); returns (node, pr) after ``iters`` rounds from a uniform
+    pr=1.0 start. Fixed iteration count, not convergence, so the
+    result is a deterministic function of the graph — exactly
+    reproducible by an unrolled-CTE oracle.
+
+    Cross-engine determinism: each contribution pr(src)/deg(src) is a
+    double (IEEE-identical everywhere) cast to DECIMAL(20,12) BEFORE
+    the neighbor sum, so the sum is order-independent — the same
+    cast-then-decimal-sum pattern text_unigram_logprob pins. Nodes
+    with no in-edges keep the damping floor (1 - d).
+
+    Each iteration is ONE edge-sized join + ONE groupBy; at 100 TB
+    this is the standard message-passing form (GraphFrames/Pregel run
+    the same plan), and the per-iteration localCheckpoint is what
+    keeps iteration N from re-executing iterations 1..N-1."""
+    spark = edges.sparkSession
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    e = edges.join(deg, "src").localCheckpoint()
+    n_edges = e.count()
+    npart = max(1, min(32, n_edges // 100_000 + 1))
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    try:
+        nodes = e.select(F.col("src").alias("node")).distinct()
+        pr = nodes.withColumn("pr", F.lit(1.0)).localCheckpoint()
+        for _ in range(iters):
+            contrib = e.join(pr, e.src == pr.node).select(
+                F.col("dst").alias("node"),
+                (F.col("pr") / F.col("deg"))
+                .cast("decimal(20,12)")
+                .alias("c"),
+            )
+            recv = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+            pr = (
+                nodes.join(recv, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping)
+                        * F.coalesce(
+                            F.col("s").cast("double"), F.lit(0.0)
+                        )
+                    ).alias("pr"),
+                )
+                .localCheckpoint()
+            )
+        return pr
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -591,3 +591,80 @@ def q_entity_resolution_match(spark, sf_dir):
     return crm_n.join(bil_n, "k").select(
         "crm_id", "billing_id", F.col("k").alias("matched_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_pagerank — centrality over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+# 3 unrolled power iterations; each CTE is the same message-passing
+# round the Spark loop runs: contributions pr(src)/deg(src) cast to
+# DECIMAL(20,12) before the neighbor SUM (order-independent — the
+# text_unigram_logprob pattern), damping floor 0.15 outside the sum.
+_PAGERANK_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), prs AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), edges AS (
+  SELECT pa AS src, pb AS dst FROM prs
+  UNION ALL
+  SELECT pb AS src, pa AS dst FROM prs
+), deg AS (
+  SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src
+), pr1 AS (
+  SELECT e.dst AS node,
+         0.15 + 0.85 * CAST(SUM(CAST(1.0 / d.deg AS DECIMAL(20,12)))
+                            AS DOUBLE) AS pr
+  FROM edges e JOIN deg d ON d.src = e.src GROUP BY 1
+), pr2 AS (
+  SELECT e.dst AS node,
+         0.15 + 0.85 * CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(20,12)))
+                            AS DOUBLE) AS pr
+  FROM edges e JOIN deg d ON d.src = e.src
+  JOIN pr1 p ON p.node = e.src GROUP BY 1
+), pr3 AS (
+  SELECT e.dst AS node,
+         0.15 + 0.85 * CAST(SUM(CAST(p.pr / d.deg AS DECIMAL(20,12)))
+                            AS DOUBLE) AS pr
+  FROM edges e JOIN deg d ON d.src = e.src
+  JOIN pr2 p ON p.node = e.src GROUP BY 1
+)
+SELECT node AS part, round(pr, 6) AS pagerank FROM pr3
+"""
+
+
+@register("graph_pagerank", _PAGERANK_ORACLE)
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the co-purchase part graph (parts are linked when
+    bought in the same order) — the centrality signal a curation
+    pipeline ranks canonical items/documents by. Edge generation is
+    the same grouped in-basket explosion as market_basket_copurchase
+    (bounded by basket size, never an item-level self-join); the
+    3-iteration power loop lives in operators/graph.py:pagerank with
+    per-iteration localCheckpoint and graph-sized shuffles. Fixed
+    iterations + decimal contribution sums make the result an exact
+    deterministic function of the graph, pinned by the unrolled-CTE
+    oracle."""
+    from ..operators.dedup import _in_group_pairs
+    from ..operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    baskets = items.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    prs = (
+        baskets.select(F.explode(_in_group_pairs(F.col("parts"))).alias("p"))
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    edges = prs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).union(prs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    pr = pagerank(edges, iters=3, damping=0.85)
+    return pr.select(
+        F.col("node").alias("part"), F.round("pr", 6).alias("pagerank")
+    )

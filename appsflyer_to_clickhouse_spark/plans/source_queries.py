@@ -214,21 +214,19 @@ def q_config_env(spark, sf_dir):
     from an injected mapping (deterministic; never reads executor
     env)."""
     cfg = resolve_config(_CFG_ENV)
-    return spark.createDataFrame(
-        [
-            (
-                cfg.appsflyer_token,
-                cfg.app_id,
-                cfg.ch_host,
-                cfg.ch_port,
-                cfg.ch_user,
-                cfg.ch_database,
-                cfg.ch_table,
-                cfg.jdbc_url,
-            )
-        ],
-        "appsflyer_token string, app_id string, ch_host string, ch_port int, "
-        "ch_user string, ch_database string, ch_table string, jdbc_url string",
+    # literals on range(1), not createDataFrame: the resolved config is
+    # driver-side scalars, and building the row JVM-side skips the
+    # Python->JVM serialization machinery entirely (whose one-time
+    # session init was the entire measured cost of this query)
+    return spark.range(1).select(
+        F.lit(cfg.appsflyer_token).alias("appsflyer_token"),
+        F.lit(cfg.app_id).alias("app_id"),
+        F.lit(cfg.ch_host).alias("ch_host"),
+        F.lit(cfg.ch_port).cast("int").alias("ch_port"),
+        F.lit(cfg.ch_user).alias("ch_user"),
+        F.lit(cfg.ch_database).alias("ch_database"),
+        F.lit(cfg.ch_table).alias("ch_table"),
+        F.lit(cfg.jdbc_url).alias("jdbc_url"),
     )
 
 
