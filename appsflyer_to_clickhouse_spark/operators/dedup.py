@@ -323,6 +323,51 @@ def jaccard_verify(
     )
 
 
+def containment_verify(
+    pairs: DataFrame,
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Exact shingle CONTAINMENT over candidate pairs —
+    |A ∩ B| / min(|A|, |B|) — the doc-contains-doc measure Jaccard
+    structurally misses: a short document fully embedded in a long one
+    has Jaccard ≈ |short|/|long| (arbitrarily low) but containment
+    1.0. Broder's resemblance-vs-containment distinction; the standard
+    second verify pass of an LLM near-dup pipeline. Same
+    candidates-only join shape as ``jaccard_verify`` — never all
+    pairs. Returns (id_a, id_b, containment, direction) >= threshold,
+    direction naming which side is the contained (smaller) set."""
+    sh = sig_df.select(F.col(id_col), F.col("shingles"))
+    joined = pairs.join(
+        sh.withColumnRenamed(id_col, "id_a").withColumnRenamed(
+            "shingles", "sh_a"
+        ),
+        "id_a",
+    ).join(
+        sh.withColumnRenamed(id_col, "id_b").withColumnRenamed(
+            "shingles", "sh_b"
+        ),
+        "id_b",
+    )
+    na, nb = F.size("sh_a"), F.size("sh_b")
+    cont = F.size(F.array_intersect("sh_a", "sh_b")).cast(
+        "double"
+    ) / F.least(na, nb).cast("double")
+    return (
+        joined.filter((na > 0) & (nb > 0))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cont, 6).alias("containment"),
+            F.when(na <= nb, F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a"))
+            .alias("direction"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str = "text", shingle_n: int = 3
 ) -> DataFrame:

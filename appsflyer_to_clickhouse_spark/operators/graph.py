@@ -34,10 +34,15 @@ def pagerank(
     cast-then-decimal-sum pattern text_unigram_logprob pins. Nodes
     with no in-edges keep the damping floor (1 - d).
 
-    Each iteration is ONE edge-sized join + ONE groupBy; at 100 TB
-    this is the standard message-passing form (GraphFrames/Pregel run
-    the same plan), and the per-iteration localCheckpoint is what
-    keeps iteration N from re-executing iterations 1..N-1."""
+    Each iteration is ONE edge-sized join + ONE groupBy, and the rank
+    state (node-sized, orders of magnitude below the edge list) is
+    broadcast so the edges never re-shuffle — right whenever ranks fit
+    executor memory (entity/item graphs; ~100M nodes x 16B is 1.6 GB).
+    At web scale, where ranks outgrow a broadcast, the same loop runs
+    with edges AND ranks hash-partitioned on src so the join is
+    co-located — the GraphFrames/Pregel layout; the per-iteration
+    localCheckpoint is what keeps iteration N from re-executing
+    iterations 1..N-1 in either layout."""
     spark = edges.sparkSession
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     e = edges.join(deg, "src").localCheckpoint()
@@ -46,10 +51,14 @@ def pagerank(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(npart))
     try:
-        nodes = e.select(F.col("src").alias("node")).distinct()
+        nodes = e.select(F.col("src").alias("node")).distinct().localCheckpoint()
         pr = nodes.withColumn("pr", F.lit(1.0)).localCheckpoint()
         for _ in range(iters):
-            contrib = e.join(pr, e.src == pr.node).select(
+            # rank state is node-sized (orders of magnitude below the
+            # edge list) — broadcast it so the edge side never moves;
+            # the only exchange per iteration is the partial-aggregated
+            # contribution sum, node-sized after map-side combine
+            contrib = e.join(F.broadcast(pr), e.src == pr.node).select(
                 F.col("dst").alias("node"),
                 (F.col("pr") / F.col("deg"))
                 .cast("decimal(20,12)")

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..operators.dedup import (
     SIMHASH_BAND_BITS,
     SIMHASH_BANDS,
+    containment_verify,
     dedup_exact,
     dedup_first_by_time,
     embedding_cosine_pairs,
@@ -192,6 +193,40 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
     cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
     return jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
+
+
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_CANDIDATES_CTE}
+    SELECT id_a, id_b, containment, direction FROM (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                   / least(len(a.ss), len(b.ss))::DOUBLE, 6) AS containment,
+             CASE WHEN len(a.ss) <= len(b.ss) THEN 'a_in_b'
+                  ELSE 'b_in_a' END AS direction
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+      WHERE len(a.ss) > 0 AND len(b.ss) > 0
+    )
+    WHERE containment >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Shingle CONTAINMENT (|A∩B| / min set size) over LSH candidates
+    — catches doc-contains-doc duplication that Jaccard structurally
+    under-scores (a short doc embedded in a long one: Jaccard ≈
+    short/long, containment 1.0). Same candidates-only cost shape as
+    dedup_ngram_jaccard; threshold {CONTAINMENT_THRESHOLD}, direction
+    names the contained side. operators/dedup.py:containment_verify."""
+    docs = load_fanout(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
+    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    return containment_verify(cand, sigs, "doc_id", CONTAINMENT_THRESHOLD)
 
 
 # ---------------------------------------------------------------------------

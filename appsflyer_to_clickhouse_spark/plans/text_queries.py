@@ -722,3 +722,96 @@ def q_unnest_outer_preserve(spark, sf_dir):
         F.count("tok").alias("n_tokens"),
         F.count(F.when(F.col("tok").isNull(), 1)).alias("n_null_marker"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_line_dedup — C4-style repeated-line removal across the corpus
+# ---------------------------------------------------------------------------
+
+_LINE_WORDS = 10  # fixed word-block "lines" (the corpus has no newlines)
+_LINE_DF = 2  # a line appearing in >= 2 distinct docs is boilerplate
+
+
+@register(
+    "text_line_dedup",
+    f"""
+    WITH w AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), chunks AS (
+      SELECT doc_id, CAST(g.i AS BIGINT) AS pos,
+             array_to_string(
+               list_slice(ws, g.i * {_LINE_WORDS} + 1,
+                          g.i * {_LINE_WORDS} + {_LINE_WORDS}), ' ') AS line
+      FROM w, UNNEST(range(CAST(ceil(len(ws) / {_LINE_WORDS}.0) AS BIGINT)))
+               AS g(i)
+    ), boiler AS (
+      SELECT line FROM chunks
+      GROUP BY line HAVING count(DISTINCT doc_id) >= {_LINE_DF}
+    ), kept AS (
+      SELECT c.doc_id, c.pos, c.line FROM chunks c
+      WHERE c.line NOT IN (SELECT line FROM boiler)
+    )
+    SELECT k.doc_id,
+           CAST(ceil(len(w.ws) / {_LINE_WORDS}.0) AS BIGINT) AS n_lines,
+           CAST(count(*) AS BIGINT) AS kept_lines,
+           md5(string_agg(k.line, ' ' ORDER BY k.pos)) AS cleaned_md5
+    FROM kept k JOIN w ON w.doc_id = k.doc_id
+    GROUP BY k.doc_id, w.ws
+    """,
+)
+def q_text_line_dedup(spark, sf_dir):
+    """C4-style boilerplate removal: the corpus is cut into
+    {_LINE_WORDS}-word lines, any line occurring in >= {_LINE_DF}
+    distinct documents is removed everywhere, and each document is
+    reassembled from its surviving lines in order (cleaned text leaves
+    the plan as an md5). Scale shape: the line-frequency shuffle is
+    bounded by DISTINCT lines (not corpus size); the boilerplate set —
+    small by definition — comes back as a broadcast anti-join so the
+    corpus-sized chunk stream never shuffles for the filter; the only
+    doc-sized exchange is the ordered reassembly. Docs whose every
+    line is boilerplate drop out (both engines). The word array is
+    staged in its own Project before the chunk transform so the
+    interpreted lambda slices a column, never re-splits the text."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    n_lines = F.ceil(F.size("ws") / F.lit(_LINE_WORDS)).cast("bigint")
+    chunked = docs.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.when(
+            F.size("ws") > 0,
+            F.transform(
+                F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+                lambda i: F.array_join(
+                    F.slice("ws", i * _LINE_WORDS + 1, _LINE_WORDS), " "
+                ),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("lines"),
+    )
+    chunks = chunked.select(
+        "doc_id",
+        "n_lines",
+        F.posexplode("lines").alias("pos", "line"),
+    )
+    boiler = (
+        chunks.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= _LINE_DF)
+        .select("line")
+    )
+    kept = chunks.join(F.broadcast(boiler), "line", "left_anti")
+    return kept.groupBy("doc_id", "n_lines").agg(
+        F.count("*").alias("kept_lines"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s.line,
+                ),
+                " ",
+            )
+        ).alias("cleaned_md5"),
+    ).select("doc_id", "n_lines", "kept_lines", "cleaned_md5")
