@@ -41,20 +41,24 @@ def stream_shuffle_partitions(spark, n: int = 8):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
-# replay source dirs memoized per (prefix, sf_dir, cols): repeat
-# invocations (bench loops, repeated oracle runs) must time the STREAM,
-# not a fresh parquet re-write of the source table — and must not
-# accumulate /tmp copies
+# ONE replay dir per sf_dir, holding the full events column set: every
+# streaming query reads it and projects (parquet column pruning makes
+# the per-query read exactly the old per-cols dir), so repeat
+# invocations — and DIFFERENT streaming queries — share a single
+# write instead of each paying its own parquet copy of the same table.
+# The cols/prefix parameters remain as documentation of what each
+# caller consumes; they no longer key the storage.
+_REPLAY_COLS = ["event_id", "ts", "user_id", "event_type", "value"]
 _SRC_CACHE: dict[tuple, str] = {}
 
 
 def _replay_src(spark, sf_dir: str, cols: list[str], prefix: str) -> str:
-    key = (prefix, sf_dir, tuple(cols))
+    key = ("events_replay", sf_dir)
     cached = _SRC_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
-    src = tempfile.mkdtemp(prefix=f"spark_graft_{prefix}_src_")
-    df = load(spark, sf_dir, "events").select(*cols)
+    src = tempfile.mkdtemp(prefix="spark_graft_events_replay_src_")
+    df = load(spark, sf_dir, "events").select(*_REPLAY_COLS)
     # event-time columns must be TIMESTAMP (with local tz): watermarks
     # reject TIMESTAMP_NTZ, which is what a naive parquet timestamp
     # reads back as. The session tz is pinned to UTC, so the cast is

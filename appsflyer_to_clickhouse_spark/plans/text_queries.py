@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import TOKEN_SPLIT_RE, tokens, word_shingles
-from .registry import load, register
+from .registry import load, load_fanout, register
 
 # DuckDB twin of functions/text.py:tokens
 _TOK_SQL = (
@@ -815,3 +815,152 @@ def q_text_line_dedup(spark, sf_dir):
             )
         ).alias("cleaned_md5"),
     ).select("doc_id", "n_lines", "kept_lines", "cleaned_md5")
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_topk — sparse retrieval scoring (the BM25 side of hybrid search)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+# per-term scores are cast to DECIMAL(20,10) before the (fixed-width)
+# sum — same ULP-absorbing pattern as text_unigram_logprob, so the two
+# engines' ln() implementations cannot produce a hash mismatch
+_BM25_ORACLE_TERMS = " + ".join(
+    f"""CAST((ln(1.0 + (n - df{i} + 0.5) / (df{i} + 0.5))
+         * (CAST(len(list_filter(t, x -> x = '{w}')) AS DOUBLE) * 2.2))
+        / (CAST(len(list_filter(t, x -> x = '{w}')) AS DOUBLE)
+           + 1.2 * (0.25 + 0.75 * (CAST(len(t) AS DOUBLE) / avgdl)))
+        AS DECIMAL(20,10))"""
+    for i, w in enumerate(_BM25_TERMS)
+)
+
+_BM25_DFS = ", ".join(
+    f"""CAST(sum(CASE WHEN list_contains(t, '{w}') THEN 1 ELSE 0 END)
+        AS DOUBLE) AS df{i}"""
+    for i, w in enumerate(_BM25_TERMS)
+)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOK_SQL.replace("text", "text")} AS t FROM documents
+    ), st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl,
+             {_BM25_DFS}
+      FROM tk
+    )
+    SELECT doc_id,
+           round(CAST({_BM25_ORACLE_TERMS} AS DOUBLE), 6) AS bm25
+    FROM tk CROSS JOIN st
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 top-20 for a fixed 3-term query (k1={_BM25_K1},
+    b={_BM25_B}) — the sparse-retrieval scorer that pairs with the
+    dense ANN family for hybrid search. One tiny corpus-stats
+    aggregate (N, avgdl, per-term document frequencies) broadcasts
+    onto a map-side score pass: scoring at 100 TB is scan-shaped, and
+    the top-k is TakeOrderedAndProject, never a global sort. Per-term
+    scores are cast to decimal before the fixed-order sum (the
+    unigram-logprob ULP pattern); ties at the rounded score break on
+    doc_id, so the cut is deterministic cross-engine. At serving
+    scale the same formula runs over an inverted index instead of a
+    scan; this is the index-build-time scorer."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum(F.size("t")).cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("t", w).cast("int"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i, w in enumerate(_BM25_TERMS)
+        ],
+    )
+    d = docs.crossJoin(F.broadcast(stats))
+    dl = F.size("t").cast("double")
+    score = None
+    for i, w in enumerate(_BM25_TERMS):
+        tf = F.size(F.filter("t", lambda x: x == F.lit(w))).cast("double")
+        idf = F.log(
+            1.0 + (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5)
+        )
+        term = (
+            (idf * (tf * F.lit(2.2)))
+            / (
+                tf
+                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * (dl / F.col("avgdl")))
+            )
+        ).cast("decimal(20,10)")
+        score = term if score is None else score + term
+    out = d.select(
+        "doc_id", F.round(score.cast("double"), 6).alias("bm25")
+    )
+    return out.orderBy(F.desc("bm25"), "doc_id").limit(20)
+
+
+# ---------------------------------------------------------------------------
+# text_inverted_index — posting-list build (the retrieval index itself)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_inverted_index",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS tok FROM tk
+    ), tf AS (
+      SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT tok,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS total_tf,
+           md5(string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id))
+             AS postings_md5
+    FROM tf GROUP BY tok
+    """,
+)
+def q_text_inverted_index(spark, sf_dir):
+    """Inverted-index build: token -> (document frequency, total term
+    frequency, doc_id-ordered posting list of (doc_id, tf), pinned as
+    an md5). Two shuffles, both key-bounded: (token, doc) partial
+    counts combine map-side, then postings assemble per token. The
+    posting list itself leaves the plan as a digest so the result
+    stays vocabulary-sized. At 100 TB the high-df tokens (stopwords)
+    are the skew: production shards each posting list by (token,
+    doc-range) so no single task assembles a billion-entry list —
+    the same salt-the-hot-key answer as the LSH bucket skew note."""
+    docs = load_fanout(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    tf = (
+        docs.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("tok", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return tf.groupBy("tok").agg(
+        F.count("*").alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda s: F.concat_ws(":", s.doc_id, s.tf),
+                ),
+                ",",
+            )
+        ).alias("postings_md5"),
+    )
