@@ -23,6 +23,7 @@ from ..operators.dedup import (
 )
 from ..streaming.sinks import dedup_append_batch_fn, run_foreach_batch_availablenow
 from ..streaming.stateful import stateful_user_counter
+from ..functions.zorder import zorder_sql
 from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND, candidates_cte
 from .registry import load, load_fanout, register
 from .streaming_queries import _replay_src, _RUN_SEQ, stream_shuffle_partitions
@@ -343,4 +344,69 @@ def q_join_bucketed_colocate(spark, sf_dir):
                 " AS DOUBLE), 2) AS DOUBLE) AS total_price"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout_zorder_cells — Morton-key clustering cells bound 2-D rectangles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "layout_zorder_cells",
+    f"""
+    WITH st AS (
+      SELECT max(l_partkey) AS pk_max, max(l_suppkey) AS sk_max
+      FROM lineitem
+    ), keyed AS (
+      SELECT {zorder_sql('((l_partkey * 256) // (pk_max + 1))',
+                         '((l_suppkey * 256) // (sk_max + 1))')} AS z,
+             l_partkey, l_suppkey
+      FROM lineitem CROSS JOIN st
+    )
+    SELECT CAST(z >> 8 AS BIGINT) AS zcell,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(min(l_partkey) AS BIGINT) AS pk_min,
+           CAST(max(l_partkey) AS BIGINT) AS pk_max,
+           CAST(min(l_suppkey) AS BIGINT) AS sk_min,
+           CAST(max(l_suppkey) AS BIGINT) AS sk_max
+    FROM keyed GROUP BY 1
+    """,
+)
+def q_layout_zorder_cells(spark, sf_dir):
+    """Z-order clustering key over (l_partkey, l_suppkey): both keys
+    width-scale to 8 bits (monotone (x*256) intdiv (max+1) — never a
+    modulo), bit-interleave into a 16-bit Morton key, and the coarse
+    cell (z >> 8) bounds a RECTANGLE in both dimensions — per-cell
+    min/max of each raw key prove it. Sorting the table by z at write
+    time is what makes range predicates on EITHER column prune row
+    groups from footer stats (the single-column sort prunes only its
+    own column); pinned against real parquet footers in
+    tests/test_scale_techniques.py. functions/zorder.py; the key is a
+    ~32-term integer Project — map-only, exact cross-engine."""
+    from ..functions.zorder import zorder_interleave
+
+    li = load(spark, sf_dir, "lineitem")
+    st = F.broadcast(
+        li.agg(
+            F.max("l_partkey").alias("pk_mx"), F.max("l_suppkey").alias("sk_mx")
+        )
+    )
+    keyed = li.crossJoin(st).select(
+        zorder_interleave(
+            F.expr("(l_partkey * 256) div (pk_mx + 1)"),
+            F.expr("(l_suppkey * 256) div (sk_mx + 1)"),
+            8,
+        ).alias("z"),
+        "l_partkey",
+        "l_suppkey",
+    )
+    return keyed.groupBy(
+        F.shiftright("z", 8).cast("bigint").alias("zcell")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("l_partkey").cast("bigint").alias("pk_min"),
+        F.max("l_partkey").cast("bigint").alias("pk_max"),
+        F.min("l_suppkey").cast("bigint").alias("sk_min"),
+        F.max("l_suppkey").cast("bigint").alias("sk_max"),
     )

@@ -537,3 +537,111 @@ def q_embedding_centroids(spark, sf_dir):
         F.expr(_CENTROID_AGG),
         F.count("*").alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_hybrid_rrf — dense + sparse retrieval fused by RRF
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # standard reciprocal-rank-fusion constant
+_RRF_N = 20  # depth of each retriever's candidate list
+
+
+@register(
+    "similarity_hybrid_rrf",
+    None,  # oracle assembled below (needs text_queries' BM25 fragments)
+)
+def q_similarity_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: the dense top-{_RRF_N} (exact cosine vs the
+    query vector) and the sparse top-{_RRF_N} (BM25 for the fixed term
+    query) fused by Reciprocal Rank Fusion — score(id) = sum over
+    retrievers of 1/({_RRF_K} + rank). The testdata's vec_id and
+    doc_id share one id space, so the full-outer rank join IS the
+    fusion; items found by only one retriever keep their single term.
+    Both candidate lists are k-row frames (TakeOrderedAndProject on
+    the retriever side), so fusion cost is O(k) whatever the corpus
+    size — the reranker never touches the scan. Ranks use the rounded
+    scores (ties broken by id) so the rank assignment — not just the
+    candidate set — is deterministic cross-engine."""
+    from pyspark.sql.window import Window
+
+    from .text_queries import q_text_bm25_topk
+
+    emb = _emb(spark, sf_dir)
+    qv = emb.filter(F.col("vec_id") == _QUERY_ID).select("v")
+    dense = cosine_topk(emb, qv, _RRF_N, "vec_id", "v")
+    dr = dense.select(
+        "vec_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .cast("bigint")
+        .alias("rd"),
+    )
+    sparse = q_text_bm25_topk(spark, sf_dir)
+    sr = sparse.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("bm25"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("rs"),
+    )
+    fused = dr.join(sr, dr.vec_id == sr.doc_id, "full")
+    return fused.select(
+        F.coalesce("vec_id", "doc_id").alias("id"),
+        F.col("rd"),
+        F.col("rs"),
+        F.round(
+            F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rd")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("rs")), F.lit(0.0)),
+            6,
+        ).alias("rrf"),
+    )
+
+
+def _rrf_oracle() -> str:
+    from .text_queries import _BM25_DFS, _BM25_ORACLE_TERMS, _TOK_SQL
+
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID}
+    ), dtop AS (
+      SELECT vec_id, round({_COS_SQL}, 6) AS cosine
+      FROM e, q
+      ORDER BY {_COS_SQL} DESC, vec_id
+      LIMIT {_RRF_N}
+    ), dr AS (
+      SELECT vec_id,
+             CAST(row_number() OVER (ORDER BY cosine DESC, vec_id)
+                  AS BIGINT) AS rd
+      FROM dtop
+    ), tk AS (
+      SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ), st AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             CAST(sum(len(t)) AS DOUBLE) / count(*) AS avgdl,
+             {_BM25_DFS}
+      FROM tk
+    ), stop AS (
+      SELECT doc_id,
+             round(CAST({_BM25_ORACLE_TERMS} AS DOUBLE), 6) AS bm25
+      FROM tk CROSS JOIN st
+      ORDER BY bm25 DESC, doc_id
+      LIMIT {_RRF_N}
+    ), sr AS (
+      SELECT doc_id,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id)
+                  AS BIGINT) AS rs
+      FROM stop
+    )
+    SELECT COALESCE(dr.vec_id, sr.doc_id) AS id, rd, rs,
+           round(COALESCE(1.0 / ({_RRF_K} + rd), 0.0)
+                 + COALESCE(1.0 / ({_RRF_K} + rs), 0.0), 6) AS rrf
+    FROM dr FULL JOIN sr ON dr.vec_id = sr.doc_id
+    """
+
+
+from .registry import ORACLE as _ORACLE  # noqa: E402
+
+_ORACLE["similarity_hybrid_rrf"] = _rrf_oracle()

@@ -238,3 +238,89 @@ def test_sorted_layout_prunes_row_groups(spark, tmp_path):
     n_sorted = spark.read.parquet(sorted_dir).filter(pred).count()
     n_shuffled = spark.read.parquet(shuffled_dir).filter(pred).count()
     assert n_sorted == n_shuffled > 0
+
+
+def test_zorder_layout_prunes_both_dims(spark, tmp_path):
+    """Z-order clustering: lineitem written sorted by the Morton key of
+    (l_partkey, l_suppkey) gives every row group a bounded rectangle
+    in BOTH dimensions, so a range predicate on EITHER column can skip
+    row groups from footer stats. The control layout — sorted by
+    l_partkey alone — prunes partkey predicates perfectly but leaves
+    every row group spanning the full suppkey range (zero pruning).
+    This is OPTIMIZE ZORDER semantics from plain integer arithmetic
+    (functions/zorder.py), asserted from parquet footers directly,
+    plus result parity across layouts."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from appsflyer_to_clickhouse_spark.functions.zorder import zorder_interleave
+    from appsflyer_to_clickhouse_spark.plans.registry import load
+
+    li = load(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    pk_mx, sk_mx = li.agg(
+        F.max("l_partkey"), F.max("l_suppkey")
+    ).first()
+    z = zorder_interleave(
+        F.expr(f"(l_partkey * 256) div {pk_mx + 1}"),
+        F.expr(f"(l_suppkey * 256) div {sk_mx + 1}"),
+        8,
+    )
+    zdir = str(tmp_path / "zorder")
+    pdir = str(tmp_path / "pksort")
+    (
+        li.withColumn("_z", z.cast("int"))
+        .repartition(1)
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.option("parquet.block.size", 24 * 1024)
+        .parquet(zdir)
+    )
+    (
+        li.repartition(1)
+        .sortWithinPartitions("l_partkey")
+        .write.option("parquet.block.size", 24 * 1024)
+        .parquet(pdir)
+    )
+
+    def hit_fraction(d: str, col: str, lo: int, hi: int) -> float:
+        total = hit = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = [
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == col
+            ][0]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if not (st.max < lo or st.min >= hi):
+                    hit += 1
+        assert total >= 8, f"need multiple row groups, got {total}"
+        return hit / total
+
+    # suppkey-range predicate (1/8 of the domain): the partkey-sorted
+    # layout cannot prune at all; the z-ordered layout can
+    sk_hi = (sk_mx + 1) // 8
+    z_sk = hit_fraction(zdir, "l_suppkey", 0, sk_hi)
+    p_sk = hit_fraction(pdir, "l_suppkey", 0, sk_hi)
+    assert p_sk == 1.0, p_sk
+    assert z_sk <= 0.7, z_sk
+
+    # partkey-range predicate: the dedicated sort prunes hardest, but
+    # the z-layout still prunes — that's the trade it buys
+    pk_hi = (pk_mx + 1) // 8
+    z_pk = hit_fraction(zdir, "l_partkey", 0, pk_hi)
+    p_pk = hit_fraction(pdir, "l_partkey", 0, pk_hi)
+    assert p_pk <= 0.25, p_pk
+    assert z_pk <= 0.7, z_pk
+
+    # layout never changes answers
+    pred = (F.col("l_suppkey") < sk_hi) & (F.col("l_partkey") < pk_hi)
+    n_z = spark.read.parquet(zdir).filter(pred).count()
+    n_p = spark.read.parquet(pdir).filter(pred).count()
+    assert n_z == n_p > 0
