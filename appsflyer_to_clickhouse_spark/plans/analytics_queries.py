@@ -681,3 +681,163 @@ def q_graph_pagerank(spark, sf_dir):
     return pr.select(
         F.col("node").alias("part"), F.round("pr", 6).alias("pagerank")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_linear — multi-touch attribution credit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_linear",
+    """
+    WITH conv AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+      SELECT c.event_id AS conv_id, t.event_type AS channel,
+             count(*) OVER (PARTITION BY c.event_id) AS n
+      FROM conv c
+      JOIN tch t ON t.user_id = c.user_id
+                AND t.ts <= c.ts
+                AND t.ts >= c.ts - INTERVAL 7 DAY
+    )
+    SELECT channel,
+           CAST(round(CAST(sum(CAST(1.0 / n AS DECIMAL(20,12))) AS DOUBLE),
+                      6) AS DOUBLE) AS credit,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS touched_convs
+    FROM pairs GROUP BY channel
+    """,
+)
+def q_events_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution — the analysis the reference's
+    install feed exists to enable: every purchase splits one unit of
+    credit equally across that user's view/click touches in the prior
+    7 days, credited to the touch channel. Conversion-touch pairing is
+    a user_id equi-join with the time window as a residual predicate
+    (per-user pair counts are touch-density-bounded, never corpus^2;
+    at extreme per-user skew the join_range_bucketed grid applies).
+    The per-conversion touch count n comes from a window over the
+    SAME conv_id partitioning the join produced, and 1/n is cast to
+    decimal before summing — order-independent, so the channel totals
+    hash-match exactly."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+    )
+    tch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_uid"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    pairs = conv.join(
+        tch,
+        (F.col("t_uid") == F.col("c_uid"))
+        & (F.col("t_ts") <= F.col("c_ts"))
+        & (F.col("t_ts") >= F.col("c_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "conv_id",
+        "channel",
+        F.count("*").over(Window.partitionBy("conv_id")).alias("n"),
+    )
+    return pairs.groupBy("channel").agg(
+        F.round(
+            F.sum((F.lit(1.0) / F.col("n")).cast("decimal(20,12)")).cast(
+                "double"
+            ),
+            6,
+        ).alias("credit"),
+        F.count_distinct("conv_id").alias("touched_convs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events_attribution_decay — time-decay multi-touch attribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_attribution_decay",
+    """
+    WITH conv AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), tch AS (
+      SELECT user_id, ts, event_type FROM events
+      WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+      SELECT c.event_id AS conv_id, t.event_type AS channel,
+             CAST(power(0.5, (epoch_us(c.ts) - epoch_us(t.ts))
+                             / 86400000000.0) AS DECIMAL(20,12)) AS w
+      FROM conv c
+      JOIN tch t ON t.user_id = c.user_id
+                AND t.ts <= c.ts
+                AND t.ts >= c.ts - INTERVAL 7 DAY
+    ), norm AS (
+      SELECT conv_id, channel,
+             CAST(CAST(w AS DOUBLE)
+                  / CAST(sum(w) OVER (PARTITION BY conv_id) AS DOUBLE)
+                  AS DECIMAL(20,12)) AS credit
+      FROM pairs
+    )
+    SELECT channel,
+           CAST(round(CAST(sum(credit) AS DOUBLE), 6) AS DOUBLE) AS credit
+    FROM norm GROUP BY channel
+    """,
+)
+def q_events_attribution_decay(spark, sf_dir):
+    """Time-decay multi-touch attribution (half-life 1 day): a touch's
+    weight halves per day of distance from the conversion, weights
+    normalize to one unit of credit per conversion. Same
+    join-then-window shape as the linear model; determinism layering:
+    pow() results are cast to decimal BEFORE the per-conversion window
+    sum (order-independent, ULP-absorbed), the normalize step divides
+    the two decimals AS doubles (one fixed expression), and the
+    normalized credit goes back to decimal for the channel sum."""
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+    )
+    tch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_uid"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_type").alias("channel"),
+    )
+    # events.ts reads as TIMESTAMP_NTZ; unix_micros requires TIMESTAMP
+    # (value-preserving cast under the pinned UTC session tz)
+    delta_days = (
+        F.unix_micros(F.col("c_ts").cast("timestamp"))
+        - F.unix_micros(F.col("t_ts").cast("timestamp"))
+    ) / F.lit(86400000000.0)
+    pairs = conv.join(
+        tch,
+        (F.col("t_uid") == F.col("c_uid"))
+        & (F.col("t_ts") <= F.col("c_ts"))
+        & (F.col("t_ts") >= F.col("c_ts") - F.expr("INTERVAL 7 DAYS")),
+    ).select(
+        "conv_id",
+        "channel",
+        F.pow(F.lit(0.5), delta_days).cast("decimal(20,12)").alias("w"),
+    )
+    norm = pairs.select(
+        "conv_id",
+        "channel",
+        (
+            F.col("w").cast("double")
+            / F.sum("w").over(Window.partitionBy("conv_id")).cast("double")
+        )
+        .cast("decimal(20,12)")
+        .alias("credit"),
+    )
+    return norm.groupBy("channel").agg(
+        F.round(F.sum("credit").cast("double"), 6).alias("credit")
+    )
