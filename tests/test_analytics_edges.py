@@ -27,6 +27,9 @@ _EDGE_QUERIES = [
     "scd2_change_intervals",
     "window_lag_sessionize",
     "join_range_bucketed",
+    "events_attribution_linear",
+    "events_attribution_decay",
+    "stream_stream_join",
 ]
 
 
@@ -60,6 +63,17 @@ _ROWS = [
     (600, _t(7, 5), 6, "view", 50.0, "{}"),
     (601, _t(7, 5), 6, "click", 60.0, "{}"),
     (602, _t(7, 5), 6, "view", 70.0, "{}"),
+    # user 7: its only touch is 8 days before the purchase — outside
+    # the 7-day attribution lookback; the conversion earns no credit
+    (700, _t(1, 0), 7, "view", 1.0, "{}"),
+    (701, _t(9, 0), 7, "purchase", 1.0, "{}"),
+    # user 8: one touch exactly AT the conversion instant and one
+    # exactly 7 days before it — both INCLUSIVE window boundaries, and
+    # the at-instant pair also exercises the stream-stream join's
+    # p_ts >= v_ts equality edge
+    (800, _t(1, 12), 8, "view", 1.0, "{}"),
+    (801, _t(8, 12), 8, "view", 1.0, "{}"),
+    (802, _t(8, 12), 8, "purchase", 1.0, "{}"),
 ]
 
 
@@ -96,13 +110,15 @@ def test_edge_semantics_match_oracle(spark, edge_dir, name):
 
 
 def test_funnel_edge_counts(spark, edge_dir):
-    """Pin the intended funnel semantics on the crafted rows: 6 viewing
-    users; the at-boundary clicks (users 4 and 6, ts == first view) and
-    user 5's post-view click convert, while user 3's click-before-view
-    does not; users 4 and 5 purchase at-or-after their click (user 5's
-    EARLIER purchase alone would not have counted)."""
+    """Pin the intended funnel semantics on the crafted rows: 8 viewing
+    users (7 and 8 are the attribution-window users — views, no
+    clicks); the at-boundary clicks (users 4 and 6, ts == first view)
+    and user 5's post-view click convert, while user 3's
+    click-before-view does not; users 4 and 5 purchase at-or-after
+    their click (user 5's EARLIER purchase alone would not have
+    counted — and users 7/8 purchase without ever clicking)."""
     row = QUERIES["events_funnel"](spark, edge_dir).collect()[0]
-    assert row.n_view == 6
+    assert row.n_view == 8
     assert row.n_view_click == 3  # users 4, 5, 6
     assert row.n_view_click_purchase == 2  # users 4 and 5
 
