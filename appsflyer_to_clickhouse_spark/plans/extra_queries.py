@@ -410,3 +410,121 @@ def q_layout_zorder_cells(spark, sf_dir):
         F.min("l_suppkey").cast("bigint").alias("sk_min"),
         F.max("l_suppkey").cast("bigint").alias("sk_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_geo_grid — 2-D proximity join via grid cells (big x big, no NL)
+# ---------------------------------------------------------------------------
+
+_GEO_R = 2.0  # proximity radius == grid cell width, in coordinate units
+_TWO52 = float(1 << 52)
+
+# deterministic synthetic positions: 52-bit md5 uniforms (exact in a
+# double on both engines) scaled to lon [-180, 180) / lat [-90, 90)
+def _geo_pos_sql(tag: str, key: str) -> tuple[str, str]:
+    def u(axis: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{axis}|{tag}|' || {key}), 1, 13))::UBIGINT"
+            f" / {_TWO52})"
+        )
+
+    return f"({u('lon')} * 360.0 - 180.0)", f"({u('lat')} * 180.0 - 90.0)"
+
+
+@register(
+    "join_geo_grid",
+    f"""
+    WITH cpos AS (
+      SELECT c_custkey AS cid,
+             {_geo_pos_sql('c', 'c_custkey')[0]} AS lon,
+             {_geo_pos_sql('c', 'c_custkey')[1]} AS lat
+      FROM customer
+    ), spos AS (
+      SELECT s_suppkey AS sid,
+             {_geo_pos_sql('s', 's_suppkey')[0]} AS lon,
+             {_geo_pos_sql('s', 's_suppkey')[1]} AS lat
+      FROM supplier
+    ), probe AS (
+      SELECT cid, lon, lat,
+             CAST(floor(lon / {_GEO_R}) AS BIGINT) + dx.d AS cx,
+             CAST(floor(lat / {_GEO_R}) AS BIGINT) + dy.d AS cy
+      FROM cpos,
+           (SELECT unnest([-1, 0, 1]) AS d) dx,
+           (SELECT unnest([-1, 0, 1]) AS d) dy
+    ), build AS (
+      SELECT sid, lon, lat,
+             CAST(floor(lon / {_GEO_R}) AS BIGINT) AS cx,
+             CAST(floor(lat / {_GEO_R}) AS BIGINT) AS cy
+      FROM spos
+    )
+    SELECT p.cid, b.sid,
+           round(sqrt((p.lon - b.lon) * (p.lon - b.lon)
+                      + (p.lat - b.lat) * (p.lat - b.lat)), 6) AS dist
+    FROM probe p
+    JOIN build b ON p.cx = b.cx AND p.cy = b.cy
+    WHERE (p.lon - b.lon) * (p.lon - b.lon)
+          + (p.lat - b.lat) * (p.lat - b.lat) <= {_GEO_R} * {_GEO_R}
+    """,
+)
+def q_join_geo_grid(spark, sf_dir):
+    """2-D proximity join (customer x supplier positions within radius
+    {_GEO_R}) via GRID CELLS — the planar generalization of
+    join_range_bucketed: build-side points register in ONE cell of
+    width r, probe-side points probe their 3x3 neighborhood (any pair
+    within r is provably in adjacent cells), the join is a plain
+    equi-join on (cx, cy) with the exact distance as a residual — a
+    NestedLoop never appears at any scale, and shuffle traffic is 9x
+    probe + 1x build, never |A| x |B|. Positions are 52-bit md5
+    uniforms (exact in doubles on both engines; planar distance — the
+    technique under PostGIS/Sedona ST_DWithin gridding, minus
+    geodesy). Duplicate (probe, build) matches are impossible because
+    the build side registers once."""
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey")
+
+    def u(axis, tag, key):
+        return (
+            F.expr(
+                f"CAST(conv(substring(md5(concat('{axis}|{tag}|', "
+                f"CAST({key} AS STRING))), 1, 13), 16, 10) AS DOUBLE)"
+            )
+            / F.lit(_TWO52)
+        )
+
+    cpos = cust.select(
+        F.col("c_custkey").alias("cid"),
+        (u("lon", "c", "c_custkey") * 360.0 - 180.0).alias("lon"),
+        (u("lat", "c", "c_custkey") * 180.0 - 90.0).alias("lat"),
+    )
+    spos = supp.select(
+        F.col("s_suppkey").alias("sid"),
+        (u("lon", "s", "s_suppkey") * 360.0 - 180.0).alias("lon"),
+        (u("lat", "s", "s_suppkey") * 180.0 - 90.0).alias("lat"),
+    )
+    d = F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1)))
+    probe = (
+        cpos.withColumn("dx", d)
+        .withColumn("dy", d)
+        .select(
+            "cid",
+            F.col("lon").alias("p_lon"),
+            F.col("lat").alias("p_lat"),
+            (F.floor(F.col("lon") / _GEO_R).cast("bigint") + F.col("dx")).alias("cx"),
+            (F.floor(F.col("lat") / _GEO_R).cast("bigint") + F.col("dy")).alias("cy"),
+        )
+    )
+    build = spos.select(
+        "sid",
+        F.col("lon").alias("b_lon"),
+        F.col("lat").alias("b_lat"),
+        F.floor(F.col("lon") / _GEO_R).cast("bigint").alias("cx"),
+        F.floor(F.col("lat") / _GEO_R).cast("bigint").alias("cy"),
+    )
+    dsq = (F.col("p_lon") - F.col("b_lon")) * (
+        F.col("p_lon") - F.col("b_lon")
+    ) + (F.col("p_lat") - F.col("b_lat")) * (F.col("p_lat") - F.col("b_lat"))
+    return (
+        probe.join(build, ["cx", "cy"])
+        .filter(dsq <= F.lit(_GEO_R * _GEO_R))
+        .select("cid", "sid", F.round(F.sqrt(dsq), 6).alias("dist"))
+    )

@@ -223,3 +223,121 @@ def q_agg_hll_sketch_merge(spark, sf_dir):
             F.col("n_days").cast("bigint").alias("n_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# profile_expectations — declarative data-quality checks in one pass
+# ---------------------------------------------------------------------------
+
+# each check is (name, DuckDB violation-count SQL); the Spark side
+# mirrors check-for-check below. Checks are scalar aggregates over
+# column-pruned scans — the expectations pattern (Deequ/Great
+# Expectations) reduced to plain aggregation.
+_EXPECTATIONS_ORACLE = """
+  SELECT 'orders_custkey_ri' AS check_name,
+         CAST(count(*) AS BIGINT) AS violations
+  FROM orders o ANTI JOIN customer c ON o.o_custkey = c.c_custkey
+UNION ALL
+  SELECT 'lineitem_orderkey_ri',
+         CAST(count(*) AS BIGINT)
+  FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+  SELECT 'events_event_id_unique',
+         CAST(count(*) - count(DISTINCT event_id) AS BIGINT)
+  FROM events
+UNION ALL
+  SELECT 'lineitem_qty_range',
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+UNION ALL
+  SELECT 'events_ts_in_window',
+         CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-01 00:00:00'
+                       OR ts >= TIMESTAMP '2024-03-01 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+UNION ALL
+  SELECT 'documents_nonempty',
+         CAST(sum(CASE WHEN n_chars <= 0 OR text IS NULL
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+"""
+
+
+@register("profile_expectations", _EXPECTATIONS_ORACLE)
+def q_profile_expectations(spark, sf_dir):
+    """Expectations-style validation suite — referential integrity,
+    key uniqueness, accepted ranges, event-time window membership,
+    non-emptiness — as ONE result table of (check_name, violations).
+    The production gate pattern (Deequ / Great Expectations) with no
+    framework: every check is a scalar aggregate over a column-pruned
+    scan, RI checks are broadcast-able anti-joins against the
+    dimension's key column, and the output is rows-per-check so a
+    pipeline can fail on sum(violations) > 0. At 100 TB each branch
+    reads only its own columns and the branches parallelize — this is
+    strictly cheaper than one wide scan feeding all checks."""
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    lineitem = load(spark, sf_dir, "lineitem")
+    events = load(spark, sf_dir, "events")
+    documents = load(spark, sf_dir, "documents")
+
+    def one(name, df):
+        return df.select(
+            F.lit(name).alias("check_name"),
+            F.col("violations").cast("bigint").alias("violations"),
+        )
+
+    ri_orders = one(
+        "orders_custkey_ri",
+        orders.join(
+            customer, orders.o_custkey == customer.c_custkey, "left_anti"
+        ).agg(F.count("*").alias("violations")),
+    )
+    ri_lineitem = one(
+        "lineitem_orderkey_ri",
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+        ).agg(F.count("*").alias("violations")),
+    )
+    uniq = one(
+        "events_event_id_unique",
+        events.agg(
+            (F.count("*") - F.count_distinct("event_id")).alias("violations")
+        ),
+    )
+    qty = one(
+        "lineitem_qty_range",
+        lineitem.agg(
+            F.sum(
+                ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+                .cast("int")
+            ).alias("violations")
+        ),
+    )
+    ts_win = one(
+        "events_ts_in_window",
+        events.agg(
+            F.sum(
+                (
+                    (F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp_ntz"))
+                    | (F.col("ts") >= F.lit("2024-03-01 00:00:00").cast("timestamp_ntz"))
+                ).cast("int")
+            ).alias("violations")
+        ),
+    )
+    nonempty = one(
+        "documents_nonempty",
+        documents.agg(
+            F.sum(
+                ((F.col("n_chars") <= 0) | F.col("text").isNull()).cast("int")
+            ).alias("violations")
+        ),
+    )
+    return (
+        ri_orders.unionByName(ri_lineitem)
+        .unionByName(uniq)
+        .unionByName(qty)
+        .unionByName(ts_win)
+        .unionByName(nonempty)
+    )
