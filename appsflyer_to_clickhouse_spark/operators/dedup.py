@@ -518,3 +518,110 @@ def embedding_cosine_pairs(
         joined.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def argmax_case_sql(k: int, prefix: str = "d") -> str:
+    """CASE expression choosing the argmax of columns ``d0..d{k-1}``
+    with first-match-wins >= comparisons, so ties resolve to the LOWEST
+    index in every engine. Shared text between the Spark plan and the
+    DuckDB oracle — the assignment cannot drift."""
+    whens = []
+    for p in range(k - 1):
+        rest = [f"{prefix}{q}" for q in range(p + 1, k)]
+        cmp = rest[0] if len(rest) == 1 else f"greatest({', '.join(rest)})"
+        whens.append(f"WHEN {prefix}{p} >= {cmp} THEN {p}")
+    return "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    protos: list[list[int]],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with a coarse quantizer, then inside each cluster
+    drop every vector whose exact cosine to ANY lower-id cluster-mate
+    reaches ``threshold``; survivors (id, cluster) are the semantically
+    deduplicated corpus.
+
+    Published algorithm's scale contract: K (number of clusters) grows
+    with the corpus so mean cluster size C stays bounded (the paper
+    uses K = 110k for 600M docs, C ~ 5k); the in-cluster pair stage
+    then costs O(n * C) — LINEAR in n — never all-pairs. Here K =
+    len(protos) is a test-scale constant, and the quantizer is a set
+    of md5-derived ternary prototypes (argmax-dot assignment) instead
+    of trained k-means centroids, so the DuckDB oracle can reproduce
+    the assignment bit-for-bit; the production build swaps in the
+    seeded KMeans centroids from operators/ivf.py:build_ivf, stored as
+    a partition column at ingest so the pair stage shuffles nothing
+    but in-partition ids.
+
+    Drop semantics are monotone (compare against ALL lower-id mates,
+    not just surviving ones) — a deliberate, join-expressible
+    simplification of the paper's greedy keep-one-per-group, and the
+    form every large-scale reimplementation uses.
+
+    Stages: (1) map-only prototype dots + argmax CASE per row (sparse
+    ternary dots stay inside whole-stage codegen); (2) groupBy(cluster)
+    + in-group pair explosion — ids only, vectors never shuffle twice;
+    (3) exact-cosine verify join over candidates; (4) broadcast-size
+    anti-join of dropped ids."""
+    from .similarity import dot, sparse_dot_sql
+
+    staged = emb.select(
+        F.col(id_col),
+        F.col(vec_col),
+        dot(F.col(vec_col), F.col(vec_col)).alias("nn"),
+        *[
+            F.expr(sparse_dot_sql(w, vec_col, 0)).alias(f"d{p}")
+            for p, w in enumerate(protos)
+        ],
+    )
+    clustered = staged.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("nn"),
+        F.expr(argmax_case_sql(len(protos))).alias("cluster"),
+    )
+    groups = (
+        clustered.groupBy("cluster")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    cand = (
+        groups.select(F.explode(_in_group_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+    )
+    n = clustered.select(id_col, vec_col, "nn")
+    joined = (
+        cand.join(
+            n.select(
+                F.col(id_col).alias("id_a"),
+                F.col(vec_col).alias("va"),
+                F.col("nn").alias("nna"),
+            ),
+            "id_a",
+        )
+        .join(
+            n.select(
+                F.col(id_col).alias("id_b"),
+                F.col(vec_col).alias("vb"),
+                F.col("nn").alias("nnb"),
+            ),
+            "id_b",
+        )
+    )
+    cos = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.sqrt("nna") * F.sqrt("nnb")), 6
+    )
+    dropped = (
+        joined.select("id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("id_b"))
+        .distinct()
+    )
+    return clustered.select(id_col, "cluster").join(
+        dropped, F.col(id_col) == F.col("id_b"), "left_anti"
+    )

@@ -505,3 +505,72 @@ def q_dedup_incremental_ingest(spark, sf_dir):
     return cand.filter(
         (F.col("id_a") % 10 == 0) | (F.col("id_b") % 10 == 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic — SemDeDup: coarse-cluster then prune in-cluster cosine dups
+# ---------------------------------------------------------------------------
+
+_SEM_K = 8
+_SEM_THRESHOLD = 0.3
+
+
+def _sem_protos() -> list[list[int]]:
+    from ..operators.similarity import sparse_planes
+
+    return sparse_planes(_EMB_DIM, _SEM_K, seed="sem")
+
+
+_SEM_PROTOS = _sem_protos()
+
+
+def _sem_oracle_sql() -> str:
+    from ..operators.dedup import argmax_case_sql
+    from ..operators.similarity import sparse_dot_sql
+
+    dots = ",\n             ".join(
+        f"{sparse_dot_sql(w, 'v', 1)} AS d{p}"
+        for p, w in enumerate(_SEM_PROTOS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    st AS (
+      SELECT vec_id, v, list_dot_product(v, v) AS nn,
+             {dots}
+      FROM e
+    ),
+    cl AS (
+      SELECT vec_id, v, nn, {argmax_case_sql(_SEM_K)} AS cluster FROM st
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id AS did
+      FROM cl a
+      JOIN cl b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.v, b.v) / (sqrt(a.nn) * sqrt(b.nn)), 6)
+            >= {_SEM_THRESHOLD}
+    )
+    SELECT vec_id, cluster FROM cl
+    WHERE vec_id NOT IN (SELECT did FROM dropped)
+    """
+
+
+@register("dedup_semantic", _sem_oracle_sql())
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (arXiv:2303.09540) over the embeddings table: assign
+    each vector to the argmax-dot prototype cluster ({_SEM_K}
+    md5-derived ternary prototypes — the oracle regenerates the SAME
+    literals), then drop every vector whose exact cosine to any
+    lower-id cluster-mate reaches {_SEM_THRESHOLD}; survivors
+    (vec_id, cluster) are the semantically deduplicated corpus. The
+    scale contract (K grows with n so cluster size stays bounded;
+    in-cluster pairs cost O(n * C), never all-pairs) and the
+    production KMeans swap-in are documented at
+    operators/dedup.py:semantic_dedup."""
+    from ..operators.dedup import semantic_dedup
+
+    emb = load_fanout(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return semantic_dedup(emb, _SEM_PROTOS, _SEM_THRESHOLD)
