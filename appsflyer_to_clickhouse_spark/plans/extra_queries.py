@@ -528,3 +528,84 @@ def q_join_geo_grid(spark, sf_dir):
         .filter(dsq <= F.lit(_GEO_R * _GEO_R))
         .select("cid", "sid", F.round(F.sqrt(dsq), 6).alias("dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# join_dpp_partitioned — dynamic partition pruning on a date-partitioned fact
+# ---------------------------------------------------------------------------
+
+# (session id, sf_dir) -> (fact_path, dim_path)
+_DPP_PATHS: dict[tuple, tuple[str, str]] = {}
+
+
+def _dpp_tables(spark, sf_dir: str) -> tuple[str, str]:
+    """Write events as a date-PARTITIONED parquet fact plus a tiny date
+    dim, once per (session, sf_dir) — the layout every warehouse fact
+    table has at 100 TB (one directory per ingestion date)."""
+    key = (id(spark._jsparkSession), sf_dir)
+    cached = _DPP_PATHS.get(key)
+    if cached is not None:
+        return cached
+    ev = load(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    fact_path = tempfile.mkdtemp(prefix="spark_graft_dpp_fact_") + "/events"
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(fact_path)
+    dim_path = tempfile.mkdtemp(prefix="spark_graft_dpp_dim_") + "/dates"
+    (
+        ev.select("event_date")
+        .distinct()
+        .withColumn(
+            "dow", F.datediff(F.col("event_date"), F.lit("1970-01-01")) % 7
+        )
+        .write.mode("overwrite")
+        .parquet(dim_path)
+    )
+    _DPP_PATHS[key] = (fact_path, dim_path)
+    return _DPP_PATHS[key]
+
+
+@register(
+    "join_dpp_partitioned",
+    """
+    WITH f AS (
+      SELECT CAST(ts AS DATE) AS event_date, value FROM events
+    ),
+    dim AS (
+      SELECT DISTINCT event_date,
+             date_diff('day', DATE '1970-01-01', event_date) % 7 AS dow
+      FROM f
+    )
+    SELECT f.event_date,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,3)))
+                AS DOUBLE), 2) AS DOUBLE) AS total_value
+    FROM f JOIN dim ON f.event_date = dim.event_date
+    WHERE dim.dow = 1
+    GROUP BY f.event_date
+    """,
+)
+def q_join_dpp_partitioned(spark, sf_dir):
+    """Dynamic partition pruning: the fact is parquet PARTITIONED BY
+    event_date; the dim's selective ``dow = 1`` filter is only known at
+    run time, so Catalyst injects a dynamicpruning subquery into the
+    fact scan's PartitionFilters — the broadcast result doubles as the
+    partition list and the fact reads ~1/7 of its directories instead
+    of all of them (pinned in tests/test_plan_shapes.py). At 100 TB
+    this is THE difference between scanning 100 TB and scanning one
+    week-day's partitions on every dim-filtered join; static pruning
+    can't do it because the surviving dates aren't in the query text."""
+    fact_path, dim_path = _dpp_tables(spark, sf_dir)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("dow") == 1)
+    return (
+        fact.join(F.broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.expr(
+                "CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,3)))"
+                " AS DOUBLE), 2) AS DOUBLE) AS total_value"
+            ),
+        )
+    )

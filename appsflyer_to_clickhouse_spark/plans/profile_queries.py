@@ -341,3 +341,41 @@ def q_profile_expectations(spark, sf_dir):
         .unionByName(ts_win)
         .unionByName(nonempty)
     )
+
+
+@register(
+    "agg_freq_items_bounded",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           TRUE AS covered_ok
+    FROM events
+    GROUP BY event_type
+    HAVING count(*) * 10 > (SELECT count(*) FROM events)
+    """,
+)
+def q_agg_freq_items_bounded(spark, sf_dir):
+    """Heavy-hitter sketch accuracy pin: ``df.stat.freqItems`` (the
+    Karp/Misra-Gries one-pass summary) must return a SUPERSET of every
+    item whose true frequency exceeds the support threshold — that is
+    the algorithm's guarantee, so the query returns each exact heavy
+    hitter (frequency > 10%) with a boolean asserting it appeared in
+    the sketch output. The sketch result is bounded by 1/support items
+    (here <= 10), so collecting it driver-side is metadata-sized by
+    construction — the same shape as reading back HLL estimates. At
+    100 TB the sketch is the survivable path: fixed-size per-partition
+    summaries merge without shuffling the keyspace, then one exact
+    confirmation pass touches only the <= 1/support candidates."""
+    ev = load(spark, sf_dir, "events")
+    sketch = set(ev.stat.freqItems(["event_type"], 0.1).collect()[0][0])
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("n_events"))
+    total = ev.agg(F.count("*").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_events") * 10 > F.col("__t"))
+        .select(
+            "event_type",
+            "n_events",
+            F.col("event_type").isin(list(sketch)).alias("covered_ok"),
+        )
+    )

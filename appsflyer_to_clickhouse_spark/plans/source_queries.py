@@ -319,3 +319,29 @@ def q_etl_pipeline_from_csv(spark, sf_dir):
     return run_installs_pipeline(
         raw, empty_sink, "2020-01-01 00:00:00", "2030-01-01 00:00:00"
     )
+
+
+@register("source_http_datasource", _http_oracle())
+def q_source_http_datasource(spark, sf_dir):
+    """The SAME windowed AppsFlyer export surfaced through the PySpark
+    4 Python Data Source API (sources/datasource.py): registration +
+    ``spark.read.format("appsflyer")`` with the window as options; each
+    InputPartition is one sub-window fetched executor-side. Identical
+    oracle to source_http_csv — the two source plumbings must agree
+    byte-for-byte. The injectable fetcher arrives as a module:attr
+    option so executors resolve it without network or pickled
+    closures."""
+    from ..sources.datasource import AppsFlyerDataSource
+
+    spark.dataSource.register(AppsFlyerDataSource)
+    return (
+        spark.read.format("appsflyer")
+        .option("from_time", _HTTP_FROM)
+        .option("to_time", _HTTP_TO)
+        .option("num_splits", str(_HTTP_SPLITS))
+        .option(
+            "fetcher",
+            "appsflyer_to_clickhouse_spark.plans.source_queries:_fake_fetch",
+        )
+        .load()
+    )

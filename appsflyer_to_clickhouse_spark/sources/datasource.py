@@ -1,0 +1,89 @@
+"""AppsFlyer Pull API as a first-class Spark DataSource (PySpark 4
+Python Data Source API) — reference main.py:114-130 re-expressed as a
+pluggable ``spark.read.format("appsflyer")``.
+
+Where ``sources/http_source.py`` drives the partitioned fetch through
+``mapInPandas`` over a ranges frame, this wraps the SAME window-split +
+CSV-parse kernels in the engine's own source contract: Catalyst sees a
+real scan node, each ``InputPartition`` is one API sub-window fetched
+executor-side, and downstream ops compose like any other source. The
+time predicate stays pushed into the API as ``from=&to=`` params —
+partition construction IS the pushdown.
+
+The fetcher is injectable as a ``fetcher`` option holding a
+``module:attribute`` dotted path (resolved on the EXECUTOR, so the
+DataSource stays picklable and tests run without network); unset, it
+builds the real requests-backed fetcher from ``config.resolve_config``.
+
+Scale: partitions = num_splits independent HTTP ranges, so a
+1000-executor cluster fans one export window into 1000 concurrent
+bounded fetches with zero driver materialization — the reference's
+single blocking driver-RAM GET is the ceiling this removes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..schemas import af_raw_schema
+from .http_source import FetchFn, parse_af_csv_text, split_window
+
+
+class _WindowPartition(InputPartition):
+    """One API sub-window = one input split."""
+
+    def __init__(self, from_time: str, to_time: str):
+        self.from_time = from_time
+        self.to_time = to_time
+
+
+def _resolve_fetcher(spec: str) -> FetchFn:
+    if not spec:
+        from ..config import resolve_config
+        from .http_source import http_fetch_fn
+
+        return http_fetch_fn(resolve_config())
+    mod_name, _, attr = spec.partition(":")
+    import importlib
+
+    return getattr(importlib.import_module(mod_name), attr)
+
+
+class AppsFlyerDataSource(DataSource):
+    """``spark.read.format("appsflyer")`` — options: ``from_time``,
+    ``to_time`` (inclusive window, '%Y-%m-%d %H:%M:%S'), ``num_splits``
+    (default 8), ``fetcher`` (``module:attr`` override for tests)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "appsflyer"
+
+    def schema(self):
+        return af_raw_schema()
+
+    def reader(self, schema) -> "_AppsFlyerReader":
+        return _AppsFlyerReader(schema, self.options)
+
+
+class _AppsFlyerReader(DataSourceReader):
+    def __init__(self, schema, options):
+        self._cols = [f.name for f in schema.fields]
+        self._from = options["from_time"]
+        self._to = options["to_time"]
+        self._splits = int(options.get("num_splits", "8"))
+        self._fetcher_spec = options.get("fetcher", "")
+
+    def partitions(self) -> list[_WindowPartition]:
+        return [
+            _WindowPartition(f, t)
+            for f, t in split_window(self._from, self._to, self._splits)
+        ]
+
+    def read(self, partition: _WindowPartition) -> Iterator[tuple]:
+        fetch = _resolve_fetcher(self._fetcher_spec)
+        for row in parse_af_csv_text(
+            fetch(partition.from_time, partition.to_time)
+        ):
+            yield tuple(row.get(c) for c in self._cols)

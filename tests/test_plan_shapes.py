@@ -334,3 +334,19 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
     assert checked > 100, f"sweep unexpectedly small: {checked}"
     assert not cartesian, f"cartesian products in: {cartesian}"
     assert not row_python, f"row-at-a-time Python UDFs in: {row_python}"
+
+
+def test_dpp_injects_dynamic_pruning_into_fact_scan(spark):
+    # the date-partitioned fact scan must carry a dynamicpruning
+    # subquery in its PartitionFilters — static pruning cannot know
+    # which dates survive the dim's dow filter
+    plan = _plan(spark, "join_dpp_partitioned")
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_semantic_dedup_never_plans_all_pairs(spark):
+    # candidate pairs come from the grouped in-cluster explosion, never
+    # a join without equality keys
+    plan = _plan(spark, "dedup_semantic")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
