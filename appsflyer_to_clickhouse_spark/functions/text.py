@@ -49,6 +49,19 @@ def word_shingles(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(F.filter(out, lambda x: x.isNotNull()))
 
 
+def word_shingles_ordered(toks: Column, n: int = 3) -> Column:
+    """``word_shingles`` WITHOUT the distinct: every n-gram in document
+    order, so ``posexplode`` yields (token position, gram) — the input
+    for position-aware ops (repeated-span detection). Null-propagating
+    concat marks only the tail slots, so the filter preserves order and
+    element i IS the gram starting at token i."""
+    out = toks
+    for j in range(1, n):
+        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
+        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    return F.filter(out, lambda x: x.isNotNull())
+
+
 def hash60(col: Column) -> Column:
     """Deterministic 60-bit integer hash shared with DuckDB:
     first 15 hex chars of md5, base-16 -> bigint (< 2^60, no overflow)."""

@@ -574,3 +574,109 @@ def q_dedup_semantic(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return semantic_dedup(emb, _SEM_PROTOS, _SEM_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# dedup_repeated_spans — cross-document repeated k-gram spans
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 5
+
+
+@register(
+    "dedup_repeated_spans",
+    f"""
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS t
+      FROM documents
+    ),
+    gr AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= {_SPAN_K}
+                  THEN list_transform(range(len(t) - {_SPAN_K - 1}),
+                       i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                            || ' ' || t[i+4] || ' ' || t[i+5])
+                  ELSE []::VARCHAR[] END AS gs
+      FROM tk
+    ),
+    occ AS (
+      SELECT doc_id, unnest(gs) AS gram,
+             unnest(range(len(gs))) AS pos
+      FROM gr
+    ),
+    dup AS (
+      SELECT gram FROM occ GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+      SELECT o.doc_id, o.pos FROM occ o JOIN dup d ON o.gram = d.gram
+    ),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                            ORDER BY pos) <= {_SPAN_K}
+                  THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+           CAST(count(*) AS BIGINT) AS n_grams
+    FROM grp GROUP BY doc_id, island
+    """,
+)
+def q_dedup_repeated_spans(spark, sf_dir):
+    """Cross-document repeated SPANS (the distributed analogue of
+    suffix-array substring dedup, Lee et al. 2022 arXiv:2107.06499):
+    every {_SPAN_K}-gram occurring in >= 2 distinct documents is a
+    duplicated gram; per document, duplicated-gram positions within
+    {_SPAN_K} tokens of each other merge into maximal spans
+    (gaps-and-islands over ONE doc_id exchange). Output spans are the
+    token ranges a substring-level dedup would cut, without ever
+    building a corpus-wide suffix array: the gram-frequency shuffle is
+    bounded by DISTINCT grams, the hits join is key-bounded, and no
+    stage holds more than a document's positions in one task."""
+    from pyspark.sql import Window as W
+
+    from ..functions.text import tokens, word_shingles_ordered
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id",
+        F.posexplode(
+            word_shingles_ordered(tokens(F.col("text")), _SPAN_K)
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        occ.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    hits = occ.join(dup, "gram").select("doc_id", "pos")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(w) <= _SPAN_K, 0)
+        .otherwise(1)
+        .alias("brk")
+    )
+    grp = hits.select("doc_id", "pos", brk).select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "island"
+        ),
+    )
+    return grp.groupBy("doc_id", "island").agg(
+        F.min("pos").cast("bigint").alias("span_start"),
+        (F.max("pos") + F.lit(_SPAN_K - 1)).cast("bigint").alias("span_end"),
+        F.count("*").alias("n_grams"),
+    ).drop("island")

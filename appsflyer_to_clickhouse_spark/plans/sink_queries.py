@@ -189,3 +189,58 @@ def q_sink_rollup_refresh(spark, sf_dir):
     return spark.read.parquet(rollup).select(
         "install_date", "n_rows", "n_keys", "first_install", "last_install"
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_merge_cdc — CDC MERGE round-trip with deletes
+# ---------------------------------------------------------------------------
+
+_CDC_ORACLE = """
+SELECT CAST(event_id // 3 AS VARCHAR) AS appsflyer_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS install_time,
+       ts + INTERVAL 1 HOUR AS event_time
+FROM events
+WHERE event_id % 6 = 0
+"""
+
+
+@register("sink_merge_cdc", _CDC_ORACLE)
+def q_sink_merge_cdc(spark, sf_dir):
+    """CDC MERGE round-trip with deletes: seed the sink with every
+    key, then apply one change batch carrying newer upserts for the
+    even keys and newer DELETES for the odd keys; after merge_cdc the
+    sink must hold exactly the upserted even keys (deletes removed
+    their rows). The oracle states the survivor set independently.
+    Partition-scoping and the emptied-directory obligation are pinned
+    physically in tests/test_sink_maintenance.py."""
+    from ..schemas import ch_sink_schema, sink_columns
+    from ..sinks.maintenance import merge_cdc
+
+    ev = load(spark, sf_dir, "events")
+
+    def shaped(df, event_time_col):
+        base = df.select(
+            F.expr("event_id DIV 3").cast("string").alias("appsflyer_id"),
+            F.date_trunc("DAY", F.col("ts")).alias("install_time"),
+            event_time_col.alias("event_time"),
+        )
+        for f in ch_sink_schema().fields:
+            if f.name not in ("appsflyer_id", "install_time", "event_time"):
+                base = base.withColumn(f.name, F.lit(None).cast(f.dataType))
+        return base.select(*sink_columns())
+
+    initial = shaped(ev.filter(F.col("event_id") % 3 == 0), F.col("ts"))
+    ups = shaped(
+        ev.filter(F.col("event_id") % 6 == 0),
+        F.col("ts") + F.expr("INTERVAL 1 HOUR"),
+    ).withColumn("op", F.lit("u"))
+    dels = shaped(
+        ev.filter(F.col("event_id") % 6 == 3),
+        F.col("ts") + F.expr("INTERVAL 2 HOUR"),
+    ).withColumn("op", F.lit("d"))
+    path = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    write_sink(initial, path, mode="append")
+    merge_cdc(spark, ups.unionByName(dels), path)
+    return read_sink(spark, path).select(
+        "appsflyer_id", "install_time", "event_time"
+    )

@@ -345,3 +345,80 @@ def q_source_http_datasource(spark, sf_dir):
         )
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# csv_corrupt_records — PERMISSIVE parse with raw-line quarantine
+# ---------------------------------------------------------------------------
+
+_CORRUPT_LINES = [
+    "1,alice,10.5",
+    "2,bob,notanum",
+    "3,carol",
+    "4,dave,1.0,EXTRA",
+    '"5,eve,2.0',
+]
+
+# expected PERMISSIVE results (pinned from Spark's documented contract:
+# any row whose tokens don't fully parse keeps its parseable typed
+# fields and lands its RAW LINE in the corrupt column; a structural
+# break like the unclosed quote nulls every field)
+_CORRUPT_EXPECTED: list[tuple[object, object, object, object]] = [
+    (1, "alice", 10.5, None),
+    (2, "bob", None, "2,bob,notanum"),
+    (3, "carol", None, "3,carol"),
+    (4, "dave", 1.0, "4,dave,1.0,EXTRA"),
+    (None, None, None, '"5,eve,2.0'),
+]
+
+
+def _corrupt_oracle() -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return _sql_str(v)
+        return repr(v)
+
+    rows = ",\n      ".join(
+        "(" + ", ".join(lit(v) for v in r) + ")" for r in _CORRUPT_EXPECTED
+    )
+    return f"""
+    SELECT CAST(id AS INTEGER) AS id, CAST(name AS VARCHAR) AS name,
+           CAST(amount AS DOUBLE) AS amount,
+           CAST(corrupt_record AS VARCHAR) AS corrupt_record
+    FROM (VALUES\n      {rows}) AS t(id, name, amount, corrupt_record)
+    """
+
+
+@register("csv_corrupt_records", _corrupt_oracle())
+def q_csv_corrupt_records(spark, sf_dir):
+    """Malformed-row quarantine: PERMISSIVE CSV parse with
+    columnNameOfCorruptRecord — typed fields parse where they can, and
+    every row that doesn't fully conform (bad numeric, wrong arity,
+    broken quoting) carries its raw line in the corrupt column instead
+    of killing the job. This is the ingest posture for a 100 TB drop of
+    third-party CSV: the clean split feeds the pipeline, the quarantine
+    split is re-processed or reported, and neither requires a second
+    scan (one pass splits both). FAILFAST is the validation mode;
+    DROPMALFORMED silently loses data and is never used."""
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="spark_graft_corrupt_") + "/f.csv"
+    with open(path, "w") as f:
+        f.write("id,name,amount\n" + "\n".join(_CORRUPT_LINES) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("id", T.IntegerType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("amount", T.DoubleType()),
+            T.StructField("corrupt_record", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "corrupt_record")
+        .csv(path)
+    )

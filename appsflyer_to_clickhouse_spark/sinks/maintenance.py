@@ -173,3 +173,72 @@ def refresh_rollup_incremental(
             .partitionBy(PARTITION_COL)
             .parquet(rollup_path)
         )
+
+
+def merge_cdc(
+    spark: SparkSession,
+    batch: DataFrame,
+    path: str,
+    key: str = "appsflyer_id",
+    order_col: str = "event_time",
+    op_col: str = "op",
+) -> None:
+    """CDC MERGE with deletes: ``batch`` carries an ``op_col`` of
+    ``'u'`` (upsert) or ``'d'`` (delete). Per (install_date, key) the
+    highest-``order_col`` change wins (batch beats sink on ties); a
+    winning delete removes the row. Same partition-scoped shape as
+    ``merge_upsert`` — only the batch's install_dates are read back and
+    rewritten.
+
+    The one extra obligation deletes create: a partition whose LAST
+    rows are deleted produces zero output rows, and dynamic partition
+    overwrite only replaces directories the written frame contains —
+    writing nothing would leave the stale directory in place. Those
+    fully-emptied partitions are removed explicitly (pinned in
+    tests/test_sink_maintenance.py). At 100 TB this stays metadata
+    work: the emptied-date list is bounded by the batch's time span."""
+    dated = batch.select(*sink_columns(), op_col).withColumn(
+        PARTITION_COL, F.to_date("install_time")
+    )
+    dates = [r[0] for r in dated.select(PARTITION_COL).distinct().collect()]
+    if not dates:
+        return
+    try:
+        existing = (
+            spark.read.parquet(path)
+            .filter(F.col(PARTITION_COL).isin(dates))
+            .select(*sink_columns(), PARTITION_COL)
+        )
+    except AnalysisException:  # first merge: sink does not exist yet
+        existing = None
+
+    tagged_new = dated.withColumn("_src", F.lit(1))
+    merged_src = (
+        tagged_new
+        if existing is None
+        else existing.withColumn(op_col, F.lit("u"))
+        .withColumn("_src", F.lit(0))
+        .unionByName(tagged_new)
+    )
+    w = Window.partitionBy(PARTITION_COL, key).orderBy(
+        F.col(order_col).desc_nulls_last(), F.col("_src").desc()
+    )
+    winners = (
+        merged_src.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .filter(F.col(op_col) != "d")
+        .select(*sink_columns(), PARTITION_COL)
+    )
+    survived = {r[0] for r in winners.select(PARTITION_COL).distinct().collect()}
+    with _dynamic_overwrite(spark):
+        winners.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+    # remove directories the delete-only winners emptied entirely
+    emptied = [d for d in dates if d not in survived]
+    if emptied:
+        jvm = spark._jvm
+        conf = spark._jsc.hadoopConfiguration()
+        for d in emptied:
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{PARTITION_COL}={d}")
+            fs = p.getFileSystem(conf)
+            if fs.exists(p):
+                fs.delete(p, True)

@@ -227,3 +227,46 @@ def test_incremental_rollup_refresh_equals_full_recompute(spark):
     a = sorted(map(str, spark.read.parquet(rollup).collect()))
     b = sorted(map(str, spark.read.parquet(full).collect()))
     assert a == b
+
+
+def test_merge_cdc_deletes_rows_and_removes_emptied_partition(spark):
+    from appsflyer_to_clickhouse_spark.sinks.maintenance import merge_cdc
+
+    path = tempfile.mkdtemp(prefix="cdc_sink_")
+    write_sink(
+        _rows(
+            spark,
+            [
+                ("a", "2024-01-01 10:00:00", "2024-01-01 10:00:00"),
+                ("b", "2024-01-01 11:00:00", "2024-01-01 11:00:00"),
+                ("c", "2024-01-02 09:00:00", "2024-01-02 09:00:00"),
+                ("e", "2024-01-03 08:00:00", "2024-01-03 08:00:00"),
+            ],
+        ),
+        path,
+    )
+    day3_before = _files(path, "2024-01-03")
+    assert day3_before
+
+    batch = _rows(
+        spark,
+        [
+            # newer delete for a -> row removed
+            ("a", "2024-01-01 10:00:00", "2024-01-01 12:00:00"),
+            # STALE delete for b (older event_time) -> sink row survives
+            ("b", "2024-01-01 11:00:00", "2024-01-01 09:00:00"),
+            # delete of day 2's ONLY row -> whole partition must vanish
+            ("c", "2024-01-02 09:00:00", "2024-01-02 10:00:00"),
+        ],
+    ).withColumn("op", F.lit("d"))
+    merge_cdc(spark, batch, path)
+
+    got = sorted(
+        r["appsflyer_id"] for r in spark.read.parquet(path).collect()
+    )
+    assert got == ["b", "e"], got
+    # emptied day-2 directory physically gone (dynamic overwrite alone
+    # would have left the stale file in place)
+    assert not glob.glob(f"{path}/install_date=2024-01-02/*.parquet")
+    # untouched day-3 partition byte-identical
+    assert _files(path, "2024-01-03") == day3_before
