@@ -1,0 +1,134 @@
+"""Product quantization (PQ) with asymmetric-distance scoring (ADC) —
+the compressed-scan tier of the similarity stack.
+
+Jegou et al., "Product Quantization for Nearest Neighbor Search"
+(TPAMI 2011): split each vector into M subvectors, quantize each
+against its own K-centroid codebook, and store only the M code ids —
+here 8 subspaces x 4 centroids = 8 x 2 bits = 2 BYTES per vector
+against 256 bytes of float64, a 128x scan-bandwidth reduction. Query
+scoring is ASYMMETRIC: the query stays exact; its squared distance to
+every centroid of every subspace is computed ONCE into a lookup table
+(M x K = 32 doubles), and a corpus row's approximate distance is just
+M table lookups + (M-1) adds — no per-row float vector math at all.
+
+Spark realization: code assignment is a map-only Project over the
+scan (the "index build"); the 32-entry LUT is a ONE-ROW DataFrame
+broadcast onto the coded corpus, so each row's ADC distance is an
+8-way CASE over broadcast columns; top-k is TakeOrderedAndProject.
+Zero shuffles at any scale — the property that lets a 100 TB corpus
+be scanned for neighbors at 1/128th the I/O of the exact path (which
+``similarity_topk`` remains, for re-ranking ADC survivors).
+
+Cross-engine determinism: codebooks are md5-derived ternary literals
+(exactly regenerable in SQL), every squared-distance chain is written
+with the same left-to-right term order in both dialects, and argmin
+ties resolve to the lowest centroid index via first-match-wins <=
+comparisons — so codes, LUT, and ADC scores are all bit-identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+M_SUB = 8  # subspaces
+K_CENT = 4  # centroids per subspace -> 2-bit codes
+
+
+def pq_codebooks(
+    dim: int, m_sub: int = M_SUB, k_cent: int = K_CENT, seed: str = "pq"
+) -> list[list[list[int]]]:
+    """cent[s][j][d] in {-1, 0, 1}, md5-derived so both engines embed
+    the identical codebooks as literals. Uniform over the three values
+    (denser than the 1/6 Achlioptas planes — a quantizer needs its
+    centroids spread, not sparse)."""
+    sub_dim = dim // m_sub
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"{seed}|{s}|{j}|{d}".encode()).hexdigest()[:15],
+                    16,
+                )
+                % 3
+                - 1
+                for d in range(sub_dim)
+            ]
+            for j in range(k_cent)
+        ]
+        for s in range(m_sub)
+    ]
+
+
+def sq_dist_sql(
+    cent: list[int], vec_expr: str, dim_offset: int, index_base: int
+) -> str:
+    """SQL text of ||v[offset : offset+len] - cent||^2 as an explicit
+    left-to-right chain of squared terms — identical evaluation order
+    in every engine, so the doubles are bit-identical. Ternary
+    centroids keep each term trivial: c=0 -> v*v, c=+-1 -> (v -+ 1.0)^2.
+    """
+    terms = []
+    for d, c in enumerate(cent):
+        idx = f"{vec_expr}[{dim_offset + d + index_base}]"
+        if c == 0:
+            terms.append(f"{idx} * {idx}")
+        elif c == 1:
+            terms.append(f"({idx} - 1.0) * ({idx} - 1.0)")
+        else:
+            terms.append(f"({idx} + 1.0) * ({idx} + 1.0)")
+    return "(" + " + ".join(terms) + ")"
+
+
+def argmin_case_sql(k: int, prefix: str) -> str:
+    """CASE choosing the argmin of ``{prefix}0..{prefix}{k-1}`` with
+    first-match-wins <= comparisons — ties resolve to the LOWEST index
+    in every engine (the same contract as dedup.argmax_case_sql)."""
+    whens = []
+    for p in range(k - 1):
+        rest = [f"{prefix}{q}" for q in range(p + 1, k)]
+        cmp = rest[0] if len(rest) == 1 else f"least({', '.join(rest)})"
+        whens.append(f"WHEN {prefix}{p} <= {cmp} THEN {p}")
+    return "CASE " + " ".join(whens) + f" ELSE {k - 1} END"
+
+
+def dist_col_exprs(
+    books: list[list[list[int]]], vec_expr: str, index_base: int, prefix: str
+) -> list[str]:
+    """All M x K staged squared-distance columns ``{prefix}{s}_{j}``.
+    Staged in their own Project/CTE so each chain is evaluated once,
+    however many argmin comparisons reference it."""
+    sub_dim = len(books[0][0])
+    return [
+        f"{sq_dist_sql(c, vec_expr, s * sub_dim, index_base)} AS {prefix}{s}_{j}"
+        for s, cents in enumerate(books)
+        for j, c in enumerate(cents)
+    ]
+
+
+def code_col_exprs(m_sub: int, k_cent: int, dist_prefix: str) -> list[str]:
+    """Per-subspace 2-bit code columns ``c{s}`` from the staged
+    distances (argmin with lowest-index ties)."""
+    out = []
+    for s in range(m_sub):
+        # argmin over the staged columns d{s}_0..d{s}_{k-1}
+        whens = []
+        for p in range(k_cent - 1):
+            rest = [f"{dist_prefix}{s}_{q}" for q in range(p + 1, k_cent)]
+            cmp = rest[0] if len(rest) == 1 else f"least({', '.join(rest)})"
+            whens.append(f"WHEN {dist_prefix}{s}_{p} <= {cmp} THEN {p}")
+        out.append(
+            "CASE " + " ".join(whens) + f" ELSE {k_cent - 1} END AS c{s}"
+        )
+    return out
+
+
+def adc_sql(m_sub: int, k_cent: int, lut_prefix: str) -> str:
+    """ADC distance: sum over subspaces of the LUT column the row's
+    code selects — M CASE lookups + M-1 adds per row, nothing else."""
+    parts = []
+    for s in range(m_sub):
+        whens = " ".join(
+            f"WHEN {j} THEN {lut_prefix}{s}_{j}" for j in range(k_cent)
+        )
+        parts.append(f"(CASE c{s} {whens} END)")
+    return "(" + " + ".join(parts) + ")"

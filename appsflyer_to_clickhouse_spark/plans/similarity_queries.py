@@ -645,3 +645,86 @@ def _rrf_oracle() -> str:
 from .registry import ORACLE as _ORACLE  # noqa: E402
 
 _ORACLE["similarity_hybrid_rrf"] = _rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# similarity_pq_adc — product-quantized codes + asymmetric-distance top-k
+# ---------------------------------------------------------------------------
+
+from ..operators.pq import (  # noqa: E402
+    K_CENT,
+    M_SUB,
+    adc_sql,
+    code_col_exprs,
+    dist_col_exprs,
+    pq_codebooks,
+)
+
+_PQ_BOOKS = pq_codebooks(_DIM)
+
+
+def _pq_oracle() -> str:
+    d_cols = ",\n           ".join(dist_col_exprs(_PQ_BOOKS, "v", 1, "d"))
+    c_cols = ",\n           ".join(code_col_exprs(M_SUB, K_CENT, "d"))
+    q_cols = ",\n           ".join(dist_col_exprs(_PQ_BOOKS, "v", 1, "q"))
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    d AS (
+      SELECT vec_id,
+           {d_cols}
+      FROM e
+    ),
+    c AS (
+      SELECT vec_id,
+           {c_cols}
+      FROM d
+    ),
+    q AS (
+      SELECT {q_cols}
+      FROM e WHERE vec_id = {_QUERY_ID}
+    ),
+    a AS (
+      SELECT c.vec_id, {adc_sql(M_SUB, K_CENT, "q")} AS adc
+      FROM c, q WHERE c.vec_id != {_QUERY_ID}
+    )
+    SELECT vec_id, round(adc, 6) AS adc_dist
+    FROM a ORDER BY adc, vec_id LIMIT 10
+    """
+
+
+@register("similarity_pq_adc", _pq_oracle())
+def q_similarity_pq_adc(spark, sf_dir):
+    """Product-quantization ANN (operators/pq.py — Jegou et al. 2011):
+    corpus vectors collapse to 8 x 2-bit codes (2 bytes vs 256 — a
+    128x scan-bandwidth cut, THE lever when the index itself is tens
+    of TB), the query's 32-entry squared-distance LUT is computed once
+    on a ONE-ROW frame and broadcast, and each row's asymmetric (ADC)
+    distance is 8 CASE lookups + 7 adds. Top-10 under the exact-double
+    (adc, vec_id) total order via TakeOrderedAndProject — zero
+    shuffles end to end. Codebooks are md5-derived ternary literals and
+    every distance chain shares its term order with the oracle, so
+    codes, LUT, and scores are bit-identical cross-engine; in
+    production the ADC survivors feed similarity_topk's exact scorer
+    for re-ranking."""
+    emb = _emb(spark, sf_dir)
+    staged = emb.selectExpr(
+        "vec_id", *dist_col_exprs(_PQ_BOOKS, "v", 0, "d")
+    )
+    codes = staged.selectExpr(
+        "vec_id", *code_col_exprs(M_SUB, K_CENT, "d")
+    )
+    lut = emb.filter(F.col("vec_id") == _QUERY_ID).selectExpr(
+        *dist_col_exprs(_PQ_BOOKS, "v", 0, "q")
+    )
+    adc = (
+        codes.filter(F.col("vec_id") != _QUERY_ID)
+        .crossJoin(F.broadcast(lut))
+        .selectExpr("vec_id", f"{adc_sql(M_SUB, K_CENT, 'q')} AS adc")
+    )
+    return (
+        adc.orderBy("adc", "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("adc", 6).alias("adc_dist"))
+    )

@@ -350,3 +350,15 @@ def test_semantic_dedup_never_plans_all_pairs(spark):
     plan = _plan(spark, "dedup_semantic")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_adc_is_broadcast_lut_plus_takeordered(spark):
+    """PQ-ADC (operators/pq.py): the 32-entry LUT arrives as a 1-row
+    broadcast, scoring is map-side, top-k is TakeOrderedAndProject —
+    NO shuffle anywhere, the shape that scans a 100 TB coded corpus in
+    one pass."""
+    plan = _plan(spark, "similarity_pq_adc")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
