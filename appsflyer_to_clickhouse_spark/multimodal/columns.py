@@ -190,3 +190,39 @@ def group_binary_fingerprint(df: DataFrame, group_col: str = "source") -> DataFr
         )
 
     return df.groupBy(group_col).applyInPandas(fingerprint, GROUP_FEATURE_SCHEMA)
+
+
+def extract_binary_features_arrow(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """``extract_binary_features``'s lower-overhead twin on
+    ``mapInArrow``: batches arrive as pyarrow RecordBatches and never
+    round-trip through pandas, so columnar kernels (binary_length)
+    run vectorized in Arrow C++ and only the md5 loop touches Python
+    objects. At 100 TB of payload bytes the pandas materialization
+    the other path pays (object-dtype Series of bytes) is pure
+    overhead — this is the interop tier a production decoder should
+    target; features are identical, so both paths share one oracle."""
+
+    def extract(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            payloads = batch.column("payload")
+            raw = payloads.to_pylist()
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pc.cast(batch.column(id_col), pa.int64()),
+                    pc.cast(pc.binary_length(payloads), pa.int64()),
+                    pa.array(
+                        [b[0] if len(b) else None for b in raw], pa.int32()
+                    ),
+                    pa.array(
+                        [hashlib.md5(b).hexdigest() for b in raw], pa.string()
+                    ),
+                ],
+                names=["doc_id", "byte_len", "first_byte", "content_md5"],
+            )
+
+    return df.mapInArrow(extract, FEATURE_SCHEMA)

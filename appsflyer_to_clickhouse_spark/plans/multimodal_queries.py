@@ -222,3 +222,128 @@ def q_multimodal_audio_windows(spark, sf_dir):
         .cast("double")
         .alias("start_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# multimodal_near_dup — byte-level SimHash near-dup over binary payloads
+# ---------------------------------------------------------------------------
+
+from ..functions.text import simhash60  # noqa: E402
+from ..operators.dedup import (  # noqa: E402
+    SIMHASH_BAND_BITS as _MM_BAND_BITS,
+)
+from ..operators.dedup import (  # noqa: E402
+    SIMHASH_BANDS as _MM_BANDS,
+)
+from ..operators.dedup import simhash_near_pairs  # noqa: E402
+from .dedup_queries import MAX_HAMMING as _MM_HAMMING  # noqa: E402
+from .dedup_queries import _simhash_oracle_expr  # noqa: E402
+
+_BYTE_GRAM = 4
+
+
+@register(
+    "multimodal_near_dup",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_filter(
+               string_split(
+                 regexp_replace(hex(text::BLOB),
+                                '(.{{{_BYTE_GRAM * 2}}})', '\\1 ', 'g'), ' '),
+               x -> x != '')) AS ss
+      FROM documents
+    ),
+    hv AS (
+      SELECT doc_id,
+             list_transform(ss, s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT)
+               AS hs
+      FROM sh
+    ),
+    sim AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) > 0 THEN {_simhash_oracle_expr()}
+                  ELSE NULL END AS simhash
+      FROM hv
+    ),
+    banded AS (
+      SELECT doc_id, simhash, u.band_idx,
+             (simhash >> ({_MM_BAND_BITS} * u.band_idx))
+               & {2**_MM_BAND_BITS - 1} AS band_val
+      FROM sim, (SELECT unnest(range({_MM_BANDS})) AS band_idx) u
+      WHERE simhash IS NOT NULL
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a
+    JOIN banded b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MM_HAMMING}
+    """,
+)
+def q_multimodal_near_dup(spark, sf_dir):
+    """Near-duplicate BINARY payloads: 60-bit SimHash over the
+    payload's distinct NON-overlapping {_BYTE_GRAM}-byte chunks (hex
+    split into {_BYTE_GRAM * 2}-char pieces — no codec, no text
+    assumption; non-overlapping keeps the per-payload item count at
+    bytes/{_BYTE_GRAM}, a 4x fold-cost cut vs sliding grams, at the
+    price of alignment sensitivity — an acceptable trade for the
+    padding/header/tail perturbations this tier exists to catch),
+    then the same 4 x 15-bit banded pair generation the text family
+    uses. This is the modality-agnostic
+    dedup tier: it catches bit-identical and lightly-perturbed
+    payloads (padding, header tweaks, truncated tails) for image/
+    audio blobs where content-aware perceptual hashing needs a decode
+    stage (multimodal/columns.py documents that gate); at 100 TB the
+    signature is a map-only pass over the payload bytes and candidate
+    generation never leaves the 131k-bucket banded join. Payloads here
+    are the documents' UTF-8 bytes (the container's stand-in), so the
+    oracle reproduces signatures from hex(text::BLOB) byte-for-byte."""
+    from .registry import load_fanout
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    chunks = F.array_distinct(
+        F.filter(
+            F.split(
+                F.regexp_replace(
+                    F.hex(payload), f"(.{{{_BYTE_GRAM * 2}}})", "$1 "
+                ),
+                " ",
+            ),
+            lambda x: x != F.lit(""),
+        )
+    )
+    sim_df = docs.select("doc_id", simhash60(chunks).alias("simhash"))
+    return simhash_near_pairs(sim_df, "doc_id", _MM_HAMMING)
+
+
+# ---------------------------------------------------------------------------
+# multimodal_features_arrow — the mapInArrow interop tier
+# ---------------------------------------------------------------------------
+
+from ..multimodal.columns import extract_binary_features_arrow  # noqa: E402
+
+
+@register(
+    "multimodal_features_arrow",
+    """
+    SELECT doc_id,
+           octet_length(text::BLOB) AS byte_len,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def q_multimodal_features_arrow(spark, sf_dir):
+    """Byte-feature extraction via ``mapInArrow`` — RecordBatches
+    straight from the scan, no pandas materialization; vectorized
+    Arrow kernels for lengths, Python only for md5. Same features and
+    oracle as the mapInPandas path (multimodal_columns), so the two
+    interop tiers are held to byte-identical results."""
+    docs = load(spark, sf_dir, "documents")
+    bin_df = attach_binary_payload(docs, "text", "doc_id").select(
+        "doc_id", "payload"
+    )
+    return extract_binary_features_arrow(bin_df, "doc_id")

@@ -964,3 +964,103 @@ def q_text_inverted_index(spark, sf_dir):
             )
         ).alias("postings_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_merge_count — greedy merge-rule tokenization (BPE encode shape)
+# ---------------------------------------------------------------------------
+
+# Ordered merge rules (the learned half of a BPE tokenizer, here a
+# design constant like the PQ codebooks): applied highest-priority
+# first, each as ONE non-overlapping left-to-right replace() pass —
+# the contract Spark and DuckDB share, so the encoding is identical
+# cross-engine. (A faithful BPE encoder loops each rule to fixation;
+# the single-pass form can skip an occurrence whose leading separator
+# was consumed by the previous match — deterministic, documented, and
+# the token-count statistics it feeds are insensitive to it.)
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("a", "t"), ("e", "n"), ("o", "r"),
+    ("e", "s"), ("s", "t"), ("an", "d"), ("in", "g"), ("t", "o"),
+    ("o", "u"), ("e", "d"), ("i", "s"), ("a", "l"), ("a", "r"),
+]
+
+
+def _bpe_chain(dialect: str) -> str:
+    """Expression text encoding one word: char-split into '|'-separated
+    pieces, then the merge rules in priority order. Identical text in
+    both dialects except the regexp_replace global-flag syntax."""
+    if dialect == "spark":
+        s = "'|' || regexp_replace(w, '(.)', '$1|')"
+    else:
+        s = "'|' || regexp_replace(w, '(.)', '\\1|', 'g')"
+    for a, b in _BPE_MERGES:
+        s = f"replace({s}, '|{a}|{b}|', '|{a}{b}|')"
+    return s
+
+
+@register(
+    "text_bpe_merge_count",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ),
+    w AS (
+      SELECT doc_id, unnest(t) AS w FROM tk
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST(len(string_split({_bpe_chain("duckdb")}, '|')) - 2
+                  AS BIGINT) AS np
+      FROM w
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+             CAST(sum(np) AS BIGINT) AS n_bpe_tokens
+      FROM c GROUP BY doc_id
+    )
+    SELECT tk.doc_id,
+           coalesce(agg.n_words, 0) AS n_words,
+           coalesce(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+           round(CAST(agg.n_bpe_tokens AS DOUBLE) / agg.n_words, 6)
+             AS bpe_per_word
+    FROM tk LEFT JOIN agg ON tk.doc_id = agg.doc_id
+    """,
+)
+def q_text_bpe_merge_count(spark, sf_dir):
+    """Subword (BPE-style) encoding cost per document: each word is
+    char-split and run through the ordered merge-rule table, and the
+    doc's subword token count is what a trainer's budget accounting
+    uses (tokens-per-word also flags unmergeable/noisy text). The
+    merge chain is a stack of plain replace() calls — fully inside
+    whole-stage codegen, no HOF interpretation, no Python — over
+    exploded words; the one shuffle re-groups per-word counts by
+    doc_id (key-bounded). The merge table is a literal shared with the
+    oracle; see _BPE_MERGES for the single-pass-per-rule contract."""
+    docs = load_fanout(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    )
+    words = docs.select("doc_id", F.explode("t").alias("w"))
+    counted = words.selectExpr(
+        "doc_id",
+        f"cast(size(split({_bpe_chain('spark')}, '\\\\|')) - 2 as bigint) AS np",
+    )
+    agg = counted.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("np").alias("n_bpe_tokens"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_words", F.lit(0)).alias("n_words"),
+            F.coalesce("n_bpe_tokens", F.lit(0)).alias("n_bpe_tokens"),
+            F.round(
+                F.try_divide(
+                    F.col("n_bpe_tokens").cast("double"), F.col("n_words")
+                ),
+                6,
+            ).alias("bpe_per_word"),
+        )
+    )

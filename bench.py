@@ -109,6 +109,9 @@ def main() -> int:
         "multimodal_frame_sample",
         "multimodal_group_fingerprint",
         "source_http_csv",
+        # Python Data Source: planner + per-partition reader all run in
+        # Python workers — same fleet-spin-up cost profile as pandas
+        "source_http_datasource",
         "stream_stateful_counter",
     }
     hof_prefixes = (

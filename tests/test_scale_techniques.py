@@ -324,3 +324,30 @@ def test_zorder_layout_prunes_both_dims(spark, tmp_path):
     n_z = spark.read.parquet(zdir).filter(pred).count()
     n_p = spark.read.parquet(pdir).filter(pred).count()
     assert n_z == n_p > 0
+
+
+def test_max_records_per_file_governs_output_layout(spark, tmp_path):
+    """File-size governance: ``spark.sql.files.maxRecordsPerFile``
+    bounds every output file regardless of partition sizes — the knob
+    that keeps a 100 TB write from producing multi-GB files no
+    downstream scan can split (row groups are the parallelism unit of
+    a parquet read; one oversized file serializes its consumers)."""
+    import pyarrow.parquet as pq
+
+    out = str(tmp_path / "sized")
+    n_rows, cap = 10_000, 1000
+    df = spark.range(n_rows).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    (
+        df.coalesce(2)
+        .write.option("maxRecordsPerFile", cap)
+        .mode("overwrite")
+        .parquet(out)
+    )
+    files = [p for p in (tmp_path / "sized").iterdir() if p.suffix == ".parquet"]
+    sizes = [pq.ParquetFile(str(p)).metadata.num_rows for p in files]
+    assert sum(sizes) == n_rows
+    assert max(sizes) <= cap
+    # the cap actually bit: more files than the 2 input partitions
+    assert len(files) > 2

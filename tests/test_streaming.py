@@ -77,3 +77,48 @@ def test_watermark_dedup_drops_within_window_and_readmits_after(spark):
         assert k1_rows == ["2024-01-05T10:00:00", "2024-01-05T20:30:00"], rows
     finally:
         q.stop()
+
+
+def test_late_rows_dropped_by_watermark_are_observable(spark):
+    """Late-data OBSERVABILITY: rows arriving behind the watermark are
+    silently excluded from a windowed aggregation — the per-batch
+    ``numRowsDroppedByWatermark`` state metric is the only signal. At
+    100 TB an ingest that can't see its drop rate can't distinguish
+    'no late data' from 'watermark too tight'; this pins that the
+    metric actually surfaces the drop."""
+    src = tempfile.mkdtemp(prefix="late_src_")
+    ckpt = tempfile.mkdtemp(prefix="late_ckpt_")
+
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/batch_*")
+    )
+    agg = (
+        stream.withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "15 minutes"))
+        .count()
+    )
+    name = "late_metrics_test"
+    # batch 1 sets the watermark to 10:00 - 1h = 09:00
+    _write_batch(spark, src, [("k1", "2024-01-05T10:00:00")], 1)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: an event at 05:00 — 4h behind the 09:00 watermark
+        _write_batch(spark, src, [("k2", "2024-01-05T05:00:00")], 2)
+        q.processAllAvailable()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p.get("stateOperators", [])
+        )
+        assert dropped >= 1, "late row was not counted as dropped"
+    finally:
+        q.stop()
