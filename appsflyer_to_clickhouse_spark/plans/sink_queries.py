@@ -244,3 +244,60 @@ def q_sink_merge_cdc(spark, sf_dir):
     return read_sink(spark, path).select(
         "appsflyer_id", "install_time", "event_time"
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_datasource_batch — Python Data Source WRITER round trip
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import types as T  # noqa: E402
+
+from ..sinks.datasource_sink import (  # noqa: E402
+    ClickHouseBatchDataSource,
+    read_committed,
+)
+
+_DS_SCHEMA = T.StructType(
+    [
+        T.StructField("appsflyer_id", T.StringType()),
+        T.StructField("uid", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+    ]
+)
+
+
+@register(
+    "sink_datasource_batch",
+    """
+    SELECT CAST(event_id // 3 AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type
+    FROM events WHERE event_id % 4 = 0
+    """,
+)
+def q_sink_datasource_batch(spark, sf_dir):
+    """Round trip through the Python Data Source WRITER
+    (sinks/datasource_sink.py): the batch lands via executor-side
+    fixed-size flushes (batchsize 500, so multiple INSERT-shaped
+    batches per partition), the driver publishes a manifest naming the
+    successful tasks' parts, and the read resolves the manifest FIRST
+    — so the comparison proves the full two-phase protocol preserves
+    every row and type exactly (the write-side twin of
+    source_http_datasource; offline JSONL parts stand in for the
+    ClickHouse client the container doesn't ship)."""
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    ev = load(spark, sf_dir, "events")
+    out = ev.filter(F.col("event_id") % 4 == 0).select(
+        F.expr("event_id DIV 3").cast("string").alias("appsflyer_id"),
+        F.col("user_id").alias("uid"),
+        "event_type",
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_chbatch_") + "/staged"
+    (
+        out.write.format("chbatch")
+        .option("path", path)
+        .option("batchsize", "500")
+        .mode("append")
+        .save()
+    )
+    return read_committed(spark, path, _DS_SCHEMA)

@@ -1,0 +1,127 @@
+"""Batched-INSERT sink as a PySpark 4 Python Data Source WRITER — the
+write-side twin of ``sources/datasource.py``.
+
+The reference's sink is one driver-side bulk INSERT (main.py:183-190:
+``client.execute(INSERT ..., rows)`` over the full materialized batch).
+This writer re-expresses it in the engine's own sink contract:
+``df.write.format("chbatch")`` hands every partition's rows to an
+executor-side ``write()`` that flushes fixed-size batches — the unit a
+ClickHouse/JDBC client would send per round trip — and the driver
+``commit()`` publishes a manifest naming exactly the parts the
+successful tasks reported. Readers resolve the manifest first, so
+half-written output from failed/speculative tasks is invisible and a
+retried task's orphan part is never observed: the standard two-phase
+batch-commit pattern, here made inspectable.
+
+Offline surface: parts are JSON-lines files in the target directory
+(this container ships no ClickHouse server/driver — the same honest
+gate as ``sinks/clickhouse_sink.py``); a production deployment replaces
+``_flush``'s file write with ``client.execute(INSERT, batch)`` and the
+commit/abort protocol carries over unchanged (ClickHouse inserts become
+visible per flushed batch; exactly-once then needs the dedup tier this
+repo implements as ``dedup_anti_join``/Bloom pre-filter).
+
+Scale: N partitions write N independent streams of bounded batches —
+executor memory holds ``batch_size`` rows, never the partition; the
+driver holds only commit messages (a filename + count per task).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+MANIFEST = "_MANIFEST.json"
+
+
+class _PartCommit(WriterCommitMessage):
+    def __init__(self, files: list[str], rows: int, batches: int):
+        self.files = files
+        self.rows = rows
+        self.batches = batches
+
+
+class ClickHouseBatchDataSource(DataSource):
+    """``df.write.format("chbatch")`` — options: ``path`` (staging
+    dir), ``batchsize`` (rows per flushed insert, default 10000)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "chbatch"
+
+    def writer(self, schema, overwrite: bool) -> "_BatchWriter":
+        return _BatchWriter(self.options, [f.name for f in schema.fields])
+
+
+class _BatchWriter(DataSourceWriter):
+    def __init__(self, options, cols: list[str]):
+        self._path = options["path"]
+        self._batch = int(options.get("batchsize", "10000"))
+        self._cols = cols
+
+    # -- executor side ----------------------------------------------------
+    def write(self, rows: Iterator) -> _PartCommit:
+        os.makedirs(self._path, exist_ok=True)
+        files: list[str] = []
+        buf: list[dict] = []
+        n = 0
+
+        def _flush() -> None:
+            # the per-batch INSERT a CH/JDBC client sends; offline it
+            # lands as one JSONL part per flush, uniquely named so a
+            # retried task never clobbers another attempt's output
+            if not buf:
+                return
+            fname = f"part-{uuid.uuid4().hex}.jsonl"
+            with open(os.path.join(self._path, fname), "w") as fh:
+                for r in buf:
+                    fh.write(json.dumps(r, sort_keys=True) + "\n")
+            files.append(fname)
+            buf.clear()
+
+        for row in rows:
+            buf.append({c: row[c] for c in self._cols})
+            n += 1
+            if len(buf) >= self._batch:
+                _flush()
+        _flush()
+        return _PartCommit(files, n, len(files))
+
+    # -- driver side -------------------------------------------------------
+    def commit(self, messages: list[_PartCommit]) -> None:
+        manifest = {
+            "files": sorted(f for m in messages for f in m.files),
+            "rows": sum(m.rows for m in messages),
+            "batches": sum(m.batches for m in messages),
+        }
+        tmp = os.path.join(self._path, MANIFEST + ".tmp")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, os.path.join(self._path, MANIFEST))  # atomic publish
+
+    def abort(self, messages: list[_PartCommit]) -> None:
+        for m in messages:
+            for f in m.files:
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except OSError:
+                    pass
+
+
+def read_committed(spark, path: str, schema):
+    """Read back ONLY manifest-published parts (uncommitted/orphan
+    files are invisible — the read side of the two-phase contract)."""
+    with open(os.path.join(path, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    files = [os.path.join(path, f) for f in manifest["files"]]
+    if not files:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).json(files)
