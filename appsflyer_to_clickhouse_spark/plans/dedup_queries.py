@@ -748,3 +748,78 @@ def q_dedup_bloom_prefilter(spark, sf_dir):
     hist = docs.filter(F.col("doc_id") % 10 < 8).select("key").distinct()
     batch = docs.filter(F.col("doc_id") % 10 >= 8).select("key").distinct()
     return bloom_prefilter_dedup(hist, batch, "key")
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate — the signature-only Jaccard estimator, pinned
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_minhash_estimate",
+    f"""
+    WITH {_CANDIDATES_CTE}
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / len(list_distinct(list_concat(a.ss, b.ss)))::DOUBLE,
+                 6) AS jaccard_exact,
+           round(list_sum(list_transform(range({NUM_HASHES}),
+                   i -> CASE WHEN ma.sig[i+1] = mb.sig[i+1]
+                        THEN 1 ELSE 0 END))::DOUBLE / {NUM_HASHES},
+                 6) AS jaccard_est
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.id_a
+    JOIN sh b ON b.doc_id = c.id_b
+    JOIN mh ma ON ma.doc_id = c.id_a
+    JOIN mh mb ON mb.doc_id = c.id_b
+    """,
+)
+def q_dedup_minhash_estimate(spark, sf_dir):
+    """The MinHash Jaccard ESTIMATOR itself, per LSH candidate pair:
+    matching-signature-position fraction (Broder's unbiased estimate,
+    E[est] = J) next to the exact shingle Jaccard. At 100 TB the
+    estimate is what a pipeline thresholds on — signatures are
+    {NUM_HASHES} strings per doc vs the full shingle sets, so the
+    verify join moves KBs instead of documents; this query holds the
+    estimator to the exact value it approximates (the md5 hash family
+    is deterministic, so BOTH columns reproduce bit-for-bit
+    cross-engine — no probabilistic tolerance needed in the oracle;
+    tests/test_minhash_estimate.py separately pins the estimator's
+    mean absolute error against the {NUM_HASHES}-hash theory bound)."""
+    docs = load_fanout(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
+    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    sg = sigs.select("doc_id", "shingles", "sig")
+    joined = cand.join(
+        sg.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("sig").alias("sig_a"),
+        ),
+        "id_a",
+    ).join(
+        sg.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("sig").alias("sig_b"),
+        ),
+        "id_b",
+    )
+    exact = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda m: m,
+            )
+        ).cast("double")
+        / NUM_HASHES
+    )
+    return joined.select(
+        "id_a",
+        "id_b",
+        F.round(exact, 6).alias("jaccard_exact"),
+        F.round(est, 6).alias("jaccard_est"),
+    )

@@ -379,3 +379,117 @@ def q_agg_freq_items_bounded(spark, sf_dir):
             F.col("event_type").isin(list(sketch)).alias("covered_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# profile_drift_kl — distribution drift between ingest periods
+# ---------------------------------------------------------------------------
+
+_DRIFT_SPLIT = "2024-01-15 00:00:00"
+
+
+@register(
+    "profile_drift_kl",
+    f"""
+    WITH a AS (
+      SELECT event_type, count(*) AS c FROM events
+      WHERE ts < TIMESTAMP '{_DRIFT_SPLIT}' GROUP BY event_type
+    ),
+    b AS (
+      SELECT event_type, count(*) AS c FROM events
+      WHERE ts >= TIMESTAMP '{_DRIFT_SPLIT}' GROUP BY event_type
+    ),
+    joint AS (
+      SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+             COALESCE(a.c, 0) AS ca, COALESCE(b.c, 0) AS cb
+      FROM a FULL JOIN b ON a.event_type = b.event_type
+    ),
+    tot AS (
+      SELECT CAST(sum(ca) AS DOUBLE) AS na,
+             CAST(sum(cb) AS DOUBLE) AS nb,
+             CAST(count(*) AS DOUBLE) AS k
+      FROM joint
+    ),
+    terms AS (
+      SELECT (ca + 1) / (na + k) AS p, (cb + 1) / (nb + k) AS q,
+             na, nb
+      FROM joint, tot
+    )
+    SELECT CAST(any_value(na) AS BIGINT) AS n_a,
+           CAST(any_value(nb) AS BIGINT) AS n_b,
+           round(CAST(sum(CAST(p * ln(p / q) AS DECIMAL(20,12)))
+                      AS DOUBLE), 6) AS kl_ab,
+           round(CAST(sum(CAST(q * ln(q / p) AS DECIMAL(20,12)))
+                      AS DOUBLE), 6) AS kl_ba,
+           round(CAST(sum(CAST(abs(p - q) AS DECIMAL(20,12)))
+                      AS DOUBLE) / 2, 6) AS tvd
+    FROM terms
+    """,
+)
+def q_profile_drift_kl(spark, sf_dir):
+    """Distribution drift between two ingest periods (first vs second
+    half-month of events) over the event_type categorical: Laplace-
+    smoothed KL divergence both directions + total variation distance
+    — the monitor that catches a source silently changing mix before
+    it poisons a training corpus. Two column-pruned filtered aggs, a
+    category-sized full-outer join, and per-category drift terms cast
+    to DECIMAL(20,12) before the final sum (order-independent — the
+    text_unigram_logprob pattern), so the statistic hash-matches
+    exactly. At 100 TB both period aggregates partial-combine map-side
+    and everything after is category-cardinality-sized."""
+    ev = load(spark, sf_dir, "events").select("ts", "event_type")
+    a = (
+        ev.filter(F.col("ts") < F.lit(_DRIFT_SPLIT).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("ca"))
+    )
+    b = (
+        ev.filter(F.col("ts") >= F.lit(_DRIFT_SPLIT).cast("timestamp"))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("cb"))
+    )
+    joint = (
+        a.join(b, "event_type", "full")
+        .select(
+            F.coalesce("ca", F.lit(0)).alias("ca"),
+            F.coalesce("cb", F.lit(0)).alias("cb"),
+        )
+    )
+    tot = joint.agg(
+        F.sum("ca").cast("double").alias("na"),
+        F.sum("cb").cast("double").alias("nb"),
+        F.count("*").cast("double").alias("k"),
+    )
+    terms = joint.crossJoin(F.broadcast(tot)).select(
+        ((F.col("ca") + 1) / (F.col("na") + F.col("k"))).alias("p"),
+        ((F.col("cb") + 1) / (F.col("nb") + F.col("k"))).alias("q"),
+        "na",
+        "nb",
+    )
+    return terms.agg(
+        F.any_value("na").cast("bigint").alias("n_a"),
+        F.any_value("nb").cast("bigint").alias("n_b"),
+        F.round(
+            F.sum(
+                (F.col("p") * F.log(F.col("p") / F.col("q"))).cast(
+                    "decimal(20,12)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("kl_ab"),
+        F.round(
+            F.sum(
+                (F.col("q") * F.log(F.col("q") / F.col("p"))).cast(
+                    "decimal(20,12)"
+                )
+            ).cast("double"),
+            6,
+        ).alias("kl_ba"),
+        F.round(
+            F.sum(F.abs(F.col("p") - F.col("q")).cast("decimal(20,12)")).cast(
+                "double"
+            )
+            / 2,
+            6,
+        ).alias("tvd"),
+    )
