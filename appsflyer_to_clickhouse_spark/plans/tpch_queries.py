@@ -666,3 +666,115 @@ def q_exists_blame_q21(spark, sf_dir):
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q8 — national market share: the deepest feasible join tree
+# ---------------------------------------------------------------------------
+
+_Q8_FROM = "1995-01-01 00:00:00"
+_Q8_TO = "1996-12-31 23:59:59"
+_Q8_NATION = "NATION_3"
+_Q8_TYPE = "MEDIUM"
+
+
+@register(
+    "join_mktshare_q8",
+    f"""
+    WITH vol AS (
+      SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
+             {_REV} AS rev,
+             n2.n_name AS supp_nation
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey AND p_type = '{_Q8_TYPE}'
+      JOIN orders ON o_orderkey = l_orderkey
+       AND o_orderdate >= TIMESTAMP '{_Q8_FROM}'
+       AND o_orderdate <= TIMESTAMP '{_Q8_TO}'
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = c_nationkey
+      JOIN region ON r_regionkey = n1.n_regionkey AND r_name = 'AMERICA'
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n2 ON n2.n_nationkey = s_nationkey
+    )
+    SELECT o_year,
+           round(CAST(sum(CASE WHEN supp_nation = '{_Q8_NATION}'
+                          THEN rev ELSE CAST(0 AS DECIMAL(12,4)) END)
+                      AS DOUBLE)
+                 / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share,
+           {_money_sum("rev", "total_volume")}
+    FROM vol GROUP BY o_year
+    """,
+)
+def q_join_mktshare_q8(spark, sf_dir):
+    """TPC-H q8 (national market share) on the reduced schema — the
+    deepest join tree the testdata supports: lineitem x orders is the
+    single big-x-big shuffle; part (type-filtered), supplier, both
+    nation roles, and region all BROADCAST — at any scale those dims
+    are orders of magnitude below the facts, so the 8-table query
+    costs one fact shuffle plus map-side probes. The customer
+    enrichment rides the orders side BEFORE the fact join so the
+    region filter prunes orders early. Share-of-market is a
+    conditional decimal sum over the same rows as the total — one
+    aggregate, no second pass; division in doubles after exact sums."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == _Q8_TYPE)
+        .select("p_partkey")
+    )
+    ords = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= _ts(_Q8_FROM))
+            & (F.col("o_orderdate") <= _ts(_Q8_TO))
+        )
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").cast("bigint").alias("o_year"))
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n1 = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name") == "AMERICA")
+        .select("r_regionkey")
+    )
+    n2 = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    sup = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+
+    american_cust = (
+        cust.join(
+            F.broadcast(n1), cust.c_nationkey == n1.n_nationkey
+        )
+        .join(F.broadcast(reg), n1.n_regionkey == reg.r_regionkey)
+        .select("c_custkey")
+    )
+    ords_am = ords.join(
+        american_cust, ords.o_custkey == american_cust.c_custkey
+    ).select("o_orderkey", "o_year")
+    supp_n = sup.join(F.broadcast(n2), sup.s_nationkey == n2.n2_key).select(
+        "s_suppkey", "supp_nation"
+    )
+    rev = F.expr(_REV).alias("rev")
+    vol = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(ords_am, li.l_orderkey == ords_am.o_orderkey)
+        .join(F.broadcast(supp_n), li.l_suppkey == supp_n.s_suppkey)
+        .select("o_year", "supp_nation", rev)
+    )
+    zero = F.lit(0).cast("decimal(12,4)")
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("supp_nation") == _Q8_NATION, F.col("rev"))
+                .otherwise(zero)
+            ).cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("mkt_share"),
+        F.round(F.sum("rev").cast("double"), 2)
+        .cast("double")
+        .alias("total_volume"),
+    )
