@@ -53,6 +53,62 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+_UNITS = {"B": 1, "KiB": 1024, "MiB": 1024**2, "GiB": 1024**3, "TiB": 1024**4}
+
+
+def _parse_metric(s: str) -> float:
+    """SQL UI metric string -> number. Shapes: '0', '100,000',
+    '2.2 KiB', and the per-task form 'total (min, med, max ...)\\n
+    2.2 KiB (282.0 B, ...)' — take the total from the last line."""
+    line = s.rsplit("\n", 1)[-1].split(" (")[0].strip()
+    parts = line.split()
+    try:
+        num = float(parts[0].replace(",", ""))
+    except (ValueError, IndexError):
+        return 0.0
+    return num * _UNITS.get(parts[1], 1) if len(parts) > 1 else num
+
+
+# metric-name -> output key; summed over every execution a query ran
+_TRACKED = {
+    "shuffle bytes written": "shuffle_write_bytes",
+    "spill size": "spill_bytes",
+    "size of files read": "files_read_bytes",
+    "shuffle records written": "shuffle_records",
+}
+
+
+def _metrics_since(spark, last_exec_id: int):
+    """Aggregate tracked SQL metrics over executions with id >
+    ``last_exec_id`` (ids are monotone; list positions shift when the
+    UI store evicts old entries, so track by id). Best-effort: metric
+    plumbing must never fail the bench."""
+    agg = dict.fromkeys(_TRACKED.values(), 0.0)
+    max_id = last_exec_id
+    try:
+        store = spark._jsparkSession.sharedState().statusStore()
+        execs = store.executionsList()
+        for i in range(execs.size()):
+            e = execs.apply(i)
+            eid = e.executionId()
+            if eid <= last_exec_id:
+                continue
+            max_id = max(max_id, eid)
+            vals = store.executionMetrics(eid)
+            it = e.metrics().iterator()
+            while it.hasNext():
+                m = it.next()
+                key = _TRACKED.get(m.name())
+                if key is None:
+                    continue
+                v = vals.get(m.accumulatorId())
+                if v.isDefined():
+                    agg[key] += _parse_metric(v.get())
+    except Exception:  # noqa: BLE001
+        return max_id, None
+    return max_id, {k: int(v) for k, v in agg.items()}
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
@@ -134,6 +190,8 @@ def main() -> int:
             return 1
         return 0
 
+    exec_metrics: dict[str, dict] = {}
+    last_eid, _ = _metrics_since(spark, -1)  # skip warmup executions
     order = sorted(QUERIES, key=lambda n: (group(n), n))
     for name in order:
         t0 = time.perf_counter()
@@ -144,6 +202,9 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             failed.append(name)
             print(f"[bench] {name}: FAILED {exc}", file=sys.stderr)
+        last_eid, m = _metrics_since(spark, last_eid)
+        if m is not None:
+            exec_metrics[name] = m
 
     total = round(sum(timings.values()), 3)
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
@@ -155,6 +216,15 @@ def main() -> int:
         "n_queries": len(timings),
         "failed": failed,
         "queries": timings,
+        # per-query shuffle/spill/scan accounting from the SQL metrics
+        # store — the evidence trail for the no-wasted-shuffle claims
+        "exec_metrics": exec_metrics,
+        "exec_metrics_total": {
+            k: int(sum(m[k] for m in exec_metrics.values()))
+            for k in next(iter(exec_metrics.values()), {})
+        }
+        if exec_metrics
+        else {},
     }
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
 
