@@ -841,3 +841,72 @@ def q_events_attribution_decay(spark, sf_dir):
     return norm.groupBy("channel").agg(
         F.round(F.sum("credit").cast("double"), 6).alias("credit")
     )
+
+
+# ---------------------------------------------------------------------------
+# events_rolling_dau — daily actives + trailing-7-day actives
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_rolling_dau",
+    """
+    WITH ud AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS d, user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT d FROM ud),
+    contrib AS (
+      SELECT ud.d + u.i * INTERVAL 1 DAY AS target_day, ud.user_id
+      FROM ud, (SELECT unnest(range(7)) AS i) u
+    ),
+    wau AS (
+      SELECT CAST(c.target_day AS DATE) AS d,
+             CAST(count(DISTINCT c.user_id) AS BIGINT) AS wau7
+      FROM contrib c JOIN days ON CAST(c.target_day AS DATE) = days.d
+      GROUP BY 1
+    ),
+    dau AS (
+      SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY d
+    )
+    SELECT dau.d AS day, dau.dau, wau.wau7,
+           round(CAST(dau.dau AS DOUBLE) / wau.wau7, 6) AS stickiness
+    FROM dau JOIN wau ON dau.d = wau.d
+    """,
+)
+def q_events_rolling_dau(spark, sf_dir):
+    """Daily / trailing-7-day active users + DAU/WAU stickiness — the
+    engagement dashboard primitive. The trailing window is computed by
+    CONTRIBUTION EXPLOSION, not a per-day range self-join: each
+    (user, day) pair fans into the 7 target days it counts toward,
+    then ONE distinct aggregation per target day — shuffle is 7x the
+    distinct (user, day) pairs, independent of the window length's
+    interaction with corpus size (a range join re-scans 7 days' rows
+    PER day; this moves each pair once). Target days are restricted
+    to observed days via a broadcast of the tiny day dimension."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    ud = ev.distinct()
+    days = ud.select("d").distinct()
+    contrib = ud.select(
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+        F.col("d"),
+        "user_id",
+    ).select(F.date_add("d", F.col("i")).alias("td"), "user_id")
+    wau = (
+        contrib.join(
+            F.broadcast(days.select(F.col("d").alias("td"))), "td"
+        )
+        .groupBy("td")
+        .agg(F.count_distinct("user_id").alias("wau7"))
+    )
+    dau = ud.groupBy("d").agg(F.count("*").alias("dau"))
+    return dau.join(wau, dau.d == wau.td).select(
+        F.col("d").alias("day"),
+        "dau",
+        "wau7",
+        F.round(F.col("dau").cast("double") / F.col("wau7"), 6).alias(
+            "stickiness"
+        ),
+    )

@@ -301,3 +301,50 @@ def q_sink_datasource_batch(spark, sf_dir):
         .save()
     )
     return read_committed(spark, path, _DS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# sink_schema_evolution — additive column change across sink versions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_schema_evolution",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           CAST(NULL AS VARCHAR) AS campaign
+    FROM events WHERE event_id % 10 = 0
+    UNION ALL
+    SELECT CAST(event_id AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type AS campaign
+    FROM events WHERE event_id % 10 = 1
+    """,
+)
+def q_sink_schema_evolution(spark, sf_dir):
+    """ADDITIVE schema evolution on the parquet sink: batch v1 lands
+    without ``campaign``, a later batch v2 appends WITH it, and a
+    mergeSchema read reconciles — v1 rows surface NULL campaign, no
+    rewrite of historical partitions (the only affordable evolution
+    mode at 100 TB: parquet is self-describing per file, the reader
+    unions footers; renames/type-changes need a migration, additions
+    don't). The oracle is the explicit UNION with a NULL column, so
+    the reconciliation is value-checked, not just schema-checked.
+    mergeSchema is opt-in per read because footer-merging every scan
+    of a many-file table costs a driver pass over all footers — a
+    production table pins the merged schema in its catalog entry."""
+    ev = load(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").cast("string").alias("appsflyer_id"),
+        F.col("user_id").alias("uid"),
+    )
+    v2 = ev.filter(F.col("event_id") % 10 == 1).select(
+        F.col("event_id").cast("string").alias("appsflyer_id"),
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("campaign"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_evolve_") + "/sink"
+    v1.write.mode("append").parquet(path)
+    v2.write.mode("append").parquet(path)
+    return spark.read.option("mergeSchema", "true").parquet(path)

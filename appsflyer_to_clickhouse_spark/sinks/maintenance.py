@@ -242,3 +242,26 @@ def merge_cdc(
             fs = p.getFileSystem(conf)
             if fs.exists(p):
                 fs.delete(p, True)
+
+
+def expire_partitions(
+    spark: SparkSession, path: str, before_date: str
+) -> list[str]:
+    """Retention/TTL: physically remove every partition directory whose
+    install_date is strictly BEFORE ``before_date``; returns the expired
+    dates. Partition-dir deletion is the only retention affordable at
+    100 TB — row-level deletes rewrite data, directory drops are
+    metadata-speed and leave every surviving partition byte-identical
+    (the same property merge_cdc relies on for emptied partitions).
+    Listing comes from the filesystem, not a scan: expiry must not cost
+    a table read."""
+    import shutil
+    from pathlib import Path
+
+    expired: list[str] = []
+    for d in sorted(Path(path).glob(f"{PARTITION_COL}=*")):
+        pdate = d.name.split("=", 1)[1]
+        if pdate < before_date:
+            shutil.rmtree(d)
+            expired.append(pdate)
+    return expired

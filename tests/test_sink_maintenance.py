@@ -270,3 +270,47 @@ def test_merge_cdc_deletes_rows_and_removes_emptied_partition(spark):
     assert not glob.glob(f"{path}/install_date=2024-01-02/*.parquet")
     # untouched day-3 partition byte-identical
     assert _files(path, "2024-01-03") == day3_before
+
+
+def test_expire_partitions_is_directory_scoped(spark, tmp_path):
+    """Retention drops whole partition dirs before the cutoff and
+    leaves every surviving partition byte-identical (mtime-stable —
+    no rewrite of retained data)."""
+    import os
+
+    from appsflyer_to_clickhouse_spark.sinks.maintenance import (
+        expire_partitions,
+    )
+
+    path = str(tmp_path / "sink")
+    rows = [
+        ("a1", "2024-01-01"),
+        ("a2", "2024-01-05"),
+        ("a3", "2024-01-10"),
+        ("a4", "2024-01-20"),
+    ]
+    df = spark.createDataFrame(rows, ["appsflyer_id", "install_date"])
+    df.write.partitionBy("install_date").mode("overwrite").parquet(path)
+
+    survivors = {
+        d: sorted(
+            (f, os.path.getmtime(os.path.join(path, d, f)))
+            for f in os.listdir(os.path.join(path, d))
+            if not f.startswith(".")
+        )
+        for d in os.listdir(path)
+        if d.startswith("install_date=") and d >= "install_date=2024-01-10"
+    }
+
+    expired = expire_partitions(spark, path, "2024-01-10")
+    assert expired == ["2024-01-01", "2024-01-05"]
+
+    back = spark.read.parquet(path)
+    assert sorted(r.appsflyer_id for r in back.collect()) == ["a3", "a4"]
+    for d, files in survivors.items():
+        now = sorted(
+            (f, os.path.getmtime(os.path.join(path, d, f)))
+            for f in os.listdir(os.path.join(path, d))
+            if not f.startswith(".")
+        )
+        assert now == files, f"surviving partition {d} was rewritten"
