@@ -910,3 +910,103 @@ def q_events_rolling_dau(spark, sf_dir):
             "stickiness"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_scd2_asof — fact enrichment against versioned dimension intervals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_scd2_asof",
+    """
+    WITH dim_src AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+      WHERE event_type IN ('view', 'click')
+    ),
+    ordered AS (
+      SELECT user_id, event_type, ts,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type,
+             event_id
+      FROM dim_src
+    ),
+    changes AS (
+      SELECT user_id, event_type, ts,
+             CAST(row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS INTEGER)
+               AS version
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type AS status, version,
+             ts AS valid_from,
+             lead(ts) OVER (PARTITION BY user_id ORDER BY version)
+               AS valid_to
+      FROM changes
+    )
+    SELECT f.event_id, f.user_id, f.ts, d.status, d.version AS status_version
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'purchase') f
+    LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.ts >= d.valid_from
+     AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def q_join_scd2_asof(spark, sf_dir):
+    """The temporal-dimension enrichment every warehouse needs: each
+    purchase fact picks up the SCD2 status version valid AT ITS
+    TIMESTAMP (user's last view/click state). Physically an equi-join
+    on user_id with the interval predicate as a residual — per-user
+    interval counts are change-bounded, so matched-pair fan-out tracks
+    dim churn, never fact x dim; intervals half-open [from, to) so
+    exactly one version matches and the join cannot duplicate facts.
+    Facts before a user's first interval keep NULL status (left
+    join). At extreme per-key churn the join_range_bucketed grid
+    applies unchanged."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    dim_src = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    w_ord = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        dim_src.withColumn("prev_type", F.lag("event_type").over(w_ord))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("prev_type") != F.col("event_type"))
+        )
+        .select(
+            "user_id",
+            F.col("event_type").alias("status"),
+            "ts",
+            F.row_number().over(w_ord).cast("int").alias("version"),
+        )
+    )
+    w_ver = W.partitionBy("user_id").orderBy("version")
+    dim = changes.select(
+        F.col("user_id").alias("d_uid"),
+        "status",
+        "version",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w_ver).alias("valid_to"),
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return facts.join(
+        dim,
+        (facts.user_id == dim.d_uid)
+        & (facts.ts >= dim.valid_from)
+        & (dim.valid_to.isNull() | (facts.ts < dim.valid_to)),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "status",
+        F.col("version").alias("status_version"),
+    )

@@ -609,3 +609,76 @@ def q_join_dpp_partitioned(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "dedup_cluster_representatives",
+    f"""
+    WITH RECURSIVE
+    {candidates_cte('documents')},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b, id_a FROM cand
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comp AS (
+      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+      FROM reach GROUP BY id
+    ),
+    j AS (
+      SELECT c.component, c.doc_id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT component, doc_id,
+             row_number() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM j
+    )
+    SELECT ranked.component, ranked.doc_id AS rep_doc_id,
+           CAST(m.n AS BIGINT) AS n_members
+    FROM ranked
+    JOIN (SELECT component, count(*) AS n FROM j GROUP BY component) m
+      ON ranked.component = m.component
+    WHERE ranked.rn = 1
+    """,
+)
+def q_dedup_cluster_representatives(spark, sf_dir):
+    """The ACTIONABLE end of the dedup pipeline: per near-dup cluster,
+    the canonical survivor (longest text wins, doc_id breaks ties —
+    a deterministic quality-based policy, not min-id) plus member
+    count; the corpus keeps singletons + these representatives and
+    drops everything else. One window over the component partitioning
+    of the (sparse, LSH-bounded) cluster assignment joined to a
+    column-pruned (doc_id, n_chars) scan — cluster-sized work, never
+    corpus^2."""
+    from pyspark.sql import Window as W
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    clusters = connected_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    joined = clusters.join(
+        load(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "doc_id",
+    )
+    w = W.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = joined.select(
+        "component",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("component")).alias("n_members"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component", F.col("doc_id").alias("rep_doc_id"), "n_members"
+    )

@@ -493,3 +493,68 @@ def q_profile_drift_kl(spark, sf_dir):
             6,
         ).alias("tvd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# agg_countmin_heavyhitters — mergeable CMS point estimates vs exact
+# ---------------------------------------------------------------------------
+
+_CMS_EPS = 0.001     # width ~ e/eps counters per row
+_CMS_CONF = 0.99
+_CMS_SEED = 42
+
+
+@register(
+    "agg_countmin_heavyhitters",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           TRUE AS overestimates_ok,
+           TRUE AS within_eps_ok
+    FROM events GROUP BY event_type
+    """,
+)
+def q_agg_countmin_heavyhitters(spark, sf_dir):
+    """Count-min sketch completes the mergeable-sketch family (HLL
+    distinct, GK quantiles, Misra-Gries heavy hitters): ONE CMS per
+    day — the stored-sketch layout that answers date-range frequency
+    queries from metadata-sized state — merged driver-side (sketches
+    are KBs; merging them is the point), then point-estimated per
+    event_type. CMS guarantees est >= exact always and
+    est <= exact + eps*N with prob 1-conf; with a fixed seed the
+    estimate is DETERMINISTIC, so the result row pins both bounds as
+    booleans the exact-count oracle must see TRUE (the
+    agg_approx_distinct_bounded pattern: estimate QUALITY is verified
+    without requiring the oracle to reproduce sketch internals)."""
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "event_type"
+    )
+    daily = ev.groupBy("d").agg(
+        F.count_min_sketch(
+            "event_type",
+            F.lit(float(_CMS_EPS)),
+            F.lit(float(_CMS_CONF)),
+            F.lit(_CMS_SEED),
+        ).alias("cms")
+    )
+    sketches = [bytes(r.cms) for r in daily.collect()]
+    jcms_cls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
+    merged = jcms_cls.readFrom(sketches[0])
+    for b in sketches[1:]:
+        merged.mergeInPlace(jcms_cls.readFrom(b))
+    total_n = merged.totalCount()
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    est_rows = [
+        (r.event_type, int(merged.estimateCount(r.event_type)))
+        for r in exact.select("event_type").collect()
+    ]
+    est = spark.createDataFrame(est_rows, ["event_type", "n_est"])
+    slack = int(_CMS_EPS * total_n) + 1
+    return exact.join(F.broadcast(est), "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.col("n_est") >= F.col("n_exact")).alias("overestimates_ok"),
+        (F.col("n_est") <= F.col("n_exact") + F.lit(slack)).alias(
+            "within_eps_ok"
+        ),
+    )
