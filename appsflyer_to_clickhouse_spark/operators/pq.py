@@ -32,6 +32,13 @@ import hashlib
 
 M_SUB = 8  # subspaces
 K_CENT = 4  # centroids per subspace -> 2-bit codes
+# Centroid component magnitude: unit-norm dim-d vectors have component
+# scale ~1/sqrt(d); for d=64 that is exactly 0.125 = 2^-3 — exact in
+# binary floating point, so the literal is lossless in both engines.
+# Unscaled ternary centroids (+-1) sit 8x outside the data shell: every
+# distance is then dominated by the centroid's own norm and the code
+# assignment collapses to noise (measured recall ~0 before scaling).
+CENT_SCALE = 0.125
 
 
 def pq_codebooks(
@@ -62,20 +69,20 @@ def pq_codebooks(
 def sq_dist_sql(
     cent: list[int], vec_expr: str, dim_offset: int, index_base: int
 ) -> str:
-    """SQL text of ||v[offset : offset+len] - cent||^2 as an explicit
-    left-to-right chain of squared terms — identical evaluation order
-    in every engine, so the doubles are bit-identical. Ternary
-    centroids keep each term trivial: c=0 -> v*v, c=+-1 -> (v -+ 1.0)^2.
-    """
+    """SQL text of ||v[offset : offset+len] - CENT_SCALE*cent||^2 as an
+    explicit left-to-right chain of squared terms — identical
+    evaluation order in every engine, so the doubles are bit-identical.
+    Ternary signs keep each term trivial: c=0 -> v*v, c=+-1 ->
+    (v -+ 0.125)^2 (the scale literal is a power of two — lossless)."""
     terms = []
     for d, c in enumerate(cent):
         idx = f"{vec_expr}[{dim_offset + d + index_base}]"
         if c == 0:
             terms.append(f"{idx} * {idx}")
         elif c == 1:
-            terms.append(f"({idx} - 1.0) * ({idx} - 1.0)")
+            terms.append(f"({idx} - {CENT_SCALE}) * ({idx} - {CENT_SCALE})")
         else:
-            terms.append(f"({idx} + 1.0) * ({idx} + 1.0)")
+            terms.append(f"({idx} + {CENT_SCALE}) * ({idx} + {CENT_SCALE})")
     return "(" + " + ".join(terms) + ")"
 
 
@@ -102,6 +109,45 @@ def dist_col_exprs(
         f"{sq_dist_sql(c, vec_expr, s * sub_dim, index_base)} AS {prefix}{s}_{j}"
         for s, cents in enumerate(books)
         for j, c in enumerate(cents)
+    ]
+
+
+def seeded_sq_dist_sql(
+    vec_expr: str,
+    seed_expr: str,
+    dim_offset: int,
+    sub_dim: int,
+    index_base: int,
+) -> str:
+    """||v_sub - seed_sub||^2 where the centroid is ANOTHER ARRAY
+    COLUMN (a sampled-exemplar codebook row) rather than a literal —
+    same explicit left-to-right chain, so with identical input doubles
+    both engines produce bit-identical distances."""
+    terms = []
+    for d in range(sub_dim):
+        i = dim_offset + d + index_base
+        terms.append(
+            f"({vec_expr}[{i}] - {seed_expr}[{i}])"
+            f" * ({vec_expr}[{i}] - {seed_expr}[{i}])"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def seeded_dist_col_exprs(
+    vec_expr: str,
+    seed_exprs: list[str],
+    m_sub: int,
+    sub_dim: int,
+    index_base: int,
+    prefix: str,
+) -> list[str]:
+    """Staged distance columns ``{prefix}{s}_{k}`` of ``vec_expr``'s
+    subspaces against each sampled-codebook column in ``seed_exprs``."""
+    return [
+        f"{seeded_sq_dist_sql(vec_expr, sv, s * sub_dim, sub_dim, index_base)}"
+        f" AS {prefix}{s}_{k}"
+        for s in range(m_sub)
+        for k, sv in enumerate(seed_exprs)
     ]
 
 

@@ -647,6 +647,7 @@ from .registry import ORACLE as _ORACLE  # noqa: E402
 _ORACLE["similarity_hybrid_rrf"] = _rrf_oracle()
 
 
+
 # ---------------------------------------------------------------------------
 # similarity_pq_adc — product-quantized codes + asymmetric-distance top-k
 # ---------------------------------------------------------------------------
@@ -656,25 +657,45 @@ from ..operators.pq import (  # noqa: E402
     M_SUB,
     adc_sql,
     code_col_exprs,
-    dist_col_exprs,
-    pq_codebooks,
+    seeded_dist_col_exprs,
 )
 
-_PQ_BOOKS = pq_codebooks(_DIM)
+_PQ_SUB_DIM = _DIM // M_SUB
+_PQ_SEEDS = [f"c{k}v" for k in range(K_CENT)]
+_PQ_SHORTLIST = 100  # ADC survivors handed to the exact re-ranker
 
 
 def _pq_oracle() -> str:
-    d_cols = ",\n           ".join(dist_col_exprs(_PQ_BOOKS, "v", 1, "d"))
+    d_cols = ",\n           ".join(
+        seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "d")
+    )
     c_cols = ",\n           ".join(code_col_exprs(M_SUB, K_CENT, "d"))
-    q_cols = ",\n           ".join(dist_col_exprs(_PQ_BOOKS, "v", 1, "q"))
+    q_cols = ",\n           ".join(
+        seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "q")
+    )
+    seed_cols = ",\n             ".join(
+        f"any_value(CASE WHEN label = {k} THEN v END) AS c{k}v"
+        for k in range(K_CENT)
+    )
     return f"""
     WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT label, v FROM (
+        SELECT label, v,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM e WHERE label < {K_CENT}
+      ) WHERE rn = 1
+    ),
+    book AS (
+      SELECT {seed_cols}
+      FROM seeds
     ),
     d AS (
-      SELECT vec_id,
+      SELECT e.vec_id,
            {d_cols}
-      FROM e
+      FROM e, book
     ),
     c AS (
       SELECT vec_id,
@@ -683,14 +704,26 @@ def _pq_oracle() -> str:
     ),
     q AS (
       SELECT {q_cols}
-      FROM e WHERE vec_id = {_QUERY_ID}
+      FROM e, book WHERE e.vec_id = {_QUERY_ID}
     ),
     a AS (
       SELECT c.vec_id, {adc_sql(M_SUB, K_CENT, "q")} AS adc
       FROM c, q WHERE c.vec_id != {_QUERY_ID}
-    )
-    SELECT vec_id, round(adc, 6) AS adc_dist
-    FROM a ORDER BY adc, vec_id LIMIT 10
+    ),
+    shortlist AS (
+      SELECT vec_id FROM a ORDER BY adc, vec_id LIMIT {_PQ_SHORTLIST}
+    ),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID})
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, e.v)
+                 - 2 * list_dot_product(e.v, qv.qv)
+                 + list_dot_product(qv.qv, qv.qv), 6) AS l2_dist
+    FROM shortlist s JOIN e ON e.vec_id = s.vec_id, qv
+    ORDER BY list_dot_product(e.v, e.v)
+             - 2 * list_dot_product(e.v, qv.qv)
+             + list_dot_product(qv.qv, qv.qv),
+             e.vec_id
+    LIMIT 10
     """
 
 
@@ -699,32 +732,79 @@ def q_similarity_pq_adc(spark, sf_dir):
     """Product-quantization ANN (operators/pq.py — Jegou et al. 2011):
     corpus vectors collapse to 8 x 2-bit codes (2 bytes vs 256 — a
     128x scan-bandwidth cut, THE lever when the index itself is tens
-    of TB), the query's 32-entry squared-distance LUT is computed once
-    on a ONE-ROW frame and broadcast, and each row's asymmetric (ADC)
-    distance is 8 CASE lookups + 7 adds. Top-10 under the exact-double
-    (adc, vec_id) total order via TakeOrderedAndProject — zero
-    shuffles end to end. Codebooks are md5-derived ternary literals and
-    every distance chain shares its term order with the oracle, so
-    codes, LUT, and scores are bit-identical cross-engine; in
-    production the ADC survivors feed similarity_topk's exact scorer
-    for re-ranking."""
-    emb = _emb(spark, sf_dir)
-    staged = emb.selectExpr(
-        "vec_id", *dist_col_exprs(_PQ_BOOKS, "v", 0, "d")
+    of TB). Codebooks are SAMPLED EXEMPLARS — the lowest-id vector of
+    each of the first {K_CENT} labels, i.e. k-means initialization
+    without Lloyd rounds, derived relationally so the oracle rebuilds
+    the identical codebook at any scale factor (md5-random ternary
+    centroids sit outside the data shell of unit-norm embeddings and
+    measured recall ~0; production refines these seeds with the
+    trained build similarity_ivf_kmeans already demonstrates). The
+    codebook and the query's 32-entry distance LUT are ONE-ROW frames
+    broadcast onto the scan; each row's asymmetric (ADC) distance is 8
+    CASE lookups + 7 adds. TWO-STAGE, as PQ is deployed: the coarse
+    ADC scan shortlists {_PQ_SHORTLIST} candidates (TakeOrdered on the
+    exact-double (adc, vec_id) order), then ONLY those re-rank under
+    exact L2 — so the full-precision read touches {_PQ_SHORTLIST}
+    vectors however big the corpus, which is the entire point of the
+    128x-smaller code scan. Zero shuffles end to end (shortlist and
+    query broadcast back onto the pruned scan). Distance chains share
+    their term order cross-engine, so codes, LUT, and both stages'
+    scores are bit-identical. tests/test_pq_recall.py pins the final
+    top-10's recall against the exact scorer."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    codes = staged.selectExpr(
-        "vec_id", *code_col_exprs(M_SUB, K_CENT, "d")
+    from pyspark.sql import Window as W
+
+    seeds = (
+        emb.filter(F.col("label") < K_CENT)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("label").orderBy("vec_id")),
+        )
+        .filter(F.col("rn") == 1)
     )
-    lut = emb.filter(F.col("vec_id") == _QUERY_ID).selectExpr(
-        *dist_col_exprs(_PQ_BOOKS, "v", 0, "q")
+    book = seeds.groupBy().agg(
+        *[
+            F.any_value(F.when(F.col("label") == k, F.col("v")), True).alias(
+                f"c{k}v"
+            )
+            for k in range(K_CENT)
+        ]
+    )
+    staged = emb.crossJoin(F.broadcast(book)).selectExpr(
+        "vec_id",
+        *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "d"),
+    )
+    codes = staged.selectExpr("vec_id", *code_col_exprs(M_SUB, K_CENT, "d"))
+    lut = (
+        emb.filter(F.col("vec_id") == _QUERY_ID)
+        .crossJoin(F.broadcast(book))
+        .selectExpr(
+            *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "q")
+        )
     )
     adc = (
         codes.filter(F.col("vec_id") != _QUERY_ID)
         .crossJoin(F.broadcast(lut))
         .selectExpr("vec_id", f"{adc_sql(M_SUB, K_CENT, 'q')} AS adc")
     )
+    shortlist = adc.orderBy("adc", "vec_id").limit(_PQ_SHORTLIST).select(
+        "vec_id"
+    )
+    qv = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("v").alias("qv")
+    )
+    l2 = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("qv"))
+        + dot(F.col("qv"), F.col("qv"))
+    )
     return (
-        adc.orderBy("adc", "vec_id")
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", l2.alias("l2"))
+        .orderBy("l2", "vec_id")
         .limit(10)
-        .select("vec_id", F.round("adc", 6).alias("adc_dist"))
+        .select("vec_id", F.round("l2", 6).alias("l2_dist"))
     )
