@@ -538,12 +538,19 @@ def q_agg_countmin_heavyhitters(spark, sf_dir):
         ).alias("cms")
     )
     sketches = [bytes(r.cms) for r in daily.collect()]
+    exact = ev.groupBy("event_type").agg(F.count("*").alias("n_exact"))
+    if not sketches:  # empty corpus: no sketches, no categories
+        return exact.select(
+            "event_type",
+            "n_exact",
+            F.lit(True).alias("overestimates_ok"),
+            F.lit(True).alias("within_eps_ok"),
+        )
     jcms_cls = spark._jvm.org.apache.spark.util.sketch.CountMinSketch
     merged = jcms_cls.readFrom(sketches[0])
     for b in sketches[1:]:
         merged.mergeInPlace(jcms_cls.readFrom(b))
     total_n = merged.totalCount()
-    exact = ev.groupBy("event_type").agg(F.count("*").alias("n_exact"))
     est_rows = [
         (r.event_type, int(merged.estimateCount(r.event_type)))
         for r in exact.select("event_type").collect()

@@ -231,6 +231,13 @@ _EMPTY_QUERIES = [
     "distinct_keys",
     "count_rows",             # lineitem-based: unaffected, sanity
     "features_standardize",   # empty stats row, empty output
+    # round-3 events-based additions
+    "profile_drift_kl",       # empty joint -> NULL drift statistics
+    "events_rolling_dau",     # no days -> empty output
+    "join_scd2_asof",         # no facts, no dim intervals
+    "agg_countmin_heavyhitters",  # no daily sketches to merge
+    "sink_datasource_batch",  # zero flushes, empty manifest round trip
+    "sink_schema_evolution",  # two empty writes still reconcile
 ]
 
 
