@@ -1010,3 +1010,90 @@ def q_join_scd2_asof(spark, sf_dir):
         "status",
         F.col("version").alias("status_version"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_funnel_timebound — conversion windows between steps
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_funnel_timebound",
+    """
+    WITH s1 AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      FROM events GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'click' AND e.ts >= s1.t1
+                       AND e.ts <= s1.t1 + INTERVAL 1 DAY
+                      THEN e.ts END) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id,
+             min(CASE WHEN e.event_type = 'purchase' AND e.ts >= s2.t2
+                       AND e.ts <= s2.t2 + INTERVAL 7 DAY
+                      THEN e.ts END) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      GROUP BY e.user_id
+    )
+    SELECT CAST(count(t1) AS BIGINT) AS n_view,
+           CAST(count(t2) AS BIGINT) AS n_click_1d,
+           CAST(count(t3) AS BIGINT) AS n_purchase_7d,
+           round(count(t2) * 1.0 / count(t1), 6) AS click_rate,
+           round(count(t3) * 1.0 / count(t2), 6) AS purchase_rate
+    FROM s1
+    LEFT JOIN s2 ON s1.user_id = s2.user_id
+    LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """,
+)
+def q_events_funnel_timebound(spark, sf_dir):
+    """The funnel as product teams actually define it: each step must
+    land inside a CONVERSION WINDOW of the previous one (click within
+    1 day of first view, purchase within 7 days of that click) — the
+    unbounded events_funnel overstates conversion by crediting steps
+    months later. Same one-exchange physics: the window bound is just
+    two more predicates inside the chained conditional-min windows
+    sharing the single user_id partitioning."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    w = W.partitionBy("user_id")
+    t1 = F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w)
+    stepped = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 DAY")),
+            F.col("ts"),
+        )
+    ).over(w)
+    stepped = stepped.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.col("t2"))
+            & (F.col("ts") <= F.col("t2") + F.expr("INTERVAL 7 DAY")),
+            F.col("ts"),
+        )
+    ).over(w)
+    stepped = stepped.withColumn("t3", t3)
+    per_user = stepped.groupBy("user_id").agg(
+        F.max("t1").alias("t1"),
+        F.max("t2").alias("t2"),
+        F.max("t3").alias("t3"),
+    )
+    return per_user.agg(
+        F.count("t1").alias("n_view"),
+        F.count("t2").alias("n_click_1d"),
+        F.count("t3").alias("n_purchase_7d"),
+        F.round(F.try_divide(F.count("t2"), F.count("t1")), 6).alias(
+            "click_rate"
+        ),
+        F.round(F.try_divide(F.count("t3"), F.count("t2")), 6).alias(
+            "purchase_rate"
+        ),
+    )

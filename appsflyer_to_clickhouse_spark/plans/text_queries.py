@@ -1064,3 +1064,119 @@ def q_text_bpe_merge_count(spark, sf_dir):
             ).alias("bpe_per_word"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# text_gopher_rules — named quality-rule flags (Rae et al. 2021 style)
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with", "a")
+_G_MIN_WORDS, _G_MAX_WORDS = 20, 100_000
+_G_MIN_MWL, _G_MAX_MWL = 2.0, 10.0
+_G_MAX_WL = 15
+_G_MIN_ALPHA = 0.8
+_G_MIN_STOPS = 2
+
+
+def _gopher_stop_hits_sql(arr: str) -> str:
+    return " + ".join(
+        f"CASE WHEN list_contains({arr}, '{w}') THEN 1 ELSE 0 END"
+        for w in _GOPHER_STOPS
+    )
+
+
+@register(
+    "text_gopher_rules",
+    f"""
+    WITH tk AS (
+      SELECT doc_id, {_TOK_SQL} AS t FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             round(CASE WHEN len(t) > 0 THEN
+               list_sum(list_transform(t, x -> length(x)))::DOUBLE / len(t)
+               END, 6) AS mean_word_len,
+             coalesce(list_max(list_transform(t, x -> length(x))), 0)
+               AS max_word_len,
+             round(CASE WHEN len(t) > 0 THEN
+               len(list_filter(t, x -> regexp_matches(x, '[a-z]')))::DOUBLE
+               / len(t) END, 6) AS alpha_frac,
+             {_gopher_stop_hits_sql('t')} AS stop_hits
+      FROM tk
+    )
+    SELECT doc_id, n_words, mean_word_len, max_word_len, alpha_frac,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS}) AS ok_n_words,
+           coalesce(mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL},
+                    FALSE) AS ok_mean_wl,
+           (max_word_len <= {_G_MAX_WL}) AS ok_max_wl,
+           coalesce(alpha_frac >= {_G_MIN_ALPHA}, FALSE) AS ok_alpha,
+           (stop_hits >= {_G_MIN_STOPS}) AS ok_stops,
+           ((n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+            AND coalesce(mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL},
+                         FALSE)
+            AND max_word_len <= {_G_MAX_WL}
+            AND coalesce(alpha_frac >= {_G_MIN_ALPHA}, FALSE)
+            AND stop_hits >= {_G_MIN_STOPS}) AS keep
+    FROM m
+    """,
+)
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher-style NAMED rule flags (Rae et al. 2021 §A1.1, the rules
+    expressible on this corpus): word-count bounds, mean/max word
+    length, alphabetic-word fraction, and stopword presence — each
+    surfaced as its own boolean so a curation run can report WHICH
+    rule rejected a document, not just that one did (the audit trail
+    text_quality_score's single keep bit can't give). One map-only
+    Project over the scan; degenerate docs (zero words) fail closed
+    via coalesce(FALSE) rather than dropping to NULL."""
+    docs = load_fanout(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    lens = F.transform(t, lambda x: F.length(x))
+    n = F.size(t)
+    mean_wl = F.round(
+        F.try_divide(
+            F.aggregate(lens, F.lit(0), lambda a, x: a + x).cast("double"), n
+        ),
+        6,
+    )
+    max_wl = F.coalesce(F.array_max(lens), F.lit(0))
+    alpha = F.round(
+        F.try_divide(
+            F.size(F.filter(t, lambda x: x.rlike("[a-z]"))).cast("double"), n
+        ),
+        6,
+    )
+    stops = sum(
+        F.when(F.array_contains(t, w), 1).otherwise(0) for w in _GOPHER_STOPS
+    )
+    m = docs.select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        max_wl.cast("bigint").alias("max_word_len"),
+        alpha.alias("alpha_frac"),
+        stops.cast("bigint").alias("stop_hits"),
+    )
+    ok_n = F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS)
+    ok_mwl = F.coalesce(
+        F.col("mean_word_len").between(_G_MIN_MWL, _G_MAX_MWL), F.lit(False)
+    )
+    ok_maxwl = F.col("max_word_len") <= _G_MAX_WL
+    ok_alpha = F.coalesce(F.col("alpha_frac") >= _G_MIN_ALPHA, F.lit(False))
+    ok_stops = F.col("stop_hits") >= _G_MIN_STOPS
+    return m.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "max_word_len",
+        "alpha_frac",
+        "stop_hits",
+        ok_n.alias("ok_n_words"),
+        ok_mwl.alias("ok_mean_wl"),
+        ok_maxwl.alias("ok_max_wl"),
+        ok_alpha.alias("ok_alpha"),
+        ok_stops.alias("ok_stops"),
+        (ok_n & ok_mwl & ok_maxwl & ok_alpha & ok_stops).alias("keep"),
+    )
