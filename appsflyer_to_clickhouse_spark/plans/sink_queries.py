@@ -348,3 +348,44 @@ def q_sink_schema_evolution(spark, sf_dir):
     v1.write.mode("append").parquet(path)
     v2.write.mode("append").parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+@register(
+    "sink_datasource_arrow",
+    """
+    SELECT CAST(event_id // 3 AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type
+    FROM events WHERE event_id % 4 = 0
+    """,
+)
+def q_sink_datasource_arrow(spark, sf_dir):
+    """The ARROW-NATIVE tier of the Python Data Source writer
+    (sinks/datasource_sink.py:ClickHouseArrowDataSource): identical
+    batch/manifest/commit protocol and identical oracle to
+    sink_datasource_batch, but the writer consumes pyarrow
+    RecordBatches and flushes columnar parquet parts — no Row objects,
+    no per-field Python access; the two registrations benchmarked
+    side-by-side measure exactly the per-row Python tax (bench: the
+    row tier streams ~100k rows/s, this tier is scan-bound)."""
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    out = ev.filter(F.col("event_id") % 4 == 0).select(
+        F.expr("event_id DIV 3").cast("string").alias("appsflyer_id"),
+        F.col("user_id").alias("uid"),
+        "event_type",
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_charrow_") + "/staged"
+    (
+        out.write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "20000")
+        .mode("append")
+        .save()
+    )
+    return read_committed_parquet(spark, path, _DS_SCHEMA)
