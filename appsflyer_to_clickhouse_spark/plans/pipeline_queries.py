@@ -263,3 +263,90 @@ def q_corpus_build_pipeline(spark, sf_dir):
         last_seq.alias("last_seq"),
         (F.col("start_off") % _PACK_LEN).alias("offset_in_first"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_pipeline_report — the per-stage accounting dashboard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_pipeline_report",
+    f"""
+    WITH {_QUAL_CTE},
+    {candidates_cte('uniq')},
+    jacc AS (
+      SELECT c.id_a, c.id_b,
+             len(list_intersect(a.ss, b.ss))::DOUBLE
+             / len(list_distinct(list_concat(a.ss, b.ss)))::DOUBLE AS j
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b
+    ),
+    dropped AS (
+      SELECT DISTINCT id_b FROM jacc WHERE round(j, 6) >= {JACCARD_THRESHOLD}
+    ),
+    stages AS (
+      SELECT '00_raw' AS stage, count(*) AS rows_out FROM documents
+      UNION ALL
+      SELECT '01_quality', count(*) FROM qual
+      UNION ALL
+      SELECT '02_exact_dedup', count(*) FROM uniq
+      UNION ALL
+      SELECT '03_near_dup', count(*) FROM uniq u
+      WHERE NOT EXISTS (SELECT 1 FROM dropped d WHERE d.id_b = u.doc_id)
+    )
+    SELECT stage, CAST(rows_out AS BIGINT) AS rows_out,
+           CAST(coalesce(lag(rows_out) OVER (ORDER BY stage) - rows_out, 0)
+                AS BIGINT) AS n_dropped,
+           round(CAST(rows_out AS DOUBLE)
+                 / first_value(rows_out) OVER (ORDER BY stage), 6)
+             AS retention
+    FROM stages
+    """,
+)
+def q_corpus_pipeline_report(spark, sf_dir):
+    """The per-stage accounting every corpus build publishes next to
+    its output: rows surviving each stage (raw -> quality -> exact
+    dedup -> near-dup), rows dropped BY that stage, and cumulative
+    retention — the number that catches a mis-tuned filter silently
+    deleting a corpus (a 0.4 retention at the quality gate is a bug
+    report, not a corpus). Stage counts reuse the SAME session-cached
+    upstream as the composite pipelines, so the report costs four
+    single-row aggregates over already-materialized stages plus the
+    near-dup pair check; the 4-row window at the end is
+    stage-dimension-sized, never data-sized."""
+    from pyspark.sql import Window as W
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    qual = quality_flags(docs).filter(F.col("keep"))
+    uniq, sigs = _uniq_and_sigs(spark, sf_dir)
+    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    near = jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
+    dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
+    survivors = uniq.join(dropped, "doc_id", "left_anti")
+
+    def stage(label, df):
+        return df.agg(
+            F.lit(label).alias("stage"), F.count("*").alias("rows_out")
+        )
+
+    stages = (
+        stage("00_raw", docs)
+        .unionByName(stage("01_quality", qual))
+        .unionByName(stage("02_exact_dedup", uniq))
+        .unionByName(stage("03_near_dup", survivors))
+    )
+    w = W.orderBy("stage")
+    return stages.select(
+        "stage",
+        "rows_out",
+        F.coalesce(
+            F.lag("rows_out").over(w) - F.col("rows_out"), F.lit(0)
+        ).cast("bigint").alias("n_dropped"),
+        F.round(
+            F.col("rows_out").cast("double")
+            / F.first("rows_out").over(w),
+            6,
+        ).alias("retention"),
+    )
