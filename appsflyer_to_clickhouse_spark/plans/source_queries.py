@@ -422,3 +422,81 @@ def q_csv_corrupt_records(spark, sf_dir):
         .option("columnNameOfCorruptRecord", "corrupt_record")
         .csv(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_http_datasource — the cron pull as an offset-tracked stream
+# ---------------------------------------------------------------------------
+
+_STREAM_WINDOW_S = 7200  # the reference's 2-hour pull window
+
+
+def _stream_rows(from_time: str) -> list[list[str]]:
+    """Deterministic per-window payload, a pure function of the window
+    START (unlike _fake_fetch's index lookup, so any [start, end)
+    regrouping of the time axis yields the same rows)."""
+    stamp = from_time[:13].replace(" ", "T")
+    return [[f"af-s-{stamp}-{j}", from_time, f"src-{j}"] for j in range(2)]
+
+
+def _stream_fake_fetch(from_time: str, to_time: str) -> str:
+    lines = ["﻿" + ",".join(_HTTP_HEADER)]
+    lines += [",".join(r) for r in _stream_rows(from_time)]
+    return "\n".join(lines) + "\n"
+
+
+def _stream_http_oracle() -> str:
+    from ..sources.datasource import _stream_windows
+
+    af_cols = list(APPSFLYER_TO_CH)
+    expected = []
+    for f, _t in _stream_windows(_HTTP_FROM, _HTTP_TO, _STREAM_WINDOW_S):
+        for row in _stream_rows(f):
+            by_name = dict(zip(_HTTP_HEADER, row))
+            expected.append([by_name.get(c) for c in af_cols])
+    rows = ",\n      ".join(
+        "(" + ", ".join(_sql_str(v) for v in r) + ")" for r in expected
+    )
+    cols = ", ".join(f'"{c}"' for c in af_cols)
+    return f"SELECT * FROM (VALUES\n      {rows}) AS t({cols})"
+
+
+@register("stream_http_datasource", _stream_http_oracle())
+def q_stream_http_datasource(spark, sf_dir):
+    """The reference's cron loop as a STREAMING source
+    (sources/datasource.py:_AppsFlyerStreamReader): the time axis is
+    the offset, each run's horizon is latestOffset, and each 2-hour
+    window is one executor-side InputPartition. Here one run drains
+    the whole [from, to) backfill; the restart contract — a second
+    run resumes from the COMMITTED offset and re-fetches nothing —
+    is pinned in tests/test_stream_datasource.py. Exactly-once
+    replaces the reference's re-pull + sink anti-join idempotency
+    machinery at the source layer."""
+    import tempfile as _tf
+
+    from ..sources.datasource import AppsFlyerDataSource
+
+    spark.dataSource.register(AppsFlyerDataSource)
+    stream = (
+        spark.readStream.format("appsflyer")
+        .option("from_time", _HTTP_FROM)
+        .option("to_time", _HTTP_TO)
+        .option("window_seconds", str(_STREAM_WINDOW_S))
+        .option(
+            "fetcher",
+            "appsflyer_to_clickhouse_spark.plans.source_queries:_stream_fake_fetch",
+        )
+        .load()
+    )
+    name = f"stream_http_ds_{next(iter(range(1)))}_{id(stream) % 100000}"
+    ckpt = _tf.mkdtemp(prefix="spark_graft_ckpt_httpstream_")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name)
