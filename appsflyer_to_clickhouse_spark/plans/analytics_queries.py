@@ -1097,3 +1097,89 @@ def q_events_funnel_timebound(spark, sf_dir):
             "purchase_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_conversion_paths — top last-3-touch paths before purchase
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_conversion_paths",
+    """
+    WITH conv AS (
+      SELECT event_id AS conv_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), tch AS (
+      SELECT user_id, ts, event_type, event_id FROM events
+      WHERE event_type IN ('view', 'click')
+    ), pairs AS (
+      SELECT c.conv_id, t.event_type AS ch, t.ts, t.event_id AS tid
+      FROM conv c
+      JOIN tch t ON t.user_id = c.user_id
+                AND t.ts <= c.ts
+                AND t.ts >= c.ts - INTERVAL 7 DAY
+    ), ranked AS (
+      SELECT conv_id, ch, ts, tid,
+             row_number() OVER (PARTITION BY conv_id
+                                ORDER BY ts DESC, tid DESC) AS rn
+      FROM pairs
+    ), paths AS (
+      SELECT conv_id, string_agg(ch, '>' ORDER BY ts, tid) AS path
+      FROM ranked WHERE rn <= 3 GROUP BY conv_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_conversions
+    FROM paths GROUP BY path
+    ORDER BY n_conversions DESC, path LIMIT 10
+    """,
+)
+def q_events_conversion_paths(spark, sf_dir):
+    """Top converting paths: each purchase's LAST <=3 view/click
+    touches in the prior 7 days, ordered oldest-first into a
+    'view>click>click' path string, counted across conversions — the
+    sequence-level view multi-touch attribution's per-channel credits
+    flatten away. Pairing reuses the attribution join (user_id equi +
+    time residual, touch-density-bounded); the last-3 cut is one
+    window over the join's own conv_id partitioning; path assembly
+    sorts each conversion's <=3 struct rows inside the row (sort_array
+    — no cross-row order dependence, so the oracle's ordered
+    string_agg matches exactly); top-10 under a total order."""
+    ev = load(spark, sf_dir, "events")
+    conv = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("conv_id"),
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("c_ts"),
+    )
+    tch = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_uid"),
+        F.col("ts").alias("ts"),
+        F.col("event_type").alias("ch"),
+        F.col("event_id").alias("tid"),
+    )
+    from pyspark.sql import Window as W
+
+    pairs = conv.join(
+        tch,
+        (conv.c_uid == tch.t_uid)
+        & (tch.ts <= conv.c_ts)
+        & (tch.ts >= conv.c_ts - F.expr("INTERVAL 7 DAY")),
+    ).select("conv_id", "ch", "ts", "tid")
+    w = W.partitionBy("conv_id").orderBy(F.desc("ts"), F.desc("tid"))
+    last3 = pairs.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 3
+    )
+    paths = last3.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "tid", "ch"))),
+                lambda s: s.ch,
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_conversions"))
+        .orderBy(F.desc("n_conversions"), F.asc("path"))
+        .limit(10)
+    )

@@ -1180,3 +1180,82 @@ def q_text_gopher_rules(spark, sf_dir):
         ok_stops.alias("ok_stops"),
         (ok_n & ok_mwl & ok_maxwl & ok_alpha & ok_stops).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# text_bigram_logprob — conditional-LM document scoring
+# ---------------------------------------------------------------------------
+
+_BLP_DEC = "CAST(ln((cb + 1.0) / (ch + v)) AS DECIMAL(20,12))"
+
+_BIGRAM_ORACLE = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOK_SQL} AS t FROM documents
+), bg AS (
+  SELECT doc_id, t[i+1] AS head, t[i+1] || ' ' || t[i+2] AS b
+  FROM tk, (SELECT unnest(range(len(t) - 1)) AS i)
+  WHERE len(t) >= 2
+), bcnt AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY b
+), hcnt AS (
+  SELECT head, CAST(count(*) AS BIGINT) AS ch FROM bg GROUP BY head
+), vocab AS (
+  SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v FROM (
+    SELECT unnest(t) AS tok FROM tk
+  )
+)
+SELECT g.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(round(CAST(sum({_BLP_DEC}) AS DOUBLE) / count(*), 6) AS DOUBLE)
+         AS avg_logprob
+FROM bg g
+JOIN bcnt ON bcnt.b = g.b
+JOIN hcnt ON hcnt.head = g.head
+CROSS JOIN vocab
+GROUP BY g.doc_id
+"""
+
+
+@register("text_bigram_logprob", _BIGRAM_ORACLE)
+def q_text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM document scoring — the CONDITIONAL upgrade of
+    text_unigram_logprob: P(w2|w1) = (c(w1 w2)+1)/(c_head(w1)+V)
+    catches documents whose words are individually common but
+    sequenced like noise (shuffled/templated spam scores near the
+    unigram model yet far under the bigram one). Head counts derive
+    from the same bigram table (no second token pass); count tables
+    join back on their own keys — shuffles bounded by DISTINCT bigrams
+    (at 100 TB these joins run bucketed on the gram key rather than
+    broadcast). Per-bigram log-probs sum in DECIMAL so the per-doc
+    reduction is order-independent cross-engine."""
+    from ..functions.text import tokens, word_shingles_ordered
+    from .registry import load_fanout
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    tk = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    bg = (
+        tk.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(word_shingles_ordered(F.col("t"), 2)).alias("b"),
+        )
+        .withColumn("head", F.substring_index("b", " ", 1))
+    )
+    bcnt = bg.groupBy("b").agg(F.count("*").alias("cb"))
+    hcnt = bg.groupBy("head").agg(F.count("*").alias("ch"))
+    vocab = (
+        tk.select(F.explode("t").alias("tok"))
+        .agg(F.count_distinct("tok").cast("double").alias("v"))
+    )
+    scored = (
+        bg.join(bcnt, "b")
+        .join(hcnt, "head")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.expr(_BLP_DEC).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count("*"), 6)
+        .cast("double")
+        .alias("avg_logprob"),
+    )
