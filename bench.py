@@ -165,9 +165,11 @@ def main() -> int:
         "multimodal_frame_sample",
         "multimodal_group_fingerprint",
         "source_http_csv",
-        # Python Data Source: planner + per-partition reader all run in
-        # Python workers — same fleet-spin-up cost profile as pandas
+        # Python Data Source: planner + per-partition reader/writer all
+        # run in Python workers — same fleet-spin-up profile as pandas
         "source_http_datasource",
+        "sink_datasource_batch",
+        "sink_datasource_arrow",
         "stream_stateful_counter",
     }
     hof_prefixes = (

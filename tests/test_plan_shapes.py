@@ -362,3 +362,42 @@ def test_pq_adc_is_broadcast_lut_plus_takeordered(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_rolling_dau_has_no_range_self_join(spark):
+    """events_rolling_dau fans each (user, day) into its <=7 target
+    days (one explode + keyed aggregation) — the plan must contain the
+    broadcast day-dimension join and NO nested-loop/cartesian range
+    join of the fact against itself."""
+    plan = _plan(spark, "events_rolling_dau")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the contribution explode
+    assert "BroadcastExchange" in plan  # tiny day dimension
+
+
+def test_scd2_asof_joins_on_key_with_interval_residual(spark):
+    """join_scd2_asof must be an equi-join on user_id (SortMergeJoin
+    or broadcast-hash) with the interval predicate as a residual —
+    never a nested-loop over facts x intervals."""
+    plan = _plan(spark, "join_scd2_asof")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_logprob_counts_partial_aggregate(spark):
+    """The bigram/head count tables must partial-aggregate map-side
+    (HashAggregate before the exchange) so shuffles carry counts, not
+    the raw gram stream twice."""
+    plan = _plan(spark, "text_bigram_logprob")
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_conversion_paths_last3_cut_uses_join_partitioning(spark):
+    """events_conversion_paths: the last-3 window partitions by
+    conv_id — the key the join itself produced — and the path
+    aggregate groups on the same key; no cartesian anywhere."""
+    plan = _plan(spark, "events_conversion_paths")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 paths
