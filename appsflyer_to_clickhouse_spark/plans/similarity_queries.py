@@ -665,6 +665,31 @@ _PQ_SEEDS = [f"c{k}v" for k in range(K_CENT)]
 _PQ_SHORTLIST = 100  # ADC survivors handed to the exact re-ranker
 
 
+
+def _pq_book_df(emb):
+    """ONE-ROW sampled-codebook frame (c0v..c{K-1}v): the lowest-id
+    vector of each of the first K labels — k-means initialization,
+    relationally derived so the oracle rebuilds it at any SF."""
+    from pyspark.sql import Window as W
+
+    seeds = (
+        emb.filter(F.col("label") < K_CENT)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("label").orderBy("vec_id")),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return seeds.groupBy().agg(
+        *[
+            F.any_value(F.when(F.col("label") == k, F.col("v")), True).alias(
+                f"c{k}v"
+            )
+            for k in range(K_CENT)
+        ]
+    )
+
+
 def _pq_oracle() -> str:
     d_cols = ",\n           ".join(
         seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "d")
@@ -754,24 +779,7 @@ def q_similarity_pq_adc(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
-    from pyspark.sql import Window as W
-
-    seeds = (
-        emb.filter(F.col("label") < K_CENT)
-        .withColumn(
-            "rn",
-            F.row_number().over(W.partitionBy("label").orderBy("vec_id")),
-        )
-        .filter(F.col("rn") == 1)
-    )
-    book = seeds.groupBy().agg(
-        *[
-            F.any_value(F.when(F.col("label") == k, F.col("v")), True).alias(
-                f"c{k}v"
-            )
-            for k in range(K_CENT)
-        ]
-    )
+    book = _pq_book_df(emb)
     staged = emb.crossJoin(F.broadcast(book)).selectExpr(
         "vec_id",
         *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "d"),
@@ -791,6 +799,195 @@ def q_similarity_pq_adc(spark, sf_dir):
     )
     shortlist = adc.orderBy("adc", "vec_id").limit(_PQ_SHORTLIST).select(
         "vec_id"
+    )
+    qv = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("v").alias("qv")
+    )
+    l2 = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("qv"))
+        + dot(F.col("qv"), F.col("qv"))
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", l2.alias("l2"))
+        .orderBy("l2", "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("l2", 6).alias("l2_dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity_ivfpq — coarse IVF probe + PQ-ADC scan + exact re-rank
+# ---------------------------------------------------------------------------
+
+_IVF_K = 8        # coarse cells
+_IVF_PROBE = 2    # cells probed per query
+_IVFPQ_SHORTLIST = 50
+
+
+def _ivf_protos() -> list[list[int]]:
+    from ..operators.similarity import sparse_planes
+
+    return sparse_planes(_DIM, _IVF_K, seed="ivfpq")
+
+
+_IVF_PROTOS = _ivf_protos()
+
+
+def _ivfpq_oracle() -> str:
+    from ..operators.dedup import argmax_case_sql
+    from ..operators.pq import adc_sql, code_col_exprs, seeded_dist_col_exprs
+    from ..operators.similarity import sparse_dot_sql
+
+    cdots = ",\n             ".join(
+        f"{sparse_dot_sql(w, 'v', 1)} AS cd{p}"
+        for p, w in enumerate(_IVF_PROTOS)
+    )
+    qdot_cases = " ".join(
+        f"WHEN {p} THEN cd{p}" for p in range(_IVF_K)
+    )
+    d_cols = ",\n           ".join(
+        seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "d")
+    )
+    c_cols = ",\n           ".join(code_col_exprs(M_SUB, K_CENT, "d"))
+    q_cols = ",\n           ".join(
+        seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "q")
+    )
+    seed_cols = ",\n             ".join(
+        f"any_value(CASE WHEN label = {k} THEN v END) AS c{k}v"
+        for k in range(K_CENT)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    seeds AS (
+      SELECT label, v FROM (
+        SELECT label, v,
+               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
+        FROM e WHERE label < {K_CENT}
+      ) WHERE rn = 1
+    ),
+    book AS (
+      SELECT {seed_cols}
+      FROM seeds
+    ),
+    st AS (
+      SELECT vec_id, v,
+             {cdots}
+      FROM e
+    ),
+    cl AS (
+      SELECT vec_id, v, {argmax_case_sql(_IVF_K, "cd")} AS cell FROM st
+    ),
+    qtop AS (
+      SELECT u.i AS cell
+      FROM (SELECT * FROM st WHERE vec_id = {_QUERY_ID}),
+           (SELECT unnest(range({_IVF_K})) AS i) u
+      ORDER BY (CASE u.i {qdot_cases} END) DESC, u.i
+      LIMIT {_IVF_PROBE}
+    ),
+    cand AS (
+      SELECT c.vec_id, c.v FROM cl c JOIN qtop ON c.cell = qtop.cell
+      WHERE c.vec_id != {_QUERY_ID}
+    ),
+    d AS (
+      SELECT cand.vec_id,
+           {d_cols}
+      FROM cand, book
+    ),
+    c AS (
+      SELECT vec_id,
+           {c_cols}
+      FROM d
+    ),
+    q AS (
+      SELECT {q_cols}
+      FROM e, book WHERE e.vec_id = {_QUERY_ID}
+    ),
+    a AS (
+      SELECT c.vec_id, {adc_sql(M_SUB, K_CENT, "q")} AS adc
+      FROM c, q
+    ),
+    shortlist AS (
+      SELECT vec_id FROM a ORDER BY adc, vec_id LIMIT {_IVFPQ_SHORTLIST}
+    ),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID})
+    SELECT e.vec_id,
+           round(list_dot_product(e.v, e.v)
+                 - 2 * list_dot_product(e.v, qv.qv)
+                 + list_dot_product(qv.qv, qv.qv), 6) AS l2_dist
+    FROM shortlist s JOIN e ON e.vec_id = s.vec_id, qv
+    ORDER BY list_dot_product(e.v, e.v)
+             - 2 * list_dot_product(e.v, qv.qv)
+             + list_dot_product(qv.qv, qv.qv),
+             e.vec_id
+    LIMIT 10
+    """
+
+
+@register("similarity_ivfpq", _ivfpq_oracle())
+def q_similarity_ivfpq(spark, sf_dir):
+    """IVF-PQ — the full FAISS-style ANN architecture assembled from
+    this repo's audited halves: a coarse quantizer (md5-derived ternary
+    prototypes, argmax-dot cell assignment — dedup_semantic's
+    machinery) restricts the search to the query's {_IVF_PROBE} best
+    cells (at 100 TB the cell is a partition column, so the probe is
+    PARTITION PRUNING — only probed cells are even read), then the
+    PQ-ADC scan scores ONLY those cells' 2-byte codes and exact L2
+    re-ranks a {_IVFPQ_SHORTLIST}-candidate shortlist. Compounded
+    read reduction: (probed cells / all cells) x (2 B / 256 B) —
+    ~1/512 of the brute-force scan here, with every stage exact
+    against the oracle (assignment ties lowest-index, chains share
+    term order). tests/test_pq_recall.py pins the end-to-end
+    recall floor."""
+    from ..operators.dedup import argmax_case_sql
+    from ..operators.pq import adc_sql, code_col_exprs, seeded_dist_col_exprs
+    from ..operators.similarity import sparse_dot_sql
+
+    emb = _emb(spark, sf_dir)
+    book = _pq_book_df(emb)
+    cdot_exprs = [
+        f"{sparse_dot_sql(w, 'v', 0)} AS cd{p}"
+        for p, w in enumerate(_IVF_PROTOS)
+    ]
+    st = emb.selectExpr("vec_id", "v", *cdot_exprs)
+    cl = st.selectExpr(
+        "vec_id", "v", f"{argmax_case_sql(_IVF_K, 'cd')} AS cell"
+    )
+    qst = st.filter(F.col("vec_id") == _QUERY_ID)
+    qtop = (
+        qst.select(
+            F.posexplode(
+                F.array(*[F.col(f"cd{p}") for p in range(_IVF_K)])
+            ).alias("cell", "qd")
+        )
+        .orderBy(F.desc("qd"), F.asc("cell"))
+        .limit(_IVF_PROBE)
+        .select("cell")
+    )
+    cand = cl.join(F.broadcast(qtop), "cell", "leftsemi").filter(
+        F.col("vec_id") != _QUERY_ID
+    )
+    staged = cand.crossJoin(F.broadcast(book)).selectExpr(
+        "vec_id",
+        *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "d"),
+    )
+    codes = staged.selectExpr("vec_id", *code_col_exprs(M_SUB, K_CENT, "d"))
+    lut = (
+        emb.filter(F.col("vec_id") == _QUERY_ID)
+        .crossJoin(F.broadcast(book))
+        .selectExpr(
+            *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "q")
+        )
+    )
+    adc = codes.crossJoin(F.broadcast(lut)).selectExpr(
+        "vec_id", f"{adc_sql(M_SUB, K_CENT, 'q')} AS adc"
+    )
+    shortlist = (
+        adc.orderBy("adc", "vec_id").limit(_IVFPQ_SHORTLIST).select("vec_id")
     )
     qv = emb.filter(F.col("vec_id") == _QUERY_ID).select(
         F.col("v").alias("qv")
