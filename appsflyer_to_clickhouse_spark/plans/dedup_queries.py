@@ -823,3 +823,69 @@ def q_dedup_minhash_estimate(spark, sf_dir):
         F.round(exact, 6).alias("jaccard_exact"),
         F.round(est, 6).alias("jaccard_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_rate_by_source — which sources duplicate each other
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""
+    WITH {_CANDIDATES_CTE},
+    src AS (SELECT doc_id, source FROM documents),
+    pairs AS (
+      SELECT least(a.source, b.source) AS source_a,
+             greatest(a.source, b.source) AS source_b
+      FROM cand c
+      JOIN src a ON a.doc_id = c.id_a
+      JOIN src b ON b.doc_id = c.id_b
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM pairs)
+    SELECT source_a, source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           round(count(*) / tot.t, 6) AS pair_share
+    FROM pairs, tot
+    GROUP BY source_a, source_b, tot.t
+    """,
+)
+def q_dedup_rate_by_source(spark, sf_dir):
+    """Near-dup PROVENANCE: LSH candidate pairs bucketed by the
+    (unordered) source pair — the diagnostic that tells a corpus team
+    WHERE duplication comes from (a hot (crawl, crawl) cell means
+    re-crawls; a hot cross-source cell means mirrored content and
+    argues for cross-source canonical selection). Pair generation is
+    the already-audited banded join; source attribution is two
+    key-bounded joins against a 2-column pruned scan; output is
+    #source-pairs-sized."""
+    docs = load_fanout(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
+    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = (
+        cand.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+    )
+    tot = pairs.agg(F.count("*").cast("double").alias("t"))
+    return (
+        pairs.groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            F.round(F.col("n_pairs") / F.col("t"), 6).alias("pair_share"),
+        )
+    )

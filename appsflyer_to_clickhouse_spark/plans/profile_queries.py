@@ -565,3 +565,83 @@ def q_agg_countmin_heavyhitters(spark, sf_dir):
             "within_eps_ok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# profile_key_skew — join-key skew pre-flight
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profile_key_skew",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events
+      GROUP BY user_id
+    ),
+    tot AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS t, CAST(count(*) AS BIGINT) AS k,
+             CAST(max(n) AS BIGINT) AS mx
+      FROM c
+    ),
+    top10 AS (
+      SELECT CAST(sum(n) AS DOUBLE) AS s FROM (
+        SELECT n FROM c ORDER BY n DESC LIMIT 10
+      )
+    )
+    SELECT CAST(tot.t AS BIGINT) AS n_rows,
+           tot.k AS n_keys,
+           tot.mx AS max_key_rows,
+           round(top10.s / tot.t, 6) AS top10_share,
+           round(CAST((SELECT sum(CAST((n / tot.t) * ln(n / tot.t)
+                                       AS DECIMAL(20,12))) FROM c)
+                      AS DOUBLE) * -1, 6) AS entropy
+    FROM tot, top10
+    """,
+)
+def q_profile_key_skew(spark, sf_dir):
+    """Join-key skew pre-flight over events.user_id: key cardinality,
+    the heaviest key's row count, the top-10 keys' share of all rows,
+    and the key-distribution entropy — the numbers that decide BEFORE
+    a 100 TB join whether to salt, AQE-split, or broadcast (a
+    top10_share near 1 means salting; entropy near ln(k) means the
+    hash partitioner is already fair). One count aggregate; the
+    heavy-key probe is a 10-row TakeOrdered, tie-insensitive because a
+    sum of the 10 largest VALUES doesn't depend on which tied keys
+    supply them; entropy terms sum in decimal."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
+    c = c.persist()
+    tot = c.agg(
+        F.sum("n").cast("double").alias("t"),
+        F.count("*").alias("k"),
+        F.max("n").alias("mx"),
+    )
+    top10 = (
+        c.orderBy(F.desc("n"))
+        .limit(10)
+        .agg(F.sum("n").cast("double").alias("s"))
+    )
+    ent = (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                (F.col("n") / F.col("t"))
+                * F.log(F.col("n") / F.col("t"))
+            )
+            .cast("decimal(20,12)")
+            .alias("term")
+        )
+        .agg((F.sum("term").cast("double") * -1).alias("h"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(top10))
+        .crossJoin(F.broadcast(ent))
+        .select(
+            F.col("t").cast("bigint").alias("n_rows"),
+            F.col("k").alias("n_keys"),
+            F.col("mx").alias("max_key_rows"),
+            F.round(F.col("s") / F.col("t"), 6).alias("top10_share"),
+            F.round("h", 6).alias("entropy"),
+        )
+    )
