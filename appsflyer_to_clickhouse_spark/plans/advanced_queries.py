@@ -1034,3 +1034,88 @@ def q_array_funcs(spark, sf_dir):
         ),
         F.round(max_abs, 6).alias("max_abs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_asof_nearest — nearest-in-time match (backward OR forward)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH f AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts AS vts, event_id AS vid FROM events
+      WHERE event_type = 'view'
+    ),
+    cand AS (
+      SELECT f.event_id, f.user_id, f.ts, v.vts, v.vid,
+             abs(epoch_us(f.ts) - epoch_us(v.vts)) AS adt
+      FROM f JOIN v ON v.user_id = f.user_id
+         AND v.vts >= f.ts - INTERVAL 1 DAY
+         AND v.vts <= f.ts + INTERVAL 1 DAY
+    ),
+    best AS (
+      SELECT event_id, user_id, ts, vts, vid,
+             row_number() OVER (PARTITION BY event_id
+                                ORDER BY adt, vts, vid) AS rn
+      FROM cand
+    )
+    SELECT f.event_id, f.user_id, f.ts,
+           b.vts AS nearest_view_ts,
+           b.vid AS nearest_view_id
+    FROM f LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      ON b.event_id = f.event_id
+    """,
+)
+def q_join_asof_nearest(spark, sf_dir):
+    """NEAREST-in-time join — the sensor-alignment workhorse backward
+    as-of can't express: each purchase matches the view with the
+    smallest |dt| within +-1 day, whichever side of the event it falls
+    on (join_asof only looks backward). Physically the same equi-join
+    on user_id with the +-window as a residual; the per-fact winner is
+    one window over the join's own event_id partitioning with a total
+    (|dt|, ts, id) order so ties are deterministic; unmatched facts
+    survive via the left join. |dt| compares in integer microseconds —
+    exact cross-engine."""
+    from pyspark.sql import Window as W
+
+    ev = load(spark, sf_dir, "events")
+    f = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_uid"),
+        F.col("ts").alias("vts"),
+        F.col("event_id").alias("vid"),
+    )
+    cand = f.join(
+        v,
+        (f.user_id == v.v_uid)
+        & (v.vts >= f.ts - F.expr("INTERVAL 1 DAY"))
+        & (v.vts <= f.ts + F.expr("INTERVAL 1 DAY")),
+    ).withColumn(
+        # NTZ -> TIMESTAMP cast is value-preserving under the pinned
+        # UTC session tz; unix_micros rejects NTZ directly
+        "adt",
+        F.abs(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("vts").cast("timestamp"))
+        ),
+    )
+    w = W.partitionBy("event_id").orderBy("adt", "vts", "vid")
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("event_id").alias("b_eid"),
+            F.col("vts").alias("nearest_view_ts"),
+            F.col("vid").alias("nearest_view_id"),
+        )
+    )
+    return f.join(best, f.event_id == best.b_eid, "left").select(
+        "event_id", "user_id", "ts", "nearest_view_ts", "nearest_view_id"
+    )

@@ -201,3 +201,79 @@ def q_stream_dedup_watermark(spark, sf_dir):
     with stream_shuffle_partitions(spark):
         out = run_availablenow_to_memory(spark, deduped, name)
     return out.select("user_id").distinct().select(F.col("user_id"))
+
+
+# ---------------------------------------------------------------------------
+# stream_dedup_then_agg — two stateful operators chained in one query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_dedup_then_agg",
+    """
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    agg AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(count(DISTINCT (user_id, event_type)) AS BIGINT)
+               AS n_active_pairs
+      FROM events
+      GROUP BY 1
+    )
+    SELECT day, n_active_pairs FROM agg, m
+    WHERE CAST(day AS TIMESTAMP) + INTERVAL 1 DAY
+          <= m.mx - INTERVAL 2 DAY
+    """,
+)
+def q_stream_dedup_then_agg(spark, sf_dir):
+    """TWO stateful operators chained inside ONE streaming query —
+    watermarked dedup feeding a windowed aggregation (supported since
+    Spark 3.4; before that this pipeline needed two jobs with an
+    intermediate sink). Dedup keys include the day column, so exactly
+    one survivor exists per (user, type, day) REGARDLESS of arrival
+    order — survivor choice stays engine-internal and the final counts
+    equal the batch count-distinct oracle whatever the micro-batch
+    boundaries. State: dedup keyed per (user, type, day) within the
+    watermark horizon; agg keyed per day — both evicted as event time
+    passes. Append mode emits ONLY FINALIZED windows (end <= final
+    watermark = max event time - 2d), so the oracle applies the same
+    cutoff — the contract consumers of an append-mode sink actually
+    get: closed windows are immutable, open ones absent."""
+    src = _replay_src(spark, sf_dir, _REPLAY_COLS, "dedupagg")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    from pyspark.sql import types as T2
+
+    ts_col = F.col("ts")
+    if isinstance(schema["ts"].dataType, T2.TimestampNTZType):
+        ts_col = ts_col.cast("timestamp")
+    withday = stream.select(
+        ts_col.alias("ts"), "user_id", "event_type"
+    ).withColumn("day", F.to_date("ts"))
+    deduped = withday.withWatermark("ts", "2 days").dropDuplicates(
+        ["user_id", "event_type", "day"]
+    )
+    agg = (
+        deduped.groupBy(F.window("ts", "1 day").alias("w"))
+        .count()
+        .select(
+            F.col("w.start").cast("date").alias("day"),
+            F.col("count").alias("n_active_pairs"),
+        )
+    )
+    name = f"stream_dedup_then_agg_{next(_RUN_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
