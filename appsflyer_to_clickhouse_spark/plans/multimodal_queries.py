@@ -347,3 +347,112 @@ def q_multimodal_features_arrow(spark, sf_dir):
         "doc_id", "payload"
     )
     return extract_binary_features_arrow(bin_df, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multimodal_cdc_chunks — content-defined chunking for blob dedup
+# ---------------------------------------------------------------------------
+
+_CDC_WIN = 4      # rolling-hash window, bytes
+_CDC_MASK = 32    # boundary when hash % 32 == 0 -> ~32-byte avg chunks
+
+# Cut-point list over hex(payload): 0, every interior position whose
+# 4-byte rolling hash hits the mask (i in [4, nb-4] INCLUSIVE in both
+# dialects — Spark sequence() includes its endpoint, so the DuckDB
+# range() adds +1), and nb. Shared structure, dialect-local idioms.
+_CDC_CUTS_DUCK = (
+    "CASE WHEN nb >= 8 THEN [0::BIGINT] || "
+    "list_filter(list_transform(range(4, greatest(nb - 4, 4) + 1), "
+    "i -> CASE WHEN ('0x' || substr(md5(substr(hx, i*2+1, 8)), 1, 15))"
+    f"::UBIGINT % {_CDC_MASK} = 0 THEN i::BIGINT END), "
+    "x -> x IS NOT NULL) || [nb] ELSE [0::BIGINT] || [nb] END"
+)
+
+def _cdc_digests_duck() -> str:
+    c = f"({_CDC_CUTS_DUCK})"
+    return (
+        f"list_transform(list_zip({c}[1:-2], {c}[2:-1]), "
+        "p -> md5(substr(hx, (p[1]*2+1)::INT, ((p[2]-p[1])*2)::INT)))"
+    )
+
+
+@register(
+    "multimodal_cdc_chunks",
+    f"""
+    WITH hxs AS (
+      SELECT doc_id, hex(text::BLOB) AS hx,
+             octet_length(text::BLOB)::BIGINT AS nb
+      FROM documents
+    ),
+    cut AS (
+      SELECT doc_id, hx, nb, {_cdc_digests_duck()} AS digests
+      FROM hxs
+    ),
+    ch AS (
+      SELECT doc_id, unnest(digests) AS digest FROM cut
+    ),
+    freq AS (
+      SELECT digest, count(*) AS f FROM ch GROUP BY digest
+    )
+    SELECT ch.doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN freq.f >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared_chunks,
+           round(sum(CASE WHEN freq.f >= 2 THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 6) AS shared_ratio
+    FROM ch JOIN freq ON freq.digest = ch.digest
+    GROUP BY ch.doc_id
+    """,
+)
+def q_multimodal_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (Rabin-style CDC — the dedup primitive
+    of blob/backup storage): cut points fall where a rolling
+    {_CDC_WIN}-byte hash hits a mask, so chunk boundaries move WITH
+    the content — insert one byte near the front of a payload and
+    only the chunks around the edit change, where fixed-size chunking
+    re-digests the entire tail. Per payload: chunk count, chunks whose
+    digest occurs anywhere else in the corpus, and the shared ratio —
+    the storage-dedup win CDC would realize. Map-only per-payload
+    chunking (one interpreted-HOF pass over hex, same budget as the
+    SimHash fold); the only shuffle is the digest-frequency aggregate,
+    bounded by distinct chunks."""
+    docs = load(spark, sf_dir, "documents")
+    hxs = docs.select(
+        "doc_id",
+        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"),
+        F.octet_length(F.encode(F.col("text"), "UTF-8"))
+        .cast("bigint")
+        .alias("nb"),
+    )
+    cuts_expr = (
+        "CASE WHEN nb >= 8 THEN concat(array(0L), "
+        "filter(transform(sequence(4, greatest(nb - 4, 4)), "
+        "i -> CASE WHEN cast(conv(substring(md5(substring(hx, i*2+1, 8)), 1, 15), 16, 10) as bigint) % 32 = 0 "
+        "THEN cast(i as bigint) END), x -> x is not null), array(nb)) "
+        "ELSE concat(array(0L), array(nb)) END"
+    )
+    digests_expr = (
+        "zip_with(slice(cuts, 1, size(cuts) - 1), "
+        "slice(cuts, 2, size(cuts) - 1), "
+        "(a, b) -> md5(substring(hx, cast(a*2+1 as int), cast((b - a)*2 as int))))"
+    )
+    cut = hxs.withColumn("cuts", F.expr(cuts_expr)).withColumn(
+        "digests", F.expr(digests_expr)
+    )
+    ch = cut.select("doc_id", F.explode("digests").alias("digest"))
+    freq = ch.groupBy("digest").agg(F.count("*").alias("f"))
+    return (
+        ch.join(freq, "digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(F.when(F.col("f") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared_chunks"),
+            F.round(
+                F.sum(F.when(F.col("f") >= 2, 1).otherwise(0))
+                / F.count("*"),
+                6,
+            ).alias("shared_ratio"),
+        )
+    )
