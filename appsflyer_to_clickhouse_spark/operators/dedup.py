@@ -625,3 +625,58 @@ def semantic_dedup(
     return clustered.select(id_col, "cluster").join(
         dropped, F.col(id_col) == F.col("id_b"), "left_anti"
     )
+
+
+def prefix_filter_candidates(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """AllPairs/PPJoin prefix-filtering candidate pairs (Bayardo et al.,
+    WWW'07): order every doc's shingle set by GLOBAL rarity (document
+    frequency asc, shingle asc — a total order, no rank table needed),
+    keep only the first ``|S| - ceil(t*|S|) + 1`` shingles (the
+    "prefix"), and emit pairs sharing any prefix shingle. Pigeonhole:
+    two sets with Jaccard >= t overlap in > |S| - prefix positions of
+    ANY shared total order, so true pairs ALWAYS share a prefix shingle
+    — the candidate set is provably complete (the oracle's brute-force
+    twin checks exactly this).
+
+    Scale shape: one explode bounded by total shingle volume, a
+    frequency join AQE sizes itself (the DF table is |vocab| rows —
+    broadcast when small, shuffle join when not), one per-doc window,
+    then the same groupBy+in-group-pairs bucket explosion as LSH (the
+    signature subplan computes once; no self-join). Bucket sizes are
+    bounded by the document frequency of RARE shingles — the whole
+    point of prefix ordering — so candidates never approach n^2.
+    Threshold is exact rational arithmetic (t = t_num/t_den):
+    prefix_len = |S| - ceil(t_num*|S| / t_den) + 1, identical integer
+    math on both engines."""
+    ex = sh_df.select(
+        F.col(id_col),
+        F.explode("shingles").alias("g"),
+        F.size("shingles").alias("sz"),
+    )
+    freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
+    w = Window.partitionBy(id_col).orderBy("gdf", "g")
+    prefix_len = (
+        F.col("sz")
+        - F.expr(f"({t_num} * sz + {t_den - 1}) DIV {t_den}")
+        + F.lit(1)
+    )
+    pre = (
+        ex.join(freq, "g")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+    )
+    groups = (
+        pre.groupBy("g")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        groups.select(F.explode(_in_group_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )

@@ -510,3 +510,180 @@ def q_sample_weighted_reservoir(spark, sf_dir):
         F.col("n_chars").cast("bigint").alias("weight"),
         F.round("k", 6).alias("es_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# split_train_test_hash — deterministic hash-bucketed corpus split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "split_train_test_hash",
+    """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('split|' || doc_id), 1, 15))::UBIGINT
+                % 100 AS BIGINT) AS bucket,
+           CASE WHEN ('0x' || substr(md5('split|' || doc_id), 1, 15))::UBIGINT
+                     % 100 < 90 THEN 'train'
+                WHEN ('0x' || substr(md5('split|' || doc_id), 1, 15))::UBIGINT
+                     % 100 < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def q_split_train_test_hash(spark, sf_dir):
+    """Deterministic train/val/test assignment: bucket =
+    md5('split|'||doc_id) % 100, train <90 / val <95 / test otherwise.
+    Like ``sample_stratified`` this is a pure function of the row —
+    reproducible across runs, engines and repartitions, and a doc's
+    split never changes as the corpus grows (the property randomSplit
+    lacks: it reassigns everything whenever partitioning shifts).
+    Map-only, zero shuffles. Leakage-safe variant at scale: key the
+    hash on the near-dup CLUSTER id (``dedup_clusters``) instead of
+    doc_id so near-duplicates land in the same split."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+        F.lit(100),
+    ).cast("bigint")
+    return docs.withColumn("bucket", bucket).select(
+        "doc_id",
+        "bucket",
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ids_global_contiguous — two-phase contiguous global id assignment
+# ---------------------------------------------------------------------------
+
+_ID_BUCKET_W = 256  # order-prefix bucket width (see docstring)
+
+
+@register(
+    "ids_global_contiguous",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT)
+             AS global_id
+    FROM documents
+    """,
+)
+def q_ids_global_contiguous(spark, sf_dir):
+    """Contiguous 0..n-1 global ids in doc_id order WITHOUT the naive
+    plan's single-partition total sort — THE way to assign stable dense
+    ids to a 100 TB corpus. Two phases: (1) a window partitioned by an
+    order-prefix bucket (doc_id DIV 256 — monotone in the sort key, so
+    buckets tile the global order) gives local ranks with one ordinary
+    hash exchange; (2) per-bucket counts (a #buckets-row table) get
+    cumulative offsets via a window over THAT tiny table only — bounded
+    by bucket count, never corpus size — and broadcast-join back:
+    global_id = bucket_offset + local_rank - 1. The oracle's
+    row_number() OVER (ORDER BY doc_id) proves the composition equals
+    the total-order rank. For arbitrary sort keys swap the arithmetic
+    bucket for repartitionByRange boundaries (sampled quantiles) — the
+    offset/broadcast mechanics are identical."""
+    docs = load(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        "doc_id", (F.col("doc_id") / _ID_BUCKET_W).cast("bigint").alias("b")
+    )
+    local_w = Window.partitionBy("b").orderBy("doc_id")
+    local = bucketed.withColumn("rn", F.row_number().over(local_w))
+    counts = bucketed.groupBy("b").agg(F.count("*").alias("cnt"))
+    off_w = (
+        Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "off", F.coalesce(F.sum("cnt").over(off_w), F.lit(0))
+    ).select("b", "off")
+    return (
+        local.join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id",
+            (F.col("off") + F.col("rn") - 1).cast("bigint").alias("global_id"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# split_leakage_safe — cluster-keyed split (near-dups never straddle)
+# ---------------------------------------------------------------------------
+
+
+def _split_case(expr: str) -> str:
+    h = f"('0x' || substr(md5('split|' || CAST({expr} AS VARCHAR)), 1, 15))::UBIGINT % 100"
+    return (
+        f"CASE WHEN {h} < 90 THEN 'train' "
+        f"WHEN {h} < 95 THEN 'val' ELSE 'test' END"
+    )
+
+
+def _leakage_safe_oracle() -> str:
+    from .dedup_queries import candidates_cte
+
+    return f"""
+    WITH RECURSIVE
+    {candidates_cte('documents')},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM cand
+      UNION
+      SELECT id_b, id_a FROM cand
+    ),
+    reach(id, r) AS (
+      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+    ),
+    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
+           {_split_case('COALESCE(c.component, d.doc_id)')} AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """
+
+
+@register("split_leakage_safe", _leakage_safe_oracle())
+def q_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/val/test split: the hash bucket is keyed on
+    the NEAR-DUP CLUSTER id (MinHash-LSH candidates -> connected
+    components; singletons are their own cluster), not the doc id — so
+    two near-duplicate documents can never land on opposite sides of
+    the train/test boundary, the contamination mode a doc-keyed split
+    (``split_train_test_hash``) cannot prevent and the first thing an
+    eval-integrity audit checks. Cost over the plain split is exactly
+    the dedup pipeline (signatures map-only, candidate graph
+    LSH-bounded, fixpoint shuffles sized to the EDGE LIST); the split
+    itself stays a map-side hash of the component id. Oracle recomputes
+    identical components via a recursive transitive-closure CTE."""
+    from ..operators.dedup import (
+        connected_components as _cc,
+        lsh_candidate_pairs as _lsh,
+        minhash_signatures as _mh,
+    )
+    from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    sigs = _mh(docs, "text", NUM_HASHES, 3)
+    pairs = _lsh(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    comp = _cc(pairs).withColumnRenamed("id", "doc_id")
+    full = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", F.col("doc_id"))
+            .cast("bigint")
+            .alias("component"),
+        )
+    )
+    bucket = F.pmod(
+        hash60(F.concat(F.lit("split|"), F.col("component").cast("string"))),
+        F.lit(100),
+    )
+    return full.withColumn(
+        "split",
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
+    )

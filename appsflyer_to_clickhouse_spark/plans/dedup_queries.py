@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     SIMHASH_BAND_BITS,
+    prefix_filter_candidates,
     SIMHASH_BANDS,
     containment_verify,
     dedup_exact,
@@ -27,7 +28,7 @@ from ..operators.dedup import (
     simhash_near_pairs,
     simhash_signatures,
 )
-from ..functions.text import SIMHASH_BITS
+from ..functions.text import SIMHASH_BITS, tokens, word_shingles
 from .registry import load, load_fanout, register
 from .stage_cache import shared_stage
 
@@ -889,3 +890,44 @@ def q_dedup_rate_by_source(spark, sf_dir):
             F.round(F.col("n_pairs") / F.col("t"), 6).alias("pair_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_allpairs_prefix — EXACT similarity join via prefix filtering
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_allpairs_prefix",
+    f"""
+    WITH {shingle_cte('documents')}
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                 / len(list_distinct(a.ss || b.ss)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_distinct(a.ss || b.ss)) > 0
+      AND len(list_intersect(a.ss, b.ss))::DOUBLE
+          / len(list_distinct(a.ss || b.ss)) >= {JACCARD_THRESHOLD}
+    """,
+)
+def q_dedup_allpairs_prefix(spark, sf_dir):
+    """EXACT set-similarity self-join (every pair with shingle-Jaccard
+    >= 0.8 — zero false negatives), via AllPairs prefix filtering
+    (operators/dedup.py:prefix_filter_candidates) + exact verification
+    of candidates only. Complements the MinHash family: LSH candidates
+    are probabilistic (recall < 1 by design), prefix filtering is
+    complete — so the ORACLE here is the brute-force all-pairs join,
+    and a hash match PROVES the pruning dropped no true pair. The
+    shingle stage is computed once (shared_stage) and feeds both
+    candidate generation and verification; at 100 TB that's the
+    materialize-signatures-then-join shape of a production run."""
+    docs = load_fanout(spark, sf_dir, "documents")
+    sh_df = shared_stage(
+        spark,
+        ("allpairs_shingles", sf_dir),
+        lambda: docs.select(
+            "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shingles")
+        ),
+    )
+    cand = prefix_filter_candidates(sh_df, "doc_id", 4, 5)
+    return jaccard_verify(cand, sh_df, "doc_id", JACCARD_THRESHOLD)

@@ -694,3 +694,43 @@ def q_grouping_sets_agg(spark, sf_dir):
                                 (l_returnflag), ())
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# join_lateral_topk — correlated LATERAL subquery with LIMIT
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_lateral_topk",
+    """
+    SELECT n.n_name, t.c_custkey, t.c_acctbal
+    FROM nation n
+    JOIN LATERAL (
+      SELECT c_custkey, c_acctbal FROM customer c
+      WHERE c.c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+    ) t ON true
+    """,
+)
+def q_join_lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    top-2 customers by balance, expressed in the SQL-standard lateral
+    form rather than a window. Spark decorrelates this into exactly
+    the plan you would hand-write (join + per-key WindowGroupLimit
+    partial top-k before the exchange), so the declarative form costs
+    nothing at scale: no per-outer-row re-execution ever happens.
+    Deterministic tie-break on c_custkey keeps both engines aligned."""
+    load(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM _lat_nation n
+        JOIN LATERAL (
+          SELECT c_custkey, c_acctbal FROM _lat_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2
+        ) t
+        """
+    )

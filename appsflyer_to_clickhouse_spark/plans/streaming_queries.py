@@ -277,3 +277,109 @@ def q_stream_dedup_then_agg(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# stream_left_outer_join — outer results flushed by watermark passage
+# ---------------------------------------------------------------------------
+
+_SENTINEL_CACHE: dict[tuple, str] = {}
+
+
+def _sentinel_src(spark, sf_dir: str) -> str:
+    """One far-future row per join side (user_id = -1), in its own
+    streaming source dir: unioned into the replay stream it advances
+    BOTH sides' watermarks past every real event's join window, so the
+    engine finalizes ALL outer-join state before the query stops."""
+    key = ("events_sentinel", sf_dir)
+    cached = _SENTINEL_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    far = (
+        load(spark, sf_dir, "events")
+        .select((F.max("ts") + F.expr("INTERVAL 30 DAY")).alias("ts"))
+        .collect()[0][0]
+    )
+    src = tempfile.mkdtemp(prefix="spark_graft_events_sentinel_")
+    spark.createDataFrame(
+        [(-1, far, "view"), (-1, far, "purchase")],
+        "user_id long, ts timestamp, event_type string",
+    ).write.mode("overwrite").parquet(src)
+    _SENTINEL_CACHE[key] = src
+    return src
+
+
+@register(
+    "stream_left_outer_join",
+    """
+    WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+    p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+    j AS (
+      SELECT v.user_id, p.ts AS pts
+      FROM v LEFT JOIN p
+        ON p.user_id = v.user_id
+       AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    )
+    SELECT user_id,
+           CAST(count(pts) AS BIGINT) AS n_matched,
+           CAST(count(*) FILTER (pts IS NULL) AS BIGINT) AS n_unmatched
+    FROM j GROUP BY user_id
+    """,
+)
+def q_stream_left_outer_join(spark, sf_dir):
+    """Watermarked LEFT OUTER stream-stream interval join — the shape
+    inner joins can't express: views with NO purchase within the hour
+    must still emit (with nulls), and an unmatched row is only PROVABLY
+    unmatched once the other side's watermark passes its join window.
+    The engine therefore holds outer candidates in state and emits the
+    null-extended row at watermark passage — which a bounded replay
+    would never reach for the newest events, so a far-future sentinel
+    row per side (``_sentinel_src``, filtered back out by user_id)
+    pushes both watermarks past every real join window and the
+    trailing no-data micro-batch flushes the remaining state. The
+    result is then EXACTLY the batch left join whatever the batch
+    boundaries were — which is what the oracle runs. State stays
+    watermark-bounded at any scale; the sentinel trick is the standard
+    drain-at-end-of-replay idiom (production streams just keep
+    flowing)."""
+    src = _replay_src(spark, sf_dir, ["ts", "user_id", "event_type"], "streamlo")
+    sent = _sentinel_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(src)
+        .select("user_id", "ts", "event_type")
+        .union(spark.readStream.schema(
+            "user_id long, ts timestamp, event_type string"
+        ).parquet(sent))
+    )
+
+    def side(event_type: str, alias: str):
+        return (
+            stream.where(F.col("event_type") == event_type)
+            .select(
+                F.col("user_id").alias(f"{alias}_user_id"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+            .withWatermark(f"{alias}_ts", "2 days")
+        )
+
+    joined = side("view", "v").join(
+        side("purchase", "p"),
+        F.expr(
+            "p_user_id = v_user_id AND "
+            "p_ts >= v_ts AND p_ts <= v_ts + INTERVAL 1 HOUR"
+        ),
+        "leftOuter",
+    ).select("v_user_id", "p_ts")
+    name = f"stream_left_outer_{next(_RUN_SEQ)}"
+    with stream_shuffle_partitions(spark):
+        out = run_availablenow_to_memory(spark, joined, name)
+    return (
+        out.filter(F.col("v_user_id") >= 0)
+        .groupBy(F.col("v_user_id").alias("user_id"))
+        .agg(
+            F.count("p_ts").alias("n_matched"),
+            F.count_if(F.col("p_ts").isNull()).alias("n_unmatched"),
+        )
+    )

@@ -1259,3 +1259,129 @@ def q_text_bigram_logprob(spark, sf_dir):
         .cast("double")
         .alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# events_variant_extract — Spark 4 VARIANT semi-structured analytics
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_variant_extract",
+    """
+    WITH enriched AS (
+      SELECT event_id, event_type,
+             '{"k": ' || CAST(props::JSON->>'k' AS VARCHAR)
+             || ', "tags": ["t' || CAST(event_id % 7 AS VARCHAR)
+             || '", "u"], "meta": {"score": '
+             || CAST(event_id % 13 AS VARCHAR) || '.25}}' AS j
+      FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(j::JSON->>'k' AS INTEGER)) AS BIGINT) AS k_sum,
+           round(avg(CAST(j::JSON->'meta'->>'score' AS DOUBLE)), 6)
+             AS score_avg,
+           CAST(count(DISTINCT j::JSON->'tags'->>0) AS BIGINT) AS n_tag0
+    FROM enriched
+    GROUP BY event_type
+    """,
+)
+def q_events_variant_extract(spark, sf_dir):
+    """Semi-structured analytics over Spark 4's VARIANT type: the JSON
+    props are parsed ONCE into a variant column (parse_json), then
+    every access is a typed path get (try_variant_get — '$.k',
+    '$.meta.score', '$.tags[0]') with no per-access re-parse. That is
+    the ingest contract at 100 TB: store VARIANT (binary, shreddable),
+    never raw JSON strings — a re-parse per extraction multiplies scan
+    CPU by the number of paths touched. try_* gets make malformed rows
+    NULL instead of failing the job. The oracle runs the same paths
+    through DuckDB's JSON operators; floats are .25-grid exact so avg
+    hashes identically."""
+    ev = load(spark, sf_dir, "events")
+    j = F.concat(
+        F.lit('{"k": '),
+        F.get_json_object("props", "$.k"),
+        F.lit(', "tags": ["t'),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit('", "u"], "meta": {"score": '),
+        (F.col("event_id") % 13).cast("string"),
+        F.lit('.25}}'),
+    )
+    v = ev.select("event_type", F.parse_json(j).alias("v"))
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.try_variant_get("v", "$.k", "int"))
+        .cast("bigint")
+        .alias("k_sum"),
+        F.round(
+            F.avg(F.try_variant_get("v", "$.meta.score", "double")), 6
+        ).alias("score_avg"),
+        F.count_distinct(F.try_variant_get("v", "$.tags[0]", "string"))
+        .cast("bigint")
+        .alias("n_tag0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# udtf_tokenize_lateral — Python UDTF surface (lateral table function)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_tokenize_lateral",
+    """
+    WITH tk AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x != '') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           t[1] AS first_token,
+           t[len(t)] AS last_token
+    FROM tk WHERE len(t) > 0
+    """,
+)
+def q_udtf_tokenize_lateral(spark, sf_dir):
+    """The Python UDTF surface (PySpark 4): a table function applied
+    per outer row via SQL LATERAL, emitting one row per token, then
+    aggregated back per doc. Exists to cover the API — a UDTF is
+    Python per input row — kept on the sanctioned Arrow path
+    (useArrow=True -> ArrowEvalPythonUDTF, batched transfer; the
+    pickled BatchEvalPythonUDTF variant is banned by the plan sweep).
+    The JVM twin of this exact computation is ``unnest_tokens_topk``'s
+    split/posexplode, and the oracle proves the Python tokenizer
+    matches the JVM regex semantics token-for-token (first/last token
+    + counts). Use a UDTF only for logic no JVM expression can state
+    (external library calls)."""
+    import re as _re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, token string", useArrow=True)
+    class _Tokenize:
+        def eval(self, text: str):
+            if text:
+                for i, tok in enumerate(
+                    t for t in _re.split("[^a-z0-9]+", text.lower()) if t
+                ):
+                    yield i, tok
+
+    spark.udtf.register("_tok_udtf", _Tokenize)
+    load(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_documents"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT s.token) AS BIGINT) AS n_distinct,
+               max(CASE WHEN s.pos = 0 THEN s.token END) AS first_token,
+               max_by(s.token, s.pos) AS last_token
+        FROM _udtf_documents d, LATERAL _tok_udtf(d.text) s
+        GROUP BY d.doc_id
+        """
+    )

@@ -171,6 +171,8 @@ def main() -> int:
         "sink_datasource_batch",
         "sink_datasource_arrow",
         "stream_stateful_counter",
+        # Arrow-batched Python UDTF — same worker-fleet profile
+        "udtf_tokenize_lateral",
     }
     hof_prefixes = (
         "dedup_",
@@ -181,6 +183,8 @@ def main() -> int:
         "fuzzy_",
         "text_fingerprint",
         "text_decontaminate",
+        # runs the MinHash/LSH signature pipeline for its clusters
+        "split_leakage_safe",
     )
 
     def group(n: str) -> int:

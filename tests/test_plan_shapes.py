@@ -401,3 +401,55 @@ def test_conversion_paths_last3_cut_uses_join_partitioning(spark):
     plan = _plan(spark, "events_conversion_paths")
     assert "CartesianProduct" not in plan
     assert "TakeOrderedAndProject" in plan  # top-10 paths
+
+
+def test_global_ids_never_single_partition_the_corpus(spark):
+    """ids_global_contiguous: the only SinglePartition exchange allowed
+    is the one over the #buckets-row offsets table; the corpus itself
+    moves through an ordinary hash exchange (bucket-partitioned window)
+    and the offsets come back via broadcast."""
+    plan = _plan(spark, "ids_global_contiguous")
+    assert plan.count("SinglePartition") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(b#" in plan
+
+
+def test_lateral_topk_decorrelates_to_group_limit(spark):
+    """join_lateral_topk: Spark must decorrelate the LATERAL LIMIT
+    subquery into a window/group-limit plan — per-outer-row
+    re-execution or a cartesian would be the scale failure."""
+    plan = _plan(spark, "join_lateral_topk")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_allpairs_prefix_reuses_persisted_shingles(spark):
+    """dedup_allpairs_prefix: the shingle stage is shared_stage-
+    persisted and read back by candidate generation AND verification —
+    at least two InMemoryTableScans, never three shingle recomputes."""
+    plan = _plan(spark, "dedup_allpairs_prefix")
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_split_train_test_is_map_only(spark):
+    plan = _plan(spark, "split_train_test_hash")
+    assert "Exchange" not in plan
+
+
+def test_variant_extract_single_agg_exchange(spark):
+    """events_variant_extract: parse_json once, typed variant_get
+    paths. Two hash exchanges exactly — the partial/final agg pair
+    plus the count(DISTINCT) expand round — the standard two-phase
+    distinct-aggregate plan, never more."""
+    plan = _plan(spark, "events_variant_extract")
+    assert plan.count("hashpartitioning") == 2
+    assert "variant_get" in plan.lower()
+
+
+def test_udtf_runs_on_arrow_not_pickle(spark):
+    """udtf_tokenize_lateral: the Python table function must be the
+    Arrow-batched variant; row-pickled BatchEvalPythonUDTF is the
+    banned slow path."""
+    plan = _plan(spark, "udtf_tokenize_lateral")
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
