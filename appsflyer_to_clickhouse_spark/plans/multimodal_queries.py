@@ -13,7 +13,7 @@ from __future__ import annotations
 import tempfile
 from pathlib import Path
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..multimodal.columns import (
     attach_binary_payload,
@@ -353,18 +353,25 @@ def q_multimodal_features_arrow(spark, sf_dir):
 # multimodal_cdc_chunks — content-defined chunking for blob dedup
 # ---------------------------------------------------------------------------
 
-_CDC_WIN = 4      # rolling-hash window, bytes
-_CDC_MASK = 32    # boundary when hash % 32 == 0 -> ~32-byte avg chunks
+_CDC_WIN = 3      # boundary-hash window, bytes (24-bit word)
+_CDC_MASK_BITS = 5  # boundary when top 5 of 24 product bits are 0 -> ~1/32
+_CDC_MULT = 2654435761  # Knuth multiplicative constant (2^32 / phi)
 
 # Cut-point list over hex(payload): 0, every interior position whose
-# 4-byte rolling hash hits the mask (i in [4, nb-4] INCLUSIVE in both
-# dialects — Spark sequence() includes its endpoint, so the DuckDB
-# range() adds +1), and nb. Shared structure, dialect-local idioms.
+# windowed multiplicative hash hits the mask (i in [4, nb-4] INCLUSIVE
+# in both dialects — Spark sequence() includes its endpoint, so the
+# DuckDB range() adds +1), and nb. The boundary function reads the
+# 3-byte window at offset i as a 24-bit integer w and tests the TOP
+# 5 bits of (w * 2654435761) mod 2^24 — top bits depend on every
+# input bit (low-bit masks would degenerate to last-byte tests), and
+# the whole thing is integer arithmetic identical on both engines,
+# ~50x cheaper than an md5 per position. Shared structure,
+# dialect-local idioms.
 _CDC_CUTS_DUCK = (
     "CASE WHEN nb >= 8 THEN [0::BIGINT] || "
     "list_filter(list_transform(range(4, greatest(nb - 4, 4) + 1), "
-    "i -> CASE WHEN ('0x' || substr(md5(substr(hx, i*2+1, 8)), 1, 15))"
-    f"::UBIGINT % {_CDC_MASK} = 0 THEN i::BIGINT END), "
+    "i -> CASE WHEN (('0x' || substr(hx, (i*2+1)::INT, 6))::UBIGINT "
+    f"* {_CDC_MULT}) % 16777216 // 524288 = 0 THEN i::BIGINT END), "
     "x -> x IS NOT NULL) || [nb] ELSE [0::BIGINT] || [nb] END"
 )
 
@@ -406,15 +413,19 @@ def _cdc_digests_duck() -> str:
 )
 def q_multimodal_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (Rabin-style CDC — the dedup primitive
-    of blob/backup storage): cut points fall where a rolling
-    {_CDC_WIN}-byte hash hits a mask, so chunk boundaries move WITH
-    the content — insert one byte near the front of a payload and
+    of blob/backup storage): cut points fall where a windowed hash of
+    the bytes at each position hits a mask, so chunk boundaries move
+    WITH the content — insert one byte near the front of a payload and
     only the chunks around the edit change, where fixed-size chunking
     re-digests the entire tail. Per payload: chunk count, chunks whose
     digest occurs anywhere else in the corpus, and the shared ratio —
-    the storage-dedup win CDC would realize. Map-only per-payload
-    chunking (one interpreted-HOF pass over hex, same budget as the
-    SimHash fold); the only shuffle is the digest-frequency aggregate,
+    the storage-dedup win CDC would realize. The boundary function is
+    a Knuth multiplicative hash of the 3-byte window (top-bits mask —
+    every input bit reaches the tested bits; pure integer arithmetic,
+    ~50x cheaper per position than the md5 rolling hash it replaced:
+    56s -> ~2s at sf0.1). Map-only per-payload chunking (one
+    interpreted-HOF pass over hex); md5 survives only as the per-CHUNK
+    digest, and the only shuffle is the digest-frequency aggregate,
     bounded by distinct chunks."""
     docs = load(spark, sf_dir, "documents")
     hxs = docs.select(
@@ -427,7 +438,8 @@ def q_multimodal_cdc_chunks(spark, sf_dir):
     cuts_expr = (
         "CASE WHEN nb >= 8 THEN concat(array(0L), "
         "filter(transform(sequence(4, greatest(nb - 4, 4)), "
-        "i -> CASE WHEN cast(conv(substring(md5(substring(hx, i*2+1, 8)), 1, 15), 16, 10) as bigint) % 32 = 0 "
+        f"i -> CASE WHEN (cast(conv(substring(hx, cast(i*2+1 as int), 6), 16, 10) as bigint) "
+        f"* {_CDC_MULT}) % 16777216 DIV 524288 = 0 "
         "THEN cast(i as bigint) END), x -> x is not null), array(nb)) "
         "ELSE concat(array(0L), array(nb)) END"
     )
@@ -439,20 +451,29 @@ def q_multimodal_cdc_chunks(spark, sf_dir):
     cut = hxs.withColumn("cuts", F.expr(cuts_expr)).withColumn(
         "digests", F.expr(digests_expr)
     )
-    ch = cut.select("doc_id", F.explode("digests").alias("digest"))
-    freq = ch.groupBy("digest").agg(F.count("*").alias("f"))
-    return (
-        ch.join(freq, "digest")
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_chunks"),
-            F.sum(F.when(F.col("f") >= 2, 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_shared_chunks"),
-            F.round(
-                F.sum(F.when(F.col("f") >= 2, 1).otherwise(0))
-                / F.count("*"),
-                6,
-            ).alias("shared_ratio"),
-        )
+    # explode_outer, NOT explode: InferFiltersFromGenerate turns a
+    # plain explode into a pushed `size(digests) > 0` filter whose
+    # predicate INLINES the whole per-position chunking expression a
+    # second time below the projection — explode_outer (identical
+    # here: digests always has >= 1 element, cuts >= 2 cut points)
+    # is exempt from that rule and keeps the HOF single-evaluation.
+    ch = cut.select("doc_id", F.explode_outer("digests").alias("digest"))
+    # Corpus-wide digest frequency via a WINDOW over the exploded
+    # chunks, not groupBy+join-back: the join shape evaluates the
+    # chunking expressions twice (build and probe side each re-run
+    # the per-position HOF) — the window shape runs them ONCE and
+    # shuffles once on digest.
+    ch2 = ch.select(
+        "doc_id",
+        F.count("*").over(Window.partitionBy("digest")).alias("f"),
+    )
+    return ch2.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(F.when(F.col("f") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_shared_chunks"),
+        F.round(
+            F.sum(F.when(F.col("f") >= 2, 1).otherwise(0)) / F.count("*"),
+            6,
+        ).alias("shared_ratio"),
     )

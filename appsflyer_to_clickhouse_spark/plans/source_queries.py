@@ -595,13 +595,19 @@ def q_stream_etl_pipeline(spark, sf_dir):
     ).dropDuplicatesWithinWatermark(["appsflyer_id"])
     out = _tf.mkdtemp(prefix="spark_graft_stream_etl_") + "/sink"
     ckpt = _tf.mkdtemp(prefix="spark_graft_stream_etl_ckpt_")
-    q = (
-        deduped.writeStream.format("parquet")
-        .outputMode("append")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
+    # state-store count = shuffle partitions; scope it to the dedup
+    # keyspace like every stateful query in streaming_queries does
+    # (each store pays open+commit+maintenance per micro-batch)
+    from .streaming_queries import stream_shuffle_partitions
+
+    with stream_shuffle_partitions(spark):
+        q = (
+            deduped.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.read.parquet(out)

@@ -453,3 +453,17 @@ def test_udtf_runs_on_arrow_not_pickle(spark):
     plan = _plan(spark, "udtf_tokenize_lateral")
     assert "ArrowEvalPythonUDTF" in plan
     assert "BatchEvalPythonUDTF" not in plan
+
+
+def test_cdc_chunking_hof_evaluates_exactly_once(spark):
+    """multimodal_cdc_chunks: the per-position boundary-hash HOF must
+    appear ONCE in the physical plan. Two historical regressions are
+    pinned away: (1) groupBy+join-back frequency counting re-ran the
+    chunking on build AND probe sides (fixed: window count), and
+    (2) InferFiltersFromGenerate turned explode into a pushed
+    size()>0 filter that inlined the whole expression again (fixed:
+    explode_outer). Together they were a 15x slowdown at sf0.1."""
+    plan = _plan(spark, "multimodal_cdc_chunks")
+    assert plan.count("conv(") == 1
+    assert "Window" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
