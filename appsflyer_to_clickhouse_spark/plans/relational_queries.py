@@ -734,3 +734,46 @@ def q_join_lateral_topk(spark, sf_dir):
         ) t
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# recursive_cte_ancestry — WITH RECURSIVE traversal (Spark 4.0+)
+# ---------------------------------------------------------------------------
+
+# One SQL text, valid in BOTH dialects: the implicit parent of key k is
+# k >> 1 (a binary tree over c_custkey), and the recursive member walks
+# every key up to the root, counting steps. Bit-shift keeps the
+# arithmetic integral in both engines (int/int is DOUBLE in DuckDB).
+_RECURSIVE_SQL = """
+WITH RECURSIVE walk(cur, depth) AS (
+  SELECT c_custkey, 0 FROM customer
+  UNION ALL
+  SELECT cur >> 1, depth + 1 FROM walk WHERE cur > 1
+)
+SELECT depth AS root_depth,
+       CAST(count(*) AS BIGINT) AS n_nodes
+FROM walk WHERE cur = 1
+GROUP BY depth
+"""
+
+
+@register("recursive_cte_ancestry", _RECURSIVE_SQL)
+def q_recursive_cte_ancestry(spark, sf_dir):
+    """WITH RECURSIVE (new surface in Spark 4.0) — iterative hierarchy
+    traversal stated declaratively: every customer key walks its
+    implicit binary-tree ancestry (parent of k is k >> 1) to the root,
+    and the query groups chains by their terminal depth. The engine
+    executes the recursive member as a bounded loop of self-joins —
+    depth here is ceil(log2(max key)), so ~25 rounds even at 100 TB
+    key ranges, each round shrinking (only still-walking rows recurse)
+    and each an ordinary shuffle join Catalyst plans like any other.
+    The SAME SQL text runs on DuckDB — recursion is SQL-standard, so
+    the oracle is the query itself, making this the one operator
+    family where Spark-vs-oracle divergence would indicate an engine
+    recursion bug rather than a translation gap. Graph siblings
+    (connected components, PageRank) live in operators/ as explicit
+    driver-controlled loops — use WITH RECURSIVE when the step count
+    is key-range-bounded, the explicit loop when convergence must be
+    observed (localCheckpoint lineage control, early exit)."""
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_RECURSIVE_SQL)

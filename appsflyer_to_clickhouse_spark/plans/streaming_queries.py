@@ -383,3 +383,58 @@ def q_stream_left_outer_join(spark, sf_dir):
             F.count_if(F.col("p_ts").isNull()).alias("n_unmatched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_state_store_read — the checkpoint state AS a DataFrame
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_state_store_read",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+    """,
+)
+def q_stream_state_store_read(spark, sf_dir):
+    """The State Data Source (Spark 4): a streaming aggregation runs
+    over the replayed events, then the RESULT IS READ FROM THE
+    CHECKPOINT'S STATE STORE — spark.read.format('statestore') turns
+    the internal per-key state into an ordinary DataFrame (key
+    struct, value struct, partition_id). This is the observability
+    surface production streaming jobs lean on: inspect hot keys,
+    audit state growth, debug a wrong aggregate WITHOUT touching the
+    running query or its sink. The oracle is the equivalent batch
+    aggregate, so a hash match proves checkpointed state equals the
+    semantic aggregate exactly — state is not an approximation of
+    the query, it IS the query. Same 1/10 keyspace sample as the
+    other stateful demos; the state read itself is partition-parallel
+    over the store's shards."""
+    src = _replay_src(spark, sf_dir, ["ts", "user_id"], "streamssr")
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+        .filter(F.col("user_id") % 10 == 0)
+    )
+    # the store's value struct keeps the physical agg-buffer field
+    # name ("count"), not the query alias — select it accordingly
+    agg = stream.groupBy("user_id").count()
+    name = f"stream_ssr_{next(_RUN_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
+    with stream_shuffle_partitions(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(
+        F.col("key.user_id").alias("user_id"),
+        F.col("value.count").cast("bigint").alias("n_events"),
+    )

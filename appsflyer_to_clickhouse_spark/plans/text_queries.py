@@ -1385,3 +1385,55 @@ def q_udtf_tokenize_lateral(spark, sf_dir):
         GROUP BY d.doc_id
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# events_xml_extract — native XML parsing (Spark 4 from_xml)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_xml_extract",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(props::JSON->>'k' AS INTEGER)) AS BIGINT) AS k_sum,
+           round(avg(event_id % 13 + 0.25), 6) AS score_avg,
+           CAST(count(DISTINCT 't' || CAST(event_id % 7 AS VARCHAR))
+                AS BIGINT) AS n_tags
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_events_xml_extract(spark, sf_dir):
+    """Native XML ingestion (Spark 4 from_xml) — the third
+    semi-structured codec next to JSON (json_props_extract) and
+    VARIANT (events_variant_extract): each event is serialized to an
+    XML fragment, parsed back through from_xml with an explicit
+    schema in ONE pass (schema-on-read, no per-path re-parse), and
+    the typed struct fields aggregate. The oracle computes the same
+    values straight from the base columns, so a hash match proves the
+    XML round-trip is lossless — exactly the from_xml contract a feed
+    of XML payloads (sitemaps, RSS, legacy enterprise exports) relies
+    on at scale, where the parse is map-side and malformed fragments
+    become NULL structs instead of failing the scan."""
+    ev = load(spark, sf_dir, "events")
+    x = F.concat(
+        F.lit("<e><k>"),
+        F.get_json_object("props", "$.k"),
+        F.lit("</k><score>"),
+        (F.col("event_id") % 13).cast("string"),
+        F.lit(".25</score><tag>t"),
+        (F.col("event_id") % 7).cast("string"),
+        F.lit("</tag></e>"),
+    )
+    v = ev.select(
+        "event_type",
+        F.from_xml(x, "k INT, score DOUBLE, tag STRING").alias("v"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("v.k").cast("bigint").alias("k_sum"),
+        F.round(F.avg("v.score"), 6).alias("score_avg"),
+        F.count_distinct(F.col("v.tag")).cast("bigint").alias("n_tags"),
+    )

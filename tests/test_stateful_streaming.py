@@ -55,3 +55,61 @@ def test_state_accumulates_across_microbatches(spark):
         assert rows[(1, 2)] == 3
     finally:
         q.stop()
+
+
+def test_transform_with_state_gate_or_semantics(spark):
+    """user_stats_transform_with_state: without protobuf the operator
+    must refuse up front with the real reason (NotImplementedError),
+    never crash inside the streaming runner; with protobuf present it
+    must match the batch count/max per key."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from appsflyer_to_clickhouse_spark.streaming.stateful import (
+        user_stats_transform_with_state,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        has_proto = True
+    except ImportError:
+        has_proto = False
+
+    src = tempfile.mkdtemp(prefix="tws_src_")
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (1, "2024-01-01 01:00:00"),
+         (2, "2024-01-01 02:00:00")],
+        "user_id long, ts_s string",
+    ).select("user_id", F.col("ts_s").cast("timestamp").alias("ts")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+
+    if not has_proto:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            user_stats_transform_with_state(stream)
+        return
+
+    name = "tws_gate_check"
+    ckpt = tempfile.mkdtemp(prefix="tws_ckpt_")
+    q = (
+        user_stats_transform_with_state(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        r["user_id"]: r["events_seen"]
+        for r in spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max("events_seen").alias("events_seen"))
+        .collect()
+    }
+    assert rows == {1: 2, 2: 1}
