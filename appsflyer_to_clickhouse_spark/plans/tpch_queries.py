@@ -778,3 +778,270 @@ def q_join_mktshare_q8(spark, sf_dir):
         .cast("double")
         .alias("total_volume"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q2 — correlated per-group minimum (min-cost supplier)
+# ---------------------------------------------------------------------------
+
+# The reduced schema has no partsupp; (part, supplier, min shipped
+# price) derived from lineitem plays its role so the SHAPE — a
+# correlated scalar-subquery equality against a per-group minimum —
+# is preserved exactly.
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey AS pk, l_suppkey AS sk,
+         MIN(l_extendedprice) AS cost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p_partkey, s_name,
+       CAST(ROUND(CAST(cost AS DOUBLE), 2) AS DOUBLE) AS min_cost
+FROM ps
+JOIN part ON p_partkey = pk
+JOIN supplier ON s_suppkey = sk
+WHERE p_size <= 5
+  AND cost = (SELECT MIN(ps2.cost) FROM ps ps2 WHERE ps2.pk = ps.pk)
+ORDER BY p_partkey, s_name
+LIMIT 100
+"""
+
+
+@register("correlated_min_q2", _Q2_ORACLE)
+def q_correlated_min_q2(spark, sf_dir):
+    """TPC-H Q2's shape on the reduced schema: for each small part,
+    the supplier(s) achieving the global minimum shipped price, stated
+    as a CORRELATED scalar subquery (cost = (SELECT MIN ... WHERE pk =
+    outer.pk)). Catalyst decorrelates this into a per-part min
+    aggregate joined back on pk — the same single extra shuffle a
+    hand-written window/argmin would cost, so the declarative
+    correlated form is free at scale (per-outer-row re-execution
+    never happens). MIN of a double is exact (no float-sum ordering),
+    so the equality join against it is engine-stable."""
+    for t in ("lineitem", "part", "supplier"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"_q2_{t}")
+    return spark.sql(
+        _Q2_ORACLE.replace("FROM lineitem", "FROM _q2_lineitem")
+        .replace("JOIN part", "JOIN _q2_part")
+        .replace("JOIN supplier", "JOIN _q2_supplier")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q4 — EXISTS semi-join feeding an aggregate
+# ---------------------------------------------------------------------------
+
+# No l_commitdate/l_receiptdate in the reduced schema: "late line"
+# is re-expressed as shipped more than 60 days after the order date.
+_Q4_ORACLE = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("semijoin_exists_q4", _Q4_ORACLE)
+def q_semijoin_exists_q4(spark, sf_dir):
+    """TPC-H Q4: priority counts of orders having at least one late
+    lineitem, with the EXISTS planned as a LEFT SEMI join — the probe
+    emits each order at most once no matter how many lines match, so
+    no post-join distinct is ever needed. The quarter filter prunes
+    the orders scan before the join (PushedFilters), the correlated
+    date comparison rides the semi-join as a residual condition, and
+    the tiny priority-keyed aggregate follows. Distinct from q21/q22:
+    this is the canonical EXISTS -> semi-join -> agg pipeline."""
+    for t in ("orders", "lineitem"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"_q4_{t}")
+    return spark.sql(
+        _Q4_ORACLE.replace("FROM orders", "FROM _q4_orders")
+        .replace("FROM lineitem", "FROM _q4_lineitem")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q9 — product profit by nation and year
+# ---------------------------------------------------------------------------
+
+_Q9_AMOUNT = (
+    f"{_REV} - CAST(p_retailprice AS DECIMAL(12,4))"
+    " * CAST(l_quantity AS DECIMAL(12,4))"
+    " * CAST(0.05 AS DECIMAL(12,4))"
+)
+
+_Q9_ORACLE = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+       {_money_sum(_Q9_AMOUNT, "sum_profit")}
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation ON n_nationkey = s_nationkey
+JOIN orders ON o_orderkey = l_orderkey
+WHERE p_name LIKE '%gear%'
+GROUP BY n_name, EXTRACT(YEAR FROM o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("join_profit_q9", _Q9_ORACLE)
+def q_join_profit_q9(spark, sf_dir):
+    """TPC-H Q9's shape (no partsupp: supply cost proxied by a
+    retail-price fraction): profit per nation per year over a 5-way
+    join. The physical plan the shape exists to pin: part (LIKE-
+    filtered) and supplier+nation BROADCAST onto the lineitem scan —
+    the part filter cuts the fact rows before the one genuinely big
+    join (lineitem x orders, the only big-big shuffle) — and the
+    group keys are DERIVED columns (nation name, extracted year).
+    Profit stays in exact decimal until the final round."""
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.expr("CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)").alias(
+                "o_year"
+            ),
+        )
+        .agg(F.expr(_money_sum(_Q9_AMOUNT, "sum_profit")))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — group value share above a global-sum fraction
+# ---------------------------------------------------------------------------
+
+_Q11_VAL = (
+    "SUM(CAST(l_extendedprice AS DECIMAL(12,4))"
+    " * CAST(l_quantity AS DECIMAL(12,4)))"
+)
+
+_Q11_ORACLE = f"""
+WITH val AS (
+  SELECT l_partkey, {_Q11_VAL} AS v
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey,
+       CAST(ROUND(CAST(v AS DOUBLE), 2) AS DOUBLE) AS part_value
+FROM val
+WHERE v > (SELECT SUM(v) * CAST(0.001 AS DECIMAL(6,4)) FROM val)
+ORDER BY part_value DESC, l_partkey
+LIMIT 100
+"""
+
+
+@register("having_share_q11", _Q11_ORACLE)
+def q_having_share_q11(spark, sf_dir):
+    """TPC-H Q11's shape on lineitem (no partsupp): parts whose total
+    shipped value exceeds a fixed fraction of the GLOBAL total. The
+    per-part aggregate is computed once and consumed twice — by the
+    output filter and by the global-sum scalar subquery — and the
+    scalar lands as a broadcast into the filter, so the fact table is
+    shuffled exactly once. The share threshold is exact decimal
+    arithmetic on both engines; a strict > on exact decimals cannot
+    flake at the boundary."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("_q11_lineitem")
+    return spark.sql(_Q11_ORACLE.replace("FROM lineitem", "FROM _q11_lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# q12 — conditional priority counts over a date-filtered join
+# ---------------------------------------------------------------------------
+
+# No l_shipmode: l_returnflag plays the mode column; the CASE-counted
+# priority split and the date-windowed join are the Q12 shape.
+_Q12_ORACLE = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("condcount_q12", _Q12_ORACLE)
+def q_condcount_q12(spark, sf_dir):
+    """TPC-H Q12's shape (l_returnflag standing in for the absent
+    l_shipmode): a year-windowed fact filter pushed to the lineitem
+    scan, one big-big join to orders, then CASE-conditional counts
+    per flag. Pins conditional aggregation over a join: both branch
+    counts come from ONE pass (no per-branch scans), and the priority
+    CASE is evaluated post-join in the partial aggregate, so the
+    shuffle carries three-ish rows per flag partition, not the fact
+    table."""
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00"))
+        & (F.col("l_shipdate") < _ts("1998-01-01 00:00:00"))
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("high_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).cast("bigint").alias("low_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q20 — nested IN subqueries collapsing to a semi-join chain
+# ---------------------------------------------------------------------------
+
+_Q20_ORACLE = """
+SELECT s_name,
+       CAST(ROUND(CAST(s_acctbal AS DOUBLE), 2) AS DOUBLE) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (
+    SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+  )
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING SUM(l_quantity) > 50
+)
+ORDER BY s_name
+"""
+
+
+@register("nested_semijoin_q20", _Q20_ORACLE)
+def q_nested_semijoin_q20(spark, sf_dir):
+    """TPC-H Q20: suppliers who moved real volume of a name-filtered
+    part family in a year — NESTED IN subqueries, the inner one
+    aggregated with HAVING. The plan this pins: the part IN collapses
+    to a broadcast semi-join pruning lineitem BEFORE its aggregate,
+    the HAVING reduces that to a small supplier-key set, and the
+    outer IN becomes a second (broadcast) semi-join against supplier
+    — a chain of semi-joins, each shrinking the data, never a
+    distinct-then-inner-join rewrite materializing duplicates."""
+    for t in ("supplier", "lineitem", "part"):
+        load(spark, sf_dir, t).createOrReplaceTempView(f"_q20_{t}")
+    return spark.sql(
+        _Q20_ORACLE.replace("FROM supplier", "FROM _q20_supplier")
+        .replace("FROM lineitem", "FROM _q20_lineitem")
+        .replace("FROM part", "FROM _q20_part")
+    )

@@ -467,3 +467,35 @@ def test_cdc_chunking_hof_evaluates_exactly_once(spark):
     assert plan.count("conv(") == 1
     assert "Window" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_q2_correlated_min_decorrelates(spark):
+    """correlated_min_q2: the correlated scalar subquery must become
+    a per-group min aggregate + join, never a per-row re-execution
+    (no nested-loop/cartesian in the plan)."""
+    plan = _plan(spark, "correlated_min_q2")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2  # ps groupBy + min-per-pk
+
+
+def test_q4_exists_is_semi_join(spark):
+    plan = _plan(spark, "semijoin_exists_q4")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_nested_in_is_semi_join_chain(spark):
+    """nested_semijoin_q20: both IN subqueries plan as semi joins —
+    part IN pruning lineitem, and the HAVING result semi-joining
+    supplier."""
+    plan = _plan(spark, "nested_semijoin_q20")
+    assert plan.count("LeftSemi") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_small_dims_broadcast(spark):
+    """join_profit_q9: part/supplier/nation broadcast; the only
+    shuffle join is lineitem x orders."""
+    plan = _plan(spark, "join_profit_q9")
+    assert plan.count("BroadcastHashJoin") >= 3
