@@ -650,6 +650,12 @@ def prefix_filter_candidates(
     signature subplan computes once; no self-join). Bucket sizes are
     bounded by the document frequency of RARE shingles — the whole
     point of prefix ordering — so candidates never approach n^2.
+    Candidates then pass the AllPairs SIZE filter — J(A,B) >= t
+    implies min(|A|,|B|)/max(|A|,|B|) >= t (intersection <= min,
+    union >= max), checked as exact integer cross-multiplication —
+    before the expensive exact verification; on a template-heavy
+    corpus this prunes the bulk of prefix collisions between docs of
+    very different lengths while provably dropping no true pair.
     Threshold is exact rational arithmetic (t = t_num/t_den):
     prefix_len = |S| - ceil(t_num*|S| / t_den) + 1, identical integer
     math on both engines."""
@@ -675,8 +681,28 @@ def prefix_filter_candidates(
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
     )
-    return (
+    pairs = (
         groups.select(F.explode(_in_group_pairs(F.col("ids"))).alias("p"))
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
+    )
+    sizes = sh_df.select(
+        F.col(id_col).alias("_sz_id"), F.size("shingles").alias("_sz")
+    )
+    return (
+        pairs.join(
+            F.broadcast(sizes.select(F.col("_sz_id").alias("id_a"),
+                                     F.col("_sz").alias("sz_a"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_sz_id").alias("id_b"),
+                                     F.col("_sz").alias("sz_b"))),
+            "id_b",
+        )
+        .filter(
+            F.least("sz_a", "sz_b") * t_den
+            >= F.greatest("sz_a", "sz_b") * t_num
+        )
+        .select("id_a", "id_b")
     )

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import tempfile
 
+import pandas as pd
+
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
@@ -681,4 +683,54 @@ def q_dedup_cluster_representatives(spark, sf_dir):
     )
     return ranked.filter(F.col("rn") == 1).select(
         "component", F.col("doc_id").alias("rep_doc_id"), "n_members"
+    )
+
+
+# ---------------------------------------------------------------------------
+# udaf_grouped_median — vectorized pandas UDAF (GROUPED_AGG)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udaf_grouped_median",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5)::DOUBLE, 6) AS median_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_udaf_grouped_median(spark, sf_dir):
+    """The UDAF surface done the sanctioned way: a GROUPED_AGG
+    @pandas_udf (whole group arrives as one Arrow-backed Series,
+    aggregates vectorized in numpy) computing the per-event-type
+    median alongside a pandas count (Spark refuses to MIX pandas and
+    JVM aggregates in one .agg —INVALID_PANDAS_UDF_PLACEMENT— so both
+    columns are pandas, planned as one AggregateInPandas pass).
+    Median, not mean, on purpose: an order STATISTIC is reduction-order-independent, so
+    the Python aggregate hash-matches DuckDB's quantile_cont exactly
+    where a float sum would drift. The scale contract of GROUPED_AGG:
+    no partial aggregation — every group's values ship to one task —
+    so it's for moderate group cardinality x bounded group size;
+    unboundedly hot groups want the built-in sketch
+    (percentile_approx) instead, registered as
+    agg_approx_quantile_bounded."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: the module uses postponed annotations, so the hint below
+    # is resolved by name at decoration time — pandas must be a
+    # module-level import for 'pd.Series' to resolve.
+    @pandas_udf("double")
+    def _median(v: pd.Series) -> float:
+        return float(np.median(v.to_numpy()))
+
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return len(v)
+
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(_median("value"), 6).alias("median_value"),
+        _n("value").cast("bigint").alias("n"),
     )

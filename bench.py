@@ -171,8 +171,9 @@ def main() -> int:
         "sink_datasource_batch",
         "sink_datasource_arrow",
         "stream_stateful_counter",
-        # Arrow-batched Python UDTF — same worker-fleet profile
+        # Arrow-batched Python UDTF / UDAF — same worker-fleet profile
         "udtf_tokenize_lateral",
+        "udaf_grouped_median",
     }
     hof_prefixes = (
         "dedup_",
@@ -185,6 +186,8 @@ def main() -> int:
         "text_decontaminate",
         # runs the MinHash/LSH signature pipeline for its clusters
         "split_leakage_safe",
+        # per-position interpreted window-hash HOF (CDC chunking)
+        "multimodal_cdc_chunks",
     )
 
     def group(n: str) -> int:
