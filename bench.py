@@ -186,8 +186,10 @@ def main() -> int:
         "text_decontaminate",
         # runs the MinHash/LSH signature pipeline for its clusters
         "split_leakage_safe",
-        # per-position interpreted window-hash HOF (CDC chunking)
+        # per-position interpreted window-hash HOF (CDC chunking) and
+        # md5-per-chunk simhash over binary payloads
         "multimodal_cdc_chunks",
+        "multimodal_near_dup",
     )
 
     def group(n: str) -> int:
