@@ -645,3 +645,65 @@ def q_profile_key_skew(spark, sf_dir):
             F.round("h", 6).alias("entropy"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# observe_write_audit — CollectMetrics: audit counters off the write pass
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "observe_write_audit",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+             AS n_purchases,
+           CAST(max(user_id) AS BIGINT) AS max_user,
+           CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)
+                AS DOUBLE) AS total_value
+    FROM events
+    """,
+)
+def q_observe_write_audit(spark, sf_dir):
+    """The Observation API (df.observe -> CollectMetrics): audit
+    aggregates computed DURING the consuming action's single pass —
+    no second scan, no extra job — which is how a production write
+    gets its row-count/invariant counters for free: observe the
+    frame, write it, then read the metrics off the handle. Here the
+    observed frame is driven by a count() and the observed metrics
+    themselves are returned as the result, so the oracle proves the
+    piggy-backed counters equal a real aggregate of the data
+    (DISTINCT aggregates are disallowed inside CollectMetrics — the
+    one observed-metrics restriction — so the distinct-user audit
+    belongs in agg_approx_distinct_bounded's sketch instead). The
+    money sum rides the usual exact-decimal fragment, making even
+    the float column hash-stable. At 100 TB this replaces the
+    re-scan-after-write audit pattern (ADVICE r2's doubled-pipeline
+    finding) wholesale: one pass, metrics as a side channel."""
+    from pyspark.sql import Observation
+
+    ev = load(spark, sf_dir, "events")
+    obs = Observation("write_audit")
+    observed = ev.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        F.max("user_id").alias("max_user"),
+        F.expr(
+            "CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4)"
+            " AS DOUBLE)"
+        ).alias("total_value"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # the one pass
+    m = obs.get
+    return spark.createDataFrame(
+        [
+            (
+                int(m["n_rows"]),
+                int(m["n_purchases"]),
+                int(m["max_user"]),
+                float(m["total_value"]),
+            )
+        ],
+        "n_rows bigint, n_purchases bigint, max_user bigint, total_value double",
+    )
