@@ -48,3 +48,22 @@ def test_wrapper_rescues_wrong_session_timezone(spark):
 def test_registry_window_is_exactly_fifty():
     assert list(QUERIES)[:50] == list(entry_mod.queries())[:50]
     assert len(QUERIES) >= 115
+
+
+def test_no_complex_typed_result_columns(spark):
+    """External canonicalizers hash result CELLS and die on
+    list/struct/map-typed values (round-2's agg_percentiles err row:
+    pandas TypeError on unhashable list). Pin the whole registry to
+    scalar-only result schemas — any array/map/struct/variant/binary
+    output column must be flattened (q25/q50/q90 scalars, _csv
+    strings, hex digests) BEFORE registration."""
+    import re
+
+    bad = []
+    for name, fn in entry_mod.queries().items():
+        df = fn(spark, SF_SMALL)
+        for f in df.schema.fields:
+            if re.match(r"array|map|struct|variant|binary",
+                        f.dataType.simpleString()):
+                bad.append((name, f.name, f.dataType.simpleString()[:40]))
+    assert not bad, bad
