@@ -642,9 +642,16 @@ def q_dedup_repeated_spans(spark, sf_dir):
     {_SPAN_K} tokens of each other merge into maximal spans
     (gaps-and-islands over ONE doc_id exchange). Output spans are the
     token ranges a substring-level dedup would cut, without ever
-    building a corpus-wide suffix array: the gram-frequency shuffle is
-    bounded by DISTINCT grams, the hits join is key-bounded, and no
-    stage holds more than a document's positions in one task."""
+    building a corpus-wide suffix array. The duplicated-gram test is
+    a WINDOW over the gram partitioning, not groupBy+join-back: the
+    join shape evaluates the tokenize/shingle/posexplode subplan on
+    BOTH the build and probe side and shuffles the occurrences twice;
+    the window shape evaluates it once and shuffles once. Per-gram
+    distinct-doc counting uses the dense_rank/max pair (two window
+    functions over one (gram, doc_id) sort) so no per-gram set is
+    ever materialized — safe even for a gram occurring in millions of
+    documents, and no stage holds more than a document's positions in
+    one task."""
     from pyspark.sql import Window as W
 
     from ..functions.text import tokens, word_shingles_ordered
@@ -656,13 +663,17 @@ def q_dedup_repeated_spans(spark, sf_dir):
             word_shingles_ordered(tokens(F.col("text")), _SPAN_K)
         ).alias("pos", "gram"),
     )
-    dup = (
-        occ.groupBy("gram")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("gram")
+    wg = W.partitionBy("gram").orderBy("doc_id")
+    nd = F.max(F.dense_rank().over(wg)).over(
+        W.partitionBy("gram").orderBy("doc_id").rowsBetween(
+            W.unboundedPreceding, W.unboundedFollowing
+        )
     )
-    hits = occ.join(dup, "gram").select("doc_id", "pos")
+    hits = (
+        occ.select("doc_id", "pos", nd.alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", "pos")
+    )
     w = W.partitionBy("doc_id").orderBy("pos")
     brk = (
         F.when(F.col("pos") - F.lag("pos").over(w) <= _SPAN_K, 0)

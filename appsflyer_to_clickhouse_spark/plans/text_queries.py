@@ -577,13 +577,19 @@ def q_text_tfidf_topk(spark, sf_dir):
     from ..functions.text import tokens
     from .registry import load_fanout
 
+    from pyspark.sql import Window as W
+
     docs = load_fanout(spark, sf_dir, "documents")
     tk = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     tf = tk.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    # DF = rows per token IN tf (tf rows are distinct (doc, token)),
+    # so a window count over the token partitioning reads tf ONCE —
+    # the groupBy+broadcast-back form re-evaluates the whole
+    # explode+TF subplan on the broadcast side
+    df_w = F.count("*").over(W.partitionBy("tok"))
     n = docs.agg(F.count("*").alias("n_docs"))
     scored = (
-        tf.join(F.broadcast(df), "tok")
+        tf.withColumn("df", df_w)
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
