@@ -632,6 +632,7 @@ def prefix_filter_candidates(
     id_col: str = "doc_id",
     t_num: int = 4,
     t_den: int = 5,
+    apply_size_filter: bool = True,
 ) -> DataFrame:
     """AllPairs/PPJoin prefix-filtering candidate pairs (Bayardo et al.,
     WWW'07): order every doc's shingle set by GLOBAL rarity (document
@@ -686,6 +687,8 @@ def prefix_filter_candidates(
         .select(F.col("p.id_a"), F.col("p.id_b"))
         .distinct()
     )
+    if not apply_size_filter:  # the ungated twin, for evidence tests
+        return pairs
     sizes = sh_df.select(
         F.col(id_col).alias("_sz_id"), F.size("shingles").alias("_sz")
     )

@@ -917,10 +917,15 @@ def q_dedup_rate_by_source(spark, sf_dir):
                  / len(list_distinct(a.ss || b.ss)), 6) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE len(list_distinct(a.ss || b.ss)) > 0
-      AND len(list_intersect(a.ss, b.ss))::DOUBLE
-          / len(list_distinct(a.ss || b.ss)) >= {JACCARD_THRESHOLD}
+      AND round(len(list_intersect(a.ss, b.ss))::DOUBLE
+                / len(list_distinct(a.ss || b.ss)), 6)
+          >= {JACCARD_THRESHOLD}
     """,
 )
+# NOTE: the oracle thresholds the ROUNDED ratio, matching
+# jaccard_verify's post-round filter (and the dedup_ngram_jaccard
+# oracle) — an unrounded WHERE would disagree on pairs whose exact
+# Jaccard lies in [t - 5e-7, t).
 def q_dedup_allpairs_prefix(spark, sf_dir):
     """EXACT set-similarity self-join (every pair with shingle-Jaccard
     >= 0.8 — zero false negatives), via AllPairs prefix filtering

@@ -570,7 +570,9 @@ def q_text_tfidf_topk(spark, sf_dir):
     exchange keyed (doc_id, token) for TF, one keyed token for DF —
     both bounded by distinct pairs / vocabulary, never raw token
     occurrences (partial aggregation collapses those map-side). DF is
-    vocabulary-sized so it broadcasts back onto TF; the corpus size N
+    a window count over the token partitioning of TF itself — one
+    evaluation, one exchange (a groupBy+broadcast-back would re-run
+    the explode+TF subplan on the broadcast side); the corpus size N
     is a 1-row broadcast cross join. Final top-k plans as
     TakeOrderedAndProject under a total order (score, doc, term) so
     rank-20 boundary ties are engine-deterministic."""

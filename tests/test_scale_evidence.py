@@ -148,10 +148,8 @@ def test_allpairs_size_filter_prunes_candidates(spark):
         word_shingles,
     )
     from appsflyer_to_clickhouse_spark.operators.dedup import (
-        _in_group_pairs,
         prefix_filter_candidates,
     )
-    from pyspark.sql import Window
 
     docs = load(spark, "/root/testdata/sf0.1", "documents")
     sh_df = docs.select(
@@ -159,29 +157,12 @@ def test_allpairs_size_filter_prunes_candidates(spark):
     ).cache()
     try:
         filtered = prefix_filter_candidates(sh_df, "doc_id", 4, 5).count()
-        # unfiltered twin: same prefix machinery, no size gate
-        ex = sh_df.select(
-            F.col("doc_id"),
-            F.explode("shingles").alias("g"),
-            F.size("shingles").alias("sz"),
-        )
-        freq = ex.groupBy("g").agg(F.count("*").alias("gdf"))
-        w = Window.partitionBy("doc_id").orderBy("gdf", "g")
-        plen = F.col("sz") - F.expr("(4 * sz + 4) DIV 5") + F.lit(1)
-        pre = (
-            ex.join(freq, "g")
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= plen)
-        )
-        raw = (
-            pre.groupBy("g")
-            .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-            .filter(F.size("ids") > 1)
-            .select(F.explode(_in_group_pairs(F.col("ids"))).alias("p"))
-            .select("p.id_a", "p.id_b")
-            .distinct()
-            .count()
-        )
+        # the ungated twin is the SAME operator with the gate off, so
+        # a future change to candidate generation can never
+        # desynchronize the two sides of this comparison
+        raw = prefix_filter_candidates(
+            sh_df, "doc_id", 4, 5, apply_size_filter=False
+        ).count()
     finally:
         sh_df.unpersist()
     assert filtered < raw, (filtered, raw)
