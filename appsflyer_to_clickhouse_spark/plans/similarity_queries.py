@@ -690,23 +690,15 @@ def _pq_book_df(emb):
     )
 
 
-def _pq_oracle() -> str:
-    d_cols = ",\n           ".join(
-        seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "d")
-    )
-    c_cols = ",\n           ".join(code_col_exprs(M_SUB, K_CENT, "d"))
-    q_cols = ",\n           ".join(
-        seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "q")
-    )
+def _pq_seeds_book_sql() -> str:
+    """seeds/book CTE text shared VERBATIM by _pq_oracle and
+    _ivfpq_oracle — one definition so the exemplar-codebook contract
+    cannot drift between the two ANN oracles."""
     seed_cols = ",\n             ".join(
         f"any_value(CASE WHEN label = {k} THEN v END) AS c{k}v"
         for k in range(K_CENT)
     )
-    return f"""
-    WITH e AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-    ),
-    seeds AS (
+    return f"""seeds AS (
       SELECT label, v FROM (
         SELECT label, v,
                row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
@@ -716,11 +708,28 @@ def _pq_oracle() -> str:
     book AS (
       SELECT {seed_cols}
       FROM seeds
-    ),
-    d AS (
-      SELECT e.vec_id,
+    )"""
+
+
+def _pq_stages_sql(cand_src: str, a_where: str, shortlist: int) -> str:
+    """The PQ encode/LUT/ADC/shortlist/re-rank pipeline, shared by the
+    flat-PQ and IVF-PQ oracles and parameterized only by the candidate
+    relation, the ADC filter, and the shortlist size. The exact-L2
+    re-rank tail is part of this single definition — a change to the
+    distance chain now lands in both queries or neither."""
+    from ..operators.pq import adc_sql, code_col_exprs, seeded_dist_col_exprs
+
+    d_cols = ",\n           ".join(
+        seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "d")
+    )
+    c_cols = ",\n           ".join(code_col_exprs(M_SUB, K_CENT, "d"))
+    q_cols = ",\n           ".join(
+        seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "q")
+    )
+    return f"""d AS (
+      SELECT {cand_src}.vec_id,
            {d_cols}
-      FROM e, book
+      FROM {cand_src}, book
     ),
     c AS (
       SELECT vec_id,
@@ -733,10 +742,10 @@ def _pq_oracle() -> str:
     ),
     a AS (
       SELECT c.vec_id, {adc_sql(M_SUB, K_CENT, "q")} AS adc
-      FROM c, q WHERE c.vec_id != {_QUERY_ID}
+      FROM c, q {a_where}
     ),
     shortlist AS (
-      SELECT vec_id FROM a ORDER BY adc, vec_id LIMIT {_PQ_SHORTLIST}
+      SELECT vec_id FROM a ORDER BY adc, vec_id LIMIT {shortlist}
     ),
     qv AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID})
     SELECT e.vec_id,
@@ -749,6 +758,16 @@ def _pq_oracle() -> str:
              + list_dot_product(qv.qv, qv.qv),
              e.vec_id
     LIMIT 10
+    """
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    {_pq_seeds_book_sql()},
+    {_pq_stages_sql("e", f"WHERE c.vec_id != {_QUERY_ID}", _PQ_SHORTLIST)}
     """
 
 
@@ -838,7 +857,6 @@ _IVF_PROTOS = _ivf_protos()
 
 def _ivfpq_oracle() -> str:
     from ..operators.dedup import argmax_case_sql
-    from ..operators.pq import adc_sql, code_col_exprs, seeded_dist_col_exprs
     from ..operators.similarity import sparse_dot_sql
 
     cdots = ",\n             ".join(
@@ -848,32 +866,11 @@ def _ivfpq_oracle() -> str:
     qdot_cases = " ".join(
         f"WHEN {p} THEN cd{p}" for p in range(_IVF_K)
     )
-    d_cols = ",\n           ".join(
-        seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "d")
-    )
-    c_cols = ",\n           ".join(code_col_exprs(M_SUB, K_CENT, "d"))
-    q_cols = ",\n           ".join(
-        seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 1, "q")
-    )
-    seed_cols = ",\n             ".join(
-        f"any_value(CASE WHEN label = {k} THEN v END) AS c{k}v"
-        for k in range(K_CENT)
-    )
     return f"""
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
     ),
-    seeds AS (
-      SELECT label, v FROM (
-        SELECT label, v,
-               row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-        FROM e WHERE label < {K_CENT}
-      ) WHERE rn = 1
-    ),
-    book AS (
-      SELECT {seed_cols}
-      FROM seeds
-    ),
+    {_pq_seeds_book_sql()},
     st AS (
       SELECT vec_id, v,
              {cdots}
@@ -893,38 +890,7 @@ def _ivfpq_oracle() -> str:
       SELECT c.vec_id, c.v FROM cl c JOIN qtop ON c.cell = qtop.cell
       WHERE c.vec_id != {_QUERY_ID}
     ),
-    d AS (
-      SELECT cand.vec_id,
-           {d_cols}
-      FROM cand, book
-    ),
-    c AS (
-      SELECT vec_id,
-           {c_cols}
-      FROM d
-    ),
-    q AS (
-      SELECT {q_cols}
-      FROM e, book WHERE e.vec_id = {_QUERY_ID}
-    ),
-    a AS (
-      SELECT c.vec_id, {adc_sql(M_SUB, K_CENT, "q")} AS adc
-      FROM c, q
-    ),
-    shortlist AS (
-      SELECT vec_id FROM a ORDER BY adc, vec_id LIMIT {_IVFPQ_SHORTLIST}
-    ),
-    qv AS (SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID})
-    SELECT e.vec_id,
-           round(list_dot_product(e.v, e.v)
-                 - 2 * list_dot_product(e.v, qv.qv)
-                 + list_dot_product(qv.qv, qv.qv), 6) AS l2_dist
-    FROM shortlist s JOIN e ON e.vec_id = s.vec_id, qv
-    ORDER BY list_dot_product(e.v, e.v)
-             - 2 * list_dot_product(e.v, qv.qv)
-             + list_dot_product(qv.qv, qv.qv),
-             e.vec_id
-    LIMIT 10
+    {_pq_stages_sql("cand", "", _IVFPQ_SHORTLIST)}
     """
 
 

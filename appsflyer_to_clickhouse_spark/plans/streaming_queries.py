@@ -250,11 +250,19 @@ def q_stream_dedup_then_agg(spark, sf_dir):
     ts_col = F.col("ts")
     if isinstance(schema["ts"].dataType, T2.TimestampNTZType):
         ts_col = ts_col.cast("timestamp")
+    # day-TRUNCATED event time is both the dedup day key and the
+    # watermarked event-time column: streaming dedup only evicts
+    # state when the watermark column is among the dedup keys, so
+    # keying on a derived non-event-time 'day' would retain every
+    # (user, type, day) forever on an unbounded stream. Truncating
+    # the event time itself keeps semantics identical (one survivor
+    # per user/type/day; windows bucket by day either way) and makes
+    # the eviction contract in the docstring actually hold.
     withday = stream.select(
-        ts_col.alias("ts"), "user_id", "event_type"
-    ).withColumn("day", F.to_date("ts"))
+        F.date_trunc("day", ts_col).alias("ts"), "user_id", "event_type"
+    )
     deduped = withday.withWatermark("ts", "2 days").dropDuplicates(
-        ["user_id", "event_type", "day"]
+        ["user_id", "event_type", "ts"]
     )
     agg = (
         deduped.groupBy(F.window("ts", "1 day").alias("w"))
