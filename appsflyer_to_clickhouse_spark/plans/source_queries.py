@@ -21,6 +21,10 @@ from ..sources.csv_source import read_af_csv, write_fixture_csv
 from ..sources.http_source import fetch_installs_distributed, split_window
 from .registry import register
 
+import itertools
+
+_NAME_SEQ = itertools.count()
+
 _FIXTURE_PATH = "/tmp/spark_graft_fixtures/af_batch.csv"
 
 _FIXTURE_HEADER = [
@@ -100,13 +104,21 @@ _HTTP_HEADER = ["AppsFlyer ID", "Install Time", "Media Source"]
 _WINDOWS = split_window(_HTTP_FROM, _HTTP_TO, _HTTP_SPLITS)
 
 
+def csv_export_text(rows) -> str:
+    """Assemble fake AppsFlyer export CSV text: BOM'd header line +
+    comma-joined rows + trailing newline. ONE definition shared by
+    every fetch fixture (batch, streaming, dup-feed, tests) so a
+    format change cannot silently drift them apart."""
+    lines = ["﻿" + ",".join(_HTTP_HEADER)]
+    lines += [",".join(r) for r in rows]
+    return "\n".join(lines) + "\n"
+
+
 def _fake_fetch(from_time: str, to_time: str) -> str:
     """CSV text for a sub-window, BOM'd like the real export. Pure
     function of the window — picklable, runs on executors."""
     idx = next(i for i, (f, _) in enumerate(_WINDOWS) if f == from_time)
-    lines = ["﻿" + ",".join(_HTTP_HEADER)]
-    lines += [",".join(r) for r in _window_rows(idx, from_time)]
-    return "\n".join(lines) + "\n"
+    return csv_export_text(_window_rows(idx, from_time))
 
 
 def _http_oracle() -> str:
@@ -440,9 +452,7 @@ def _stream_rows(from_time: str) -> list[list[str]]:
 
 
 def _stream_fake_fetch(from_time: str, to_time: str) -> str:
-    lines = ["﻿" + ",".join(_HTTP_HEADER)]
-    lines += [",".join(r) for r in _stream_rows(from_time)]
-    return "\n".join(lines) + "\n"
+    return csv_export_text(_stream_rows(from_time))
 
 
 def _stream_http_oracle() -> str:
@@ -488,7 +498,7 @@ def q_stream_http_datasource(spark, sf_dir):
         )
         .load()
     )
-    name = f"stream_http_ds_{next(iter(range(1)))}_{id(stream) % 100000}"
+    name = f"stream_http_ds_{next(_NAME_SEQ)}"
     ckpt = _tf.mkdtemp(prefix="spark_graft_ckpt_httpstream_")
     q = (
         stream.writeStream.format("memory")
@@ -521,9 +531,7 @@ def _stream_dup_rows(from_time: str) -> list[list[str]]:
 
 
 def _stream_dup_fetch(from_time: str, to_time: str) -> str:
-    lines = ["﻿" + ",".join(_HTTP_HEADER)]
-    lines += [",".join(r) for r in _stream_dup_rows(from_time)]
-    return "\n".join(lines) + "\n"
+    return csv_export_text(_stream_dup_rows(from_time))
 
 
 def _stream_etl_oracle() -> str:

@@ -117,12 +117,19 @@ class _BatchWriter(DataSourceWriter):
                     pass
 
 
+def _manifest_files(path: str) -> list[str]:
+    """Resolve the manifest's published part list to absolute paths —
+    the single definition of the manifest protocol's read side, shared
+    by the JSONL and parquet tiers."""
+    with open(os.path.join(path, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    return [os.path.join(path, f) for f in manifest["files"]]
+
+
 def read_committed(spark, path: str, schema):
     """Read back ONLY manifest-published parts (uncommitted/orphan
     files are invisible — the read side of the two-phase contract)."""
-    with open(os.path.join(path, MANIFEST)) as fh:
-        manifest = json.load(fh)
-    files = [os.path.join(path, f) for f in manifest["files"]]
+    files = _manifest_files(path)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
@@ -191,9 +198,7 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
 
 def read_committed_parquet(spark, path: str, schema):
     """Manifest-resolved read of the Arrow tier's parquet parts."""
-    with open(os.path.join(path, MANIFEST)) as fh:
-        manifest = json.load(fh)
-    files = [os.path.join(path, f) for f in manifest["files"]]
+    files = _manifest_files(path)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)

@@ -70,6 +70,19 @@ class AppsFlyerDataSource(DataSource):
         return _AppsFlyerStreamReader(schema, self.options)
 
 
+def _read_window(
+    fetcher_spec: str, cols: list[str], partition: "_WindowPartition"
+) -> Iterator[tuple]:
+    """Fetch + parse + materialize one window's rows. The SINGLE
+    row-materialization path for both the batch and streaming readers
+    — a coercion fix here reaches both source tiers by construction."""
+    fetch = _resolve_fetcher(fetcher_spec)
+    for row in parse_af_csv_text(
+        fetch(partition.from_time, partition.to_time)
+    ):
+        yield tuple(row.get(c) for c in cols)
+
+
 class _AppsFlyerReader(DataSourceReader):
     def __init__(self, schema, options):
         self._cols = [f.name for f in schema.fields]
@@ -85,11 +98,7 @@ class _AppsFlyerReader(DataSourceReader):
         ]
 
     def read(self, partition: _WindowPartition) -> Iterator[tuple]:
-        fetch = _resolve_fetcher(self._fetcher_spec)
-        for row in parse_af_csv_text(
-            fetch(partition.from_time, partition.to_time)
-        ):
-            yield tuple(row.get(c) for c in self._cols)
+        return _read_window(self._fetcher_spec, self._cols, partition)
 
 
 # ---------------------------------------------------------------------------
@@ -154,11 +163,7 @@ class _AppsFlyerStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _WindowPartition) -> Iterator[tuple]:
-        fetch = _resolve_fetcher(self._fetcher_spec)
-        for row in parse_af_csv_text(
-            fetch(partition.from_time, partition.to_time)
-        ):
-            yield tuple(row.get(c) for c in self._cols)
+        return _read_window(self._fetcher_spec, self._cols, partition)
 
     def commit(self, end: dict) -> None:
         pass  # the engine's offset log is the source of truth

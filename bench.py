@@ -171,6 +171,11 @@ def main() -> int:
         "sink_datasource_batch",
         "sink_datasource_arrow",
         "stream_stateful_counter",
+        # streaming Python Data Source queries — the stream_ prefix
+        # would route them to the streaming group and charge Python
+        # worker-fleet spin-up to its timings
+        "stream_http_datasource",
+        "stream_etl_pipeline",
         # Arrow-batched Python UDTF / UDAF — same worker-fleet profile
         "udtf_tokenize_lateral",
         "udaf_grouped_median",

@@ -390,7 +390,10 @@ def test_bigram_logprob_counts_partial_aggregate(spark):
     (HashAggregate before the exchange) so shuffles carry counts, not
     the raw gram stream twice."""
     plan = _plan(spark, "text_bigram_logprob")
-    assert "partial_count" in plan or "HashAggregate" in plan
+    # the 'or HashAggregate' disjunct made this pin vacuous (every agg
+    # plan contains HashAggregate); the map-side combine claim is the
+    # partial_count occurrences themselves
+    assert plan.count("partial_count") >= 2
     assert "CartesianProduct" not in plan
 
 

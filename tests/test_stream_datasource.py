@@ -13,14 +13,16 @@ import os
 import tempfile
 
 from appsflyer_to_clickhouse_spark.plans.source_queries import (
-    _HTTP_HEADER,
     _stream_rows,
+    csv_export_text,
 )
 
-# Fixed path: Python data source readers run in worker PROCESSES that
-# do not see env vars set after the pool spawned — a well-known file
-# on the shared local filesystem is the only reliable channel.
-_FETCH_LOG = "/tmp/spark_graft_test_fetch_log"
+# Static path: Python data source readers run in worker PROCESSES that
+# re-import this module, so only static module-level state reaches
+# them — per-run paths cannot. The uid suffix scopes collisions to
+# one user; two concurrent same-user runs on one host would still
+# interleave (accepted: the driver and CI run suites serially).
+_FETCH_LOG = f"/tmp/spark_graft_test_fetch_log_{os.getuid()}"
 
 
 def _logging_fetch(from_time: str, to_time: str) -> str:
@@ -28,9 +30,7 @@ def _logging_fetch(from_time: str, to_time: str) -> str:
     (local-mode workers share the driver's filesystem)."""
     with open(_FETCH_LOG, "a") as fh:
         fh.write(f"{from_time}|{to_time}\n")
-    lines = ["﻿" + ",".join(_HTTP_HEADER)]
-    lines += [",".join(r) for r in _stream_rows(from_time)]
-    return "\n".join(lines) + "\n"
+    return csv_export_text(_stream_rows(from_time))
 
 
 def _run(spark, ckpt: str, out: str, to_time: str) -> None:
