@@ -295,6 +295,18 @@ def connected_components(
             if new_sum == prev_sum:
                 break
             prev_sum = new_sum
+        else:
+            # loop exhausted WITHOUT the stationary-sum break: labels
+            # are not at fixpoint and returning them would silently
+            # split components (dedup would then keep multiple
+            # "representatives" of one duplicate group). Fail loud —
+            # a component diameter beyond max_iter needs a bigger cap,
+            # not wrong answers.
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations (component diameter exceeds the cap); "
+                "raise max_iter"
+            )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return labels.select(F.col("id"), F.col("label").alias("component"))

@@ -74,9 +74,17 @@ def pagerank(
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(npart))
     try:
-        # deg's group keys ARE the distinct node set — reuse them
-        # instead of a second distinct-shuffle over the edge list
-        nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
+        # the node set must cover BOTH endpoints: sources come free as
+        # deg's group keys, but a node appearing only as a destination
+        # (a sink in a directed graph) still accumulates rank and must
+        # appear in the result — building nodes from src alone would
+        # silently drop it (and disagree with the dst-keyed oracle)
+        nodes = (
+            deg.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
         pr = nodes.withColumn("pr", F.lit(1.0))
         for it in range(iters):
             # rank state is node-sized (orders of magnitude below the

@@ -153,19 +153,13 @@ def seeded_dist_col_exprs(
 
 def code_col_exprs(m_sub: int, k_cent: int, dist_prefix: str) -> list[str]:
     """Per-subspace 2-bit code columns ``c{s}`` from the staged
-    distances (argmin with lowest-index ties)."""
-    out = []
-    for s in range(m_sub):
-        # argmin over the staged columns d{s}_0..d{s}_{k-1}
-        whens = []
-        for p in range(k_cent - 1):
-            rest = [f"{dist_prefix}{s}_{q}" for q in range(p + 1, k_cent)]
-            cmp = rest[0] if len(rest) == 1 else f"least({', '.join(rest)})"
-            whens.append(f"WHEN {dist_prefix}{s}_{p} <= {cmp} THEN {p}")
-        out.append(
-            "CASE " + " ".join(whens) + f" ELSE {k_cent - 1} END AS c{s}"
-        )
-    return out
+    distances — argmin via argmin_case_sql (ONE definition of the
+    lowest-index tie rule; the contract is load-bearing for
+    cross-engine determinism)."""
+    return [
+        argmin_case_sql(k_cent, f"{dist_prefix}{s}_") + f" AS c{s}"
+        for s in range(m_sub)
+    ]
 
 
 def adc_sql(m_sub: int, k_cent: int, lut_prefix: str) -> str:

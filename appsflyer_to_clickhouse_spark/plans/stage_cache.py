@@ -14,6 +14,14 @@ a query's answer — only how often the upstream is computed. Each query
 remains independently correct when run alone (it just materializes the
 stage itself). Nothing here is driver-side state: the cache holds
 lazy DataFrame handles, the data lives in executor block storage.
+
+Session identity is checked by OBJECT IDENTITY against a stored
+reference, never by ``id()`` alone: CPython reuses addresses after
+garbage collection, so an ``id()``-keyed lookup could hand a new
+session a DataFrame bound to a dead one. Entries are keyed by
+(stage, sf_dir) and replaced when the owning session changes, which
+also bounds the cache to one persisted frame per stage instead of
+accumulating one per session lifetime.
 """
 
 from __future__ import annotations
@@ -23,7 +31,8 @@ from collections.abc import Callable
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 
-_CACHE: dict[tuple, DataFrame] = {}
+# (stage, sf_dir) -> (owning session, persisted frame)
+_CACHE: dict[tuple, tuple[SparkSession, DataFrame]] = {}
 
 
 def shared_stage(
@@ -32,10 +41,16 @@ def shared_stage(
     """Return the memoized, persisted DataFrame for ``key``, building
     it with ``build()`` on first use. Session-scoped: a new
     SparkSession gets fresh stages (stale handles from a stopped
-    session are never returned)."""
-    k = (id(spark._jsparkSession), *key)
-    df = _CACHE.get(k)
-    if df is None:
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        _CACHE[k] = df
+    session are never returned — ownership is verified by object
+    identity, and a superseded entry is dropped)."""
+    entry = _CACHE.get(key)
+    if entry is not None:
+        owner, df = entry
+        if owner is spark:
+            return df
+        # a different (possibly stopped) session owned this stage:
+        # drop the stale handle and rebuild under the current session
+        del _CACHE[key]
+    df = build().persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHE[key] = (spark, df)
     return df

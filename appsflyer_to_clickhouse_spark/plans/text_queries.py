@@ -298,13 +298,11 @@ def _raw_grams_sql(n: int) -> str:
 
 def _raw_grams(toks, n: int):
     """Raw word n-grams (duplicates KEPT — repetition is the signal).
-    Same zip_with-over-slices construction as word_shingles, minus the
-    dedup."""
-    out = toks
-    for j in range(1, n):
-        shifted = F.slice(toks, j + 1, F.greatest(F.size(toks) - j, F.lit(0)))
-        out = F.zip_with(out, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    return F.filter(out, lambda x: x.isNotNull())
+    Exactly functions/text.py:word_shingles_ordered — imported, not
+    re-implemented, so the ordered-gram kernel has ONE definition."""
+    from ..functions.text import word_shingles_ordered
+
+    return word_shingles_ordered(toks, n)
 
 
 @register(

@@ -62,6 +62,24 @@ class ClickHouseBatchDataSource(DataSource):
         return _BatchWriter(self.options, [f.name for f in schema.fields])
 
 
+def _json_cell(v):
+    """JSON-serialize the non-JSON-native cell types a ClickHouse sink
+    frame actually carries: timestamps/dates as ISO strings, decimals
+    as strings (lossless), binary as hex. Without this, json.dumps
+    raises TypeError on the pipeline's own install_time/event_time
+    columns."""
+    import datetime as _dt
+    import decimal as _dec
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    raise TypeError(f"not JSON serializable: {type(v).__name__}")
+
+
 class _BatchWriter(DataSourceWriter):
     def __init__(self, options, cols: list[str]):
         self._path = options["path"]
@@ -84,7 +102,7 @@ class _BatchWriter(DataSourceWriter):
             fname = f"part-{uuid.uuid4().hex}.jsonl"
             with open(os.path.join(self._path, fname), "w") as fh:
                 for r in buf:
-                    fh.write(json.dumps(r, sort_keys=True) + "\n")
+                    fh.write(json.dumps(r, sort_keys=True, default=_json_cell) + "\n")
             files.append(fname)
             buf.clear()
 

@@ -58,44 +58,22 @@ def merge_upsert(
     Identity is (install_date, key): install_date derives from
     install_time, so a "moved" row is a different record by definition
     — the invariant that keeps the merge partition-local at any scale.
-    """
-    dated = batch.select(*sink_columns()).withColumn(
-        PARTITION_COL, F.to_date("install_time")
-    )
-    dates = [r[0] for r in dated.select(PARTITION_COL).distinct().collect()]
-    if not dates:
-        return
-    try:
-        existing = (
-            spark.read.parquet(path)
-            .filter(F.col(PARTITION_COL).isin(dates))
-            .select(*sink_columns(), PARTITION_COL)
-        )
-    except AnalysisException:  # first merge: sink does not exist yet
-        existing = None
-    # other read failures (permissions, corrupt footers) propagate —
-    # silently treating them as "empty sink" would resurrect stale rows
 
-    tagged_new = dated.withColumn("_src", F.lit(1))
-    merged_src = (
-        tagged_new
-        if existing is None
-        else existing.withColumn("_src", F.lit(0)).unionByName(tagged_new)
+    Implemented as the CDC merge with a constant op='u' column (an
+    upsert IS a delete-free change feed) — ONE definition of the
+    partition-scoping/read-back/window/overwrite machinery; the
+    emptied-dir sweep is skipped because a delete-free merge can
+    never empty a partition.
+    """
+    merge_cdc(
+        spark,
+        batch.withColumn("_op_const", F.lit("u")),
+        path,
+        key=key,
+        order_col=order_col,
+        op_col="_op_const",
+        check_emptied=False,
     )
-    w = Window.partitionBy(PARTITION_COL, key).orderBy(
-        F.col(order_col).desc_nulls_last(), F.col("_src").desc()
-    )
-    winners = (
-        merged_src.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(*sink_columns(), PARTITION_COL)
-    )
-    with _dynamic_overwrite(spark):
-        (
-            winners.write.mode("overwrite")
-            .partitionBy(PARTITION_COL)
-            .parquet(path)
-        )
 
 
 def compact_partitions(
@@ -182,6 +160,7 @@ def merge_cdc(
     key: str = "appsflyer_id",
     order_col: str = "event_time",
     op_col: str = "op",
+    check_emptied: bool = True,
 ) -> None:
     """CDC MERGE with deletes: ``batch`` carries an ``op_col`` of
     ``'u'`` (upsert) or ``'d'`` (delete). Per (install_date, key) the
@@ -229,7 +208,11 @@ def merge_cdc(
         .filter(F.col(op_col) != "d")
         .select(*sink_columns(), PARTITION_COL)
     )
-    survived = {r[0] for r in winners.select(PARTITION_COL).distinct().collect()}
+    survived = (
+        {r[0] for r in winners.select(PARTITION_COL).distinct().collect()}
+        if check_emptied
+        else set(dates)
+    )
     with _dynamic_overwrite(spark):
         winners.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
     # remove directories the delete-only winners emptied entirely

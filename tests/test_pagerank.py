@@ -53,3 +53,14 @@ def test_pagerank_ckpt_branch_matches_chained(spark):
     assert with_ckpt.keys() == chained.keys()
     for k in with_ckpt:
         assert abs(with_ckpt[k] - chained[k]) < 1e-12, k
+
+
+def test_pagerank_includes_destination_only_nodes(spark):
+    """Directed edge list 1->2: node 2 (a sink, never a source) must
+    appear in the result with the rank mass it received; building the
+    node set from sources alone silently dropped it."""
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    got = {r["node"]: r["pr"] for r in pagerank(edges, iters=1).collect()}
+    assert set(got) == {1, 2}
+    assert abs(got[1] - 0.15) < 1e-12          # no in-edges: floor
+    assert abs(got[2] - (0.15 + 0.85)) < 1e-12  # all of node 1's mass
