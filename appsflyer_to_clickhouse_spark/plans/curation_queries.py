@@ -119,8 +119,9 @@ _BPE_RE = "[a-z0-9]+|[^a-z0-9\\s]"
       FROM documents
     ), offs AS (
       SELECT doc_id, source, n_tok,
-             coalesce(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             coalesce(CAST(SUM(n_tok) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS BIGINT),
                       0) AS start_off
       FROM toks
     )

@@ -191,8 +191,9 @@ _PIPE_QUOTA = 15  # per-source cap after sampling
     ),
     offs AS (
       SELECT doc_id, lang, source, n_tokens,
-             coalesce(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             coalesce(CAST(SUM(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS BIGINT),
                       0) AS start_off
       FROM quota
     )

@@ -53,10 +53,44 @@ def _rowset(cols, rows):
     return [cols[i] for i in order], canon
 
 
+# DuckDB logical types whose pandas materialization diverges from their
+# fetchall() repr.  The external correctness gate hashes results through
+# pandas (HUGEINT -> float64, so 1029 hashes as 1029.0; LIST -> ndarray,
+# unhashable), while fetchall() canonicalizes them to Python ints/lists.
+# Round 2 (agg_percentiles, LIST) and round 3 (text_pack_sequences +
+# corpus_build_pipeline, HUGEINT window SUM) both passed this harness and
+# failed the external gate for exactly that reason — so any oracle whose
+# RESULT schema contains one of these types is rejected outright, even
+# when the values match.  Fix the oracle (CAST ... AS BIGINT / unnest)
+# rather than loosening this list.
+_PANDAS_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "LIST", "STRUCT", "MAP", "UNION")
+
+
+def assert_pandas_safe(rel) -> None:
+    """Reject oracle result schemas that pandas would re-type.
+
+    ``rel`` is a DuckDB relation (``con.sql(query)``).  Raises
+    AssertionError naming the offending column(s) and type(s).
+    """
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if any(h in str(t).upper() for h in _PANDAS_UNSAFE_TYPES)
+    ]
+    assert not bad, (
+        "oracle result schema contains pandas-unsafe DuckDB types "
+        f"{bad}: the external gate hashes through pandas, where these "
+        "materialize as float64/ndarray and hash-mismatch Spark even "
+        "when values are equal. CAST the column (e.g. a windowed SUM "
+        "to BIGINT) or unnest it in the oracle SQL."
+    )
+
+
 def compare(spark_df, oracle_query: str, sf_dir: str) -> None:
     """Raises AssertionError with a diff summary on any mismatch."""
     con = duckdb_conn(sf_dir)
     cur = con.sql(oracle_query)
+    assert_pandas_safe(cur)
     o_cols = list(cur.columns)
     o_rows = cur.fetchall()
 

@@ -9,8 +9,10 @@ import __spark_entry__ as entry_mod
 
 from appsflyer_to_clickhouse_spark.plans import ORACLE, QUERIES
 
+import pytest
+
 from .conftest import SF_SMALL
-from .oracle_harness import compare
+from .oracle_harness import assert_pandas_safe, compare, duckdb_conn
 
 
 def test_queries_and_oracles_align():
@@ -48,6 +50,52 @@ def test_wrapper_rescues_wrong_session_timezone(spark):
 def test_registry_window_is_exactly_fifty():
     assert list(QUERIES)[:50] == list(entry_mod.queries())[:50]
     assert len(QUERIES) >= 115
+
+
+def test_window_order_frozen():
+    """The graded surface is position-sensitive: the external gate reads
+    the FIRST 50 registered queries. plans/__init__ asserts presence of
+    every _WINDOW name but not ORDER — a future registration or an edit
+    to _reorder could silently shuffle the graded slots. Pin the exact
+    sequence (VERDICT r3 task 8)."""
+    from appsflyer_to_clickhouse_spark.plans import _WINDOW
+
+    assert list(QUERIES)[:50] == _WINDOW
+    assert list(ORACLE)[:50] == _WINDOW
+
+
+def test_all_oracles_pandas_safe():
+    """Bind every registered oracle in DuckDB and reject result schemas
+    containing HUGEINT/LIST/STRUCT/MAP — the types whose pandas
+    materialization diverges from fetchall() (rounds 2 and 3 each lost
+    a driver row to exactly this class; see oracle_harness)."""
+    con = duckdb_conn(SF_SMALL)
+    bad = []
+    for name, sql in ORACLE.items():
+        try:
+            assert_pandas_safe(con.sql(sql))
+        except AssertionError as e:
+            bad.append((name, str(e).split(":")[0]))
+    assert not bad, bad
+
+
+def test_pandas_safe_guard_trips_on_hugeint():
+    """Self-test: a windowed SUM(BIGINT) without a cast IS HUGEINT in
+    DuckDB and must trip the guard (otherwise the guard is decorative)."""
+    con = duckdb_conn(SF_SMALL)
+    rel = con.sql(
+        "SELECT o_custkey, SUM(o_custkey) OVER (ORDER BY o_orderkey) AS s "
+        "FROM orders LIMIT 5"
+    )
+    with pytest.raises(AssertionError, match="pandas-unsafe"):
+        assert_pandas_safe(rel)
+    # and the cast that queries are expected to apply makes it safe
+    assert_pandas_safe(
+        con.sql(
+            "SELECT o_custkey, CAST(SUM(o_custkey) OVER (ORDER BY o_orderkey)"
+            " AS BIGINT) AS s FROM orders LIMIT 5"
+        )
+    )
 
 
 def test_no_complex_typed_result_columns(spark):
