@@ -317,10 +317,18 @@ def jaccard_verify(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     threshold: float = 0.8,
+    raw_threshold: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs only (never all pairs):
     join shingle arrays back by id, similarity via array_intersect /
-    array_union sizes. Returns (id_a, id_b, jaccard) >= threshold."""
+    array_union sizes. Returns (id_a, id_b, jaccard) >= threshold.
+
+    ``raw_threshold=True`` filters on the UNROUNDED ratio and rounds
+    only for output. The default (rounded filter) matches the LSH-verify
+    oracles; the raw filter is for candidate generators whose
+    completeness is proven for exact Jaccard >= t (AllPairs prefix
+    filtering) — a rounded filter there would admit a pair with exact
+    Jaccard in [t - 5e-7, t) that the candidate proof doesn't cover."""
     sh = sig_df.select(F.col(id_col), F.col("shingles"))
     joined = (
         pairs.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
@@ -329,6 +337,12 @@ def jaccard_verify(
     jac = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     ).cast("double")
+    if raw_threshold:
+        return (
+            joined.select("id_a", "id_b", jac.alias("_j"))
+            .filter(F.col("_j") >= threshold)
+            .select("id_a", "id_b", F.round("_j", 6).alias("jaccard"))
+        )
     return (
         joined.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
@@ -704,15 +718,20 @@ def prefix_filter_candidates(
     sizes = sh_df.select(
         F.col(id_col).alias("_sz_id"), F.size("shingles").alias("_sz")
     )
+    # `sizes` is one row per document — corpus-cardinality-sized, so a
+    # forced broadcast would pin O(corpus) rows on the driver at scale.
+    # Leave the strategy to AQE: it broadcasts when the (2-column,
+    # int-typed) side is actually small and falls back to a shuffled
+    # join when it is not.
     return (
         pairs.join(
-            F.broadcast(sizes.select(F.col("_sz_id").alias("id_a"),
-                                     F.col("_sz").alias("sz_a"))),
+            sizes.select(F.col("_sz_id").alias("id_a"),
+                         F.col("_sz").alias("sz_a")),
             "id_a",
         )
         .join(
-            F.broadcast(sizes.select(F.col("_sz_id").alias("id_b"),
-                                     F.col("_sz").alias("sz_b"))),
+            sizes.select(F.col("_sz_id").alias("id_b"),
+                         F.col("_sz").alias("sz_b")),
             "id_b",
         )
         .filter(

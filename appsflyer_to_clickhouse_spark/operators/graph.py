@@ -13,6 +13,7 @@ and the driver holds nothing but loop control.
 
 from __future__ import annotations
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -22,6 +23,7 @@ def pagerank(
     iters: int = 3,
     damping: float = 0.85,
     ckpt_every: int = 4,
+    repartition_at: int = 8,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (``src``,
     ``dst``); returns (node, pr) after ``iters`` rounds from a uniform
@@ -62,15 +64,33 @@ def pagerank(
     # only deg's partial-agg output). At web scale where node state
     # outgrows broadcast, hash-partition edges and deg on src once
     # and both this join and the iteration co-locate.
-    # At high iteration counts, additionally .repartition("dst")
-    # before the checkpoint: the per-iteration groupBy(dst) partial
-    # aggregate then combines fully map-side (~|nodes| records per
-    # iteration instead of |nodes| x #partitions). Measured at sf0.1
-    # the repartition's own 2.4M-record shuffle only amortizes past
-    # ~8 iterations, so the 3-iteration default skips it.
-    e = edges.join(F.broadcast(deg), "src").localCheckpoint()
-    n_edges = e.count()
+    # At high iteration counts (>= repartition_at), additionally
+    # .repartition(npart, "dst") before the checkpoint: the
+    # checkpointed LogicalRDD keeps its HashPartitioning(dst), the
+    # broadcast join and the dst->node alias preserve it
+    # (alias-aware output partitioning), so EVERY per-iteration
+    # groupBy(node) runs exchange-free — the iteration loop does
+    # ZERO shuffles instead of emitting ~|nodes| x #partitions
+    # partial-agg records per iteration. The repartition's own
+    # edge-sized shuffle is paid ONCE; measured at sf0.1 it
+    # amortizes past ~8 iterations, so the 3-iteration default
+    # skips it (plan shape pinned in tests/test_pagerank.py).
+    n_edges = edges.count()
     npart = max(1, min(32, n_edges // 100_000 + 1))
+    ej = edges.join(F.broadcast(deg), "src")
+    if iters >= repartition_at:
+        # persist, NOT localCheckpoint: under AQE a checkpointed
+        # LogicalRDD reports UnknownPartitioning (the adaptive plan's
+        # final partitioning isn't known when the RDD handle is
+        # captured), which would silently re-insert the per-iteration
+        # exchange this layout exists to remove. InMemoryTableScan
+        # keeps the cached plan's HashPartitioning.
+        e = ej.repartition(npart, "dst").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        e.count()
+    else:
+        e = ej.localCheckpoint()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(npart))
     try:
@@ -83,8 +103,20 @@ def pagerank(
             deg.select(F.col("src").alias("node"))
             .union(e.select(F.col("dst").alias("node")))
             .distinct()
-            .localCheckpoint()
         )
+        if iters >= repartition_at:
+            # persist nodes on the same hash(node) layout so the
+            # per-iteration nodes-vs-recv join starts co-partitioned
+            # wherever Catalyst's attribute dedup preserves the cached
+            # partitioning (the node-sized exchanges it can't elide
+            # are |nodes|-records each — small next to the partial-agg
+            # saving pinned in tests/test_pagerank.py)
+            nodes = nodes.repartition(npart, "node").persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            nodes.count()
+        else:
+            nodes = nodes.localCheckpoint()
         pr = nodes.withColumn("pr", F.lit(1.0))
         for it in range(iters):
             # rank state is node-sized (orders of magnitude below the
@@ -108,6 +140,13 @@ def pagerank(
             )
             if (it + 1) % ckpt_every == 0 and it != iters - 1:
                 pr = pr.localCheckpoint()
+        if iters >= repartition_at:
+            # materialize the final ranks, then release the loop state
+            # (e + nodes blocks) — a long-iteration caller shouldn't
+            # leak edge-sized cache blocks for the session's lifetime
+            pr = pr.localCheckpoint()
+            e.unpersist()
+            nodes.unpersist()
         return pr
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

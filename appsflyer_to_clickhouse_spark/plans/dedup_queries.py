@@ -919,15 +919,19 @@ def q_dedup_rate_by_source(spark, sf_dir):
                  / len(list_distinct(a.ss || b.ss)), 6) AS jaccard
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE len(list_distinct(a.ss || b.ss)) > 0
-      AND round(len(list_intersect(a.ss, b.ss))::DOUBLE
-                / len(list_distinct(a.ss || b.ss)), 6)
+      AND len(list_intersect(a.ss, b.ss))::DOUBLE
+            / len(list_distinct(a.ss || b.ss))
           >= {JACCARD_THRESHOLD}
     """,
 )
-# NOTE: the oracle thresholds the ROUNDED ratio, matching
-# jaccard_verify's post-round filter (and the dedup_ngram_jaccard
-# oracle) — an unrounded WHERE would disagree on pairs whose exact
-# Jaccard lies in [t - 5e-7, t).
+# NOTE: unlike the LSH-verify oracles, this one thresholds the RAW
+# (unrounded) ratio and rounds only for output, and the Spark side
+# does the same (raw_threshold=True below). The prefix-filter
+# completeness proof guarantees a candidate only for exact Jaccard
+# >= t; a rounded filter would also admit pairs with exact Jaccard in
+# [t - 5e-7, t), which the proof doesn't cover — the zero-false-
+# negative claim must be stated over the same predicate the filter
+# applies.
 def q_dedup_allpairs_prefix(spark, sf_dir):
     """EXACT set-similarity self-join (every pair with shingle-Jaccard
     >= 0.8 — zero false negatives), via AllPairs prefix filtering
@@ -948,4 +952,6 @@ def q_dedup_allpairs_prefix(spark, sf_dir):
         ),
     )
     cand = prefix_filter_candidates(sh_df, "doc_id", 4, 5)
-    return jaccard_verify(cand, sh_df, "doc_id", JACCARD_THRESHOLD)
+    return jaccard_verify(
+        cand, sh_df, "doc_id", JACCARD_THRESHOLD, raw_threshold=True
+    )

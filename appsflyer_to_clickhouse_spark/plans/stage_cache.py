@@ -49,7 +49,15 @@ def shared_stage(
         if owner is spark:
             return df
         # a different (possibly stopped) session owned this stage:
-        # drop the stale handle and rebuild under the current session
+        # drop the stale handle and rebuild under the current session.
+        # Unpersist first — if the old session is still live (two
+        # sessions alternating over the same stage), its persisted
+        # blocks would otherwise leak in that session's block manager;
+        # on a stopped session this raises and is harmless to skip.
+        try:
+            df.unpersist()
+        except Exception:
+            pass
         del _CACHE[key]
     df = build().persist(StorageLevel.MEMORY_AND_DISK)
     _CACHE[key] = (spark, df)

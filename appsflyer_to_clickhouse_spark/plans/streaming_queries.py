@@ -442,6 +442,21 @@ def q_stream_state_store_read(spark, sf_dir):
         )
         q.awaitTermination()
     state = spark.read.format("statestore").load(ckpt)
+    # "value.count" is the PHYSICAL agg-buffer field name, an
+    # undocumented internal that has changed across Spark releases; a
+    # silent rename would make this query return nulls/err obscurely.
+    # Fail loud with the version dependency named instead.
+    value_fields = {
+        f.name for f in state.schema["value"].dataType.fields
+    }
+    if "count" not in value_fields:
+        raise RuntimeError(
+            "statestore value struct has fields "
+            f"{sorted(value_fields)}; expected physical agg-buffer "
+            "field 'count' (internal name, verified on Spark "
+            f"{spark.version}). Update the selector for this Spark "
+            "version."
+        )
     return state.select(
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("bigint").alias("n_events"),
