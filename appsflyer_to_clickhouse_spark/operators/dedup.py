@@ -611,6 +611,26 @@ def semantic_dedup(
         F.col("nn"),
         F.expr(argmax_case_sql(len(protos))).alias("cluster"),
     )
+    return semantic_prune(clustered, threshold, id_col, vec_col)
+
+
+def semantic_prune(
+    clustered: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> DataFrame:
+    """SemDeDup's in-cluster prune, quantizer-agnostic: given
+    (id, vec, nn=<v,v>, cluster), drop every vector whose exact cosine
+    to any lower-id cluster-mate reaches ``threshold``; return
+    surviving (id, cluster). Shared by the md5-prototype exact twin
+    (``semantic_dedup``) and the seeded-KMeans production variant
+    (plans/mllib_queries.py:dedup_semantic_kmeans) — the paper's scale
+    contract lives entirely in this stage: pairs are generated
+    per-cluster (O(n * C), never all-pairs), ids-only until the
+    verify join pulls vectors back."""
+    from .similarity import dot
+
     groups = (
         clustered.groupBy("cluster")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))

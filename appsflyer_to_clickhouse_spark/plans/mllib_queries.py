@@ -86,3 +86,28 @@ def q_similarity_brp_mllib(spark, sf_dir):
     query = emb.filter(F.col("vec_id") == 0).head()
     nn = model.approxNearestNeighbors(emb, query["features"], 10, distCol="dist")
     return nn.select("vec_id", F.round("dist", 6).alias("dist"))
+
+
+@register("dedup_semantic_kmeans", None)
+def q_dedup_semantic_kmeans(spark, sf_dir):
+    """SemDeDup with the PRODUCTION quantizer: seeded-KMeans centroids
+    (operators/ivf.py:build_ivf — sample-fit, full-corpus map-only
+    assignment) replace dedup_semantic's md5 ternary prototypes; the
+    in-cluster cosine prune is the SAME shared stage
+    (operators/dedup.py:semantic_prune), so the paper's K grows-with-n
+    contract is executed code here, not documentation. Iterative
+    k-means is not SQL-expressible (rows-only); the prune is
+    recomputed brute-force over this query's own deterministic
+    assignment and compared exactly in tests/test_mllib_recall.py."""
+    from ..operators.dedup import semantic_prune
+    from ..operators.ivf import build_ivf
+    from ..operators.similarity import dot
+
+    emb = load_fanout(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned, _ = build_ivf(emb, "v", n_clusters=8)
+    clustered = assigned.select(
+        "vec_id", "v", dot(F.col("v"), F.col("v")).alias("nn"), "cluster"
+    )
+    return semantic_prune(clustered, 0.3)

@@ -65,3 +65,90 @@ def test_orphan_parts_are_invisible_to_readers(spark):
     back = read_committed(spark, path, _SCHEMA)
     assert back.count() == 100
     assert back.filter(F.col("k") == "ghost").count() == 0
+
+
+def test_golden_bytes_full_sink_schema(spark):
+    """Byte-pin the JSONL encoder over the FULL 49-column ClickHouse
+    sink schema (7 timestamps incl. NULL, 42 strings incl. NULL/empty)
+    plus the non-pipeline cell types _json_cell supports (date,
+    decimal, binary). The a776c5d serialization fix exists because a
+    real column crashed json.dumps; this keeps the gated path honest
+    without a server: any change to value rendering — timestamp
+    format, decimal losslessness, hex binary, null handling — flips
+    exact bytes here."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from appsflyer_to_clickhouse_spark.schemas import (
+        DATETIME_CH_COLS,
+        ch_sink_schema,
+        sink_columns,
+    )
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        _manifest_files,
+    )
+
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    cols = sink_columns()
+    assert len(cols) == 49
+    ts = dt.datetime(2025, 9, 26, 4, 3, 22)
+    row_full = tuple(
+        ts if c in DATETIME_CH_COLS else f"v_{c}" for c in cols
+    )
+    # every timestamp NULL, strings alternate NULL / empty-string —
+    # the sentinel distinction the ETL is contractually required to keep
+    row_nulls = tuple(
+        None if c in DATETIME_CH_COLS else (None if i % 2 else "")
+        for i, c in enumerate(cols)
+    )
+    path = tempfile.mkdtemp(prefix="chb_gold_") + "/out"
+    df = spark.createDataFrame([row_full, row_nulls], ch_sink_schema())
+    (
+        df.coalesce(1).write.format("chbatch")
+        .option("path", path).mode("append").save()
+    )
+    [part] = _manifest_files(path)
+    with open(part, "rb") as fh:
+        lines = sorted(fh.read().splitlines())
+    assert len(lines) == 2
+    # golden bytes, spot-pinned start/end plus exact invariants
+    full_line = next(l for l in lines if b"v_ad" in l)
+    null_line = next(l for l in lines if b"v_ad" not in l)
+    assert full_line.startswith(
+        b'{"ad": "v_ad", "ad_type": "v_ad_type", "adset": "v_adset", '
+        b'"appsflyer_id": "v_appsflyer_id", '
+        b'"attributed_touch_time": "2025-09-26 04:03:22", '
+        b'"attributed_touch_type": "v_attributed_touch_type"'
+    ), full_line[:250]
+    assert b'"install_time": "2025-09-26 04:03:22"' in full_line
+    assert full_line.count(b"2025-09-26 04:03:22") == 7
+    assert null_line.count(b"null") == 7 + sum(
+        1 for i, c in enumerate(cols) if c not in DATETIME_CH_COLS and i % 2
+    )
+    assert null_line.count(b'""') == sum(
+        1 for i, c in enumerate(cols) if c not in DATETIME_CH_COLS and not i % 2
+    )
+
+    # scalar cell-type branches, exact golden line
+    aux_schema = T.StructType(
+        [
+            T.StructField("d", T.DateType()),
+            T.StructField("dec", T.DecimalType(20, 6)),
+            T.StructField("bin", T.BinaryType()),
+            T.StructField("s", T.StringType()),
+        ]
+    )
+    aux_path = tempfile.mkdtemp(prefix="chb_gold_aux_") + "/out"
+    aux = spark.createDataFrame(
+        [(dt.date(1994, 1, 1), Decimal("12345678901234.567890"), b"\x00\xffAB", None)],
+        aux_schema,
+    )
+    aux.coalesce(1).write.format("chbatch").option("path", aux_path).mode(
+        "append"
+    ).save()
+    [aux_part] = _manifest_files(aux_path)
+    with open(aux_part, "rb") as fh:
+        assert fh.read() == (
+            b'{"bin": "00ff4142", "d": "1994-01-01", '
+            b'"dec": "12345678901234.567890", "s": null}\n'
+        )

@@ -28,6 +28,7 @@ def test_queries_and_oracles_align():
         "dedup_minhash_mllib",
         "similarity_ivf_kmeans",
         "similarity_brp_mllib",
+        "dedup_semantic_kmeans",
     }, rows_only
 
 

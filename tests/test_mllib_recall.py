@@ -41,3 +41,47 @@ def test_mllib_brp_neighbours_overlap_brute_force(spark):
     assert brute[0] in ann
     overlap = len(set(brute[:5]) & ann)
     assert overlap >= 3, f"only {overlap} of brute-force top-5 found by BRP-LSH"
+
+
+def test_semantic_kmeans_prune_matches_brute_force(spark):
+    """dedup_semantic_kmeans is rows-only (iterative k-means has no SQL
+    twin), so verify the half that IS checkable exactly: given the
+    query's own deterministic cluster assignment, the surviving set
+    must equal a brute-force recomputation of the SemDeDup drop rule
+    (drop every id with a lower-id cluster-mate at cosine >= 0.3)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from appsflyer_to_clickhouse_spark.operators.ivf import build_ivf
+    from appsflyer_to_clickhouse_spark.plans.registry import load_fanout
+
+    survivors = {
+        (r["vec_id"], r["cluster"])
+        for r in QUERIES["dedup_semantic_kmeans"](spark, SF_SMALL).collect()
+    }
+
+    emb = load_fanout(spark, SF_SMALL, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned, _ = build_ivf(emb, "v", n_clusters=8)  # same seed -> same clusters
+    rows = assigned.select("vec_id", "v", "cluster").collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append((r["vec_id"], r["v"]))
+    expected = set()
+    for cl, members in by_cluster.items():
+        members.sort()
+        for i, (id_b, vb) in enumerate(members):
+            nb = math.sqrt(sum(x * x for x in vb))
+            dropped = False
+            for id_a, va in members[:i]:
+                na = math.sqrt(sum(x * x for x in va))
+                cos = round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 6)
+                if cos >= 0.3:
+                    dropped = True
+                    break
+            if not dropped:
+                expected.add((id_b, cl))
+    assert survivors == expected
+    assert len(by_cluster) > 1, "k-means degenerated to one cluster"

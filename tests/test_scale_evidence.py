@@ -168,3 +168,137 @@ def test_allpairs_size_filter_prunes_candidates(spark):
     assert filtered < raw, (filtered, raw)
     # on this corpus the gate removes the majority of prefix collisions
     assert filtered * 2 <= raw, (filtered, raw)
+
+
+# ---------------------------------------------------------------------------
+# Growth-curve evidence: candidate counts must scale ~linearly in corpus
+# size for every candidate-bounded family (VERDICT r3 task 6). Three
+# corpus sizes spanning 10x, one generation recipe (tests/scale_fixtures
+# mirrors the driver corpus's statistics with BOUNDED near-dup cluster
+# sizes); a quadratic pair generator would show ~100x growth across the
+# range and fail the 3x-over-linear ceiling immediately.
+# ---------------------------------------------------------------------------
+
+_GROWTH_NS = (1_500, 5_000, 15_000)
+
+
+def _growth_counts(spark, counter) -> list[int]:
+    from .scale_fixtures import ensure_fixture
+
+    return [counter(spark, ensure_fixture(n)) for n in _GROWTH_NS]
+
+
+def _assert_linearish(counts: list[int], label: str) -> None:
+    c1, c2, c3 = counts
+    assert c1 > 0, (label, counts)  # planted clusters present at every n
+    n1, n2, n3 = _GROWTH_NS
+    # ceiling: 3x over proportional growth (quadratic would be 10x over
+    # at the far point); floor: counts must actually grow with n
+    assert c3 <= 3 * (n3 / n1) * c1, (label, counts)
+    assert c2 <= 3 * (n2 / n1) * c1, (label, counts)
+    assert c3 > c1, (label, counts)
+
+
+def test_growth_minhash_lsh_candidates_linear(spark):
+    from appsflyer_to_clickhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from appsflyer_to_clickhouse_spark.plans.dedup_queries import (
+        BANDS,
+        NUM_HASHES,
+        ROWS_PER_BAND,
+    )
+
+    def count(spark, d):
+        docs = load(spark, d, "documents")
+        sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
+        return lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND).count()
+
+    _assert_linearish(_growth_counts(spark, count), "minhash_lsh")
+
+
+# For FIXED-width banding (simhash 4x15-bit, sign-LSH 4x15-bit) linear
+# growth is not the right claim: two unrelated items collide in a band
+# with probability ~2^-bits, so the background candidate count is
+# ~bands * n^2 / 2^(bits+1) — QUADRATIC with a 1/32768 constant, by
+# construction, at any corpus entropy. The production policy is that
+# band width grows with log(n) to hold n^2/2^bits bounded (documented
+# at the operators); what the fixed-parameter pin can and does assert
+# is the theoretical reduction factor: candidates stay within a small
+# multiple of planted + background at EVERY size, i.e. the bucketing
+# delivers its ~2^bits/bands (~32,000x) cut over all-pairs throughout
+# the range.
+
+_BAND_BITS, _N_BANDS = 15, 4
+
+
+def _assert_background_bounded(counts: list[int], label: str) -> None:
+    for n, c in zip(_GROWTH_NS, counts):
+        background = _N_BANDS * n * n / 2 / (1 << _BAND_BITS)
+        planted = n  # bounded clusters: <= ~n planted pairs
+        assert c > 0, (label, counts)
+        assert c <= 3 * (planted + background), (label, n, c, background)
+        # and genuinely never all-pairs: >= 500x below the frontier
+        assert c * 500 <= n * (n - 1) / 2, (label, n, c)
+
+
+def test_growth_simhash_band_candidates_background_bounded(spark):
+    def count(spark, d):
+        docs = load(spark, d, "documents")
+        sims = simhash_signatures(docs, "text", 3).select("simhash")
+        return _band_pair_bound(sims, 15, 4)[1]
+
+    _assert_background_bounded(_growth_counts(spark, count), "simhash_bands")
+
+
+def test_growth_signlsh_candidates_background_bounded(spark):
+    from appsflyer_to_clickhouse_spark.operators.similarity import (
+        band_values,
+        sparse_sign_signature_sql,
+    )
+    from appsflyer_to_clickhouse_spark.plans.dedup_queries import (
+        _EMB_BAND_BITS,
+        _EMB_BANDS,
+        _PLANES,
+    )
+
+    def count(spark, d):
+        emb = load(spark, d, "embeddings").select(
+            F.col("embedding").cast("array<double>").alias("v")
+        )
+        sig = emb.select(
+            F.expr(sparse_sign_signature_sql(_PLANES, "v", "spark")).alias("s")
+        )
+        banded = sig.select(
+            F.posexplode(
+                band_values(F.col("s"), _EMB_BAND_BITS, _EMB_BANDS)
+            ).alias("b", "v")
+        )
+        return int(
+            banded.groupBy("b", "v")
+            .count()
+            .agg(F.sum(F.col("count") * (F.col("count") - 1) / 2))
+            .collect()[0][0]
+        )
+
+    _assert_background_bounded(_growth_counts(spark, count), "sign_lsh")
+
+
+def test_growth_allpairs_prefix_candidates_linear(spark):
+    from appsflyer_to_clickhouse_spark.functions.text import (
+        tokens,
+        word_shingles,
+    )
+    from appsflyer_to_clickhouse_spark.operators.dedup import (
+        prefix_filter_candidates,
+    )
+
+    def count(spark, d):
+        docs = load(spark, d, "documents")
+        sh_df = docs.select(
+            "doc_id", word_shingles(tokens(F.col("text")), 3).alias("shingles")
+        )
+        return prefix_filter_candidates(sh_df, "doc_id", 4, 5).count()
+
+    _assert_linearish(_growth_counts(spark, count), "allpairs_prefix")
