@@ -482,8 +482,9 @@ def embedding_cosine_pairs(
 
     Stages: (1) map-only sign signature per vector over SPARSE ternary
     planes (operators/similarity.py:sparse_planes — md5-derived, so the
-    oracle embeds the SAME planes; sparse keeps the expression inside
-    whole-stage codegen); (2) band the signature, groupBy (band_idx,
+    oracle embeds the SAME planes; computed by the Arrow-vectorized
+    kernel, bit-identical to the oracle's SQL chain); (2) band the
+    signature, groupBy (band_idx,
     band_val), explode in-group id pairs — the signature subplan
     computes ONCE (a banded self-join would recompute all the plane
     dots on both sides); (3) join candidate ids back to vectors and
@@ -492,12 +493,19 @@ def embedding_cosine_pairs(
     computed at ingest and stored; recall for near-identical vectors is
     amplified by OR over bands — add bands to raise recall, bits to cut
     candidates."""
-    from .similarity import band_values, dot, sparse_sign_signature_sql
+    from .similarity import band_values, dot, sparse_sign_signature_udf
 
+    # Arrow-vectorized signatures (bit-identical to the SQL chain the
+    # oracle runs — see sparse_sign_signature_udf's tie-rescue note).
+    # The persist is a projection-collapse barrier: band_values()
+    # references the signature once per band, and CollapseProject
+    # would otherwise inline the signature computation into each of
+    # the num_bands array elements; the cached (id, bigint) frame is
+    # tiny and guarantees one evaluation.
     sig = emb.select(
         F.col(id_col),
-        F.expr(sparse_sign_signature_sql(planes, vec_col, "spark")).alias("s"),
-    )
+        sparse_sign_signature_udf(planes)(F.col(vec_col)).alias("s"),
+    ).persist()
     banded = sig.select(
         F.col(id_col),
         F.posexplode(band_values(F.col("s"), band_bits, num_bands)).alias(

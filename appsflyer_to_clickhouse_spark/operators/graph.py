@@ -90,6 +90,15 @@ def pagerank(
         )
         e.count()
     else:
+        # SHORT runs checkpoint too: each iteration's broadcast(pr) is
+        # its own JOB (broadcast exchanges materialize their subtree
+        # when built, and cross-JOB reuse needs a materialized input —
+        # ReuseExchange only dedupes within one execution), so a lazy e
+        # makes iteration k's broadcast re-run the edge join k times
+        # over. Measured at sf0.1 (cold stage cache, bench conditions):
+        # lazy 24.5 s cold / ~15 s warm vs the checkpointed form's
+        # ~9.5 s cold — the materialization job pays for itself on the
+        # FIRST iteration's broadcast.
         e = ej.localCheckpoint()
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(npart))
@@ -116,6 +125,10 @@ def pagerank(
             )
             nodes.count()
         else:
+            # short runs checkpoint nodes for the same per-broadcast
+            # re-execution reason as e above: nodes feeds every
+            # iteration's pr (hence every broadcast job) AND the final
+            # left join.
             nodes = nodes.localCheckpoint()
         pr = nodes.withColumn("pr", F.lit(1.0))
         for it in range(iters):

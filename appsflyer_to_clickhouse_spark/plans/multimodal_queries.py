@@ -353,9 +353,7 @@ def q_multimodal_features_arrow(spark, sf_dir):
 # multimodal_cdc_chunks — content-defined chunking for blob dedup
 # ---------------------------------------------------------------------------
 
-_CDC_WIN = 3      # boundary-hash window, bytes (24-bit word)
-_CDC_MASK_BITS = 5  # boundary when top 5 of 24 product bits are 0 -> ~1/32
-_CDC_MULT = 2654435761  # Knuth multiplicative constant (2^32 / phi)
+from ..multimodal.cdc import _CDC_MULT, cdc_chunk_digests  # noqa: E402
 
 # Cut-point list over hex(payload): 0, every interior position whose
 # windowed multiplicative hash hits the mask (i in [4, nb-4] INCLUSIVE
@@ -419,50 +417,28 @@ def q_multimodal_cdc_chunks(spark, sf_dir):
     only the chunks around the edit change, where fixed-size chunking
     re-digests the entire tail. Per payload: chunk count, chunks whose
     digest occurs anywhere else in the corpus, and the shared ratio —
-    the storage-dedup win CDC would realize. The boundary function is
-    a Knuth multiplicative hash of the 3-byte window (top-bits mask —
-    every input bit reaches the tested bits; pure integer arithmetic,
-    ~50x cheaper per position than the md5 rolling hash it replaced:
-    56s -> ~2s at sf0.1). Map-only per-payload chunking (one
-    interpreted-HOF pass over hex); md5 survives only as the per-CHUNK
-    digest, and the only shuffle is the digest-frequency aggregate,
-    bounded by distinct chunks."""
+    the storage-dedup win CDC would realize. The chunking kernel is
+    the vectorized Arrow UDF in multimodal/cdc.py (numpy evaluates
+    every position of a payload in one shift/multiply/compare pass;
+    measured at sf0.1: 56 s md5-rolling -> 9.4 s interpreted HOF ->
+    3.4 s Arrow UDF, identical digests — the DuckDB oracle keeps the
+    independent HOF formulation as the per-digest pin). Map-only
+    per-payload chunking; the only shuffle is the digest-frequency
+    aggregate, bounded by distinct chunks."""
     docs = load(spark, sf_dir, "documents")
-    hxs = docs.select(
-        "doc_id",
-        F.hex(F.encode(F.col("text"), "UTF-8")).alias("hx"),
-        F.octet_length(F.encode(F.col("text"), "UTF-8"))
-        .cast("bigint")
-        .alias("nb"),
-    )
-    cuts_expr = (
-        "CASE WHEN nb >= 8 THEN concat(array(0L), "
-        "filter(transform(sequence(4, greatest(nb - 4, 4)), "
-        f"i -> CASE WHEN (cast(conv(substring(hx, cast(i*2+1 as int), 6), 16, 10) as bigint) "
-        f"* {_CDC_MULT}) % 16777216 DIV 524288 = 0 "
-        "THEN cast(i as bigint) END), x -> x is not null), array(nb)) "
-        "ELSE concat(array(0L), array(nb)) END"
-    )
-    digests_expr = (
-        "zip_with(slice(cuts, 1, size(cuts) - 1), "
-        "slice(cuts, 2, size(cuts) - 1), "
-        "(a, b) -> md5(substring(hx, cast(a*2+1 as int), cast((b - a)*2 as int))))"
-    )
-    cut = hxs.withColumn("cuts", F.expr(cuts_expr)).withColumn(
-        "digests", F.expr(digests_expr)
-    )
     # explode_outer, NOT explode: InferFiltersFromGenerate turns a
     # plain explode into a pushed `size(digests) > 0` filter whose
-    # predicate INLINES the whole per-position chunking expression a
-    # second time below the projection — explode_outer (identical
-    # here: digests always has >= 1 element, cuts >= 2 cut points)
-    # is exempt from that rule and keeps the HOF single-evaluation.
-    ch = cut.select("doc_id", F.explode_outer("digests").alias("digest"))
+    # predicate re-evaluates the generator input a second time below
+    # the projection — explode_outer (identical here: digests always
+    # has >= 1 element) is exempt and keeps the UDF single-evaluation.
+    ch = docs.select(
+        "doc_id",
+        F.explode_outer(cdc_chunk_digests(F.col("text"))).alias("digest"),
+    )
     # Corpus-wide digest frequency via a WINDOW over the exploded
     # chunks, not groupBy+join-back: the join shape evaluates the
-    # chunking expressions twice (build and probe side each re-run
-    # the per-position HOF) — the window shape runs them ONCE and
-    # shuffles once on digest.
+    # chunking UDF twice (build and probe side each re-run it) — the
+    # window shape runs it ONCE and shuffles once on digest.
     ch2 = ch.select(
         "doc_id",
         F.count("*").over(Window.partitionBy("digest")).alias("f"),

@@ -458,16 +458,18 @@ def test_udtf_runs_on_arrow_not_pickle(spark):
     assert "BatchEvalPythonUDTF" not in plan
 
 
-def test_cdc_chunking_hof_evaluates_exactly_once(spark):
-    """multimodal_cdc_chunks: the per-position boundary-hash HOF must
-    appear ONCE in the physical plan. Two historical regressions are
-    pinned away: (1) groupBy+join-back frequency counting re-ran the
-    chunking on build AND probe sides (fixed: window count), and
-    (2) InferFiltersFromGenerate turned explode into a pushed
-    size()>0 filter that inlined the whole expression again (fixed:
-    explode_outer). Together they were a 15x slowdown at sf0.1."""
+def test_cdc_chunking_kernel_evaluates_exactly_once(spark):
+    """multimodal_cdc_chunks: the chunking kernel (now the Arrow UDF in
+    multimodal/cdc.py) must appear ONCE in the physical plan. Two
+    historical regressions are pinned away: (1) groupBy+join-back
+    frequency counting re-ran the chunking on build AND probe sides
+    (fixed: window count), and (2) InferFiltersFromGenerate turned
+    explode into a pushed size()>0 filter that inlined the whole
+    expression again (fixed: explode_outer). Together they were a 15x
+    slowdown at sf0.1 back when the kernel was a per-position SQL HOF."""
     plan = _plan(spark, "multimodal_cdc_chunks")
-    assert plan.count("conv(") == 1
+    assert plan.count("cdc_chunk_digests") == 1
+    assert "ArrowEvalPython" in plan  # vectorized, never BatchEvalPython
     assert "Window" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
 

@@ -302,3 +302,35 @@ def test_growth_allpairs_prefix_candidates_linear(spark):
         return prefix_filter_candidates(sh_df, "doc_id", 4, 5).count()
 
     _assert_linearish(_growth_counts(spark, count), "allpairs_prefix")
+
+
+def test_sparse_sign_udf_bit_identical_to_sql_chain(spark):
+    """Full-corpus bit-identity of the Arrow signature kernel vs the
+    left-to-right SQL chain the oracle runs — the contract
+    sparse_sign_signature_udf's tie-rescue exists to uphold. Checked
+    on the driver corpus AND a 5,000-vector generated fixture so the
+    pin covers ~7k vectors, every one through both paths."""
+    from .scale_fixtures import ensure_fixture
+    from appsflyer_to_clickhouse_spark.operators.similarity import (
+        sparse_sign_signature_sql,
+        sparse_sign_signature_udf,
+    )
+    from appsflyer_to_clickhouse_spark.plans.dedup_queries import _PLANES
+
+    udf = sparse_sign_signature_udf(_PLANES)
+    for d in (SF, ensure_fixture(5_000)):
+        emb = load(spark, d, "embeddings").select(
+            F.col("vec_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        diff = (
+            emb.select(
+                udf(F.col("v")).alias("a"),
+                F.expr(
+                    sparse_sign_signature_sql(_PLANES, "v", "spark")
+                ).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .count()
+        )
+        assert diff == 0, (d, diff)
