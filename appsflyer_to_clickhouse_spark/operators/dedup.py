@@ -497,15 +497,17 @@ def embedding_cosine_pairs(
 
     # Arrow-vectorized signatures (bit-identical to the SQL chain the
     # oracle runs — see sparse_sign_signature_udf's tie-rescue note).
-    # The persist is a projection-collapse barrier: band_values()
-    # references the signature once per band, and CollapseProject
-    # would otherwise inline the signature computation into each of
-    # the num_bands array elements; the cached (id, bigint) frame is
-    # tiny and guarantees one evaluation.
+    # No projection-collapse barrier needed: ExtractPythonUDFs pulls
+    # the UDF into ONE ArrowEvalPython node whose output attribute the
+    # per-band projections reference, so the kernel runs once per row
+    # even though band_values() mentions the signature num_bands times
+    # (plan-pinned in tests/test_plan_shapes.py) — unlike the SQL-
+    # expression form this replaced, which CollapseProject inlined
+    # into every band element.
     sig = emb.select(
         F.col(id_col),
         sparse_sign_signature_udf(planes)(F.col(vec_col)).alias("s"),
-    ).persist()
+    )
     banded = sig.select(
         F.col(id_col),
         F.posexplode(band_values(F.col("s"), band_bits, num_bands)).alias(

@@ -396,10 +396,13 @@ def q_dedup_embedding_cosine(spark, sf_dir):
     Blocking on an LSH band — not a fixed-cardinality column like
     ``label`` — keeps in-block pair counts tracking corpus density
     instead of ~n^2/#labels, which is what survives a 100x scale-up.
-    The planes are deterministic literals embedded in BOTH plans with
-    the same left-to-right fold order, so the candidate set (hence the
-    result) is exactly reproducible cross-engine. Dot products in
-    double via JVM expressions inside codegen — no UDF."""
+    The planes are deterministic literals embedded in BOTH plans; the
+    Spark side computes signatures with the Arrow kernel
+    (operators/similarity.py:sparse_sign_signature_udf), whose
+    tie-rescue keeps it bit-identical to the oracle's left-to-right
+    SQL fold, so the candidate set (hence the result) is exactly
+    reproducible cross-engine. The exact-cosine verify stays JVM-side
+    inside codegen."""
     emb = load_fanout(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )

@@ -179,6 +179,12 @@ def main() -> int:
         # Arrow-batched Python UDTF / UDAF — same worker-fleet profile
         "udtf_tokenize_lateral",
         "udaf_grouped_median",
+        # Arrow-kernel queries (vectorized sign-LSH signature / CDC
+        # chunking UDFs) — running them mid-group-1 charged worker
+        # spin-up to the HOF group and the post-Arrow deopt inflated
+        # every later JVM-only HOF timing
+        "dedup_embedding_cosine",
+        "multimodal_cdc_chunks",
     }
     hof_prefixes = (
         "dedup_",
@@ -191,9 +197,7 @@ def main() -> int:
         "text_decontaminate",
         # runs the MinHash/LSH signature pipeline for its clusters
         "split_leakage_safe",
-        # per-position interpreted window-hash HOF (CDC chunking) and
         # md5-per-chunk simhash over binary payloads
-        "multimodal_cdc_chunks",
         "multimodal_near_dup",
     )
 

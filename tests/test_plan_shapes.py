@@ -90,6 +90,14 @@ def test_embedding_cosine_is_blocked_not_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     # the in-bucket pair expansion exists (generator over the grouped ids)
     assert "Generate" in plan
+    # the Arrow signature kernel must run ONCE per row: ExtractPythonUDFs
+    # collapses the num_bands references into one ArrowEvalPython node
+    # (this replaced a persist barrier the SQL-expression form needed
+    # against CollapseProject inlining the signature into every band).
+    # formatted explain prints every node twice — tree line + details
+    # block — so ONE node is exactly two string hits.
+    assert plan.count("ArrowEvalPython") == 2
+    assert "BatchEvalPython" not in plan
 
 
 def test_salted_lsh_redistributes_chunk_pairs(spark):
