@@ -75,10 +75,13 @@ def pagerank(
     # edge-sized shuffle is paid ONCE; measured at sf0.1 it
     # amortizes past ~8 iterations, so the 3-iteration default
     # skips it (plan shape pinned in tests/test_pagerank.py).
-    n_edges = edges.count()
-    npart = max(1, min(32, n_edges // 100_000 + 1))
     ej = edges.join(F.broadcast(deg), "src")
     if iters >= repartition_at:
+        # the repartition needs the edge count BEFORE building e —
+        # this is the one branch that pays a full extra execution of
+        # the caller's edge subplan for it.
+        n_edges = edges.count()
+        npart = max(1, min(32, n_edges // 100_000 + 1))
         # persist, NOT localCheckpoint: under AQE a checkpointed
         # LogicalRDD reports UnknownPartitioning (the adaptive plan's
         # final partitioning isn't known when the RDD handle is
@@ -98,10 +101,14 @@ def pagerank(
         # over. Measured at sf0.1 (cold stage cache, bench conditions):
         # lazy 24.5 s cold / ~15 s warm vs the checkpointed form's
         # ~9.5 s cold — the materialization job pays for itself on the
-        # FIRST iteration's broadcast.
+        # FIRST iteration's broadcast. Counting the CHECKPOINTED frame
+        # is then free (no second execution of the edge subplan).
         e = ej.localCheckpoint()
+        n_edges = e.count()
+        npart = max(1, min(32, n_edges // 100_000 + 1))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    nodes = None
     try:
         # the node set must cover BOTH endpoints: sources come free as
         # deg's group keys, but a node appearing only as a destination
@@ -154,12 +161,17 @@ def pagerank(
             if (it + 1) % ckpt_every == 0 and it != iters - 1:
                 pr = pr.localCheckpoint()
         if iters >= repartition_at:
-            # materialize the final ranks, then release the loop state
-            # (e + nodes blocks) — a long-iteration caller shouldn't
-            # leak edge-sized cache blocks for the session's lifetime
+            # materialize the final ranks so the persisted loop state
+            # can be released before returning
             pr = pr.localCheckpoint()
-            e.unpersist()
-            nodes.unpersist()
         return pr
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if iters >= repartition_at:
+            # release the edge-sized cache blocks on EVERY exit path —
+            # an exception mid-iteration must not leak them for the
+            # session's lifetime (unpersist on a frame that never
+            # materialized is a harmless no-op)
+            e.unpersist()
+            if nodes is not None:
+                nodes.unpersist()

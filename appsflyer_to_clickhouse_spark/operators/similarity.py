@@ -174,10 +174,20 @@ def sparse_sign_signature_udf(planes: list[list[int]]):
     dot's magnitude is below that rounding bound, so every dot with
     |dot| <= 1e-9 * sum(|terms|) (a deliberately loose ceiling on
     order-dependent error) is recomputed with the SQL's exact
-    left-to-right chain in Python before the sign test. Result: bit-
-    identical signatures to the SQL/oracle form on ANY input, not
-    just inputs without near-zero dots — pinned against the SQL
-    expression over the full corpus in tests/test_scale_evidence.py."""
+    left-to-right chain in Python before the sign test.
+
+    Non-finite inputs: a NaN element would poison EVERY plane's dot
+    in the matmul, where the SQL chain only taints planes whose
+    nonzero coefficients touch that dimension — so any row containing
+    a non-finite value is recomputed per-plane with the exact chain,
+    and a NaN accumulation sets the bit (both Spark and DuckDB order
+    NaN greater than every value, so ``CASE WHEN nan > 0`` is TRUE —
+    verified on both engines). One documented divergence remains:
+    a NULL ELEMENT inside a non-null vector reaches pandas as NaN
+    (Arrow cannot distinguish them), so it takes the NaN semantics
+    (bit 1 on touched planes) where pure Spark SQL would yield NULL
+    comparisons (bit 0). Pinned bit-identical to the SQL expression —
+    including NaN/inf vectors — in tests/test_scale_evidence.py."""
     mat = np.array(planes, dtype=np.float64).T  # dim x P
     amat = np.abs(mat)
     n_planes = len(planes)
@@ -197,15 +207,29 @@ def sparse_sign_signature_udf(planes: list[list[int]]):
                 for v, none in zip(vs.to_numpy(), null_mask)
             ]
         )
+        finite = np.isfinite(stack).all(axis=1)
         dots = stack @ mat
-        ties = np.argwhere(np.abs(dots) <= 1e-9 * (np.abs(stack) @ amat))
+        ties = np.argwhere(
+            (np.abs(dots) <= 1e-9 * (np.abs(stack) @ amat))
+            & finite[:, None]
+        )
         for r, p in ties:
             acc = 0.0
             row = stack[r]
             for d, x in chain_terms[p]:
                 acc = acc + row[d] if x == 1 else acc - row[d]
             dots[r, p] = acc
-        packed = (dots > 0).astype(np.uint64) @ powers
+        bits = dots > 0
+        for r in np.nonzero(~finite)[0]:
+            row = stack[r]
+            for p in range(n_planes):
+                acc = 0.0
+                for d, x in chain_terms[p]:
+                    acc = acc + row[d] if x == 1 else acc - row[d]
+                # NaN > 0 is TRUE in Spark and DuckDB (NaN orders
+                # greatest) but False in Python — set the bit explicitly
+                bits[r, p] = bool(np.isnan(acc)) or acc > 0
+        packed = bits.astype(np.uint64) @ powers
         out = packed.astype(np.int64)
         # SQL semantics for a NULL vector: every CASE term is 0 -> 0
         out[null_mask.to_numpy()] = 0

@@ -107,7 +107,13 @@ def q_dedup_semantic_kmeans(spark, sf_dir):
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     assigned, _ = build_ivf(emb, "v", n_clusters=8)
+    # semantic_prune references its input four times (group agg, both
+    # verify-join sides, survivor anti-join) and Spark has no cross-
+    # input subplan reuse — without a materialization barrier the
+    # full-corpus scan + KMeans transform would execute ~4x per run.
+    # The md5-prototype twin tolerates that shape (its assignment is a
+    # cheap codegen expression); an MLlib transform does not.
     clustered = assigned.select(
         "vec_id", "v", dot(F.col("v"), F.col("v")).alias("nn"), "cluster"
-    )
+    ).localCheckpoint()
     return semantic_prune(clustered, 0.3)

@@ -387,7 +387,7 @@ def _cdc_digests_duck() -> str:
     WITH hxs AS (
       SELECT doc_id, hex(text::BLOB) AS hx,
              octet_length(text::BLOB)::BIGINT AS nb
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     ),
     cut AS (
       SELECT doc_id, hx, nb, {_cdc_digests_duck()} AS digests
@@ -431,7 +431,11 @@ def q_multimodal_cdc_chunks(spark, sf_dir):
     # predicate re-evaluates the generator input a second time below
     # the projection — explode_outer (identical here: digests always
     # has >= 1 element) is exempt and keeps the UDF single-evaluation.
-    ch = docs.select(
+    # NULL texts are excluded on BOTH sides (filter here, WHERE in the
+    # oracle): the Spark window would group a NULL digest into a row
+    # while the oracle's equality join drops it — a silent row-count
+    # divergence on any corpus with a NULL document.
+    ch = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.explode_outer(cdc_chunk_digests(F.col("text"))).alias("digest"),
     )

@@ -64,6 +64,9 @@ def _rowset(cols, rows):
 # when the values match.  Fix the oracle (CAST ... AS BIGINT / unnest)
 # rather than loosening this list.
 _PANDAS_UNSAFE_TYPES = ("HUGEINT", "UHUGEINT", "LIST", "STRUCT", "MAP", "UNION")
+# DuckDB renders list types as "TYPE[]" (e.g. "BIGINT[]"), never as the
+# word LIST — the "[]" suffix check below is what actually catches the
+# round-2 agg_percentiles class; "LIST" is kept for array-ish aliases.
 
 
 def assert_pandas_safe(rel) -> None:
@@ -76,6 +79,7 @@ def assert_pandas_safe(rel) -> None:
         (c, str(t))
         for c, t in zip(rel.columns, rel.types)
         if any(h in str(t).upper() for h in _PANDAS_UNSAFE_TYPES)
+        or "[]" in str(t)
     ]
     assert not bad, (
         "oracle result schema contains pandas-unsafe DuckDB types "

@@ -99,6 +99,19 @@ def test_pandas_safe_guard_trips_on_hugeint():
     )
 
 
+def test_pandas_safe_guard_trips_on_list():
+    """Self-test for the round-2 agg_percentiles class: DuckDB renders
+    list types as "TYPE[]" (never the word LIST), so the guard must
+    match the bracket suffix — pandas materializes these cells as
+    unhashable numpy arrays in the external gate."""
+    con = duckdb_conn(SF_SMALL)
+    rel = con.sql(
+        "SELECT list(o_custkey) AS l FROM orders GROUP BY o_orderstatus"
+    )
+    with pytest.raises(AssertionError, match="pandas-unsafe"):
+        assert_pandas_safe(rel)
+
+
 def test_no_complex_typed_result_columns(spark):
     """External canonicalizers hash result CELLS and die on
     list/struct/map-typed values (round-2's agg_percentiles err row:

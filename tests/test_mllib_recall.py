@@ -49,6 +49,7 @@ def test_semantic_kmeans_prune_matches_brute_force(spark):
     query's own deterministic cluster assignment, the surviving set
     must equal a brute-force recomputation of the SemDeDup drop rule
     (drop every id with a lower-id cluster-mate at cosine >= 0.3)."""
+    import decimal
     import math
 
     from pyspark.sql import functions as F
@@ -77,7 +78,17 @@ def test_semantic_kmeans_prune_matches_brute_force(spark):
             dropped = False
             for id_a, va in members[:i]:
                 na = math.sqrt(sum(x * x for x in va))
-                cos = round(sum(x * y for x, y in zip(va, vb)) / (na * nb), 6)
+                raw = sum(x * y for x, y in zip(va, vb)) / (na * nb)
+                # Spark F.round is HALF_UP; Python round() is banker's
+                # (half-to-even) — a representable 6-decimal half-
+                # boundary would classify differently, so quantize with
+                # the same rule the query applies
+                cos = float(
+                    decimal.Decimal(raw).quantize(
+                        decimal.Decimal("0.000001"),
+                        rounding=decimal.ROUND_HALF_UP,
+                    )
+                )
                 if cos >= 0.3:
                     dropped = True
                     break

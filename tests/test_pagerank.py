@@ -82,7 +82,7 @@ def test_pagerank_repartition_path_cuts_shuffle_records(spark):
     1.21 GB -> 176 MB shuffle written, identical ranks)."""
     from bench import _metrics_since
 
-    edges = _dense_edges(spark)  # 240k edges -> npart=3 internally
+    edges = _dense_edges(spark)  # 50k nodes x fan 6 = 300k edges -> npart=4
     edges.persist().count()
     try:
         results, records = {}, {}

@@ -334,3 +334,34 @@ def test_sparse_sign_udf_bit_identical_to_sql_chain(spark):
             .count()
         )
         assert diff == 0, (d, diff)
+
+
+def test_sparse_sign_udf_nonfinite_matches_sql_chain(spark):
+    """NaN/inf vectors: the matmul would poison every plane, where the
+    SQL chain only taints planes touching the bad dimension — and both
+    engines treat NaN > 0 as TRUE (NaN orders greatest). The UDF's
+    non-finite rescue must reproduce the SQL chain bit-for-bit."""
+    from appsflyer_to_clickhouse_spark.operators.similarity import (
+        sparse_sign_signature_sql,
+        sparse_sign_signature_udf,
+    )
+    from appsflyer_to_clickhouse_spark.plans.dedup_queries import _PLANES
+
+    nan, inf = float("nan"), float("inf")
+    rows = [
+        (1, [nan] * 64),
+        (2, [0.5] * 63 + [nan]),
+        (3, [1.0] * 32 + [-inf] * 32),
+        (4, [inf] + [0.0] * 62 + [-inf]),
+        (5, None),
+        (6, [0.25] * 64),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, v array<double>")
+    udf = sparse_sign_signature_udf(_PLANES)
+    got = df.select(
+        "vec_id",
+        udf(F.col("v")).alias("a"),
+        F.expr(sparse_sign_signature_sql(_PLANES, "v", "spark")).alias("b"),
+    ).collect()
+    for r in got:
+        assert r.a == r.b, (r.vec_id, r.a, r.b)
