@@ -59,7 +59,9 @@ class ClickHouseBatchDataSource(DataSource):
         return "chbatch"
 
     def writer(self, schema, overwrite: bool) -> "_BatchWriter":
-        return _BatchWriter(self.options, [f.name for f in schema.fields])
+        return _BatchWriter(
+            self.options, [f.name for f in schema.fields], overwrite
+        )
 
 
 def _json_cell(v):
@@ -81,10 +83,11 @@ def _json_cell(v):
 
 
 class _BatchWriter(DataSourceWriter):
-    def __init__(self, options, cols: list[str]):
+    def __init__(self, options, cols: list[str], overwrite: bool = True):
         self._path = options["path"]
         self._batch = int(options.get("batchsize", "10000"))
         self._cols = cols
+        self._overwrite = overwrite
 
     # -- executor side ----------------------------------------------------
     def write(self, rows: Iterator) -> _PartCommit:
@@ -121,10 +124,24 @@ class _BatchWriter(DataSourceWriter):
             "rows": sum(m.rows for m in messages),
             "batches": sum(m.batches for m in messages),
         }
-        tmp = os.path.join(self._path, MANIFEST + ".tmp")
+        # append mode MERGES with the previously committed manifest —
+        # replacing it would silently orphan every earlier run's rows
+        # (append behaving as overwrite with no error). Overwrite mode
+        # replaces it, which makes the old parts invisible (the read
+        # side resolves the manifest FIRST; stale files are orphans).
+        mpath = os.path.join(self._path, MANIFEST)
+        if not getattr(self, "_overwrite", True) and os.path.exists(mpath):
+            with open(mpath) as fh:
+                prev = json.load(fh)
+            manifest = {
+                "files": sorted(set(prev["files"]) | set(manifest["files"])),
+                "rows": prev["rows"] + manifest["rows"],
+                "batches": prev["batches"] + manifest["batches"],
+            }
+        tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(manifest, fh)
-        os.replace(tmp, os.path.join(self._path, MANIFEST))  # atomic publish
+        os.replace(tmp, mpath)  # atomic publish
 
     def abort(self, messages: list[_PartCommit]) -> None:
         for m in messages:
@@ -167,13 +184,14 @@ class ClickHouseArrowDataSource(DataSource):
         return "chbatch_arrow"
 
     def writer(self, schema, overwrite: bool) -> "_ArrowBatchWriter":
-        return _ArrowBatchWriter(self.options)
+        return _ArrowBatchWriter(self.options, overwrite)
 
 
 class _ArrowBatchWriter(DataSourceArrowWriter):
-    def __init__(self, options):
+    def __init__(self, options, overwrite: bool = True):
         self._path = options["path"]
         self._batch = int(options.get("batchsize", "10000"))
+        self._overwrite = overwrite
 
     def write(self, batches) -> _PartCommit:
         import pyarrow as pa

@@ -205,16 +205,32 @@ def merge_cdc(
     winners = (
         merged_src.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .filter(F.col(op_col) != "d")
+        # null-safe: a NULL op (out-of-contract upstream data) must be
+        # treated as an upsert, not silently deleted — `op != 'd'` is
+        # NULL for NULL ops and the filter would drop the winning row,
+        # vanishing the key from the sink with no error
+        .filter(~F.col(op_col).eqNullSafe("d"))
         .select(*sink_columns(), PARTITION_COL)
     )
-    survived = (
-        {r[0] for r in winners.select(PARTITION_COL).distinct().collect()}
-        if check_emptied
-        else set(dates)
-    )
-    with _dynamic_overwrite(spark):
-        winners.write.mode("overwrite").partitionBy(PARTITION_COL).parquet(path)
+    if check_emptied:
+        # persist before the survived-partitions collect: without it
+        # the full union + window merge executes twice (once for the
+        # collect, again for the write) — on a large day-partition
+        # merge that doubles the most expensive stage
+        winners = winners.persist()
+    try:
+        survived = (
+            {r[0] for r in winners.select(PARTITION_COL).distinct().collect()}
+            if check_emptied
+            else set(dates)
+        )
+        with _dynamic_overwrite(spark):
+            winners.write.mode("overwrite").partitionBy(
+                PARTITION_COL
+            ).parquet(path)
+    finally:
+        if check_emptied:
+            winners.unpersist()
     # remove directories the delete-only winners emptied entirely
     emptied = [d for d in dates if d not in survived]
     if emptied:
@@ -237,14 +253,27 @@ def expire_partitions(
     metadata-speed and leave every surviving partition byte-identical
     (the same property merge_cdc relies on for emptied partitions).
     Listing comes from the filesystem, not a scan: expiry must not cost
-    a table read."""
-    import shutil
-    from pathlib import Path
-
+    a table read. Hadoop FileSystem API, not pathlib/shutil — the same
+    machinery merge_cdc's emptied-partition removal uses — so retention
+    works on s3a://, hdfs://, and every other store the sink can live
+    on (a local-only glob would silently no-op on exactly the
+    deployments the 100 TB framing targets)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(path)
+    fs = root.getFileSystem(conf)
     expired: list[str] = []
-    for d in sorted(Path(path).glob(f"{PARTITION_COL}=*")):
-        pdate = d.name.split("=", 1)[1]
+    if not fs.exists(root):
+        return expired
+    prefix = f"{PARTITION_COL}="
+    for status in fs.listStatus(root):
+        if not status.isDirectory():
+            continue
+        name = status.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        pdate = name.split("=", 1)[1]
         if pdate < before_date:
-            shutil.rmtree(d)
+            fs.delete(status.getPath(), True)
             expired.append(pdate)
-    return expired
+    return sorted(expired)

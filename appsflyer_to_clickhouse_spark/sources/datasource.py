@@ -115,16 +115,23 @@ _TS_FMT = "%Y-%m-%d %H:%M:%S"
 def _stream_windows(
     start: str, end: str, window_seconds: int
 ) -> list[tuple[str, str]]:
-    """Half-open [t, t+w) windows covering [start, end); the final
-    window is clipped at ``end``. Window boundaries are a pure
-    function of (start, w), so replanning a batch after restart
-    yields the identical partitions."""
+    """FETCH windows covering the half-open offset range [start, end):
+    the offset axis advances in [t, t+w) steps, but the AppsFlyer API
+    is INCLUSIVE on both bounds (split_window's docstring pins this),
+    so each window's fetch `to` is its offset end minus 1 s —
+    otherwise the boundary second is returned by BOTH abutting
+    windows, and also re-fetched by the NEXT micro-batch (whose first
+    window starts at this batch's committed end). At 1-second API
+    granularity, inclusive [t, t+w-1s] == half-open [t, t+w) exactly.
+    Window boundaries are a pure function of (start, w), so
+    replanning a batch after restart yields identical partitions."""
     s = datetime.strptime(start, _TS_FMT)
     e = datetime.strptime(end, _TS_FMT)
     out = []
     while s < e:
         nxt = min(s + timedelta(seconds=window_seconds), e)
-        out.append((s.strftime(_TS_FMT), nxt.strftime(_TS_FMT)))
+        fetch_to = max(nxt - timedelta(seconds=1), s)
+        out.append((s.strftime(_TS_FMT), fetch_to.strftime(_TS_FMT)))
         s = nxt
     return out
 

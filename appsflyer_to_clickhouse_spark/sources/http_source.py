@@ -60,6 +60,10 @@ def http_fetch_fn(cfg: PipelineConfig) -> FetchFn:
         resp = requests.get(
             url_of(from_time, to_time),
             headers={"Authorization": token, "accept": "text/csv"},
+            # no-timeout default would hang the executor task (hence
+            # the whole job/micro-batch) forever on a stalled
+            # connection; generous read budget for a large CSV window
+            timeout=(10, 300),
         )
         if resp.status_code != 200:
             import sys
@@ -119,10 +123,15 @@ def fetch_installs_distributed(
     the reference's mapping-loop tolerance (main.py:160-161)."""
     import pandas as pd  # local import: executors re-import cheaply
 
+    # round-robin repartition, NOT hash-by-split_id: pmod(hash(id), n)
+    # over n ids is not a permutation, so hash partitioning co-locates
+    # 2+ windows on one task (sequential fetches) while other slots
+    # sit empty — round-robin places exactly one window per task,
+    # which IS the claimed N-way fetch concurrency
     ranges = spark.createDataFrame(
         [(i, f, t) for i, (f, t) in enumerate(split_window(from_time, to_time, num_splits))],
         "split_id int, from_time string, to_time string",
-    ).repartition(num_splits, "split_id")
+    ).repartition(num_splits)
 
     schema = af_raw_schema()
     cols = [f.name for f in schema.fields]

@@ -103,6 +103,7 @@ def parse_install_events(raw: DataFrame) -> DataFrame:
         F.col("partition"),
         F.col("offset"),
         F.col("timestamp").alias("kafka_ts"),
+        F.col("value").isNull().alias("_tombstone"),
         F.from_json(
             F.col("value").cast("string"),
             parse_schema,
@@ -117,5 +118,11 @@ def parse_install_events(raw: DataFrame) -> DataFrame:
         "kafka_ts",
         *[F.col(f"ev.{c}").alias(c) for c in payload_cols],
         F.to_timestamp("ev.event_time").alias("event_ts"),
-        F.col("ev._corrupt_record").isNotNull().alias("malformed"),
+        # NULL values (compacted-topic tombstones / empty messages)
+        # parse to a NULL struct with a NULL corrupt-record column —
+        # they'd flow downstream as "valid" all-NULL events and their
+        # NULL keys would collide in the dedup state; flag them too
+        (
+            F.col("ev._corrupt_record").isNotNull() | F.col("_tombstone")
+        ).alias("malformed"),
     )

@@ -31,20 +31,50 @@ BatchFn = Callable[[DataFrame, int], None]
 
 def dedup_append_batch_fn(sink_path: str, keys: list[str]) -> BatchFn:
     """Batch writer: drop in-batch duplicate keys, anti-join against
-    everything already in the sink, append the survivors — the
-    reference's idempotent-insert contract per micro-batch. At scale
-    the sink read is partition-pruned the same way the batch
-    anti-join's is (sinks/parquet_sink.py)."""
+    every key already committed, append the survivors — the
+    reference's idempotent-insert contract per micro-batch.
+
+    Key state is INCREMENTAL, not a per-batch sink re-scan: global key
+    dedup cannot be partition-pruned (a key may recur under any date),
+    so the committed key set — distinct keys, the same node-sized
+    state class as stream_dedup_watermark's store — is read from the
+    sink ONCE per run, then maintained in the closure with an O(batch)
+    union per micro-batch (batches run sequentially within a query).
+    After a restart the first batch rebuilds it with one column-pruned
+    key scan. localCheckpoint keeps the state's lineage constant
+    across arbitrarily many batches. Sub-O(keys) alternatives when
+    even the key set outgrows memory: the persistent bloom prefilter
+    (operators/bloom.py, dedup_incremental_ingest) or a key-bucketed
+    sink for a co-located anti-join."""
+
+    state: dict = {"keys": None, "loaded": False}
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(keys)
-        try:
-            existing = spark.read.parquet(sink_path).select(*keys).distinct()
-            batch = batch.join(existing, keys, "left_anti")
-        except AnalysisException:  # first batch: sink doesn't exist yet
-            pass
+        if not state["loaded"]:
+            try:
+                state["keys"] = (
+                    spark.read.parquet(sink_path)
+                    .select(*keys)
+                    .distinct()
+                    .localCheckpoint()
+                )
+            except AnalysisException:  # first batch: no sink yet
+                state["keys"] = None
+            state["loaded"] = True
+        if state["keys"] is not None:
+            batch = batch.join(state["keys"], keys, "left_anti")
+        # survivors are consumed twice (sink append + key-state
+        # update); checkpoint so the dedup plan runs once
+        batch = batch.localCheckpoint()
         batch.write.mode("append").parquet(sink_path)
+        new_keys = batch.select(*keys).distinct()
+        state["keys"] = (
+            new_keys
+            if state["keys"] is None
+            else state["keys"].unionByName(new_keys).distinct()
+        ).localCheckpoint()
 
     return fn
 

@@ -6,9 +6,17 @@ all; this is the Spark-native form of "remember what I saw per key").
 Operator: per-key running deduplicating counter. For each key the
 state holds (count_distinct_batches, last_event_time, seen_count);
 every trigger emits one row per updated key. State is keyed and
-partitioned — scales with distinct keys, never with events — and a
-GroupStateTimeout evicts idle keys, bounding memory exactly like the
-watermark bounds dropDuplicatesWithinWatermark.
+partitioned — it scales with distinct keys, never with events. The
+registered query runs with GroupStateTimeout.NoTimeout DELIBERATELY:
+its contract is an exact all-time count per key (oracle: COUNT(*)),
+and any eviction would reset a returning key's count and break
+exactness. The trade is explicit: all-time-exact state grows with
+the distinct-key count (the same state class as a batch groupBy's).
+A production deployment whose key space outgrows memory swaps in
+ProcessingTimeTimeout/EventTimeTimeout + state.setTimeout... in
+_update — which changes the semantics from "all-time count" to
+"count since last idle period", the same bounded-memory trade
+dropDuplicatesWithinWatermark makes.
 """
 
 from __future__ import annotations

@@ -54,6 +54,33 @@ def test_round_trip_preserves_rows_and_batches_by_size(spark):
     assert back.agg(F.sum("v")).first()[0] == 2300 * 2299 // 2
 
 
+def test_append_merges_manifest_overwrite_replaces_it(spark):
+    """A second append to the same path must MERGE the manifest (both
+    runs' rows visible) — replacing it would silently orphan run 1's
+    committed rows, append behaving as overwrite with no error. An
+    explicit overwrite then replaces it."""
+    path = tempfile.mkdtemp(prefix="chb_") + "/out"
+    _write(spark, path, n=100, batchsize=50, parts=1)
+    _write(spark, path, n=100, batchsize=50, parts=1)
+    back = read_committed(spark, path, _SCHEMA)
+    assert back.count() == 200  # both appends visible
+    with open(os.path.join(path, MANIFEST)) as fh:
+        assert json.load(fh)["rows"] == 200
+    # overwrite mode: manifest lists ONLY the new run
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    df = spark.range(7).select(
+        F.col("id").cast("string").alias("k"), F.col("id").alias("v")
+    )
+    (
+        df.write.format("chbatch")
+        .option("path", path)
+        .option("batchsize", "50")
+        .mode("overwrite")
+        .save()
+    )
+    assert read_committed(spark, path, _SCHEMA).count() == 7
+
+
 def test_orphan_parts_are_invisible_to_readers(spark):
     """A part file not named by the manifest — a failed or speculative
     task attempt — must never be read."""

@@ -69,10 +69,14 @@ def test_restart_resumes_from_committed_offset(spark):
     try:
         # run 1: horizon 04:00 -> windows 00-02 and 02-04
         _run(spark, ckpt, out, "2024-01-05 04:00:00")
+        # fetch `to` bounds end 1 s before the next window's start:
+        # the API is inclusive on both ends, so [t, t+2h-1s] inclusive
+        # covers the half-open offset step [t, t+2h) exactly — without
+        # the -1 s the boundary second is fetched by both windows
         fetched_1 = sorted(set(open(log).read().splitlines()))
         assert fetched_1 == [
-            "2024-01-05 00:00:00|2024-01-05 02:00:00",
-            "2024-01-05 02:00:00|2024-01-05 04:00:00",
+            "2024-01-05 00:00:00|2024-01-05 01:59:59",
+            "2024-01-05 02:00:00|2024-01-05 03:59:59",
         ]
         # run 2, same checkpoint, horizon extended to 08:00: ONLY the
         # two new windows are fetched (the committed offset is the
@@ -80,8 +84,8 @@ def test_restart_resumes_from_committed_offset(spark):
         _run(spark, ckpt, out, "2024-01-05 08:00:00")
         fetched_2 = sorted(set(open(log).read().splitlines()))
         assert fetched_2 == fetched_1 + [
-            "2024-01-05 04:00:00|2024-01-05 06:00:00",
-            "2024-01-05 06:00:00|2024-01-05 08:00:00",
+            "2024-01-05 04:00:00|2024-01-05 05:59:59",
+            "2024-01-05 06:00:00|2024-01-05 07:59:59",
         ]
         # each window appears EXACTLY once in the fetch log (no
         # re-fetch of committed work even across the restart)
