@@ -24,7 +24,13 @@ from pyspark.sql import functions as F
 def zorder_interleave(x: Column, y: Column, bits: int = 8) -> Column:
     """Bit-interleaved Morton key: x's bit i lands at position 2i, y's
     at 2i+1. A ~4*bits-term integer expression — one codegen'd Project,
-    map-only."""
+    map-only. Inputs are widened to bigint first: shiftleft preserves
+    the input type, so with 32-bit int inputs and bits >= 16 the top
+    y-bit would land on the int sign bit — negative z-keys that sort
+    FIRST (destroying locality) and disagree with the DuckDB twin's
+    64-bit arithmetic."""
+    x = x.cast("bigint")
+    y = y.cast("bigint")
     terms = []
     for i in range(bits):
         terms.append(F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i))

@@ -90,14 +90,21 @@ def extract_binary_features(
 
         for pdf in batches:
             payloads = pdf["payload"]
+            # NULL payloads (a NULL source document) must yield NULL
+            # features, not a TypeError that kills the task — same
+            # None contract as the CDC kernel (multimodal/cdc.py)
             data = {
                 "doc_id": pdf[id_col],
-                "byte_len": payloads.map(len).astype("int64"),
+                "byte_len": payloads.map(
+                    lambda b: len(b) if b is not None else None
+                ).astype("Int64"),
                 "first_byte": payloads.map(
-                    lambda b: b[0] if len(b) else None
+                    lambda b: b[0] if b else None
                 ).astype("Int32"),
                 "content_md5": payloads.map(
                     lambda b: hashlib.md5(b).hexdigest()
+                    if b is not None
+                    else None
                 ),
             }
             for c in passthrough:
@@ -179,12 +186,22 @@ def group_binary_fingerprint(df: DataFrame, group_col: str = "source") -> DataFr
         import pandas as pd
 
         pdf = pdf.sort_values("doc_id")
-        md5s = pdf["payload"].map(lambda b: _hl.md5(b).hexdigest())
+        # NULL payloads: contribute the empty string to the group
+        # digest and 0 bytes — deterministic, never a TypeError
+        md5s = pdf["payload"].map(
+            lambda b: _hl.md5(b).hexdigest() if b is not None else ""
+        )
         return pd.DataFrame(
             {
                 "source": [pdf[group_col].iloc[0]],
                 "n_docs": [len(pdf)],
-                "total_bytes": [int(pdf["payload"].map(len).sum())],
+                "total_bytes": [
+                    int(
+                        pdf["payload"]
+                        .map(lambda b: len(b) if b is not None else 0)
+                        .sum()
+                    )
+                ],
                 "group_md5": [_hl.md5("".join(md5s).encode()).hexdigest()],
             }
         )
@@ -211,15 +228,23 @@ def extract_binary_features_arrow(
         for batch in batches:
             payloads = batch.column("payload")
             raw = payloads.to_pylist()
+            # None payloads -> None features (pc.binary_length already
+            # propagates nulls; the Python md5/first-byte loops must too)
             yield pa.RecordBatch.from_arrays(
                 [
                     pc.cast(batch.column(id_col), pa.int64()),
                     pc.cast(pc.binary_length(payloads), pa.int64()),
                     pa.array(
-                        [b[0] if len(b) else None for b in raw], pa.int32()
+                        [b[0] if b else None for b in raw], pa.int32()
                     ),
                     pa.array(
-                        [hashlib.md5(b).hexdigest() for b in raw], pa.string()
+                        [
+                            hashlib.md5(b).hexdigest()
+                            if b is not None
+                            else None
+                            for b in raw
+                        ],
+                        pa.string(),
                     ),
                 ],
                 names=["doc_id", "byte_len", "first_byte", "content_md5"],

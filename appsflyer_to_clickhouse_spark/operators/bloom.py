@@ -107,16 +107,21 @@ def bloom_prefilter_dedup(
 
     Returns one row per batch key: (key, bloom_maybe, is_dup). is_dup
     is exact — the Bloom no-false-negative guarantee means keys the
-    filter clears skip the join entirely and are new by construction;
-    the verification join's build side is maybe-keys only (true dups +
-    false positives), which is what keeps per-batch cost O(batch), not
-    O(history), at 100 TB."""
+    filter clears skip the join entirely and are new by construction.
+    The verification scans history ONCE with the batch-bounded
+    maybe-set (true dups + false positives) BROADCAST onto it, so
+    history is never shuffled or distinct'd — per-batch cost stays one
+    map-side-filtered history pass + O(batch) work, never an
+    O(history) shuffle. (The previous shape semi-joined the probe
+    against hist.distinct(), which shuffled the full history key set
+    every batch — exactly the cost the filter exists to remove.)"""
     bloom = bloom_build(hist_keys, key_col)
     probe = bloom_probe(batch_keys, bloom, key_col)
+    maybe = probe.filter(F.col("bloom_maybe")).select(key_col)
     confirmed = (
-        probe.filter(F.col("bloom_maybe"))
-        .select(key_col)
-        .join(hist_keys.select(key_col).distinct(), key_col, "leftsemi")
+        hist_keys.select(key_col)
+        .join(F.broadcast(maybe), key_col, "leftsemi")
+        .distinct()
         .withColumn("_hit", F.lit(True))
     )
     return probe.join(confirmed, key_col, "left").select(

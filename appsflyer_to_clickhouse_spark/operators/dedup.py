@@ -33,6 +33,7 @@ from ..functions.text import (
     tokens,
     word_shingles,
 )
+from .sizing import graph_partitions
 
 SIMHASH_BANDS = 4
 SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15 -> 2^15 buckets/band
@@ -250,7 +251,7 @@ def connected_components(
     # ~4s at sf0.1). ~100k edges per partition; at 100 TB this sizing
     # rule scales with the graph, which is the actual working set.
     n_edges = sym.count()
-    npart = max(1, min(32, n_edges // 100_000 + 1))
+    npart = graph_partitions(n_edges)
     sym = sym.repartition(npart, "dst")
     # every shuffle INSIDE the loop (the join, the groupBy, the
     # repartitions) must be graph-sized too: at the session's batch
@@ -268,33 +269,35 @@ def connected_components(
             .repartition(npart, "id")
             .localCheckpoint()
         )
-        prev_sum = labels.agg(F.sum("label")).collect()[0][0]
         for _ in range(max_iter):
             neigh = (
                 sym.join(labels, sym.dst == labels.id)
                 .groupBy("src")
                 .agg(F.min("label").alias("nlabel"))
             )
-            new_labels = (
+            # the changed flag rides the checkpointed frame, so the
+            # convergence aggregate below scans cached blocks — one
+            # cheap agg per iteration, and EXACT for ids of ANY type
+            # (the previous sum(label) check was numeric-only: over
+            # string ids the sum is NULL and NULL == NULL "converged"
+            # after one iteration, silently splitting components)
+            least = F.least(
+                F.col("label"), F.coalesce("nlabel", F.col("label"))
+            )
+            staged = (
                 labels.join(neigh, labels.id == neigh.src, "left")
                 .select(
                     "id",
-                    F.least(
-                        F.col("label"), F.coalesce("nlabel", F.col("label"))
-                    ).alias("label"),
+                    least.alias("label"),
+                    (least != F.col("label")).cast("int").alias("_chg"),
                 )
                 .repartition(npart, "id")
                 .localCheckpoint()
             )
-            # labels are monotonically non-increasing (least of self +
-            # neighbors), so sum(label) is stationary IFF converged —
-            # one aggregate per iteration replaces a join-based changed
-            # count
-            new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-            labels = new_labels
-            if new_sum == prev_sum:
+            n_changed = staged.agg(F.sum("_chg")).collect()[0][0]
+            labels = staged.drop("_chg")
+            if not n_changed:
                 break
-            prev_sum = new_sum
         else:
             # loop exhausted WITHOUT the stationary-sum break: labels
             # are not at fixpoint and returning them would silently

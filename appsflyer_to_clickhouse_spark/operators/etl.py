@@ -137,7 +137,11 @@ def dedup_anti_join(
     into the fix.
     """
     k = F.col(key)
-    filtered = batch_df.filter(k.isNotNull() & (k != ""))
+    # compare the '' sentinel on a STRING view of the key: against a
+    # numeric key column, Spark coerces '' to the numeric type, which
+    # is NULL under non-ANSI casts — `k != NULL` is NULL and the
+    # filter would silently drop EVERY row of the batch
+    filtered = batch_df.filter(k.isNotNull() & (k.cast("string") != ""))
     right = F.broadcast(existing_keys) if broadcast_hint else existing_keys
     return filtered.join(right, on=key, how="left_anti")
 

@@ -17,6 +17,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .sizing import graph_partitions
+
 
 def pagerank(
     edges: DataFrame,
@@ -81,7 +83,7 @@ def pagerank(
         # this is the one branch that pays a full extra execution of
         # the caller's edge subplan for it.
         n_edges = edges.count()
-        npart = max(1, min(32, n_edges // 100_000 + 1))
+        npart = graph_partitions(n_edges)
         # persist, NOT localCheckpoint: under AQE a checkpointed
         # LogicalRDD reports UnknownPartitioning (the adaptive plan's
         # final partitioning isn't known when the RDD handle is
@@ -105,7 +107,7 @@ def pagerank(
         # is then free (no second execution of the edge subplan).
         e = ej.localCheckpoint()
         n_edges = e.count()
-        npart = max(1, min(32, n_edges // 100_000 + 1))
+        npart = graph_partitions(n_edges)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(npart))
     nodes = None

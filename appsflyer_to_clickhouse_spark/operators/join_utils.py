@@ -26,12 +26,18 @@ def salted_join(
     ``num_salts`` shuffle partitions instead of one straggler task.
 
     ``fact_salt`` must be deterministic per row (e.g.
-    ``F.pmod(F.crc32(F.col("id").cast("string")), F.lit(16))``) so the
-    result is reproducible; every fact row matches exactly one of the
-    dim replicas, so the result set equals the unsalted join."""
+    ``F.crc32(F.col("id").cast("string"))``) so the result is
+    reproducible; the function pmods it into [0, num_salts) itself —
+    a signed ``%`` here would map negative salts (``F.hash``,
+    ``F.xxhash64`` — the common choices — are signed) outside the
+    replicated dim range, silently DROPPING those fact rows from an
+    inner join. Every fact row then matches exactly one dim replica,
+    so the result set equals the unsalted join."""
     salted_dim = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
-    salted_fact = fact.withColumn("__salt", fact_salt.cast("int") % num_salts)
+    salted_fact = fact.withColumn(
+        "__salt", F.pmod(fact_salt.cast("int"), F.lit(num_salts))
+    )
     out = salted_fact.join(salted_dim, on=[key, "__salt"], how=how)
     return out.drop("__salt")

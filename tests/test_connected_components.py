@@ -33,3 +33,22 @@ def test_min_id_not_always_first_column(spark):
     pairs = [(5, 3), (3, 9)]
     got = _cc(spark, pairs)
     assert got == {(3, 3), (5, 3), (9, 3)}
+
+
+def test_string_ids_converge_correctly(spark):
+    """Regression: the old sum(label) convergence check was NULL over
+    string labels (non-numeric cast), so NULL == NULL declared
+    convergence after ONE iteration and a diameter-2+ chain came back
+    split. The changed-count check is exact for ids of any type."""
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = {
+        (r.id, r.component)
+        for r in connected_components(df).collect()
+    }
+    assert got == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+        ("x", "x"), ("y", "x"),
+    }
