@@ -55,6 +55,28 @@ def test_probe_broadcasts_bitmap(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_verify_join_broadcasts_maybe_keys_not_history(spark):
+    """The exact verification must scan history ONCE with the
+    batch-bounded maybe-set broadcast onto it — never shuffle or
+    distinct the full history key set per batch (the O(history) cost
+    the bloom filter exists to remove). Pinned: the semi join's build
+    side is a BroadcastExchange, and no Exchange hashpartitioning
+    keys on the history frame's key upstream of it."""
+    hist = spark.range(0, 500).select(
+        F.md5(F.concat(F.lit("h"), F.col("id").cast("string"))).alias("k")
+    )
+    batch = spark.range(0, 200).select(
+        F.md5(F.concat(F.lit("b"), F.col("id").cast("string"))).alias("k")
+    )
+    out = bloom_prefilter_dedup(hist, batch, "k")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # the history side must not be aggregated/distinct'd before the
+    # semi join — HashAggregate belongs only to the final probe groupBy
+    semi_idx = plan.find("LeftSemi")
+    assert "SortMergeJoin" not in plan[semi_idx : semi_idx + 400]
+
+
 def test_exact_join_sees_only_maybe_keys(spark):
     """The verification join's probe input is filtered to bloom_maybe
     — O(true dups + FPs), not O(batch): disjoint key sets produce an
