@@ -365,9 +365,11 @@ def q_null_safety_funcs(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "session_window_agg",
-    """
+# ONE oracle text for both session-window registrations (batch
+# session_window_agg here, streaming stream_session_window in
+# extra_queries): the two queries exist to pin the SAME semantics, so
+# the gap constant / tiebreak must not be able to drift between them.
+SESSION_WINDOW_ORACLE = """
     WITH marked AS (
       SELECT user_id, ts,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -386,8 +388,10 @@ def q_null_safety_funcs(spark, sf_dir):
            CAST(count(*) AS BIGINT) AS n_events
     FROM sessions
     GROUP BY user_id, session_id
-    """,
-)
+    """
+
+
+@register("session_window_agg", SESSION_WINDOW_ORACLE)
 def q_session_window_agg(spark, sf_dir):
     """Gap-based session windows via the built-in F.session_window
     (30-minute inactivity gap): Spark merges overlapping per-event

@@ -18,6 +18,20 @@ RATE_SQL = (
     + " ELSE 1.0 END"
 )
 
+
+def rate_column():
+    """The Spark twin of ``RATE_SQL``: per-language keep rate as a
+    when() chain over ``lang``. ONE definition beside the SQL text so
+    the standalone sample (curation_queries) and the composite
+    pipeline (pipeline_queries) cannot drift — they previously built
+    this chain independently."""
+    from pyspark.sql import functions as F
+
+    rate = F.lit(1.0)
+    for k, v in RATES.items():
+        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    return rate
+
 # 2^60 as a double is exact; hash60 < 2^60, so u = hash/2^60 is the
 # same IEEE-754 quotient in both engines (no rounding slop to paper
 # over with round()).

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.text import hash60
 from .curation_params import RATE_SQL as _RATE_SQL
-from .curation_params import RATES as _RATES
+from .curation_params import rate_column
 from .curation_params import TWO60 as _TWO60
 from .registry import load, load_fanout, register
 
@@ -55,9 +55,7 @@ def q_sample_stratified(spark, sf_dir):
     u = hash60(F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))) / F.lit(
         _TWO60
     )
-    rate = F.lit(1.0)
-    for k, v in _RATES.items():
-        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
+    rate = rate_column()
     return (
         docs.filter(u < rate)
         .select("doc_id", "lang", F.round(u, 6).alias("u"))
@@ -623,22 +621,12 @@ def _split_case(expr: str) -> str:
 
 
 def _leakage_safe_oracle() -> str:
-    from .dedup_queries import candidates_cte
+    from .dedup_queries import candidates_cte, components_cte
 
     return f"""
     WITH RECURSIVE
     {candidates_cte('documents')},
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION
-      SELECT id_b, id_a FROM cand
-    ),
-    reach(id, r) AS (
-      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-      UNION
-      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
-    ),
-    comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+    {components_cte()}
     SELECT d.doc_id,
            CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS component,
            {_split_case('COALESCE(c.component, d.doc_id)')} AS split

@@ -98,6 +98,30 @@ cand AS (
 _CANDIDATES_CTE = candidates_cte("documents")
 
 
+def components_cte() -> str:
+    """Connected components over ``cand`` (from ``candidates_cte``) as
+    a recursive transitive-closure: ``comp`` maps doc_id -> min-label
+    component. ONE definition shared by every oracle that recomputes
+    components (dedup_clusters, dedup_cluster_representatives,
+    split_leakage_safe) — the component rule must not drift between
+    them. Callers open the query with WITH RECURSIVE."""
+    return """
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM cand
+  UNION
+  SELECT id_b, id_a FROM cand
+),
+reach(id, r) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
+),
+comp AS (
+  SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+  FROM reach GROUP BY id
+)"""
+
+
 # ---------------------------------------------------------------------------
 # dedup_exact / dedup_first_by_time (Part C rows 1-2)
 # ---------------------------------------------------------------------------

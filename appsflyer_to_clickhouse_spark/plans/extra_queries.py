@@ -11,6 +11,7 @@ operator surface.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pandas as pd
@@ -26,7 +27,13 @@ from ..operators.dedup import (
 from ..streaming.sinks import dedup_append_batch_fn, run_foreach_batch_availablenow
 from ..streaming.stateful import stateful_user_counter
 from ..functions.zorder import zorder_sql
-from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND, candidates_cte
+from .dedup_queries import (
+    BANDS,
+    NUM_HASHES,
+    ROWS_PER_BAND,
+    candidates_cte,
+    components_cte,
+)
 from .registry import load, load_fanout, register
 from .streaming_queries import _replay_src, _RUN_SEQ, stream_shuffle_partitions
 
@@ -54,18 +61,8 @@ def q_dedup_minhash_lsh_salted(spark, sf_dir):
     f"""
     WITH RECURSIVE
     {candidates_cte('documents')},
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION
-      SELECT id_b, id_a FROM cand
-    ),
-    reach(id, r) AS (
-      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-      UNION
-      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
-    )
-    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
-    FROM reach GROUP BY id
+    {components_cte()}
+    SELECT doc_id, component FROM comp
     """,
 )
 def q_dedup_clusters(spark, sf_dir):
@@ -116,29 +113,11 @@ def q_stream_foreachbatch_dedup_sink(spark, sf_dir):
     return spark.read.parquet(sink_path).select("user_id")
 
 
-@register(
-    "stream_session_window",
-    """
-    WITH marked AS (
-      SELECT user_id, ts,
-             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE
-                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
-                  THEN 1 ELSE 0 END AS new_session
-      FROM events
-    ), sessions AS (
-      SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
-                 ROWS UNBOUNDED PRECEDING) AS session_id
-      FROM marked
-    )
-    SELECT user_id, min(ts) AS session_start,
-           max(ts) + INTERVAL 30 MINUTE AS session_end,
-           CAST(count(*) AS BIGINT) AS n_events
-    FROM sessions
-    GROUP BY user_id, session_id
-    """,
-)
+# shared with the batch twin so the pinned semantics cannot drift
+from .advanced_queries import SESSION_WINDOW_ORACLE  # noqa: E402
+
+
+@register("stream_session_window", SESSION_WINDOW_ORACLE)
 def q_stream_session_window(spark, sf_dir):
     """STREAMING gap-based session windows: events replayed as a file
     stream -> groupBy(F.session_window('ts', '30 minutes'), user_id)
@@ -289,7 +268,17 @@ def _bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
     cached = _BUCKET_TABLES.get(key)
     if cached is not None and all(spark.catalog.tableExists(t) for t in cached):
         return cached
-    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.rstrip("/").split("/")[-1])
+    # tag from the FULL path, not the basename: two sf_dirs sharing a
+    # basename (/run_a/sf0.1 vs /run_b/sf0.1) would otherwise alias one
+    # catalog table — the second write overwrites it while the first
+    # sf_dir's cache entry still passes tableExists and silently serves
+    # the wrong dataset
+    import hashlib as _hl
+
+    base = "".join(
+        c if c.isalnum() else "_" for c in sf_dir.rstrip("/").split("/")[-1]
+    )
+    tag = f"{base}_{_hl.md5(sf_dir.rstrip('/').encode()).hexdigest()[:8]}"
     names = (f"b_orders_{tag}", f"b_lineitem_{tag}")
     for name, table, bkey in (
         (names[0], "orders", "o_orderkey"),
@@ -546,7 +535,11 @@ def _dpp_tables(spark, sf_dir: str) -> tuple[str, str]:
     table has at 100 TB (one directory per ingestion date)."""
     key = (id(spark._jsparkSession), sf_dir)
     cached = _DPP_PATHS.get(key)
-    if cached is not None:
+    # verify the temp dirs still exist (same guard as _replay_src):
+    # /tmp cleanup or id() reuse after session GC would otherwise
+    # surface as an opaque 'Path does not exist' read error instead of
+    # a rebuild
+    if cached is not None and all(os.path.isdir(p) for p in cached):
         return cached
     ev = load(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")
@@ -618,20 +611,7 @@ def q_join_dpp_partitioned(spark, sf_dir):
     f"""
     WITH RECURSIVE
     {candidates_cte('documents')},
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM cand
-      UNION
-      SELECT id_b, id_a FROM cand
-    ),
-    reach(id, r) AS (
-      SELECT src, src FROM (SELECT DISTINCT src FROM edges)
-      UNION
-      SELECT e.src, r.r FROM edges e JOIN reach r ON r.id = e.dst
-    ),
-    comp AS (
-      SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
-      FROM reach GROUP BY id
-    ),
+    {components_cte()},
     j AS (
       SELECT c.component, c.doc_id, d.n_chars
       FROM comp c JOIN documents d ON d.doc_id = c.doc_id

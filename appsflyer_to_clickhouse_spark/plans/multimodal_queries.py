@@ -71,8 +71,6 @@ def q_multimodal_frame_sample(spark, sf_dir):
     from each payload via the deterministic sampler (a real sampler
     would seek keyframes at those offsets). Exercises the expanding
     batch shape the feature extractor (1->1) doesn't."""
-    import pandas as pd_mod  # noqa: F401 — imported lazily on executors
-
     from ..multimodal.columns import attach_binary_payload, sample_frame_offsets
 
     docs = load(spark, sf_dir, "documents")

@@ -29,7 +29,7 @@ from .dedup_queries import (
     candidates_cte,
 )
 from .curation_params import RATE_SQL as _RATE_SQL
-from .curation_params import RATES as _RATES
+from .curation_params import rate_column
 from .curation_params import TWO60 as _TWO60
 from .registry import load, load_fanout, register
 from .stage_cache import shared_stage
@@ -230,10 +230,7 @@ def q_corpus_build_pipeline(spark, sf_dir):
     u = hash60(
         F.concat(F.lit("sample|"), F.col("doc_id").cast("string"))
     ) / F.lit(_TWO60)
-    rate = F.lit(1.0)
-    for k, v in _RATES.items():
-        rate = F.when(F.col("lang") == k, F.lit(v)).otherwise(rate)
-    samp = survivors.filter(u < rate).select(
+    samp = survivors.filter(u < rate_column()).select(
         "doc_id", "lang", "source", "n_tokens"
     )
 

@@ -660,7 +660,7 @@ def q_set_except_all(spark, sf_dir):
 
 
 @register(
-    "grouping_sets_agg",
+    "grouping_sets_lineitem",
     """
     SELECT l_returnflag, l_linestatus,
            CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
@@ -672,7 +672,7 @@ def q_set_except_all(spark, sf_dir):
                             (l_returnflag), ())
     """,
 )
-def q_grouping_sets_agg(spark, sf_dir):
+def q_grouping_sets_lineitem(spark, sf_dir):
     """Arbitrary GROUPING SETS (not derivable from rollup/cube alone)
     with grouping() flags disambiguating real NULL group keys from
     subtotal rows — the flags are part of the result contract, since a
