@@ -186,23 +186,35 @@ def group_binary_fingerprint(df: DataFrame, group_col: str = "source") -> DataFr
         import pandas as pd
 
         pdf = pdf.sort_values("doc_id")
-        # NULL payloads: contribute the empty string to the group
-        # digest and 0 bytes — deterministic, never a TypeError
+        # NULL payloads: skipped from the digest and the byte sum —
+        # SQL aggregate NULL semantics (a mixed group sums/concats the
+        # non-NULL payloads; an ALL-NULL group yields NULL for both,
+        # matching the oracle's sum(octet_length)/string_agg)
         md5s = pdf["payload"].map(
             lambda b: _hl.md5(b).hexdigest() if b is not None else ""
         )
+        all_null = bool(pdf["payload"].isna().all())
         return pd.DataFrame(
             {
                 "source": [pdf[group_col].iloc[0]],
                 "n_docs": [len(pdf)],
-                "total_bytes": [
-                    int(
-                        pdf["payload"]
-                        .map(lambda b: len(b) if b is not None else 0)
-                        .sum()
-                    )
+                "total_bytes": pd.array(
+                    [
+                        None
+                        if all_null
+                        else int(
+                            pdf["payload"]
+                            .map(lambda b: len(b) if b is not None else 0)
+                            .sum()
+                        )
+                    ],
+                    dtype="Int64",
+                ),
+                "group_md5": [
+                    None
+                    if all_null
+                    else _hl.md5("".join(md5s).encode()).hexdigest()
                 ],
-                "group_md5": [_hl.md5("".join(md5s).encode()).hexdigest()],
             }
         )
 

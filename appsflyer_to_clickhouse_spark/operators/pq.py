@@ -4,12 +4,19 @@ the compressed-scan tier of the similarity stack.
 Jegou et al., "Product Quantization for Nearest Neighbor Search"
 (TPAMI 2011): split each vector into M subvectors, quantize each
 against its own K-centroid codebook, and store only the M code ids —
-here 8 subspaces x 4 centroids = 8 x 2 bits = 2 BYTES per vector
-against 256 bytes of float64, a 128x scan-bandwidth reduction. Query
+here 8 subspaces x 16 centroids = 8 x 4 bits = 4 BYTES per vector
+against 256 bytes of float64, a 64x scan-bandwidth reduction. Query
 scoring is ASYMMETRIC: the query stays exact; its squared distance to
 every centroid of every subspace is computed ONCE into a lookup table
-(M x K = 32 doubles), and a corpus row's approximate distance is just
+(M x K = 128 doubles), and a corpus row's approximate distance is just
 M table lookups + (M-1) adds — no per-row float vector math at all.
+
+Code budget (round 5): 4-bit codes replaced the original 2-bit tier —
+the coarse codes pinned recall@10 at only 0.5-0.8 across SFs, and
+FAISS's deployed PQ configurations are byte/nibble codes for the same
+reason; with 16 centroids per subspace (+ a 2x shortlist) the pinned
+floor is 0.8 at every SF (tests/test_pq_recall.py) while the scan
+tier stays 64x smaller than float64.
 
 Spark realization: code assignment is a map-only Project over the
 scan (the "index build"); the 32-entry LUT is a ONE-ROW DataFrame
@@ -31,7 +38,12 @@ from __future__ import annotations
 import hashlib
 
 M_SUB = 8  # subspaces
-K_CENT = 4  # centroids per subspace -> 2-bit codes
+K_CENT = 16  # centroids per subspace -> 4-bit codes
+# exemplar-codebook derivation: the EXEM_PER_LABEL lowest-vec_id
+# vectors of each of the first K_CENT/EXEM_PER_LABEL labels (the
+# testdata carries 10 labels, so 16 centroids need 2 exemplars per
+# label); exemplar index = label * EXEM_PER_LABEL + (rn - 1)
+EXEM_PER_LABEL = 2
 # Centroid component magnitude: unit-norm dim-d vectors have component
 # scale ~1/sqrt(d); for d=64 that is exactly 0.125 = 2^-3 — exact in
 # binary floating point, so the literal is lossless in both engines.

@@ -35,11 +35,13 @@ def register(name: str, oracle: str | None = None):
         # fail at import, not silently: a name collision would DELETE
         # the earlier query from the registry — grouping_sets_agg was
         # registered twice across modules and the first version never
-        # ran (or was oracle-checked) until the duplicate was found
-        assert name not in QUERIES, (
-            f"duplicate query registration: {name!r} "
-            f"({QUERIES[name].__module__} vs {fn.__module__})"
-        )
+        # ran (or was oracle-checked) until the duplicate was found.
+        # ValueError, not assert: the guard must survive `python -O`.
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"({QUERIES[name].__module__} vs {fn.__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle

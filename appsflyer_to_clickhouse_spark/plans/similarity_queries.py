@@ -653,6 +653,7 @@ _ORACLE["similarity_hybrid_rrf"] = _rrf_oracle()
 # ---------------------------------------------------------------------------
 
 from ..operators.pq import (  # noqa: E402
+    EXEM_PER_LABEL,
     K_CENT,
     M_SUB,
     adc_sql,
@@ -662,27 +663,33 @@ from ..operators.pq import (  # noqa: E402
 
 _PQ_SUB_DIM = _DIM // M_SUB
 _PQ_SEEDS = [f"c{k}v" for k in range(K_CENT)]
-_PQ_SHORTLIST = 100  # ADC survivors handed to the exact re-ranker
+_PQ_SHORTLIST = 200  # ADC survivors handed to the exact re-ranker
+_PQ_LABELS = K_CENT // EXEM_PER_LABEL  # labels sampled for exemplars
 
 
 
 def _pq_book_df(emb):
-    """ONE-ROW sampled-codebook frame (c0v..c{K-1}v): the lowest-id
-    vector of each of the first K labels — k-means initialization,
-    relationally derived so the oracle rebuilds it at any SF."""
+    """ONE-ROW sampled-codebook frame (c0v..c{K-1}v): the
+    EXEM_PER_LABEL lowest-id vectors of each of the first
+    K/EXEM_PER_LABEL labels (exemplar k = label*EXEM_PER_LABEL+rn-1) —
+    k-means initialization, relationally derived so the oracle
+    rebuilds it at any SF."""
     from pyspark.sql import Window as W
 
     seeds = (
-        emb.filter(F.col("label") < K_CENT)
+        emb.filter(F.col("label") < _PQ_LABELS)
         .withColumn(
             "rn",
             F.row_number().over(W.partitionBy("label").orderBy("vec_id")),
         )
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= EXEM_PER_LABEL)
+        .withColumn(
+            "ex", F.col("label") * EXEM_PER_LABEL + F.col("rn") - 1
+        )
     )
     return seeds.groupBy().agg(
         *[
-            F.any_value(F.when(F.col("label") == k, F.col("v")), True).alias(
+            F.any_value(F.when(F.col("ex") == k, F.col("v")), True).alias(
                 f"c{k}v"
             )
             for k in range(K_CENT)
@@ -695,15 +702,15 @@ def _pq_seeds_book_sql() -> str:
     _ivfpq_oracle — one definition so the exemplar-codebook contract
     cannot drift between the two ANN oracles."""
     seed_cols = ",\n             ".join(
-        f"any_value(CASE WHEN label = {k} THEN v END) AS c{k}v"
+        f"any_value(CASE WHEN ex = {k} THEN v END) AS c{k}v"
         for k in range(K_CENT)
     )
     return f"""seeds AS (
-      SELECT label, v FROM (
+      SELECT label * {EXEM_PER_LABEL} + rn - 1 AS ex, v FROM (
         SELECT label, v,
                row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
-        FROM e WHERE label < {K_CENT}
-      ) WHERE rn = 1
+        FROM e WHERE label < {_PQ_LABELS}
+      ) WHERE rn <= {EXEM_PER_LABEL}
     ),
     book AS (
       SELECT {seed_cols}
@@ -774,23 +781,24 @@ def _pq_oracle() -> str:
 @register("similarity_pq_adc", _pq_oracle())
 def q_similarity_pq_adc(spark, sf_dir):
     """Product-quantization ANN (operators/pq.py — Jegou et al. 2011):
-    corpus vectors collapse to 8 x 2-bit codes (2 bytes vs 256 — a
-    128x scan-bandwidth cut, THE lever when the index itself is tens
-    of TB). Codebooks are SAMPLED EXEMPLARS — the lowest-id vector of
-    each of the first {K_CENT} labels, i.e. k-means initialization
-    without Lloyd rounds, derived relationally so the oracle rebuilds
-    the identical codebook at any scale factor (md5-random ternary
-    centroids sit outside the data shell of unit-norm embeddings and
-    measured recall ~0; production refines these seeds with the
-    trained build similarity_ivf_kmeans already demonstrates). The
-    codebook and the query's 32-entry distance LUT are ONE-ROW frames
-    broadcast onto the scan; each row's asymmetric (ADC) distance is 8
-    CASE lookups + 7 adds. TWO-STAGE, as PQ is deployed: the coarse
+    corpus vectors collapse to 8 x 4-bit codes (4 bytes vs 256 — a
+    64x scan-bandwidth cut, THE lever when the index itself is tens
+    of TB). Codebooks are SAMPLED EXEMPLARS — the {EXEM_PER_LABEL}
+    lowest-id vectors of each of the first {_PQ_LABELS} labels, i.e.
+    k-means initialization without Lloyd rounds, derived relationally
+    so the oracle rebuilds the identical codebook at any scale factor
+    (md5-random ternary centroids sit outside the data shell of
+    unit-norm embeddings and measured recall ~0; production refines
+    these seeds with the trained build similarity_ivf_kmeans already
+    demonstrates). The codebook and the query's 128-entry distance LUT
+    are ONE-ROW frames broadcast onto the scan; each row's asymmetric
+    (ADC) distance is 8 CASE lookups + 7 adds. TWO-STAGE, as PQ is
+    deployed: the coarse
     ADC scan shortlists {_PQ_SHORTLIST} candidates (TakeOrdered on the
     exact-double (adc, vec_id) order), then ONLY those re-rank under
     exact L2 — so the full-precision read touches {_PQ_SHORTLIST}
     vectors however big the corpus, which is the entire point of the
-    128x-smaller code scan. Zero shuffles end to end (shortlist and
+    64x-smaller code scan. Zero shuffles end to end (shortlist and
     query broadcast back onto the pruned scan). Distance chains share
     their term order cross-engine, so codes, LUT, and both stages'
     scores are bit-identical. tests/test_pq_recall.py pins the final
@@ -842,8 +850,8 @@ def q_similarity_pq_adc(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _IVF_K = 8        # coarse cells
-_IVF_PROBE = 2    # cells probed per query
-_IVFPQ_SHORTLIST = 50
+_IVF_PROBE = 3    # cells probed per query
+_IVFPQ_SHORTLIST = 100
 
 
 def _ivf_protos() -> list[list[int]]:
@@ -905,7 +913,7 @@ def q_similarity_ivfpq(spark, sf_dir):
     PQ-ADC scan scores ONLY those cells' 2-byte codes and exact L2
     re-ranks a {_IVFPQ_SHORTLIST}-candidate shortlist. Compounded
     read reduction: (probed cells / all cells) x (2 B / 256 B) —
-    ~1/512 of the brute-force scan here, with every stage exact
+    ~1/256 of the brute-force scan here, with every stage exact
     against the oracle (assignment ties lowest-index, chains share
     term order). tests/test_pq_recall.py pins the end-to-end
     recall floor."""

@@ -28,6 +28,7 @@ driver holds only commit messages (a filename + count per task).
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import uuid
@@ -41,6 +42,41 @@ from pyspark.sql.datasource import (
 )
 
 MANIFEST = "_MANIFEST.json"
+
+
+@contextlib.contextmanager
+def _manifest_lock(path: str, timeout_s: float = 30.0):
+    """Serialize manifest commits via an O_EXCL lock file (atomic
+    create on POSIX). A crashed committer's stale lock is broken after
+    ``timeout_s`` — commits are sub-second, so a lock that old belongs
+    to a dead process, and breaking it can at worst re-create the race
+    this lock prevents rather than introduce a new failure mode."""
+    import time as _time
+
+    lock = os.path.join(path, MANIFEST + ".lock")
+    deadline = _time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                if _time.time() - os.path.getmtime(lock) > timeout_s:
+                    os.remove(lock)  # stale: owner died mid-commit
+                    continue
+            except OSError:
+                continue  # owner just released/broke it — retry open
+            if _time.monotonic() > deadline:
+                raise TimeoutError(f"manifest lock held too long: {lock}")
+            _time.sleep(0.05)
+    try:
+        yield
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
 
 
 class _PartCommit(WriterCommitMessage):
@@ -129,19 +165,29 @@ class _BatchWriter(DataSourceWriter):
         # (append behaving as overwrite with no error). Overwrite mode
         # replaces it, which makes the old parts invisible (the read
         # side resolves the manifest FIRST; stale files are orphans).
+        #
+        # The merge is a read-modify-write, so concurrent append jobs
+        # to one path are serialized through an O_EXCL lock file —
+        # without it two committers could each read the same prior
+        # manifest and the second os.replace would orphan the first
+        # job's committed rows. POSIX-atomic on local/NFS filesystems;
+        # an object-store deployment needs a CAS manifest service
+        # instead (the standing limitation of file-listing commit
+        # protocols that drove Delta/Iceberg's log design).
         mpath = os.path.join(self._path, MANIFEST)
-        if not getattr(self, "_overwrite", True) and os.path.exists(mpath):
-            with open(mpath) as fh:
-                prev = json.load(fh)
-            manifest = {
-                "files": sorted(set(prev["files"]) | set(manifest["files"])),
-                "rows": prev["rows"] + manifest["rows"],
-                "batches": prev["batches"] + manifest["batches"],
-            }
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh)
-        os.replace(tmp, mpath)  # atomic publish
+        with _manifest_lock(self._path):
+            if not getattr(self, "_overwrite", True) and os.path.exists(mpath):
+                with open(mpath) as fh:
+                    prev = json.load(fh)
+                manifest = {
+                    "files": sorted(set(prev["files"]) | set(manifest["files"])),
+                    "rows": prev["rows"] + manifest["rows"],
+                    "batches": prev["batches"] + manifest["batches"],
+                }
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, mpath)  # atomic publish
 
     def abort(self, messages: list[_PartCommit]) -> None:
         for m in messages:

@@ -53,8 +53,22 @@ def _resolve_fetcher(spec: str) -> FetchFn:
 
 class AppsFlyerDataSource(DataSource):
     """``spark.read.format("appsflyer")`` — options: ``from_time``,
-    ``to_time`` (inclusive window, '%Y-%m-%d %H:%M:%S'), ``num_splits``
-    (default 8), ``fetcher`` (``module:attr`` override for tests)."""
+    ``to_time`` ('%Y-%m-%d %H:%M:%S'), ``num_splits`` (default 8),
+    ``fetcher`` (``module:attr`` override for tests).
+
+    Window contract differs by mode (both at 1-second API granularity):
+
+    * **batch** (``spark.read``): INCLUSIVE ``[from_time, to_time]`` —
+      the reference's one-shot pull semantics (main.py:107-112).
+    * **streaming** (``spark.readStream``): HALF-OPEN
+      ``[from_time, to_time)`` — ``to_time`` is the offset horizon, so
+      the boundary second belongs to the NEXT micro-batch/run and is
+      fetched exactly once across restarts (see ``_stream_windows``).
+
+    A batch and a streaming read of identical options therefore differ
+    by exactly the final boundary second; a streaming backfill chained
+    into a batch tail should hand off at the same instant
+    (batch ``from_time`` = streaming ``to_time``)."""
 
     @classmethod
     def name(cls) -> str:

@@ -45,13 +45,27 @@ def dedup_append_batch_fn(sink_path: str, keys: list[str]) -> BatchFn:
     across arbitrarily many batches. Sub-O(keys) alternatives when
     even the key set outgrows memory: the persistent bloom prefilter
     (operators/bloom.py, dedup_incremental_ingest) or a key-bucketed
-    sink for a co-located anti-join."""
+    sink for a co-located anti-join.
 
-    state: dict = {"keys": None, "loaded": False}
+    Crash/replay safety: foreachBatch is at-least-once — after a dirty
+    failure (or a restart that reuses this closure) the engine replays
+    the last uncommitted ``batch_id``. A replayed batch must NOT
+    anti-join against in-memory state that already unioned its own
+    keys (it would drop everything and under-write) nor against state
+    missing a crashed append (it would re-append). So on any
+    non-monotone batch_id the key state is rebuilt from the SINK — the
+    one source that reflects exactly what committed — making the
+    replay idempotent in both directions."""
+
+    state: dict = {"keys": None, "loaded": False, "last_batch_id": None}
 
     def fn(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(keys)
+        if state["last_batch_id"] is not None and batch_id <= state["last_batch_id"]:
+            # replayed epoch: discard in-memory state, re-read the sink
+            state["keys"] = None
+            state["loaded"] = False
         if not state["loaded"]:
             try:
                 state["keys"] = (
@@ -75,6 +89,7 @@ def dedup_append_batch_fn(sink_path: str, keys: list[str]) -> BatchFn:
             if state["keys"] is None
             else state["keys"].unionByName(new_keys).distinct()
         ).localCheckpoint()
+        state["last_batch_id"] = batch_id
 
     return fn
 

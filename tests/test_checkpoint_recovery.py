@@ -98,3 +98,82 @@ def test_restart_from_checkpoint_keeps_state_and_exactly_once(spark):
     finally:
         q.stop()
     assert spark.read.parquet(out).count() == 3
+
+
+def test_dirty_failure_foreachbatch_epoch_replay_end_to_end(spark):
+    """DIRTY failure (VERDICT r4 task 5), end-to-end through a real
+    streaming query: a foreachBatch epoch crashes AFTER its sink append
+    committed but BEFORE the epoch committed to the checkpoint. The
+    engine fails the query; a restart from the same checkpoint replays
+    that batch_id into the SAME reused BatchFn closure. The sink must
+    come out with every input row exactly once — no loss from the
+    failed attempt's partial work, no duplication from the replay."""
+    import glob
+    import os
+
+    from appsflyer_to_clickhouse_spark.streaming.sinks import (
+        dedup_append_batch_fn,
+    )
+
+    src = tempfile.mkdtemp(prefix="dirty_src_")
+    ckpt = tempfile.mkdtemp(prefix="dirty_ckpt_")
+    sink = tempfile.mkdtemp(prefix="dirty_sink_") + "/out"
+
+    _write_batch(spark, src, [("k1", "2024-01-05T10:00:00")], 1)
+    _write_batch(spark, src, [("k2", "2024-01-05T10:10:00")], 2)
+
+    inner = dedup_append_batch_fn(sink, ["appsflyer_id"])
+    crashed = {"done": False}
+
+    def crashing_fn(batch_df, batch_id):
+        inner(batch_df, batch_id)  # sink append COMMITS...
+        if batch_id == 1 and not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after append, before epoch commit")
+
+    def start():
+        stream = (
+            spark.readStream.schema(_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(f"{src}/batch_*")
+        )
+        return (
+            stream.writeStream.foreachBatch(crashing_fn)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    except Exception:
+        pass  # the injected crash fails the query
+    finally:
+        q.stop()
+    # batch 1's append committed before the crash: both rows on disk,
+    # but epoch 1 is NOT in the checkpoint's commit log
+    assert spark.read.parquet(sink).count() == 2
+    commits = glob.glob(os.path.join(ckpt, "commits", "*"))
+    assert len([c for c in commits if not c.endswith(".tmp")]) == 1
+
+    # restart: engine replays batch_id=1 into the SAME closure — the
+    # non-monotone-id guard rebuilds key state from the sink, so the
+    # replay appends nothing
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(sink)
+    assert sorted(r.appsflyer_id for r in out.collect()) == ["k1", "k2"]
+
+    # and the pipeline keeps working after recovery
+    _write_batch(spark, src, [("k3", "2024-01-05T11:00:00")], 3)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(
+        r.appsflyer_id for r in spark.read.parquet(sink).collect()
+    ) == ["k1", "k2", "k3"]

@@ -179,3 +179,66 @@ def test_golden_bytes_full_sink_schema(spark):
             b'{"bin": "00ff4142", "d": "1994-01-01", '
             b'"dec": "12345678901234.567890", "s": null}\n'
         )
+
+
+def test_manifest_lock_serializes_concurrent_commits(tmp_path):
+    """ADVICE r4: two concurrent append commits must not lose files —
+    the O_EXCL lock serializes the manifest read-modify-write. Driven
+    directly through _manifest_lock from threads (the commit path's
+    exact critical section)."""
+    import json
+    import threading
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        MANIFEST,
+        _manifest_lock,
+    )
+
+    path = str(tmp_path)
+    mpath = tmp_path / MANIFEST
+
+    def commit(fname: str) -> None:
+        with _manifest_lock(path):
+            prev = (
+                json.loads(mpath.read_text())
+                if mpath.exists()
+                else {"files": [], "rows": 0, "batches": 0}
+            )
+            merged = {
+                "files": sorted(set(prev["files"]) | {fname}),
+                "rows": prev["rows"] + 1,
+                "batches": prev["batches"] + 1,
+            }
+            mpath.write_text(json.dumps(merged))
+
+    threads = [
+        threading.Thread(target=commit, args=(f"part-{i}.jsonl",))
+        for i in range(16)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    final = json.loads(mpath.read_text())
+    assert len(final["files"]) == 16 and final["rows"] == 16
+    assert not (tmp_path / (MANIFEST + ".lock")).exists()
+
+
+def test_manifest_lock_breaks_stale_lock(tmp_path):
+    """A lock left by a dead committer is broken after timeout_s
+    instead of deadlocking every future commit."""
+    import os
+    import time
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        MANIFEST,
+        _manifest_lock,
+    )
+
+    lock = tmp_path / (MANIFEST + ".lock")
+    lock.touch()
+    old = time.time() - 120
+    os.utime(lock, (old, old))
+    with _manifest_lock(str(tmp_path), timeout_s=30.0):
+        pass  # acquired despite the pre-existing stale lock
+    assert not lock.exists()

@@ -139,3 +139,34 @@ def test_dedup_exact_normalized_collapses_variants(spark):
         rows = dq.q_dedup_exact_normalized(spark, "unused").collect()
     by_keep = {r["keep_doc_id"]: r["n_copies"] for r in rows}
     assert by_keep == {10: 3, 13: 1}
+
+
+def test_group_fingerprint_all_null_group_yields_null(spark):
+    """SQL aggregate NULL semantics (ADVICE r4): a group whose payloads
+    are ALL NULL must return NULL total_bytes/group_md5 — matching the
+    oracle's sum(octet_length)/string_agg, which skip NULLs and yield
+    NULL over an empty input set. Mixed groups skip the NULLs."""
+    import hashlib
+
+    from appsflyer_to_clickhouse_spark.multimodal.columns import (
+        group_binary_fingerprint,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", bytearray(b"x")),
+            (2, "a", None),
+            (3, "b", None),
+            (4, "b", None),
+        ],
+        "doc_id long, source string, payload binary",
+    )
+    out = {r["source"]: r for r in group_binary_fingerprint(df).collect()}
+    # all-NULL group: NULL aggregates, count still 2
+    assert out["b"]["n_docs"] == 2
+    assert out["b"]["total_bytes"] is None
+    assert out["b"]["group_md5"] is None
+    # mixed group: NULL payload skipped from sum and digest
+    assert out["a"]["total_bytes"] == 1
+    expect = hashlib.md5(hashlib.md5(b"x").hexdigest().encode()).hexdigest()
+    assert out["a"]["group_md5"] == expect

@@ -1,8 +1,10 @@
 """Neighbor-quality pin for the two-stage PQ-ADC query: the final
-top-10 (ADC shortlist -> exact re-rank) must recover at least half of
-the true exact-L2 top-10. 8x2-bit codes over a 100-candidate shortlist
-are the COARSE tier — production widens codes/shortlist for higher
-recall; this pins that the machinery ranks signal, not noise (the
+top-10 (ADC shortlist -> exact re-rank) must recover >= 0.8 of the
+true exact-L2 top-10 at every SF. Round 5 widened the code budget
+from 8x2-bit/100-shortlist (pinned floor 0.5) to 8x4-bit codes over a
+200-candidate shortlist — the deployed-shape nibble-code tier
+(VERDICT r4 task 3); measured recall 0.9/1.0/0.9 across
+sf0.001/0.01/0.1. The floor also guards the machinery itself (the
 unscaled-codebook regression measured recall 0).
 """
 
@@ -38,13 +40,13 @@ def test_pq_two_stage_recall_at_10(spark):
     ]
     assert len(got) == 10
     recall = len(got & set(exact)) / 10
-    assert recall >= 0.5, f"two-stage PQ recall@10 {recall} below floor"
+    assert recall >= 0.8, f"two-stage PQ recall@10 {recall} below floor"
 
 
 def test_ivfpq_recall_at_10(spark):
-    """IVF-PQ probes 2 of 8 coarse cells before the ADC scan, so its
-    recall sits below full-corpus PQ (measured 3-6/10 across SFs vs
-    5-8/10) — the price of reading ~1/4 of the cells; the floor pins
+    """IVF-PQ probes 3 of 8 coarse cells before the ADC scan, so its
+    recall sits below full-corpus PQ (measured 6-7/10 across SFs vs
+    9-10/10) — the price of reading ~3/8 of the cells; the floor pins
     that the compounded pruning still ranks signal (widening nprobe
     recovers the gap, exactly as in FAISS)."""
     got = {r.vec_id for r in QUERIES["similarity_ivfpq"](spark, SF_SMALL).collect()}
@@ -68,4 +70,4 @@ def test_ivfpq_recall_at_10(spark):
     ]
     assert len(got) == 10
     recall = len(got & set(exact)) / 10
-    assert recall >= 0.3, f"IVF-PQ recall@10 {recall} below floor"
+    assert recall >= 0.5, f"IVF-PQ recall@10 {recall} below floor"
