@@ -122,21 +122,31 @@ def lsh_candidate_pairs(
     id_a < id_b. Skew note: a bucket of k near-identical docs yields
     k^2/2 pairs — bounded by duplicate-group size; collect_set keeps
     only ids, never payloads."""
+    groups = _lsh_bucket_groups(sig_df, id_col, bands, rows)
+    return (
+        groups.select(F.explode(_in_group_pairs(F.col("ids"))).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+
+def _lsh_bucket_groups(
+    sig_df: DataFrame, id_col: str, bands: int, rows: int
+) -> DataFrame:
+    """(band, bucket, sorted id array) of every band-bucket holding >1
+    doc — the shared bucketing stage of the salted and unsalted pair
+    generators (and of the skew tests that measure their per-key pair
+    counts)."""
     banded = sig_df.select(
         F.col(id_col),
         F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias(
             "band", "bucket"
         ),
     ).filter(F.col("bucket").isNotNull())
-    groups = (
+    return (
         banded.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
         .filter(F.size("ids") > 1)
-    )
-    return (
-        groups.select(F.explode(_in_group_pairs(F.col("ids"))).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
     )
 
 
@@ -165,17 +175,31 @@ def lsh_candidate_pairs_salted(
     of chunk i precedes every element of chunk j — cross-chunk pairs
     satisfy id_a < id_b by construction; in-chunk pairs (i == j) use
     the usual triangular expansion."""
-    banded = sig_df.select(
-        F.col(id_col),
-        F.posexplode(lsh_band_keys(F.col("sig"), bands, rows)).alias(
-            "band", "bucket"
-        ),
-    ).filter(F.col("bucket").isNotNull())
-    groups = (
-        banded.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
-        .filter(F.size("ids") > 1)
+    groups = _lsh_bucket_groups(sig_df, id_col, bands, rows)
+    cell_rows = _salted_cell_rows(groups, salt)
+    ca = F.col("ca")
+    cross = F.flatten(
+        F.transform(
+            ca,
+            lambda a: F.transform(
+                F.col("cb"),
+                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+            ),
+        )
     )
+    pairs = F.when(F.col("i") == F.col("j"), _in_group_pairs(ca)).otherwise(cross)
+    return (
+        cell_rows.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a"), F.col("p.id_b"))
+        .distinct()
+    )
+
+
+def _salted_cell_rows(groups: DataFrame, salt: int) -> DataFrame:
+    """Slice each bucket's sorted id array into ``salt`` contiguous
+    chunks and explode the salt*(salt+1)/2 chunk-pair CELLS, one row
+    per (band, bucket, i, j), repartitioned on that full key — the
+    task-distribution unit whose pair count the skew test pins."""
     chunk_len = F.ceil(F.size("ids") / F.lit(salt)).cast("int")
 
     def chunk(c: int) -> Column:
@@ -193,27 +217,11 @@ def lsh_candidate_pairs_salted(
             for j in range(i, salt)
         ]
     )
-    cell_rows = (
+    return (
         groups.select("band", "bucket", F.explode(cells).alias("c"))
         .select("band", "bucket", "c.i", "c.j", "c.ca", "c.cb")
         .filter((F.size("ca") > 0) & (F.size("cb") > 0))
         .repartition("band", "bucket", "i", "j")
-    )
-    ca = F.col("ca")
-    cross = F.flatten(
-        F.transform(
-            ca,
-            lambda a: F.transform(
-                F.col("cb"),
-                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-            ),
-        )
-    )
-    pairs = F.when(F.col("i") == F.col("j"), _in_group_pairs(ca)).otherwise(cross)
-    return (
-        cell_rows.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.id_a"), F.col("p.id_b"))
-        .distinct()
     )
 
 

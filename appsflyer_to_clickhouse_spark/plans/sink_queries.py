@@ -12,7 +12,14 @@ from pyspark.sql import functions as F
 
 from ..operators.etl import run_installs_pipeline
 from ..sinks.parquet_sink import read_sink, scan_sink_keys_pruned, write_sink
-from .etl_queries import ALL_FROM, ALL_TO, _pipeline_oracle, _synth_af_batch
+from .etl_queries import (
+    ALL_FROM,
+    ALL_TO,
+    WIN_FROM,
+    WIN_TO,
+    _pipeline_oracle,
+    _synth_af_batch,
+)
 from .registry import load, register
 
 
@@ -389,3 +396,61 @@ def q_sink_datasource_arrow(spark, sf_dir):
         .save()
     )
     return read_committed_parquet(spark, path, _DS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# scan_sink_keys_jdbc — the reference's key scan over a REAL JDBC database
+# ---------------------------------------------------------------------------
+
+_DERBY_URL = "jdbc:derby:memory:spark_graft_sinkdb;create=true"
+_DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+@register(
+    "scan_sink_keys_jdbc",
+    f"""
+    SELECT DISTINCT CAST(user_id AS VARCHAR) AS appsflyer_id
+    FROM events
+    WHERE ts >= TIMESTAMP '{WIN_FROM}' AND ts <= TIMESTAMP '{WIN_TO}'
+      AND user_id IS NOT NULL AND CAST(user_id AS VARCHAR) != ''
+    """,
+)
+def q_scan_sink_keys_jdbc(spark, sf_dir):
+    """The reference's windowed key scan (main.py:169-176) executed
+    against a REAL JDBC database — the embedded Derby on Spark's
+    classpath stands in for ClickHouse, exercising the exact read path
+    the gated deployment uses: ``read_clickhouse`` loads the JDBC
+    relation, ``scan_sink_keys`` filters the window declaratively, and
+    Catalyst pushes the bounds INTO the JDBC scan as bound predicates
+    (never interpolated SQL — the injection-free divergence from
+    main.py:172-174, plan-pinned in tests/test_jdbc_roundtrip.py).
+    Same oracle as the parquet-backed scan_sink_keys: the storage tier
+    must not change the answer. Local-mode demo note: the in-memory
+    Derby is per-JVM, which local[*] shares; a cluster deployment
+    points the same code at a ClickHouse URL."""
+    from ..config import PipelineConfig
+    from ..operators.etl import scan_sink_keys
+    from ..sinks.clickhouse_sink import read_clickhouse
+
+    cfg = PipelineConfig(
+        appsflyer_token=None, app_id=None, ch_host="mem", ch_port=0,
+        ch_user=None, ch_password=None, ch_database="mem",
+        ch_table="sink_keys_src",
+    )
+    ev = load(spark, sf_dir, "events").select(
+        F.col("ts").alias("install_time"),
+        F.col("user_id").cast("string").alias("appsflyer_id"),
+    )
+    (
+        ev.write.format("jdbc")
+        .option("url", _DERBY_URL)
+        .option("dbtable", cfg.ch_table)
+        .option("driver", _DERBY_DRIVER)
+        .option(
+            "createTableColumnTypes", "appsflyer_id VARCHAR(64)"
+        )  # Derby CLOB default rejects pushed string comparisons
+        .mode("overwrite")  # rerun-safe: the query owns this table
+        .save()
+    )
+    sink = read_clickhouse(spark, cfg, url=_DERBY_URL, driver=_DERBY_DRIVER)
+    return scan_sink_keys(sink, WIN_FROM, WIN_TO)

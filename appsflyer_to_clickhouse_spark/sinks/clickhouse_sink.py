@@ -20,25 +20,77 @@ JDBC_DRIVER = "com.clickhouse.jdbc.ClickHouseDriver"
 
 
 def write_clickhouse(
-    df: DataFrame, cfg: PipelineConfig, mode: str = "append", batchsize: int = 100_000
+    df: DataFrame,
+    cfg: PipelineConfig,
+    mode: str = "append",
+    batchsize: int = 100_000,
+    url: str | None = None,
+    driver: str | None = None,
+    create_table_column_types: str | None = None,
 ) -> None:
     """Append ``df`` to the configured ClickHouse table with the
     reference's column order. Distributed: each executor writes its
     partitions concurrently as batched INSERTs — the scale-out form of
     the reference's single driver-side ``client.execute`` (and unlike
-    it, never materializes the batch in one process's RAM)."""
+    it, never materializes the batch in one process's RAM).
+
+    ``url``/``driver`` override the ClickHouse defaults so the SAME
+    writer runs against any JDBC database — the tests drive it
+    end-to-end against the embedded Derby that ships in Spark's
+    classpath (tests/test_jdbc_roundtrip.py), which exercises every
+    Spark-side layer (column order, type mapping, batched executor
+    writes, append table creation); only the server dialect differs."""
     if df.isEmpty():  # reference main.py:183 — skip empty batches
         return
     ordered = df.select(*sink_columns())
+    writer = ordered.write.format("jdbc")
+    if create_table_column_types:
+        # dialect-specific DDL types for a CREATE the writer issues
+        # (e.g. Derby defaults StringType to CLOB, which rejects pushed
+        # string comparisons; VARCHAR restores them)
+        writer = writer.option("createTableColumnTypes", create_table_column_types)
     (
-        ordered.write.format("jdbc")
-        .option("url", cfg.jdbc_url)
+        writer
+        .option("url", url or cfg.jdbc_url)
         .option("dbtable", cfg.ch_table)
         .option("user", cfg.ch_user or "")
         .option("password", cfg.ch_password or "")
-        .option("driver", JDBC_DRIVER)
+        .option("driver", driver or JDBC_DRIVER)
         .option("batchsize", str(batchsize))
         .option("isolationLevel", "NONE")  # ClickHouse has no txns (ref: no retry/txn either)
         .mode(mode)
         .save()
+    )
+
+
+def read_clickhouse(
+    spark,
+    cfg: PipelineConfig,
+    url: str | None = None,
+    driver: str | None = None,
+) -> DataFrame:
+    """The sink table as a DataFrame over the JDBC source — the read
+    half of the reference's cron round trip (main.py:169-176 SELECTs
+    the window's existing keys back out of ClickHouse).
+
+    Deliberately returns the UNFILTERED relation: the caller composes
+    ``operators.etl.scan_sink_keys(read_clickhouse(...), from, to)``
+    and Catalyst compiles the window predicate INTO the JDBC scan as
+    bound pushed filters (PushedFilters: [GreaterThanOrEqual(...),
+    LessThanOrEqual(...)]) — the injection-free divergence from the
+    reference's f-string SQL (main.py:172-174: ``WHERE install_time >=
+    '{from_time}'`` interpolated into the query text). User-supplied
+    window values never enter SQL text here; they are typed literals
+    the JDBC dialect renders with its own escaping
+    (tests/test_jdbc_roundtrip.py pins both the plan shape and the
+    poisoned-input behavior)."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url or cfg.jdbc_url)
+        .option("dbtable", cfg.ch_table)
+        .option("user", cfg.ch_user or "")
+        .option("password", cfg.ch_password or "")
+        .option("driver", driver or JDBC_DRIVER)
+        .option("pushDownPredicate", "true")
+        .load()
     )

@@ -1,0 +1,130 @@
+"""End-to-end JDBC round trip against the embedded Derby database that
+ships on Spark's classpath (VERDICT r4 task 7): the ClickHouse sink's
+writer and reader run UNCHANGED against a real JDBC database — only
+the url/driver differ — proving the full Spark-side path (49-column
+ordered write, append table creation, windowed key scan) plus the two
+properties the gated ClickHouse deployment claims:
+
+1. the time window reaches the JDBC SOURCE as bound pushed filters
+   (plan-pinned), never as interpolated SQL text;
+2. a hostile window value cannot alter query semantics — it is a typed
+   literal, so it fails the timestamp coercion instead of escaping
+   into the WHERE clause (the reference's f-string SQL at
+   main.py:172-174 is the divergence this pins).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from appsflyer_to_clickhouse_spark.config import PipelineConfig
+from appsflyer_to_clickhouse_spark.operators.etl import scan_sink_keys
+from appsflyer_to_clickhouse_spark.schemas import (
+    DATETIME_CH_COLS,
+    ch_sink_schema,
+    sink_columns,
+)
+from appsflyer_to_clickhouse_spark.sinks.clickhouse_sink import (
+    read_clickhouse,
+    write_clickhouse,
+)
+
+DERBY_URL = "jdbc:derby:memory:chsink;create=true"
+DERBY_DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+
+
+def _cfg(table: str) -> PipelineConfig:
+    return PipelineConfig(
+        appsflyer_token=None,
+        app_id=None,
+        ch_host="localhost",
+        ch_port=9000,
+        ch_user=None,
+        ch_password=None,
+        ch_database="default",
+        ch_table=table,
+    )
+
+
+def _row(af_id: str, install_time: dt.datetime) -> tuple:
+    return tuple(
+        install_time
+        if c in DATETIME_CH_COLS
+        else (af_id if c == "appsflyer_id" else f"v_{c}")
+        for c in sink_columns()
+    )
+
+
+# Derby defaults StringType to CLOB, which rejects pushed string
+# comparisons — VARCHAR keeps the scan predicate-friendly, exactly the
+# choice a real deployment makes in its DDL
+_COLUMN_TYPES = ", ".join(
+    f"{c} VARCHAR(256)" for c in sink_columns() if c not in DATETIME_CH_COLS
+)
+
+
+@pytest.fixture(scope="module")
+def sink_table(spark):
+    cfg = _cfg("installs_rt")
+    rows = [
+        _row("id_in_1", dt.datetime(2024, 1, 5, 10, 0, 0)),
+        _row("id_in_2", dt.datetime(2024, 1, 5, 11, 30, 0)),
+        _row("id_out", dt.datetime(2024, 1, 9, 0, 0, 0)),
+    ]
+    df = spark.createDataFrame(rows, ch_sink_schema())
+    write_clickhouse(
+        df, cfg, url=DERBY_URL, driver=DERBY_DRIVER,
+        create_table_column_types=_COLUMN_TYPES,
+    )
+    # second append batch: append must add, not replace
+    df2 = spark.createDataFrame(
+        [_row("id_in_3", dt.datetime(2024, 1, 5, 23, 59, 59))], ch_sink_schema()
+    )
+    write_clickhouse(df2, cfg, url=DERBY_URL, driver=DERBY_DRIVER)
+    return cfg
+
+
+def test_write_read_round_trip_preserves_rows(spark, sink_table):
+    back = read_clickhouse(spark, sink_table, url=DERBY_URL, driver=DERBY_DRIVER)
+    assert back.count() == 4
+    assert back.columns == sink_columns()  # reference column order kept
+    got = {r.appsflyer_id for r in back.select("appsflyer_id").collect()}
+    assert got == {"id_in_1", "id_in_2", "id_in_3", "id_out"}
+
+
+def test_window_reaches_jdbc_source_as_pushed_filters(spark, sink_table):
+    sink = read_clickhouse(spark, sink_table, url=DERBY_URL, driver=DERBY_DRIVER)
+    keys = scan_sink_keys(sink, "2024-01-05 00:00:00", "2024-01-05 23:59:59")
+    # correctness: only the window's keys
+    assert sorted(r.appsflyer_id for r in keys.collect()) == [
+        "id_in_1", "id_in_2", "id_in_3",
+    ]
+    # plan: the window is a BOUND pushed filter at the JDBC relation —
+    # never SQL text built from the user values
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan, plan
+    assert "GreaterThanOrEqual(INSTALL_TIME" in plan.upper().replace(
+        '"', ""
+    ) or "GreaterThanOrEqual(install_time".upper() in plan.upper(), plan
+
+
+def test_poisoned_window_value_cannot_escape_the_predicate(spark, sink_table):
+    """An injection attempt in the window value — the classic payload
+    that breaks f-string SQL — is a TYPED LITERAL here: under Spark
+    4's ANSI mode the malformed timestamp coercion fails LOUDLY
+    (CAST_INVALID_INPUT) before any SQL is sent; under non-ANSI it
+    would coerce to NULL and match nothing. Either way the payload can
+    never rewrite the WHERE clause the way it does to the reference's
+    interpolated SQL (main.py:172-174)."""
+    sink = read_clickhouse(spark, sink_table, url=DERBY_URL, driver=DERBY_DRIVER)
+    poisoned = scan_sink_keys(
+        sink, "2024-01-01' OR '1'='1", "2024-12-31' OR '1'='1"
+    )
+    if spark.conf.get("spark.sql.ansi.enabled") == "true":
+        with pytest.raises(Exception) as exc:
+            poisoned.count()
+        assert "CAST_INVALID_INPUT" in str(exc.value)
+    else:
+        assert poisoned.count() == 0  # never 4 (= injection succeeded)
