@@ -461,3 +461,64 @@ def q_stream_state_store_read(spark, sf_dir):
         F.col("key.user_id").alias("user_id"),
         F.col("value.count").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "stream_sink_datasource",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type
+    FROM events WHERE event_id % 5 = 0
+    """,
+)
+def q_stream_sink_datasource(spark, sf_dir):
+    """STREAMING tier of the Python Data Source writer
+    (sinks/datasource_sink.py:_StreamBatchWriter):
+    ``writeStream.format("chbatch")`` hands every micro-batch's
+    partitions to the same executor-side batched flush as the batch
+    tier, and the driver commit carries ``batchId`` — recorded in the
+    manifest so a dirty-failure epoch replay is DROPPED at the sink
+    (exactly-once effect over at-least-once delivery, pinned in
+    tests/test_stream_datasource_sink.py). Events replayed as a file
+    stream; result = manifest-resolved read-back, so the oracle also
+    re-proves the commit protocol published exactly the input rows.
+    """
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import ClickHouseBatchDataSource, read_committed
+
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    src = _replay_src(spark, sf_dir, _REPLAY_COLS, "streamsink")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # several real micro-batches
+        .parquet(src)
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("event_id").cast("string").alias("appsflyer_id"),
+            F.col("user_id").alias("uid"),
+            "event_type",
+        )
+    )
+    sink = tempfile.mkdtemp(prefix="spark_graft_streamsink_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_streamsink_ckpt_")
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.format("chbatch")
+            .option("path", sink)
+            .option("batchsize", "5000")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out_schema = T.StructType(
+        [
+            T.StructField("appsflyer_id", T.StringType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    return read_committed(spark, sink, out_schema)

@@ -99,6 +99,11 @@ class ClickHouseBatchDataSource(DataSource):
             self.options, [f.name for f in schema.fields], overwrite
         )
 
+    def streamWriter(self, schema, overwrite: bool) -> "_StreamBatchWriter":
+        return _StreamBatchWriter(
+            self.options, [f.name for f in schema.fields]
+        )
+
 
 def _json_cell(v):
     """JSON-serialize the non-JSON-native cell types a ClickHouse sink
@@ -284,3 +289,84 @@ def read_committed_parquet(spark, path: str, schema):
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
+
+
+from pyspark.sql.datasource import DataSourceStreamWriter  # noqa: E402
+
+
+class _StreamBatchWriter(DataSourceStreamWriter):
+    """STREAMING tier of the batched-INSERT sink —
+    ``df.writeStream.format("chbatch")`` routes each micro-batch
+    through the same executor-side flush as the batch writer, and the
+    driver-side ``commit(messages, batchId)`` extends the manifest
+    protocol with the exactly-once contract Structured Streaming
+    demands of sinks: the manifest additionally records the last
+    committed ``batchId``, and a COMMIT FOR A BATCH ALREADY IN THE
+    MANIFEST IS DROPPED (its freshly-written parts are deleted, the
+    manifest untouched). Structured Streaming replays the last
+    uncommitted epoch after a dirty failure — at-least-once delivery —
+    so sink-side batchId idempotence is exactly what upgrades the
+    pipeline to exactly-once effect (same design as the
+    foreachBatch sink's non-monotone guard in streaming/sinks.py, here
+    at the DataSource protocol layer where it belongs).
+
+    Scale: per micro-batch the driver handles one commit-message list
+    (a filename + count per task) and one manifest read-modify-write
+    under the O_EXCL lock; executors stream fixed-size flushes exactly
+    like the batch tier. ClickHouse deployment note: parts become
+    per-batch INSERTs and the manifest becomes an insert-dedup token
+    table keyed by batchId."""
+
+    def __init__(self, options, cols: list[str]):
+        self._path = options["path"]
+        self._batch = int(options.get("batchsize", "10000"))
+        self._cols = cols
+
+    # -- executor side: identical flush cadence to the batch tier ---------
+    def write(self, rows: Iterator) -> _PartCommit:
+        return _BatchWriter.write(self, rows)
+
+    # -- driver side -------------------------------------------------------
+    def commit(self, messages: list, batchId: int) -> None:
+        new_files = sorted(
+            f for m in messages if m is not None for f in m.files
+        )
+        mpath = os.path.join(self._path, MANIFEST)
+        os.makedirs(self._path, exist_ok=True)
+        with _manifest_lock(self._path):
+            prev = {"files": [], "rows": 0, "batches": 0, "last_batch_id": None}
+            if os.path.exists(mpath):
+                with open(mpath) as fh:
+                    prev = {**prev, **json.load(fh)}
+            last = prev.get("last_batch_id")
+            if last is not None and batchId <= last:
+                # replayed epoch: the batch is already committed — drop
+                # the replay's parts, publish nothing
+                for f in new_files:
+                    try:
+                        os.remove(os.path.join(self._path, f))
+                    except OSError:
+                        pass
+                return
+            manifest = {
+                "files": sorted(set(prev["files"]) | set(new_files)),
+                "rows": prev["rows"]
+                + sum(m.rows for m in messages if m is not None),
+                "batches": prev["batches"]
+                + sum(m.batches for m in messages if m is not None),
+                "last_batch_id": batchId,
+            }
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, mpath)  # atomic publish
+
+    def abort(self, messages: list, batchId: int) -> None:
+        for m in messages:
+            if m is None:
+                continue
+            for f in m.files:
+                try:
+                    os.remove(os.path.join(self._path, f))
+                except OSError:
+                    pass

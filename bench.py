@@ -191,6 +191,8 @@ def main() -> int:
         # worker-fleet spin-up to its timings
         "stream_http_datasource",
         "stream_etl_pipeline",
+        # streaming Python Data Source WRITER — same fleet profile
+        "stream_sink_datasource",
         # Arrow-batched Python UDTF / UDAF — same worker-fleet profile
         "udtf_tokenize_lateral",
         "udaf_grouped_median",
