@@ -1222,20 +1222,25 @@ def q_graph_triangle_count(spark, sf_dir):
     from a hub-and-spoke artifact, and the standard smoke test of any
     graph stack.
 
-    Spark-first scale design (Suri & Vassilvitskii's MR triangle
-    counting): edges are ORIENTED from the (degree, id)-smaller
-    endpoint to the larger before the wedge join, so every wedge is
-    generated at its lowest-degree apex — the join fanout per node is
-    bounded by min-degree-ordered neighborhoods (sum of O(m^1.5) work
-    total) instead of the hub's deg^2, which is the difference between
-    a power-law graph finishing and its top hub stalling one task.
-    Wedge closure is one more join against the oriented edge list;
-    wedge COUNT comes straight off the degree table (sum C(d,2) — no
-    enumeration). The edge list itself is the shared _basket_pairs
-    stage (computed once per session across the three graph/basket
-    queries). Exact: every join is equi-keyed on ids, counts are
-    integers, the one float division is rounded identically in both
-    engines."""
+    Spark-first scale design — edge-iterator over degree-oriented
+    sorted adjacency (the Latapy / Suri-Vassilvitskii family): edges
+    are ORIENTED from the (degree, id)-smaller endpoint to the larger,
+    so every out-neighborhood is bounded by O(sqrt m) however skewed
+    the degree distribution; per-edge triangles are then
+    |out(u) INTERSECT out(v)| — a MAP-SIDE array intersection after
+    joining the edge list with the node-sized adjacency table twice.
+    Nothing wedge-shaped is ever materialized or shuffled: the naive
+    formulation (enumerate wedges, closure-join them against the edge
+    list) measured 21 s at sf0.1 vs ~3 s for this one — the
+    co-purchase graph is DENSE (avg degree ~120), so wedges are ~50x
+    the edge count and shuffling them was the entire cost. Each
+    triangle a->b, a->c, b->c in orientation order is counted exactly
+    once, at edge (a,b) via c. Wedge COUNT comes straight off the
+    degree table (sum C(d,2) — no enumeration). The edge list itself
+    is the shared _basket_pairs stage (computed once per session
+    across the three graph/basket queries). Exact: joins are
+    equi-keyed on ids, counts are integers, the one float division is
+    rounded identically in both engines."""
     edges = _basket_pairs(spark, sf_dir).select(
         F.col("part_a").alias("a"), F.col("part_b").alias("b")
     )
@@ -1245,7 +1250,8 @@ def q_graph_triangle_count(spark, sf_dir):
         .groupBy("node")
         .agg(F.count("*").alias("d"))
     )
-    # orient: src = (deg, id)-smaller endpoint; dst = larger
+    # orient: src = (deg, id)-smaller endpoint; dst = larger. deg is
+    # node-sized — AQE broadcasts it onto the edge scan.
     da, db = F.col("da"), F.col("db")
     with_deg = (
         edges.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
@@ -1255,20 +1261,23 @@ def q_graph_triangle_count(spark, sf_dir):
     oriented = with_deg.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, db).otherwise(da).alias("dst_deg"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst_id"),
+    ).localCheckpoint()  # consumed twice: adjacency build + edge scan
+    adj = oriented.groupBy("src").agg(
+        F.sort_array(F.collect_list("dst")).alias("nbrs")
     )
-    e1 = oriented.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("dv"))
-    e2 = oriented.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("dw"))
-    wedges = e1.join(e2, "src").filter(
-        (F.col("dv") < F.col("dw"))
-        | ((F.col("dv") == F.col("dw")) & (F.col("v") < F.col("w")))
-    )
-    closing = oriented.select(
-        F.col("src").alias("v"), F.col("dst").alias("w")
-    )
-    tri = wedges.join(closing, ["v", "w"]).agg(
-        F.count("*").alias("n_triangles")
+    tri = (
+        oriented.join(
+            adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),
+            F.col("src") == F.col("u"),
+        )
+        .join(
+            # inner join is safe: an edge whose dst has no
+            # out-neighbors contributes 0 triangles either way
+            adj.select(F.col("src").alias("w"), F.col("nbrs").alias("nw")),
+            F.col("dst") == F.col("w"),
+        )
+        .select(F.size(F.array_intersect("nu", "nw")).alias("t"))
+        .agg(F.sum("t").cast("bigint").alias("n_triangles"))
     )
     wedge_total = deg.agg(
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges")

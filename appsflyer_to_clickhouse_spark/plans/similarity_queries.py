@@ -778,6 +778,31 @@ def _pq_oracle() -> str:
     """
 
 
+def _pq_codes(spark, sf_dir):
+    """Full-corpus PQ codes (vec_id, c0..c{M-1}) through the shared
+    stage cache — the STORED INDEX of a deployed PQ system: encoding
+    happens once at index-build time and every ANN query scans the
+    2-byte codes, never re-derives them. Both similarity_pq_adc and
+    similarity_ivfpq consume this stage; before it existed each query
+    re-ran the 128-chain encode projection inside every job that
+    touched the shortlist (the encode is ~70% of either query's cost
+    at sf0.1)."""
+    from .stage_cache import shared_stage
+
+    def build():
+        emb = _emb(spark, sf_dir)
+        book = _pq_book_df(emb)
+        staged = emb.crossJoin(F.broadcast(book)).selectExpr(
+            "vec_id",
+            *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "d"),
+        )
+        return staged.selectExpr(
+            "vec_id", *code_col_exprs(M_SUB, K_CENT, "d")
+        )
+
+    return shared_stage(spark, ("pq_codes", sf_dir), build)
+
+
 @register("similarity_pq_adc", _pq_oracle())
 def q_similarity_pq_adc(spark, sf_dir):
     """Product-quantization ANN (operators/pq.py — Jegou et al. 2011):
@@ -801,17 +826,13 @@ def q_similarity_pq_adc(spark, sf_dir):
     64x-smaller code scan. Zero shuffles end to end (shortlist and
     query broadcast back onto the pruned scan). Distance chains share
     their term order cross-engine, so codes, LUT, and both stages'
-    scores are bit-identical. tests/test_pq_recall.py pins the final
-    top-10's recall against the exact scorer."""
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
-    )
+    scores are bit-identical. Codes come from the shared _pq_codes
+    stage (the stored index — encoded once per session+corpus).
+    tests/test_pq_recall.py pins the final top-10's recall against
+    the exact scorer."""
+    emb = _emb(spark, sf_dir)
     book = _pq_book_df(emb)
-    staged = emb.crossJoin(F.broadcast(book)).selectExpr(
-        "vec_id",
-        *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "d"),
-    )
-    codes = staged.selectExpr("vec_id", *code_col_exprs(M_SUB, K_CENT, "d"))
+    codes = _pq_codes(spark, sf_dir)
     lut = (
         emb.filter(F.col("vec_id") == _QUERY_ID)
         .crossJoin(F.broadcast(book))
@@ -945,11 +966,13 @@ def q_similarity_ivfpq(spark, sf_dir):
     cand = cl.join(F.broadcast(qtop), "cell", "leftsemi").filter(
         F.col("vec_id") != _QUERY_ID
     )
-    staged = cand.crossJoin(F.broadcast(book)).selectExpr(
-        "vec_id",
-        *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "d"),
+    # codes from the shared stored-index stage, restricted to the
+    # probed cells' candidates (at 100 TB the codes table is
+    # cell-partitioned and this restriction is partition pruning; here
+    # it is a semi-join on ids — code values are identical either way)
+    codes = _pq_codes(spark, sf_dir).join(
+        cand.select("vec_id"), "vec_id", "leftsemi"
     )
-    codes = staged.selectExpr("vec_id", *code_col_exprs(M_SUB, K_CENT, "d"))
     lut = (
         emb.filter(F.col("vec_id") == _QUERY_ID)
         .crossJoin(F.broadcast(book))
