@@ -228,13 +228,17 @@ def main() -> int:
         return 0
 
     def _python_worker_warmup() -> None:
-        """Untimed pandas_udf materialization: spin up the Python
-        worker fleet (daemon + 32 workers + Arrow serde init) before
-        the first timed Arrow query, exactly as the JVM warmup above
-        absorbs codegen/scan startup. Without this the fleet spin-up
-        (~6-10s once per JVM) lands in whichever group-3 query sorts
-        first (r4: dedup_embedding_cosine recorded 13.6s vs 2.4s
-        judge-measured warm)."""
+        """Untimed warmups for EACH Python worker kind group 3 uses,
+        exactly as the JVM warmup above absorbs codegen/scan startup —
+        without them each kind's fleet spin-up (~4-10s once per JVM)
+        lands in whichever query of that kind runs first (r4:
+        dedup_embedding_cosine recorded 13.6s vs 2.4s judge-measured
+        warm; sink_datasource_arrow 5.4s cold vs 0.8s warm even after
+        a pandas warmup — the Data Source write path pools its own
+        workers)."""
+        import tempfile
+
+        # 1. pandas/Arrow eval workers (pandas_udf, mapInPandas, ...)
         try:
 
             def _identity_batches(it):
@@ -248,7 +252,65 @@ def main() -> int:
                 .save()
             )
         except Exception as exc:  # noqa: BLE001
-            print(f"[bench] python warmup failed: {exc}", file=sys.stderr)
+            print(f"[bench] pandas warmup failed: {exc}", file=sys.stderr)
+        # 2. Python Data Source WRITE workers (planner + per-partition
+        #    writer modules)
+        try:
+            from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+                ClickHouseArrowDataSource,
+                ClickHouseBatchDataSource,
+            )
+
+            spark.dataSource.register(ClickHouseBatchDataSource)
+            spark.dataSource.register(ClickHouseArrowDataSource)
+            for fmt in ("chbatch", "chbatch_arrow"):  # row + Arrow tiers
+                d = tempfile.mkdtemp(prefix="bench_warm_ds_") + "/out"
+                (
+                    spark.range(0, 3200, 1, 32)
+                    .selectExpr("cast(id as string) AS k")
+                    .write.format(fmt)
+                    .option("path", d)
+                    .mode("append")
+                    .save()
+                )
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] ds-write warmup failed: {exc}", file=sys.stderr)
+        # 3. Python Data Source READ workers (plan + partition readers)
+        try:
+            from pyspark.sql.datasource import (
+                DataSource,
+                DataSourceReader,
+                InputPartition,
+            )
+
+            class _WarmSource(DataSource):
+                @classmethod
+                def name(cls):
+                    return "benchwarm"
+
+                def schema(self):
+                    return "id bigint"
+
+                def reader(self, schema):
+                    class _R(DataSourceReader):
+                        def partitions(self):
+                            return [InputPartition(i) for i in range(32)]
+
+                        def read(self, p):
+                            yield (1,)
+
+                    return _R()
+
+            spark.dataSource.register(_WarmSource)
+            (
+                spark.read.format("benchwarm")
+                .load()
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] ds-read warmup failed: {exc}", file=sys.stderr)
 
     exec_metrics: dict[str, dict] = {}
     headline_medians: dict[str, float] = {}
