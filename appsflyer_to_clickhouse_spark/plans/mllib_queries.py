@@ -117,3 +117,57 @@ def q_dedup_semantic_kmeans(spark, sf_dir):
         "vec_id", "v", dot(F.col("v"), F.col("v")).alias("nn"), "cluster"
     ).localCheckpoint()
     return semantic_prune(clustered, 0.3)
+
+
+@register("text_quality_classifier", None)
+def q_text_quality_classifier(spark, sf_dir):
+    """Model-based quality filtering (the CCNet/C4-style curation
+    step): a logistic regression is TRAINED on cheap deterministic
+    text features (token count, punctuation ratio, stopword ratio,
+    char length) against the repo's rule-based keep flag, then SCORES
+    a held-out hash split — the standard path from hand-tuned
+    thresholds to a learned filter whose decision boundary transfers
+    to unlabeled corpora. Deterministic data flow: features are the
+    shared quality_flags projection, the train/test split is an
+    md5-hash bucket (stable across runs/engines), and the model is
+    seeded; LBFGS training itself is iterative and not
+    SQL-expressible, so like the other MLlib builds this is rows-only
+    — tests/test_mllib_recall.py pins held-out accuracy against the
+    rule labels instead. At 100 TB: training runs on a feature SAMPLE
+    (one treeAggregate per iteration over ~8-dim rows), scoring is a
+    map-only transform over the full corpus."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from .text_queries import quality_flags
+
+    docs = load(spark, sf_dir, "documents")
+    feats = quality_flags(docs).select(
+        "doc_id",
+        F.col("n_tokens").cast("double").alias("n_tokens"),
+        "punct_ratio",
+        "stopword_ratio",
+        F.length("text").cast("double").alias("char_len"),
+        F.col("keep").cast("double").alias("label"),
+    )
+    bucket = F.expr(
+        "conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) % 5"
+    )
+    train = feats.filter(bucket != 0)
+    test = feats.filter(bucket == 0)
+    asm = VectorAssembler(
+        inputCols=["n_tokens", "punct_ratio", "stopword_ratio", "char_len"],
+        outputCol="features",
+    )
+    lr = LogisticRegression(
+        maxIter=50, regParam=0.0, standardization=True, tol=1e-8
+    )
+    model = lr.fit(asm.transform(train))
+    scored = model.transform(asm.transform(test))
+    return scored.select(
+        "doc_id",
+        F.col("label").cast("boolean").alias("rule_keep"),
+        F.col("prediction").cast("boolean").alias("model_keep"),
+        F.round(vector_to_array("probability")[1], 6).alias("p_keep"),
+    )

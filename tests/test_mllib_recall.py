@@ -96,3 +96,30 @@ def test_semantic_kmeans_prune_matches_brute_force(spark):
                 expected.add((id_b, cl))
     assert survivors == expected
     assert len(by_cluster) > 1, "k-means degenerated to one cluster"
+
+
+def test_quality_classifier_heldout_accuracy(spark):
+    """text_quality_classifier is rows-only (LBFGS training is not
+    SQL-expressible); pin the property that makes it a usable filter:
+    held-out accuracy vs the rule labels >= 0.95 (measured 1.0 at all
+    three SFs — the rule is a threshold function of the features, so
+    a working logistic fit should separate it), with both classes
+    actually present in the held-out split."""
+    from pyspark.sql import functions as F
+
+    out = QUERIES["text_quality_classifier"](spark, SF_SMALL)
+    agg = out.agg(
+        F.count("*").alias("n"),
+        F.avg(
+            (F.col("rule_keep") == F.col("model_keep")).cast("double")
+        ).alias("acc"),
+        F.sum(F.col("rule_keep").cast("int")).alias("pos"),
+    ).first()
+    assert agg.n > 50
+    assert 0 < agg.pos < agg.n  # both classes in the held-out split
+    assert agg.acc >= 0.95, f"held-out accuracy {agg.acc}"
+    # probabilities are calibrated-ish: model_keep == (p_keep >= 0.5)
+    bad = out.filter(
+        (F.col("p_keep") >= 0.5) != F.col("model_keep")
+    ).count()
+    assert bad == 0
