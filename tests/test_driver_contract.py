@@ -29,6 +29,7 @@ def test_queries_and_oracles_align():
         "similarity_ivf_kmeans",
         "similarity_brp_mllib",
         "dedup_semantic_kmeans",
+        "text_quality_classifier",
     }, rows_only
 
 
