@@ -351,3 +351,55 @@ def test_max_records_per_file_governs_output_layout(spark, tmp_path):
     assert max(sizes) <= cap
     # the cap actually bit: more files than the 2 input partitions
     assert len(files) > 2
+
+
+def test_triangle_count_shuffles_edges_not_wedges(spark):
+    """graph_triangle_count's scale claim: work shuffles O(edges), not
+    O(wedges). Build a dense synthetic graph whose wedge count is ~40x
+    its edge count (200 cliques of 25 nodes: 60k edges, 2.4M wedges,
+    230k triangles), run the registered query's exact algorithm on it,
+    and pin that total shuffled records stay within a small multiple
+    of the edge count — the wedge-enumeration formulation this
+    replaced shuffles the wedges themselves and blows the bound by an
+    order of magnitude."""
+    from unittest import mock
+
+    from bench import _metrics_since
+    import appsflyer_to_clickhouse_spark.plans.analytics_queries as aq
+    from appsflyer_to_clickhouse_spark.plans import QUERIES
+
+    n_cliques, k = 50, 100
+    nodes = spark.range(n_cliques * k).select(
+        (F.col("id") / k).cast("long").alias("clique"),
+        F.col("id").alias("node"),
+    )
+    pairs = (
+        nodes.alias("a")
+        .join(nodes.alias("b"), "clique")
+        .filter(F.col("a.node") < F.col("b.node"))
+        .select(
+            F.col("a.node").alias("part_a"),
+            F.col("b.node").alias("part_b"),
+            F.lit(1).alias("n_both"),
+        )
+        .localCheckpoint()  # metrics below must not count this build
+    )
+    n_edges = pairs.count()
+    assert n_edges == n_cliques * k * (k - 1) // 2  # 247,500
+
+    with mock.patch.object(aq, "_basket_pairs", lambda s, d: pairs):
+        last, _ = _metrics_since(spark, -1)
+        [row] = QUERIES["graph_triangle_count"](spark, "unused").collect()
+        _, m = _metrics_since(spark, last)
+
+    # exactness on a known graph: each clique has C(k,3) triangles
+    # and every node's full degree is k-1
+    assert row["n_triangles"] == n_cliques * (k * (k - 1) * (k - 2) // 6)
+    assert row["n_wedges"] == n_cliques * k * ((k - 1) * (k - 2) // 2)
+    assert m is not None, "metric plumbing unavailable"
+    # wedges outnumber edges ~98x here; the edge-iterator keeps total
+    # shuffled records within a small multiple of the edge count
+    # (edges through ~6 exchanges + degree/adjacency rows — measured
+    # ~16x edges), while wedge enumeration would shuffle the wedges
+    assert m["shuffle_records"] < 25 * n_edges, m
+    assert m["shuffle_records"] < row["n_wedges"] // 3, m
