@@ -163,7 +163,14 @@ def q_text_quality_classifier(spark, sf_dir):
     lr = LogisticRegression(
         maxIter=50, regParam=0.0, standardization=True, tol=1e-8
     )
-    model = lr.fit(asm.transform(train))
+    # localCheckpoint before fit: (a) LBFGS re-scans its input every
+    # iteration — checkpoint computes the feature projection once;
+    # (b) fit's RDD closures serialize the input plan, and a plan
+    # whose session has live Observations (observe_write_audit ran
+    # earlier in-session) drags the non-serializable
+    # ObservationManager in — a checkpointed LogicalRDD plan carries
+    # no such reference (failure reproduced in the full-suite run)
+    model = lr.fit(asm.transform(train).localCheckpoint())
     scored = model.transform(asm.transform(test))
     return scored.select(
         "doc_id",
