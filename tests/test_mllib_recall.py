@@ -123,3 +123,17 @@ def test_quality_classifier_heldout_accuracy(spark):
         (F.col("p_keep") >= 0.5) != F.col("model_keep")
     ).count()
     assert bad == 0
+
+
+def test_fit_survives_live_observation_in_session(spark):
+    """Regression pin (full-suite ordering bug): after a query using
+    df.observe() runs in the session, LogisticRegression.fit on an
+    un-checkpointed plan failed with 'Task not serializable:
+    ObservationManager' — fit's RDD closures serialize the input plan
+    and the live Observation rides along. The classifier checkpoints
+    its training frame, so the observe-then-fit sequence must work."""
+    QUERIES["observe_write_audit"](spark, SF_SMALL).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    out = QUERIES["text_quality_classifier"](spark, SF_SMALL)
+    assert out.count() > 50
