@@ -37,6 +37,9 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
+
 M_SUB = 8  # subspaces
 K_CENT = 16  # centroids per subspace -> 4-bit codes
 # exemplar-codebook derivation: the EXEM_PER_LABEL lowest-vec_id
@@ -181,6 +184,146 @@ def adc_sql(m_sub: int, k_cent: int, lut_prefix: str) -> str:
     for s in range(m_sub):
         whens = " ".join(
             f"WHEN {j} THEN {lut_prefix}{s}_{j}" for j in range(k_cent)
+        )
+        parts.append(f"(CASE c{s} {whens} END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+def pq_code_udf(cents, m_sub: int = M_SUB):
+    """Arrow-vectorized twin of the staged-SQL encode
+    (``seeded_dist_col_exprs`` + ``code_col_exprs``): per batch, ALL
+    subspace distances are numpy broadcasting ops and the per-subspace
+    argmin is ``np.argmin`` (first-min = the SQL CASE's lowest-index
+    tie rule) — vs 128 staged 8-term expression chains per row, which
+    evaluate at ~1.2 ms/row at K=16 (the K=4 -> 16 widening for the
+    0.8 recall floor quadrupled the chain count). Same pattern as
+    operators/similarity.sparse_sign_signature_udf.
+
+    ``cents`` is the K x dim EXEMPLAR codebook collected from the
+    one-row book frame — index metadata, KB-sized, the same
+    driver-side control-state class as the sketch merges.
+
+    Cross-engine argmin fidelity: the SQL chain sums the 8 squared
+    terms LEFT TO RIGHT; numpy may sum pairwise, so two engines can
+    round a distance differently by ~machine epsilon. A CODE can only
+    differ where the gap between the two smallest distances is inside
+    that rounding bound, so every (row, subspace) whose top-2 gap is
+    <= 1e-9 * (d1 + d2) is re-ranked with distances recomputed in the
+    SQL's exact left-to-right order. Distances are sums of squares
+    (every term non-negative), so the relative-error bound is tight.
+
+    SQL NULL/NaN semantics, replicated exactly: a NULL vector makes
+    every staged distance NULL, every CASE comparison false, and the
+    code falls to ELSE K-1 (all subspaces). A non-finite element
+    makes distances NaN; Spark orders NaN GREATEST and NaN = NaN, so
+    the argmin ranks by (isnan, value) with lowest-index ties — any
+    row containing a non-finite value is re-ranked that way in exact
+    arithmetic. (As with the sign kernel, a NULL *element* inside a
+    non-null vector reaches Arrow as NaN and takes NaN semantics —
+    the one documented divergence.) Pinned code-identical to the SQL
+    chains, including NaN/inf/tie fixtures, in tests/test_pq_kernel.py.
+    """
+    from pyspark.sql import functions as F
+
+    cents = np.asarray(cents, dtype=np.float64)
+    k_cent, dim = cents.shape
+    sub = dim // m_sub
+
+    def exact_dist(row, cent, s: int) -> float:
+        acc = 0.0
+        for d in range(s * sub, (s + 1) * sub):
+            acc = acc + (row[d] - cent[d]) * (row[d] - cent[d])
+        return acc
+
+    def exact_argmin(row, s: int) -> int:
+        keyed = [
+            ((np.isnan(dd), dd), j)
+            for j, dd in enumerate(
+                exact_dist(row, cents[j], s) for j in range(k_cent)
+            )
+        ]
+        return min(keyed)[1]
+
+    @F.pandas_udf("array<int>")
+    def codes(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        null_mask = vs.isna().to_numpy()
+        stack = np.vstack(
+            [
+                np.zeros(dim) if none else v
+                for v, none in zip(vs.to_numpy(), null_mask)
+            ]
+        )
+        finite = np.isfinite(stack).all(axis=1)
+        out = np.empty((len(vs), m_sub), dtype=np.int32)
+        for s in range(m_sub):
+            v_sub = stack[:, s * sub : (s + 1) * sub]
+            c_sub = cents[:, s * sub : (s + 1) * sub]
+            diff = v_sub[:, None, :] - c_sub[None, :, :]
+            d = np.einsum("nkd,nkd->nk", diff, diff)  # n x K
+            order = np.argsort(d, axis=1, kind="stable")
+            best = order[:, 0]
+            gap = (
+                d[np.arange(len(vs)), order[:, 1]]
+                - d[np.arange(len(vs)), best]
+            )
+            scale = (
+                d[np.arange(len(vs)), order[:, 1]]
+                + d[np.arange(len(vs)), best]
+            )
+            out[:, s] = best
+            # near-ties: re-rank in the SQL's exact fold order
+            for r in np.nonzero((gap <= 1e-9 * scale) & finite)[0]:
+                out[r, s] = exact_argmin(stack[r], s)
+        # non-finite rows: exact re-rank under Spark's NaN-greatest,
+        # NaN-equals-NaN ordering
+        for r in np.nonzero(~finite)[0]:
+            if null_mask[r]:
+                continue
+            for s in range(m_sub):
+                out[r, s] = exact_argmin(stack[r], s)
+        # NULL vector: every comparison false -> CASE ELSE K-1
+        out[null_mask, :] = k_cent - 1
+        return pd.Series(list(out))
+
+    return codes
+
+
+def pq_query_lut(qv, cents, m_sub: int = M_SUB) -> list[list[float]]:
+    """The query's M x K ADC lookup table computed DRIVER-SIDE with
+    the SQL chains' exact left-to-right fold (one IEEE rounding per
+    op in both Python and SQL, so the doubles are bit-identical to
+    what the staged-SQL LUT produced). The LUT is one row of index
+    metadata — computing it as a 128-column crossJoin projection cost
+    more in Catalyst ANALYSIS of the 1000+-node expression tree than
+    the whole corpus scan (measured: the LUT+ADC plan dominated the
+    ~3.5 s warm per-query cost at sf0.1; execution is microseconds)."""
+    cents = [list(c) for c in cents]
+    dim = len(cents[0])
+    sub = dim // m_sub
+    lut: list[list[float]] = []
+    for s in range(m_sub):
+        row = []
+        for c in cents:
+            acc = 0.0
+            for d in range(s * sub, (s + 1) * sub):
+                acc = acc + (qv[d] - c[d]) * (qv[d] - c[d])
+            row.append(acc)
+        lut.append(row)
+    return lut
+
+
+def adc_literal_sql(lut: list[list[float]]) -> str:
+    """ADC distance with the LUT inlined as double LITERALS (repr() is
+    shortest-round-trip, so Spark's literal parser recovers the exact
+    bits): M CASEs of K branches — a ~150-node tree, vs the staged
+    form's 128 aliased 8-term chains plus a broadcast join."""
+    parts = []
+    for s, row in enumerate(lut):
+        whens = " ".join(
+            f"WHEN {j} THEN CAST({v!r} AS DOUBLE)"
+            for j, v in enumerate(row)
         )
         parts.append(f"(CASE c{s} {whens} END)")
     return "(" + " + ".join(parts) + ")"

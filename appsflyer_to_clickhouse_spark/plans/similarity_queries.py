@@ -792,6 +792,26 @@ def _pq_codes(spark, sf_dir):
     def build():
         emb = _emb(spark, sf_dir)
         book = _pq_book_df(emb)
+        seeds, _ = _pq_meta(spark, sf_dir)
+        if seeds is not None and all(
+            seeds[f"c{k}v"] is not None for k in range(K_CENT)
+        ):
+            # Arrow kernel encode (operators/pq.py:pq_code_udf): one
+            # numpy broadcast per subspace vs 128 staged 8-term SQL
+            # chains (~1.2 ms/row interpreted at K=16), code-identical
+            # incl. near-tie/NaN rescues (tests/test_pq_kernel.py).
+            # The collected codebook is KB-sized index metadata.
+            from ..operators.pq import pq_code_udf
+
+            kernel = pq_code_udf([seeds[f"c{k}v"] for k in range(K_CENT)])
+            coded = emb.select("vec_id", kernel("v").alias("c"))
+            return coded.select(
+                "vec_id",
+                *[F.col("c")[s].alias(f"c{s}") for s in range(M_SUB)],
+            )
+        # degenerate corpus (an exemplar label missing): keep the SQL
+        # staged path, whose NULL distances reproduce the oracle's
+        # CASE fall-through exactly
         staged = emb.crossJoin(F.broadcast(book)).selectExpr(
             "vec_id",
             *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "d"),
@@ -801,6 +821,58 @@ def _pq_codes(spark, sf_dir):
         )
 
     return shared_stage(spark, ("pq_codes", sf_dir), build)
+
+
+_PQ_META: dict = {}
+
+
+def _pq_meta(spark, sf_dir):
+    """(seeds row, query vector) — two one-row collects of index
+    metadata, memoized per (session, sf_dir) like the stage cache:
+    the book window-job costs ~1.8 s and three call sites need it
+    (codes build + both ADC frames)."""
+    key = (id(spark._jsparkSession), sf_dir)
+    if key not in _PQ_META:
+        emb = _emb(spark, sf_dir)
+        seeds = _pq_book_df(emb).first()
+        qrow = emb.filter(F.col("vec_id") == _QUERY_ID).select("v").first()
+        _PQ_META[key] = (seeds, qrow["v"] if qrow is not None else None)
+    return _PQ_META[key]
+
+
+def _pq_adc_frame(spark, sf_dir, codes):
+    """(vec_id, adc) over a codes frame. Normal path: the one-row LUT
+    is computed driver-side and inlined as double literals
+    (operators/pq.py:pq_query_lut / adc_literal_sql — bit-identical to
+    the staged-SQL LUT the oracle still derives relationally); the
+    staged form's 128-alias crossJoin projection cost seconds of
+    Catalyst ANALYSIS per query at microseconds of execution.
+    Degenerate corpus (missing exemplar / missing query vector): keep
+    the staged-SQL LUT, whose NULL propagation reproduces the oracle
+    exactly."""
+    from ..operators.pq import adc_literal_sql, pq_query_lut
+
+    emb = _emb(spark, sf_dir)
+    seeds, qv = _pq_meta(spark, sf_dir)
+    if (
+        seeds is not None
+        and qv is not None
+        and all(seeds[f"c{k}v"] is not None for k in range(K_CENT))
+    ):
+        cents = [seeds[f"c{k}v"] for k in range(K_CENT)]
+        expr = adc_literal_sql(pq_query_lut(qv, cents, M_SUB))
+        return codes.selectExpr("vec_id", f"{expr} AS adc")
+    book = _pq_book_df(emb)
+    lut = (
+        emb.filter(F.col("vec_id") == _QUERY_ID)
+        .crossJoin(F.broadcast(book))
+        .selectExpr(
+            *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "q")
+        )
+    )
+    return codes.crossJoin(F.broadcast(lut)).selectExpr(
+        "vec_id", f"{adc_sql(M_SUB, K_CENT, 'q')} AS adc"
+    )
 
 
 @register("similarity_pq_adc", _pq_oracle())
@@ -831,19 +903,9 @@ def q_similarity_pq_adc(spark, sf_dir):
     tests/test_pq_recall.py pins the final top-10's recall against
     the exact scorer."""
     emb = _emb(spark, sf_dir)
-    book = _pq_book_df(emb)
     codes = _pq_codes(spark, sf_dir)
-    lut = (
-        emb.filter(F.col("vec_id") == _QUERY_ID)
-        .crossJoin(F.broadcast(book))
-        .selectExpr(
-            *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "q")
-        )
-    )
-    adc = (
-        codes.filter(F.col("vec_id") != _QUERY_ID)
-        .crossJoin(F.broadcast(lut))
-        .selectExpr("vec_id", f"{adc_sql(M_SUB, K_CENT, 'q')} AS adc")
+    adc = _pq_adc_frame(
+        spark, sf_dir, codes.filter(F.col("vec_id") != _QUERY_ID)
     )
     shortlist = adc.orderBy("adc", "vec_id").limit(_PQ_SHORTLIST).select(
         "vec_id"
@@ -973,16 +1035,7 @@ def q_similarity_ivfpq(spark, sf_dir):
     codes = _pq_codes(spark, sf_dir).join(
         cand.select("vec_id"), "vec_id", "leftsemi"
     )
-    lut = (
-        emb.filter(F.col("vec_id") == _QUERY_ID)
-        .crossJoin(F.broadcast(book))
-        .selectExpr(
-            *seeded_dist_col_exprs("v", _PQ_SEEDS, M_SUB, _PQ_SUB_DIM, 0, "q")
-        )
-    )
-    adc = codes.crossJoin(F.broadcast(lut)).selectExpr(
-        "vec_id", f"{adc_sql(M_SUB, K_CENT, 'q')} AS adc"
-    )
+    adc = _pq_adc_frame(spark, sf_dir, codes)
     shortlist = (
         adc.orderBy("adc", "vec_id").limit(_IVFPQ_SHORTLIST).select("vec_id")
     )

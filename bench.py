@@ -202,6 +202,10 @@ def main() -> int:
         # every later JVM-only HOF timing
         "dedup_embedding_cosine",
         "multimodal_cdc_chunks",
+        # PQ encode is an Arrow kernel (operators/pq.py:pq_code_udf)
+        # behind the shared _pq_codes stage — same worker profile
+        "similarity_pq_adc",
+        "similarity_ivfpq",
     }
     hof_prefixes = (
         "dedup_",
