@@ -163,14 +163,26 @@ def q_text_quality_classifier(spark, sf_dir):
     lr = LogisticRegression(
         maxIter=50, regParam=0.0, standardization=True, tol=1e-8
     )
-    # localCheckpoint before fit: (a) LBFGS re-scans its input every
-    # iteration — checkpoint computes the feature projection once;
-    # (b) fit's RDD closures serialize the input plan, and a plan
-    # whose session has live Observations (observe_write_audit ran
-    # earlier in-session) drags the non-serializable
-    # ObservationManager in — a checkpointed LogicalRDD plan carries
-    # no such reference (failure reproduced in the full-suite run)
+    # localCheckpoint before fit: LBFGS re-scans its input every
+    # iteration — checkpoint computes the feature projection once and
+    # keeps fit's RDD-closure serialization off the full scan lineage
     model = lr.fit(asm.transform(train).localCheckpoint())
+    # Score with the model SAVED AND RELOADED — not a test nicety but
+    # a serialization requirement: a freshly-fit model carries its
+    # trainingSummary, the summary holds the training DataFrame and
+    # therefore the SparkSession, and the session's ObservationManager
+    # is not serializable — so the prediction UDF's closure fails to
+    # clean on any FULL materialization of the scored frame (count()
+    # masked it by pruning the UDF column; the bench's noop write
+    # found it). Loading drops the summary; it is also the deployed
+    # shape — production scores with a persisted model artifact.
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegressionModel
+
+    path = tempfile.mkdtemp(prefix="spark_graft_lr_") + "/model"
+    model.write().overwrite().save(path)
+    model = LogisticRegressionModel.load(path)
     scored = model.transform(asm.transform(test))
     return scored.select(
         "doc_id",

@@ -136,4 +136,8 @@ def test_fit_survives_live_observation_in_session(spark):
         "noop"
     ).mode("overwrite").save()
     out = QUERIES["text_quality_classifier"](spark, SF_SMALL)
+    # FULL materialization, not count(): count prunes the prediction
+    # UDF column and masked the summary->session closure-serialization
+    # failure the bench's noop write found
+    out.write.format("noop").mode("overwrite").save()
     assert out.count() > 50
