@@ -828,16 +828,21 @@ _PQ_META: dict = {}
 
 def _pq_meta(spark, sf_dir):
     """(seeds row, query vector) — two one-row collects of index
-    metadata, memoized per (session, sf_dir) like the stage cache:
-    the book window-job costs ~1.8 s and three call sites need it
-    (codes build + both ADC frames)."""
-    key = (id(spark._jsparkSession), sf_dir)
-    if key not in _PQ_META:
-        emb = _emb(spark, sf_dir)
-        seeds = _pq_book_df(emb).first()
-        qrow = emb.filter(F.col("vec_id") == _QUERY_ID).select("v").first()
-        _PQ_META[key] = (seeds, qrow["v"] if qrow is not None else None)
-    return _PQ_META[key]
+    metadata, memoized per (session, sf_dir): the book window-job
+    costs ~1.8 s and three call sites need it (codes build + both ADC
+    frames). Ownership is verified by session OBJECT IDENTITY, the
+    stage-cache pattern — an id()-keyed entry could be served to a
+    NEW session whose id recycled a stopped one's address, silently
+    handing it another corpus's codebook."""
+    entry = _PQ_META.get(sf_dir)
+    if entry is not None and entry[0] is spark:
+        return entry[1]
+    emb = _emb(spark, sf_dir)
+    seeds = _pq_book_df(emb).first()
+    qrow = emb.filter(F.col("vec_id") == _QUERY_ID).select("v").first()
+    meta = (seeds, qrow["v"] if qrow is not None else None)
+    _PQ_META[sf_dir] = (spark, meta)
+    return meta
 
 
 def _pq_adc_frame(spark, sf_dir, codes):
