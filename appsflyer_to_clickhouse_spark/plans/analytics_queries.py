@@ -1287,8 +1287,11 @@ def q_graph_triangle_count(spark, sf_dir):
         .select(
             "n_triangles",
             "n_wedges",
+            # try_divide: a wedge-free graph (e.g. a perfect matching)
+            # must yield NULL like the oracle's 0-divisor, not IEEE NaN
             F.round(
-                3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                F.try_divide(3.0 * F.col("n_triangles"), F.col("n_wedges")),
+                6,
             ).alias("global_clustering"),
         )
     )

@@ -66,7 +66,11 @@ def q_features_standardize(spark, sf_dir):
         F.max("value").cast("double").alias("mx"),
     )
     s, sq, n = F.col("s"), F.col("sq"), F.col("n")
-    std = F.sqrt((n * sq - s * s) / (n.cast("double") * (n - 1)))
+    # try_divide here too: at n == 1 the sample-variance denominator is
+    # 0 and Spark's IEEE double division would yield NaN -> NaN z-score
+    # where DuckDB's NULL-on-zero-divisor yields NULL (review r5; the
+    # outer try_divide only guards the zero-VARIANCE case)
+    std = F.sqrt(F.try_divide(n * sq - s * s, n.cast("double") * (n - 1)))
     return (
         ev.filter(F.col("value").isNotNull())
         .crossJoin(F.broadcast(stats))

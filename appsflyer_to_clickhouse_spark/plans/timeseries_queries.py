@@ -360,8 +360,13 @@ def q_timeseries_zscore_anomaly(spark, sf_dir):
     sd = F.col("s").cast("double")
     sqd = F.col("sq").cast("double")
     n = F.col("n")
-    z = (vd - sd / n) / F.sqrt(
-        (n * sqd - sd * sd) / (n.cast("double") * (n - 1))
+    # try_divide on the z itself: a CONSTANT window (3+ identical day
+    # sums — a flatlined metric) has stddev exactly 0, where Spark's
+    # IEEE 0/0 yields NaN but the oracle's NULL-on-zero-divisor yields
+    # NULL (review r5; the n<3 guard only covers short windows)
+    z = F.try_divide(
+        vd - sd / n,
+        F.sqrt((n * sqd - sd * sd) / (n.cast("double") * (n - 1))),
     )
     return ctx.select(
         "event_type",

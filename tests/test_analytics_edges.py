@@ -275,3 +275,54 @@ def empty_events_dir(tmp_path_factory):
 @pytest.mark.parametrize("name", _EMPTY_QUERIES)
 def test_empty_events_match_oracle(spark, empty_events_dir, name):
     compare(QUERIES[name](spark, empty_events_dir), ORACLE[name], empty_events_dir)
+
+
+def test_standardize_single_row_yields_null_not_nan(spark):
+    """Review r5: with ONE non-null value the sample-variance
+    denominator n*(n-1) is 0 — Spark's IEEE double division produced
+    NaN where the oracle's NULL-on-zero-divisor produced NULL. Both
+    scalings must be NULL (min==max kills minmax too), never NaN."""
+    import math
+    from unittest import mock
+
+    import appsflyer_to_clickhouse_spark.plans.feature_queries as fq
+
+    one = spark.createDataFrame(
+        [(1, 7.5), (2, None)], "event_id long, value double"
+    )
+    with mock.patch.object(fq, "load", lambda s, d, t: one):
+        rows = fq.q_features_standardize(spark, "unused").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["value_z"] is None and r["value_minmax"] is None
+    assert not any(
+        isinstance(x, float) and math.isnan(x) for x in r if x is not None
+    )
+
+
+def test_zscore_constant_window_yields_null_not_nan(spark):
+    """Review r5: a flatlined metric (3+ identical day sums) has
+    stddev exactly 0 — Spark's IEEE 0/0 produced NaN where the
+    oracle's NULL-on-zero-divisor produced NULL."""
+    import datetime as dt
+    import math
+    from unittest import mock
+
+    import appsflyer_to_clickhouse_spark.plans.timeseries_queries as tq
+
+    rows = [
+        (i, dt.datetime(2024, 1, 1 + d, 10, 0, 0), "flat", 5.0)
+        for i, d in enumerate(range(5))
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    with mock.patch.object(tq, "load", lambda s, d, t: ev):
+        out = tq.q_timeseries_zscore_anomaly(spark, "unused").collect()
+    assert len(out) == 5
+    for r in out:
+        z = r["zscore"]
+        assert z is None or not math.isnan(z), out
+    # windows of >= 3 constant observations: NULL, not NaN or 0
+    by_day = sorted(out, key=lambda r: r["day"])
+    assert all(r["zscore"] is None for r in by_day[2:])
