@@ -150,7 +150,7 @@ def q_text_quality_classifier(spark, sf_dir):
         "stopword_ratio",
         F.length("text").cast("double").alias("char_len"),
         F.col("keep").cast("double").alias("label"),
-    )
+    ).localCheckpoint()  # tokenization-heavy; train AND test consume it
     bucket = F.expr(
         "conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) % 5"
     )
@@ -163,10 +163,9 @@ def q_text_quality_classifier(spark, sf_dir):
     lr = LogisticRegression(
         maxIter=50, regParam=0.0, standardization=True, tol=1e-8
     )
-    # localCheckpoint before fit: LBFGS re-scans its input every
-    # iteration — checkpoint computes the feature projection once and
-    # keeps fit's RDD-closure serialization off the full scan lineage
-    model = lr.fit(asm.transform(train).localCheckpoint())
+    # feats is checkpointed above, so LBFGS's per-iteration re-scan
+    # only re-runs the cheap vector assembly, never the tokenization
+    model = lr.fit(asm.transform(train))
     # Score with the model SAVED AND RELOADED — not a test nicety but
     # a serialization requirement: a freshly-fit model carries its
     # trainingSummary, the summary holds the training DataFrame and

@@ -159,6 +159,23 @@ def main() -> int:
         )
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] warmup failed: {exc}", file=sys.stderr)
+    # MLlib warmup: breeze/netlib class loading is a multi-second
+    # one-time JVM cost otherwise charged to the suite's first .fit()
+    # (text_quality_classifier runs in group 0, before the mllib group)
+    try:
+        from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.feature import VectorAssembler
+
+        tiny = spark.range(10).selectExpr(
+            "cast(id % 2 as double) AS label", "cast(id as double) AS x"
+        )
+        LogisticRegression(maxIter=2).fit(
+            VectorAssembler(inputCols=["x"], outputCol="features").transform(
+                tiny
+            )
+        )
+    except Exception as exc:  # noqa: BLE001
+        print(f"[bench] mllib warmup failed: {exc}", file=sys.stderr)
     timings: dict[str, float] = {}
     failed: list[str] = []
     # Queries run grouped by execution style, cleanest-JVM-first; an
