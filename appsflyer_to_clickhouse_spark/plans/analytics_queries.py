@@ -1277,7 +1277,13 @@ def q_graph_triangle_count(spark, sf_dir):
             F.col("dst") == F.col("w"),
         )
         .select(F.size(F.array_intersect("nu", "nw")).alias("t"))
-        .agg(F.sum("t").cast("bigint").alias("n_triangles"))
+        # coalesce: an empty edge set must count 0 triangles like the
+        # oracle's count(*), not SUM's empty-input NULL
+        .agg(
+            F.coalesce(F.sum("t"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles")
+        )
     )
     wedge_total = deg.agg(
         F.sum(F.expr("d * (d - 1) DIV 2")).alias("n_wedges")

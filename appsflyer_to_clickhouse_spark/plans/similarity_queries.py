@@ -862,8 +862,17 @@ def _pq_adc_frame(spark, sf_dir, codes):
     if (
         seeds is not None
         and qv is not None
+        and all(x is not None for x in qv)
         and all(seeds[f"c{k}v"] is not None for k in range(K_CENT))
+        and all(
+            x is not None
+            for k in range(K_CENT)
+            for x in seeds[f"c{k}v"]
+        )
     ):
+        # element-level None checks: a NULL element inside qv or a
+        # centroid would TypeError in the driver-side LUT fold; the
+        # staged-SQL fallback below propagates NULL like the oracle
         cents = [seeds[f"c{k}v"] for k in range(K_CENT)]
         expr = adc_literal_sql(pq_query_lut(qv, cents, M_SUB))
         return codes.selectExpr("vec_id", f"{expr} AS adc")

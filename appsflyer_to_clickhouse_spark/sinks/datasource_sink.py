@@ -46,35 +46,73 @@ MANIFEST = "_MANIFEST.json"
 
 @contextlib.contextmanager
 def _manifest_lock(path: str, timeout_s: float = 30.0):
-    """Serialize manifest commits via an O_EXCL lock file (atomic
-    create on POSIX). A crashed committer's stale lock is broken after
-    ``timeout_s`` — commits are sub-second, so a lock that old belongs
-    to a dead process, and breaking it can at worst re-create the race
-    this lock prevents rather than introduce a new failure mode."""
+    """Serialize manifest commits via an O_EXCL lock file whose body
+    is the owner's uuid. Two properties the naive remove-if-old break
+    lacks (ADVICE r5):
+
+    - Staleness is judged by OBSERVATION, not wall clock: a waiter
+      that has watched the SAME owner uuid for ``timeout_s`` of its
+      own monotonic time declares that owner dead (commits are
+      sub-second). No mtime-vs-``time.time()`` comparison, so NFS
+      clock skew between hosts cannot break a live lock, and a fresh
+      lock can never look stale — a new owner writes a new uuid,
+      which resets every observer's staleness timer.
+    - The break itself is ``os.rename`` to a unique grave name:
+      rename of one source is atomic with exactly one winner, so two
+      waiters that both saw a stale lock cannot both end up inside
+      the critical section (the remove-then-reacquire break allowed
+      waiter B to remove waiter A's freshly acquired lock).
+
+    Release removes the lock only after re-verifying it still holds
+    our uuid, so a (theoretical) mis-break can never cascade into us
+    deleting a third party's live lock."""
     import time as _time
 
     lock = os.path.join(path, MANIFEST + ".lock")
-    deadline = _time.monotonic() + timeout_s
+    my_id = uuid.uuid4().hex
+    watched: str | None = None  # owner uuid under observation
+    watched_since = 0.0
+    deadline = _time.monotonic() + max(4 * timeout_s, timeout_s + 30.0)
     while True:
         try:
             fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.close(fd)
+            try:
+                os.write(fd, my_id.encode())
+            finally:
+                os.close(fd)
             break
         except FileExistsError:
             try:
-                if _time.time() - os.path.getmtime(lock) > timeout_s:
-                    os.remove(lock)  # stale: owner died mid-commit
-                    continue
+                with open(lock) as fh:
+                    owner = fh.read()
             except OSError:
-                continue  # owner just released/broke it — retry open
-            if _time.monotonic() > deadline:
+                watched = None
+                continue  # released/broken between attempts — retry
+            now = _time.monotonic()
+            if watched is None or watched != owner:
+                watched, watched_since = owner, now
+            elif now - watched_since > timeout_s:
+                grave = f"{lock}.stale.{my_id}"
+                try:
+                    os.rename(lock, grave)  # atomic: one breaker wins
+                except OSError:
+                    pass  # another waiter won the break — just retry
+                else:
+                    with contextlib.suppress(OSError):
+                        os.remove(grave)
+                watched = None
+                continue
+            if now > deadline:
                 raise TimeoutError(f"manifest lock held too long: {lock}")
             _time.sleep(0.05)
     try:
         yield
     finally:
         try:
-            os.remove(lock)
+            with open(lock) as fh:
+                still_ours = fh.read() == my_id
+            if still_ours:
+                os.remove(lock)
         except OSError:
             pass
 
@@ -321,6 +359,19 @@ class _StreamBatchWriter(DataSourceStreamWriter):
         self._path = options["path"]
         self._batch = int(options.get("batchsize", "10000"))
         self._cols = cols
+        # Stream-lineage identity (ADVICE r5): batchId comparisons are
+        # only meaningful WITHIN one checkpoint lineage — a stream
+        # restarted with a FRESH checkpoint restarts batchIds at 0,
+        # and the bare `batchId <= last` guard would silently discard
+        # every new batch until it passed the old high-water mark.
+        # Spark hands the sink its (lowercased) checkpointLocation in
+        # the writer options, which IS the lineage identity; a
+        # checkpoint-less run (temp checkpoint — unrecoverable anyway)
+        # falls back to a per-run uuid so replay suppression still
+        # works across the commits of one run.
+        self._stream_id = options.get("checkpointlocation") or (
+            f"run-{uuid.uuid4().hex}"
+        )
 
     # -- executor side: identical flush cadence to the batch tier ---------
     def write(self, rows: Iterator) -> _PartCommit:
@@ -339,7 +390,27 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                 with open(mpath) as fh:
                     prev = {**prev, **json.load(fh)}
             last = prev.get("last_batch_id")
-            if last is not None and batchId <= last:
+            same_stream = (
+                prev.get("stream_id") is not None
+                and prev.get("stream_id") == self._stream_id
+            )
+            if last is not None and same_stream and batchId <= last:
+                if batchId < last:
+                    # Same checkpoint lineage cannot legally regress:
+                    # Structured Streaming replays only the single
+                    # last unacknowledged epoch (batchId == last). A
+                    # larger regression means the checkpoint was wiped
+                    # while the sink manifest survived — fail loudly
+                    # rather than silently drop or duplicate.
+                    raise ValueError(
+                        f"chbatch stream sink at {self._path}: batchId "
+                        f"{batchId} regressed below committed "
+                        f"{last} within checkpoint lineage "
+                        f"{self._stream_id!r}; the checkpoint was "
+                        "reset against an existing sink manifest. "
+                        "Use a fresh checkpoint location or clear the "
+                        "sink path."
+                    )
                 # replayed epoch: the batch is already committed — drop
                 # the replay's parts, publish nothing
                 for f in new_files:
@@ -348,6 +419,9 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                     except OSError:
                         pass
                 return
+            # different lineage (fresh checkpoint against an existing
+            # sink) appends like a new job: accept the commit and
+            # re-stamp the manifest with the new lineage's identity.
             manifest = {
                 "files": sorted(set(prev["files"]) | set(new_files)),
                 "rows": prev["rows"]
@@ -355,6 +429,7 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                 "batches": prev["batches"]
                 + sum(m.batches for m in messages if m is not None),
                 "last_batch_id": batchId,
+                "stream_id": self._stream_id,
             }
             tmp = mpath + ".tmp"
             with open(tmp, "w") as fh:

@@ -225,9 +225,28 @@ def test_manifest_lock_serializes_concurrent_commits(tmp_path):
 
 
 def test_manifest_lock_breaks_stale_lock(tmp_path):
-    """A lock left by a dead committer is broken after timeout_s
-    instead of deadlocking every future commit."""
-    import os
+    """A lock left by a dead committer is broken after the waiter has
+    OBSERVED the same owner uuid for timeout_s (no wall-clock mtime
+    comparison — ADVICE r5: mtime vs local time.time() breaks under
+    NFS clock skew), instead of deadlocking every future commit."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        MANIFEST,
+        _manifest_lock,
+    )
+
+    lock = tmp_path / (MANIFEST + ".lock")
+    lock.write_text("deadbeef-owner-that-died-mid-commit")
+    with _manifest_lock(str(tmp_path), timeout_s=0.3):
+        pass  # acquired after watching the dead owner for 0.3 s
+    assert not lock.exists()
+
+
+def test_manifest_lock_break_is_single_winner(tmp_path):
+    """Two waiters that both observe the same stale lock must not BOTH
+    end up inside the critical section: the rename-based break has
+    exactly one winner (the remove-then-reacquire break it replaces
+    let waiter B remove waiter A's freshly acquired lock)."""
+    import threading
     import time
 
     from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
@@ -236,9 +255,56 @@ def test_manifest_lock_breaks_stale_lock(tmp_path):
     )
 
     lock = tmp_path / (MANIFEST + ".lock")
-    lock.touch()
-    old = time.time() - 120
-    os.utime(lock, (old, old))
-    with _manifest_lock(str(tmp_path), timeout_s=30.0):
-        pass  # acquired despite the pre-existing stale lock
+    lock.write_text("dead-owner")
+    inside = set()
+    overlap = []
+
+    def waiter(i: int) -> None:
+        with _manifest_lock(str(tmp_path), timeout_s=0.3):
+            inside.add(i)
+            if len(inside) > 1:
+                overlap.append(tuple(inside))
+            time.sleep(0.05)
+            inside.discard(i)
+
+    threads = [threading.Thread(target=waiter, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert overlap == []  # mutual exclusion held through the break
     assert not lock.exists()
+
+
+def test_manifest_lock_fresh_owner_resets_staleness(tmp_path):
+    """A lock whose owner uuid CHANGES must never be broken as stale:
+    each new owner resets the observer's staleness clock. Holder
+    chain: thread A holds for 2x timeout_s but refreshes identity by
+    design of the uuid body — here we simulate live turnover by
+    having the holder release and a new holder immediately reacquire;
+    the waiter must acquire only through normal release, and the
+    final manifest content shows serialized, not broken, access."""
+    import json
+    import threading
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        MANIFEST,
+        _manifest_lock,
+    )
+
+    mpath = tmp_path / MANIFEST
+    mpath.write_text(json.dumps({"n": 0}))
+
+    def bump() -> None:
+        for _ in range(5):
+            with _manifest_lock(str(tmp_path), timeout_s=0.2):
+                cur = json.loads(mpath.read_text())
+                cur["n"] += 1
+                mpath.write_text(json.dumps(cur))
+
+    threads = [threading.Thread(target=bump) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert json.loads(mpath.read_text())["n"] == 20
