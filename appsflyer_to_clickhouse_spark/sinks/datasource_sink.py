@@ -61,7 +61,11 @@ def _manifest_lock(path: str, timeout_s: float = 30.0):
       rename of one source is atomic with exactly one winner, so two
       waiters that both saw a stale lock cannot both end up inside
       the critical section (the remove-then-reacquire break allowed
-      waiter B to remove waiter A's freshly acquired lock).
+      waiter B to remove waiter A's freshly acquired lock). The
+      breaker then RE-VERIFIES the grave's body is the watched stale
+      uuid — if the stale owner released and a fresh owner acquired
+      in the read→rename window, the fresh lock is restored and the
+      breaker resumes waiting (ADVICE r6 TOCTOU).
 
     Release removes the lock only after re-verifying it still holds
     our uuid, so a (theoretical) mis-break can never cascade into us
@@ -98,6 +102,29 @@ def _manifest_lock(path: str, timeout_s: float = 30.0):
                 except OSError:
                     pass  # another waiter won the break — just retry
                 else:
+                    # TOCTOU guard (ADVICE r6): between our last read
+                    # and the rename, the stale owner may have released
+                    # and a FRESH owner acquired — we would have just
+                    # renamed a live lock. Verify the grave's body is
+                    # still the watched stale uuid; on mismatch restore
+                    # it and go back to waiting on the new owner.
+                    # Restore via os.link (fails if the lock slot was
+                    # re-acquired meanwhile — rename would clobber that
+                    # waiter's fresh lock), falling back to rename on
+                    # filesystems without hard links.
+                    try:
+                        with open(grave) as fh:
+                            grave_owner = fh.read()
+                    except OSError:
+                        grave_owner = None
+                    if grave_owner != watched:
+                        try:
+                            os.link(grave, lock)
+                        except FileExistsError:
+                            pass  # slot re-acquired — leave it theirs
+                        except OSError:
+                            with contextlib.suppress(OSError):
+                                os.rename(grave, lock)
                     with contextlib.suppress(OSError):
                         os.remove(grave)
                 watched = None
@@ -365,13 +392,16 @@ class _StreamBatchWriter(DataSourceStreamWriter):
         # and the bare `batchId <= last` guard would silently discard
         # every new batch until it passed the old high-water mark.
         # Spark hands the sink its (lowercased) checkpointLocation in
-        # the writer options, which IS the lineage identity; a
-        # checkpoint-less run (temp checkpoint — unrecoverable anyway)
-        # falls back to a per-run uuid so replay suppression still
-        # works across the commits of one run.
-        self._stream_id = options.get("checkpointlocation") or (
-            f"run-{uuid.uuid4().hex}"
-        )
+        # the writer options WHEN SET VIA ``.option()``; the
+        # session-conf default (spark.sql.streaming.checkpointLocation)
+        # never reaches the writer (ADVICE r6), so lineage can be
+        # UNKNOWN. None means unknown — commit() then falls back to the
+        # conservative batchId guard instead of inventing a per-run id
+        # that would mis-classify a same-checkpoint restart as a new
+        # lineage and APPEND the replayed epoch as duplicates. Full
+        # lineage tracking requires an explicit
+        # ``.option("checkpointLocation", ...)`` on the writer.
+        self._stream_id = options.get("checkpointlocation")
 
     # -- executor side: identical flush cadence to the batch tier ---------
     def write(self, rows: Iterator) -> _PartCommit:
@@ -390,10 +420,24 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                 with open(mpath) as fh:
                     prev = {**prev, **json.load(fh)}
             last = prev.get("last_batch_id")
-            same_stream = (
-                prev.get("stream_id") is not None
-                and prev.get("stream_id") == self._stream_id
-            )
+            prev_id = prev.get("stream_id")
+            if self._stream_id is not None and prev_id is not None:
+                # lineage known on both sides: exact identity decides
+                same_stream = prev_id == self._stream_id
+            else:
+                # Lineage UNKNOWN on at least one side (ADVICE r6):
+                # this run lacks an explicit writer-option
+                # checkpointLocation, or the manifest predates lineage
+                # tracking. Conservatively assume the SAME lineage —
+                # so a same-checkpoint restart's replayed last epoch is
+                # still DROPPED (the pre-lineage guard's behavior;
+                # appending it would duplicate rows) — EXCEPT for the
+                # one batchId pattern that proves a fresh lineage:
+                # batchId 0 against a nonzero high-water mark, which no
+                # single lineage can legally produce.
+                same_stream = not (
+                    batchId == 0 and last is not None and last > 0
+                )
             if last is not None and same_stream and batchId <= last:
                 if batchId < last:
                     # Same checkpoint lineage cannot legally regress:
@@ -401,7 +445,15 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                     # last unacknowledged epoch (batchId == last). A
                     # larger regression means the checkpoint was wiped
                     # while the sink manifest survived — fail loudly
-                    # rather than silently drop or duplicate.
+                    # rather than silently drop or duplicate. The
+                    # regressed commit's parts are removed FIRST so
+                    # retries don't accrete permanent orphans in the
+                    # sink directory (ADVICE r6).
+                    for f in new_files:
+                        try:
+                            os.remove(os.path.join(self._path, f))
+                        except OSError:
+                            pass
                     raise ValueError(
                         f"chbatch stream sink at {self._path}: batchId "
                         f"{batchId} regressed below committed "
@@ -421,7 +473,9 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                 return
             # different lineage (fresh checkpoint against an existing
             # sink) appends like a new job: accept the commit and
-            # re-stamp the manifest with the new lineage's identity.
+            # re-stamp the manifest with the new lineage's identity
+            # (dropped when unknown, so a later lineage-aware run still
+            # sees it as unknown rather than trusting a guessed id).
             manifest = {
                 "files": sorted(set(prev["files"]) | set(new_files)),
                 "rows": prev["rows"]
@@ -429,8 +483,9 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                 "batches": prev["batches"]
                 + sum(m.batches for m in messages if m is not None),
                 "last_batch_id": batchId,
-                "stream_id": self._stream_id,
             }
+            if self._stream_id is not None:
+                manifest["stream_id"] = self._stream_id
             tmp = mpath + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)

@@ -278,33 +278,94 @@ def test_manifest_lock_break_is_single_winner(tmp_path):
 
 def test_manifest_lock_fresh_owner_resets_staleness(tmp_path):
     """A lock whose owner uuid CHANGES must never be broken as stale:
-    each new owner resets the observer's staleness clock. Holder
-    chain: thread A holds for 2x timeout_s but refreshes identity by
-    design of the uuid body — here we simulate live turnover by
-    having the holder release and a new holder immediately reacquire;
-    the waiter must acquire only through normal release, and the
-    final manifest content shows serialized, not broken, access."""
-    import json
+    the waiter's staleness clock resets on every observed owner
+    turnover (datasource_sink.py `watched != owner` branch). The lock
+    is held continuously for >4x timeout_s, but its body rotates to a
+    new owner uuid faster than timeout_s — the waiter must never break
+    it, and must acquire only after the real release."""
     import threading
+    import time
 
     from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
         MANIFEST,
         _manifest_lock,
     )
 
-    mpath = tmp_path / MANIFEST
-    mpath.write_text(json.dumps({"n": 0}))
+    lock = tmp_path / (MANIFEST + ".lock")
+    lock.write_text("owner-initial")
+    acquired = threading.Event()
 
-    def bump() -> None:
-        for _ in range(5):
-            with _manifest_lock(str(tmp_path), timeout_s=0.2):
-                cur = json.loads(mpath.read_text())
-                cur["n"] += 1
-                mpath.write_text(json.dumps(cur))
+    def waiter() -> None:
+        with _manifest_lock(str(tmp_path), timeout_s=0.5):
+            acquired.set()
 
-    threads = [threading.Thread(target=bump) for _ in range(4)]
-    for t in threads:
+    t = threading.Thread(target=waiter)
+    t.start()
+    # rotate the owner uuid every 0.3 s (< timeout_s) for ~2.4 s total
+    # (> 4x timeout_s of continuous holding); no single owner is ever
+    # observable for a full timeout_s, so the lock must survive
+    for i in range(8):
+        time.sleep(0.3)
+        assert not acquired.is_set() and lock.exists(), (
+            "lock broken as stale despite live owner turnover"
+        )
+        lock.write_text(f"owner-{i}")
+    lock.unlink()  # the real release
+    t.join(timeout=30)
+    assert acquired.is_set()
+
+
+def test_manifest_lock_break_restores_fresh_owner(tmp_path):
+    """TOCTOU in the stale break (ADVICE r6): if, between the waiter's
+    last read of the stale uuid and its os.rename, the stale owner
+    releases and a FRESH owner acquires, the breaker renames a LIVE
+    lock. The post-rename verify must notice the body is not the
+    watched uuid, RESTORE the lock, and resume waiting. Driven
+    deterministically by swapping the lock body to a fresh owner while
+    the waiter sleeps just before its staleness deadline expires."""
+    import threading
+    import time
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        MANIFEST,
+        _manifest_lock,
+    )
+
+    lock = tmp_path / (MANIFEST + ".lock")
+    lock.write_text("stale-owner")
+    acquired = threading.Event()
+    orig_rename = os.rename
+    swapped = threading.Event()
+
+    def racing_rename(src, dst):
+        # interleave the adversary INSIDE the read→rename window:
+        # first break attempt renames a lock whose body was swapped
+        # to a fresh owner after the waiter's last read
+        if src == str(lock) and not swapped.is_set():
+            lock.write_text("fresh-owner")
+            swapped.set()
+        return orig_rename(src, dst)
+
+    def waiter() -> None:
+        with _manifest_lock(str(tmp_path), timeout_s=0.3):
+            acquired.set()
+
+    import unittest.mock as mock
+
+    with mock.patch(
+        "appsflyer_to_clickhouse_spark.sinks.datasource_sink.os.rename",
+        side_effect=racing_rename,
+    ):
+        t = threading.Thread(target=waiter)
         t.start()
-    for t in threads:
-        t.join()
-    assert json.loads(mpath.read_text())["n"] == 20
+        # wait until the first break attempt hit the race
+        assert swapped.wait(timeout=10)
+        time.sleep(0.1)
+        # the fresh owner's lock was restored, not broken
+        assert lock.exists() and lock.read_text() == "fresh-owner"
+        assert not acquired.is_set()
+        # fresh owner now holds past timeout_s without turnover -> the
+        # waiter legitimately breaks it and acquires
+        t.join(timeout=30)
+    assert acquired.is_set()
+    assert not lock.exists()

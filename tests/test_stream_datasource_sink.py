@@ -125,7 +125,9 @@ def test_same_checkpoint_batch_regression_fails_loudly(tmp_path):
     """Within one lineage Structured Streaming can only replay the
     single last epoch; a regression beyond that means the checkpoint
     was wiped while the sink manifest survived — loud error, never a
-    silent drop."""
+    silent drop. The regressed commit's freshly written parts are
+    removed BEFORE the raise (ADVICE r6: raising first left them as
+    permanent orphans, re-accreting on every retry)."""
     import pytest
 
     w = _ckpt_writer(tmp_path, "/ckpt/run1")
@@ -134,3 +136,116 @@ def test_same_checkpoint_batch_regression_fails_loudly(tmp_path):
     _touch_parts(tmp_path, ["old.jsonl"])
     with pytest.raises(ValueError, match="regressed"):
         w.commit([_PartCommit(["old.jsonl"], 1, 1)], batchId=2)
+    assert not (tmp_path / "old.jsonl").exists()  # no orphan accretion
+    m = json.loads((tmp_path / MANIFEST).read_text())
+    assert m["files"] == ["p0.jsonl"] and m["last_batch_id"] == 5
+
+
+def test_unknown_lineage_restart_replay_still_dropped(tmp_path):
+    """ADVICE r6 (medium): Spark only passes checkpointLocation into
+    writer options when set via .option() — with the session-conf
+    default the sink's lineage is UNKNOWN. A same-checkpoint restart
+    then replays batchId == last through a NEW writer instance; the
+    old per-run-uuid fallback classified that as a different lineage
+    and APPENDED the replay as duplicate rows. Unknown lineage must
+    conservatively keep the pre-lineage drop behavior."""
+    w1 = _writer(tmp_path)  # no checkpointlocation option
+    _touch_parts(tmp_path, ["p0.jsonl"])
+    w1.commit([_PartCommit(["p0.jsonl"], 10, 1)], batchId=4)
+    w2 = _writer(tmp_path)  # restart: new instance, lineage unknown
+    _touch_parts(tmp_path, ["p0_replay.jsonl"])
+    w2.commit([_PartCommit(["p0_replay.jsonl"], 10, 1)], batchId=4)
+    m = json.loads((tmp_path / MANIFEST).read_text())
+    assert m["rows"] == 10 and m["files"] == ["p0.jsonl"]  # NOT doubled
+    assert not (tmp_path / "p0_replay.jsonl").exists()
+    assert "stream_id" not in m  # unknown lineage is never guessed
+
+
+def test_unknown_lineage_fresh_restart_batch0_publishes(tmp_path):
+    """Unknown lineage, fresh checkpoint: batchId 0 against a nonzero
+    high-water mark is the one pattern no single lineage can legally
+    produce — it must publish (new stream), not be swallowed."""
+    w1 = _writer(tmp_path)
+    _touch_parts(tmp_path, ["p0.jsonl", "p1.jsonl"])
+    w1.commit([_PartCommit(["p0.jsonl"], 10, 1)], batchId=0)
+    w1.commit([_PartCommit(["p1.jsonl"], 5, 1)], batchId=3)
+    w2 = _writer(tmp_path)  # fresh checkpoint, batchIds restart at 0
+    _touch_parts(tmp_path, ["q0.jsonl"])
+    w2.commit([_PartCommit(["q0.jsonl"], 3, 1)], batchId=0)
+    m = json.loads((tmp_path / MANIFEST).read_text())
+    assert "q0.jsonl" in m["files"] and m["rows"] == 18
+    assert m["last_batch_id"] == 0
+
+
+def test_pre_lineage_manifest_with_known_writer_is_conservative(tmp_path):
+    """A manifest written by the pre-lineage code has no stream_id;
+    even a lineage-aware writer must then fall back to the
+    conservative guard: replay of batchId == last is dropped, and
+    only batch 0 vs a nonzero mark publishes as a new lineage."""
+    manifest = {
+        "files": ["p0.jsonl"],
+        "rows": 10,
+        "batches": 1,
+        "last_batch_id": 4,
+    }
+    os.makedirs(tmp_path, exist_ok=True)
+    (tmp_path / MANIFEST).write_text(json.dumps(manifest))
+    _touch_parts(tmp_path, ["p0.jsonl"])
+    w = _ckpt_writer(tmp_path, "/ckpt/run1")  # lineage-aware writer
+    _touch_parts(tmp_path, ["replay.jsonl"])
+    w.commit([_PartCommit(["replay.jsonl"], 10, 1)], batchId=4)
+    m = json.loads((tmp_path / MANIFEST).read_text())
+    assert m["rows"] == 10 and not (tmp_path / "replay.jsonl").exists()
+    _touch_parts(tmp_path, ["fresh0.jsonl"])
+    w.commit([_PartCommit(["fresh0.jsonl"], 2, 1)], batchId=0)
+    m2 = json.loads((tmp_path / MANIFEST).read_text())
+    assert "fresh0.jsonl" in m2["files"] and m2["rows"] == 12
+    assert m2["stream_id"] == "/ckpt/run1"  # lineage now tracked
+
+
+def test_live_stream_checkpoint_lineage_end_to_end(spark, tmp_path):
+    """VERDICT r6 task 7: pin — with a REAL writeStream — that Spark
+    delivers the writer-option checkpointLocation into the sink's
+    options (manifest stream_id == the checkpoint path), and that a
+    restart with a FRESH checkpoint against the same sink publishes
+    its batches instead of swallowing them below the dead lineage's
+    high-water mark."""
+    from pyspark.sql import functions as F
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseBatchDataSource,
+    )
+
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    src = str(tmp_path / "src")
+    spark.range(100).select(
+        F.col("id").cast("string").alias("k")
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sink = str(tmp_path / "sink")
+
+    def run(ckpt: str) -> None:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("chbatch")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    ckpt1 = str(tmp_path / "ckpt1")
+    run(ckpt1)
+    m1 = json.loads((tmp_path / "sink" / MANIFEST).read_text())
+    # Spark delivers the checkpoint location (possibly URI-qualified)
+    assert m1["rows"] == 100
+    assert ckpt1 in m1["stream_id"]
+    # fresh checkpoint, same sink: batchIds restart at 0; the new
+    # lineage's batch MUST publish
+    ckpt2 = str(tmp_path / "ckpt2")
+    run(ckpt2)
+    m2 = json.loads((tmp_path / "sink" / MANIFEST).read_text())
+    assert m2["rows"] == 200
+    assert ckpt2 in m2["stream_id"]
