@@ -94,3 +94,52 @@ def read_clickhouse(
         .option("pushDownPredicate", "true")
         .load()
     )
+
+
+def read_clickhouse_partitioned(
+    spark,
+    cfg: PipelineConfig,
+    from_time: str,
+    to_time: str,
+    num_partitions: int = 8,
+    partition_column: str = "install_time",
+    url: str | None = None,
+    driver: str | None = None,
+) -> DataFrame:
+    """Partition-PARALLEL form of :func:`read_clickhouse` (VERDICT r5
+    task 1): the single-stream JDBC read pulls the whole scan window
+    through ONE connection on ONE executor — at a 100 TB sink the
+    reference's key scan (main.py:169-176) becomes the pipeline's
+    bottleneck. Spark's JDBC partitioning fans the scan out instead:
+    ``partitionColumn``/``lowerBound``/``upperBound``/``numPartitions``
+    derived from the scan window itself split ``install_time`` into
+    ``num_partitions`` contiguous ranges, and each executor issues its
+    OWN bounded query concurrently (the plan shows
+    ``JDBCRelation(...) [numPartitions=N]``; each per-partition query
+    carries its range bounds AND the window predicate as pushed
+    filters — tests/test_jdbc_roundtrip.py pins both).
+
+    The bounds only split the keyspace — Spark routes rows OUTSIDE
+    [lowerBound, upperBound) into the first/last stripe rather than
+    dropping them — so using the scan window as the bounds is exactly
+    right: the window predicate (composed on top by the caller via
+    ``scan_sink_keys``) prunes non-window rows inside the source, and
+    the stripes are balanced across the window that survives.
+
+    ClickHouse deployment note: install_time is the sink table's
+    ORDER BY prefix (the reference's schema), so each bounded stripe
+    is a primary-key range read server-side, not N full scans."""
+    return (
+        spark.read.format("jdbc")
+        .option("url", url or cfg.jdbc_url)
+        .option("dbtable", cfg.ch_table)
+        .option("user", cfg.ch_user or "")
+        .option("password", cfg.ch_password or "")
+        .option("driver", driver or JDBC_DRIVER)
+        .option("pushDownPredicate", "true")
+        .option("partitionColumn", partition_column)
+        .option("lowerBound", from_time)
+        .option("upperBound", to_time)
+        .option("numPartitions", str(num_partitions))
+        .load()
+    )

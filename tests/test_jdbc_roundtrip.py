@@ -28,6 +28,7 @@ from appsflyer_to_clickhouse_spark.schemas import (
 )
 from appsflyer_to_clickhouse_spark.sinks.clickhouse_sink import (
     read_clickhouse,
+    read_clickhouse_partitioned,
     write_clickhouse,
 )
 
@@ -128,3 +129,95 @@ def test_poisoned_window_value_cannot_escape_the_predicate(spark, sink_table):
         assert "CAST_INVALID_INPUT" in str(exc.value)
     else:
         assert poisoned.count() == 0  # never 4 (= injection succeeded)
+
+
+def test_partitioned_scan_fans_out_and_matches_single_stream(
+    spark, sink_table
+):
+    """VERDICT r5 task 1: the windowed key scan must be
+    partition-PARALLEL — N executors each issuing a bounded
+    install_time-range query — not one stream through one connection.
+    Pins (a) the physical fan-out (numPartitions in the JDBC relation
+    and in the RDD), (b) the window predicate still reaching every
+    per-partition query as bound pushed filters, and (c) result
+    equality with the single-stream read (stripe boundaries must not
+    drop or duplicate rows, including rows OUTSIDE [lower, upper),
+    which Spark routes to the edge stripes)."""
+    part = read_clickhouse_partitioned(
+        spark,
+        sink_table,
+        "2024-01-05 00:00:00",
+        "2024-01-05 23:59:59",
+        num_partitions=3,
+        url=DERBY_URL,
+        driver=DERBY_DRIVER,
+    )
+    assert part.rdd.getNumPartitions() == 3
+    keys = scan_sink_keys(part, "2024-01-05 00:00:00", "2024-01-05 23:59:59")
+    plan = keys._jdf.queryExecution().executedPlan().toString()
+    assert "numPartitions=3" in plan, plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual" in plan, plan
+    assert sorted(r.appsflyer_id for r in keys.collect()) == [
+        "id_in_1", "id_in_2", "id_in_3",
+    ]
+    # full-relation equality vs the single-stream read: edge stripes
+    # keep out-of-bounds rows (id_out's Jan 9 install is > upperBound)
+    single = read_clickhouse(
+        spark, sink_table, url=DERBY_URL, driver=DERBY_DRIVER
+    )
+    assert part.count() == single.count() == 4
+    assert (
+        part.exceptAll(single).count() == 0
+        and single.exceptAll(part).count() == 0
+    )
+
+
+def test_full_width_round_trip_all_columns_byte_exact(spark):
+    """VERDICT r5 task 6: the round trip must prove EVERY column
+    survives write->read exactly — all 7 timestamp columns with
+    DISTINCT values per row (a same-value fixture can't catch column
+    transposition), and the NULL-vs-empty-string sentinel distinction
+    the ETL is contractually required to keep."""
+    cfg = _cfg("installs_fullwidth")
+    cols = sink_columns()
+    ts_cols = [c for c in cols if c in DATETIME_CH_COLS]
+    assert len(ts_cols) == 7
+    base = dt.datetime(2024, 3, 1, 8, 0, 0)
+
+    def distinct_row(row_i: int) -> tuple:
+        # every timestamp column gets its OWN value, distinct per row
+        return tuple(
+            base + dt.timedelta(days=row_i, minutes=ts_cols.index(c))
+            if c in DATETIME_CH_COLS
+            else f"r{row_i}_{c}"
+            for c in cols
+        )
+
+    null_row = tuple(
+        None
+        if c in DATETIME_CH_COLS
+        else (
+            "key_nulls"
+            if c == "appsflyer_id"
+            else (None if i % 2 else "")
+        )
+        for i, c in enumerate(cols)
+    )
+    rows = [distinct_row(0), distinct_row(1), null_row]
+    df = spark.createDataFrame(rows, ch_sink_schema())
+    # NO createTableColumnTypes here: Spark's JDBC writer binds NULL
+    # string cells with setNull(dialect-default type) = CLOB under
+    # DerbyDialect, which Derby rejects against a VARCHAR-overridden
+    # column (ERROR 22005). Default CLOB columns accept both; this
+    # test runs no pushed string predicates, so the VARCHAR override
+    # (needed by the scan tests above) is irrelevant.
+    write_clickhouse(df, cfg, url=DERBY_URL, driver=DERBY_DRIVER)
+    back = read_clickhouse(spark, cfg, url=DERBY_URL, driver=DERBY_DRIVER)
+    assert back.columns == cols
+    assert [f.dataType for f in back.schema.fields] == [
+        f.dataType for f in ch_sink_schema().fields
+    ]
+    key = cols.index("appsflyer_id")
+    got = sorted((tuple(r) for r in back.collect()), key=lambda t: t[key])
+    want = sorted(rows, key=lambda t: t[key])
+    assert got == want  # full-schema, all-columns, exact equality
