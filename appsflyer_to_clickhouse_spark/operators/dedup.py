@@ -228,13 +228,41 @@ def _salted_cell_rows(groups: DataFrame, salt: int) -> DataFrame:
 def connected_components(
     pairs: DataFrame,
     max_iter: int = 20,
+    algorithm: str = "star",
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the step
     that turns near-dup PAIRS into dedup GROUPS (keep one survivor per
     component). Returns (id, component) where component = min id
     reachable from ``id``.
 
-    Algorithm: min-label propagation to fixpoint — each iteration every
+    Two interchangeable engines behind one interface (VERDICT r5
+    task 4):
+
+    - ``algorithm="star"`` (default): alternating large-star /
+      small-star edge rewrites — O(log n) rounds regardless of
+      component SHAPE, the scale path (a 1M-node path component would
+      need 1M min-label rounds but ~20 star rounds).
+    - ``algorithm="minlabel"``: min-label propagation — O(component
+      diameter) rounds, fine for the dense near-dup clusters LSH
+      emits, kept as the differential twin for the star rewrite.
+
+    Both use the exact changed-state convergence check and fail LOUD
+    on non-convergence. ``stats`` (optional dict) receives
+    ``{"rounds": k}`` for round-count pins."""
+    if algorithm == "star":
+        return connected_components_star(pairs, max_iter=max_iter, stats=stats)
+    if algorithm == "minlabel":
+        return connected_components_minlabel(pairs, max_iter=max_iter, stats=stats)
+    raise ValueError(f"unknown connected-components algorithm: {algorithm!r}")
+
+
+def connected_components_minlabel(
+    pairs: DataFrame,
+    max_iter: int = 20,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Min-label propagation to fixpoint — each iteration every
     node takes the min of its own label and its neighbors' labels; at
     convergence every node holds the component's global min id.
     Iterations = O(component diameter), which for near-dup clusters is
@@ -277,7 +305,9 @@ def connected_components(
             .repartition(npart, "id")
             .localCheckpoint()
         )
+        rounds = 0
         for _ in range(max_iter):
+            rounds += 1
             neigh = (
                 sym.join(labels, sym.dst == labels.id)
                 .groupBy("src")
@@ -320,7 +350,133 @@ def connected_components(
             )
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if stats is not None:
+        stats["rounds"] = rounds
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    max_iter: int = 25,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components in O(log n) rounds via alternating
+    LARGE-STAR / SMALL-STAR edge rewrites (the MapReduce CC family of
+    Kiveris et al., "Connected Components in MapReduce and Beyond" —
+    public algorithm; re-expressed here as DataFrame ops). Same output
+    contract as min-label propagation: (id, component = min reachable
+    id).
+
+    Why it exists: min-label needs O(component DIAMETER) rounds — a
+    chain-shaped component of 1M near-dup docs (each doc similar only
+    to its neighbors, the classic template-drift shape) would need 1M
+    shuffles. The star rewrites contract every component onto its
+    minimum id in O(log n) rounds regardless of shape
+    (tests/test_connected_components.py pins the round count on a
+    path graph).
+
+    Each round is two edge-multiset rewrites, each ONE groupBy (the
+    per-node min) + ONE key-partitioned join (re-attach the min to the
+    node's edges) — no collect_list, so a hot star center never
+    materializes its whole component in one task buffer; the min
+    aggregation is map-side partial:
+
+    - large-star(u): m = min(N(u) + {u}); every neighbor v > u
+      re-points to m — long tails fold onto small ids in parallel.
+    - small-star(u over edges oriented max->min): m = min(N(u) + {u});
+      all neighbors and u itself re-point to m — flattens local trees
+      into stars.
+
+    Edges stay canonically oriented (u > v) and deduped, so the
+    fixpoint test is EXACT set equality (count + exceptAll on
+    localCheckpoint'ed frames — the same loud-convergence discipline
+    as min-label: a non-converged return would silently split
+    components). At fixpoint the edge set is a union of min-rooted
+    stars; labels read directly off it."""
+    spark = pairs.sparkSession
+    raw = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    nodes = (
+        raw.select(F.col("u").alias("id"))
+        .union(raw.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        raw.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+    n_edges = edges.count()
+    if n_edges == 0:
+        return nodes.withColumn("component", F.col("id"))
+    npart = graph_partitions(n_edges)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    try:
+        edges = edges.repartition(npart, "u").localCheckpoint()
+        n_cur = edges.count()
+        rounds = 0
+        for _ in range(max_iter):
+            rounds += 1
+            # ---- large-star: neighbors above u re-point to u's min
+            sym = edges.union(
+                edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+            )
+            lmin = (
+                sym.groupBy("u")
+                .agg(F.min("v").alias("mv"))
+                .select("u", F.least("u", "mv").alias("m"))
+            )
+            large = (
+                sym.join(lmin, "u")
+                .filter(F.col("v") > F.col("u"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            )
+            # large emits (v, m) with m <= u < v: already max->min
+            # oriented and self-loop-free. NOT deduped — duplicates
+            # cannot change the small-star min and the round's single
+            # distinct (below) canonicalizes, so deduping here would
+            # buy nothing for one extra full shuffle per round.
+            # ---- small-star: u and its below-u neighbors re-point to
+            # the min (input is max->min oriented, so the group under
+            # u is exactly its below-u neighborhood)
+            smin = large.groupBy("u").agg(F.min("v").alias("m"))
+            # distinct both canonicalizes the multiset for the exact
+            # fixpoint compare AND already lands the frame on npart
+            # hash partitions (shuffle.partitions is scoped above), so
+            # no extra repartition before the checkpoint
+            small = (
+                large.join(smin, "u")
+                .filter(F.col("v") != F.col("m"))
+                .select(F.col("v").alias("u"), F.col("m").alias("v"))
+                .union(smin.select("u", F.col("m").alias("v")))
+                .distinct()
+                .localCheckpoint()
+            )
+            # ---- exact fixpoint test over canonical distinct sets
+            n_new = small.count()
+            converged = n_new == n_cur and small.exceptAll(edges).isEmpty()
+            edges, n_cur = small, n_new
+            if converged:
+                break
+        else:
+            raise RuntimeError(
+                f"connected_components_star did not converge in "
+                f"{max_iter} rounds; raise max_iter"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    if stats is not None:
+        stats["rounds"] = rounds
+    comp = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return (
+        nodes.join(comp, nodes["id"] == comp["u"], "left")
+        .select(
+            nodes["id"].alias("id"),
+            F.coalesce(comp["component"], nodes["id"]).alias("component"),
+        )
+    )
 
 
 def jaccard_verify(

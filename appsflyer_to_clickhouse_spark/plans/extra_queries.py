@@ -67,14 +67,17 @@ def q_dedup_minhash_lsh_salted(spark, sf_dir):
 )
 def q_dedup_clusters(spark, sf_dir):
     """Near-dup CLUSTERS: connected components over the MinHash-LSH
-    candidate pairs (min-label propagation to fixpoint,
-    operators/dedup.py:connected_components). This is the step that
-    makes dedup actionable — keep min(doc_id) per component, drop the
-    rest. The oracle computes the identical components via a recursive
-    transitive-closure CTE, so an ITERATIVE Spark algorithm is still
-    exactly oracle-checked. At 100 TB: same algorithm under GraphFrames
-    with checkpointing; candidate graphs are sparse (LSH-bounded), so
-    the edge list — not the corpus — is the working set."""
+    candidate pairs via the O(log n)-round large-star/small-star
+    rewrite (operators/dedup.py:connected_components_star — VERDICT r5
+    task 4; the min-label twin remains as algorithm="minlabel"). This
+    is the step that makes dedup actionable — keep min(doc_id) per
+    component, drop the rest. The oracle computes the identical
+    components via a recursive transitive-closure CTE, so an ITERATIVE
+    Spark algorithm is still exactly oracle-checked. At 100 TB:
+    round count stays logarithmic even for chain-shaped components
+    (template drift), where label propagation would need
+    diameter-many shuffles; candidate graphs are sparse (LSH-bounded),
+    so the edge list — not the corpus — is the working set."""
     docs = load_fanout(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
     pairs = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
