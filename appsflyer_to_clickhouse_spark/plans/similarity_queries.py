@@ -947,8 +947,12 @@ def q_similarity_pq_adc(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _IVF_K = 8        # coarse cells
-_IVF_PROBE = 3    # cells probed per query
-_IVFPQ_SHORTLIST = 100
+# 5-of-8 probe (VERDICT r5 task 5): the 3-cell probe compounded with
+# PQ quantization pinned recall@10 at only 0.5-0.7 vs 0.8+ for
+# full-corpus PQ; widening nprobe to 5 recovers the gap (the standard
+# FAISS recall knob) while still skipping 3/8 of the corpus reads.
+_IVF_PROBE = 5    # cells probed per query
+_IVFPQ_SHORTLIST = 200
 
 
 def _ivf_protos() -> list[list[int]]:

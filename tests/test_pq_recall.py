@@ -44,11 +44,12 @@ def test_pq_two_stage_recall_at_10(spark):
 
 
 def test_ivfpq_recall_at_10(spark):
-    """IVF-PQ probes 3 of 8 coarse cells before the ADC scan, so its
-    recall sits below full-corpus PQ (measured 6-7/10 across SFs vs
-    9-10/10) — the price of reading ~3/8 of the cells; the floor pins
-    that the compounded pruning still ranks signal (widening nprobe
-    recovers the gap, exactly as in FAISS)."""
+    """IVF-PQ probes 5 of 8 coarse cells before the ADC scan over a
+    200-candidate shortlist (VERDICT r5 task 5: the original 3-cell
+    probe compounded with PQ quantization measured only 0.5-0.7 vs
+    0.8+ for full-corpus PQ; widening nprobe — the standard FAISS
+    recall knob — recovers it to 0.8/0.9/0.8 across
+    sf0.001/0.01/0.1 while still skipping 3/8 of the corpus)."""
     got = {r.vec_id for r in QUERIES["similarity_ivfpq"](spark, SF_SMALL).collect()}
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -70,4 +71,4 @@ def test_ivfpq_recall_at_10(spark):
     ]
     assert len(got) == 10
     recall = len(got & set(exact)) / 10
-    assert recall >= 0.5, f"IVF-PQ recall@10 {recall} below floor"
+    assert recall >= 0.7, f"IVF-PQ recall@10 {recall} below floor"
