@@ -129,6 +129,14 @@ def main() -> int:
     m = re.search(r"sf([0-9.]+)/?$", sf_dir)
     sf = float(m.group(1)) if m else None
 
+    # noise context (VERDICT r5 task 5): round-over-round totals carry
+    # a documented ±10% machine-weather envelope; record the 1-min
+    # load average at start/end plus true wall clock so the verdict
+    # can separate engine movement from a busy machine without a
+    # judge re-run (memory: bench timings are only valid run-alone).
+    run_t0 = time.perf_counter()
+    loadavg_start = list(os.getloadavg())
+
     from appsflyer_to_clickhouse_spark.plans import QUERIES
     from appsflyer_to_clickhouse_spark.session import get_spark
 
@@ -373,7 +381,21 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    noise_context = {
+        # 1-min/5-min/15-min load averages bracketing the run: a
+        # loadavg_start[0] far above the Spark worker count means the
+        # totals were taken on a contended machine
+        "loadavg_start": [round(x, 2) for x in loadavg_start],
+        "loadavg_end": [round(x, 2) for x in os.getloadavg()],
+        # total_wall_sec is the SUM of per-query first-run times;
+        # wall_clock_sec is the whole run end-to-end (warmups,
+        # headline re-runs, harness overhead) — their gap bounds how
+        # much untimed work surrounded the timed samples
+        "wall_clock_sec": round(time.perf_counter() - run_t0, 3),
+        "sum_per_query_sec": total,
+    }
     detail = {
+        "noise_context": noise_context,
         "metric": "total_wall_sec",
         "value": total,
         "unit": "sec",
@@ -411,6 +433,13 @@ def main() -> int:
                     for k in HEADLINE
                     if k in timings
                 },
+                # 1-min load average at run start/end: totals taken on
+                # a contended machine (load >> worker count) are
+                # weather, not engine movement
+                "load1": [
+                    noise_context["loadavg_start"][0],
+                    noise_context["loadavg_end"][0],
+                ],
                 "detail": detail_path.name,
             },
             separators=(",", ":"),
