@@ -172,6 +172,25 @@ def test_partitioned_scan_fans_out_and_matches_single_stream(
     )
 
 
+def test_partitioned_scan_zero_width_window_collapses(spark, sink_table):
+    """Degenerate window (from == to — a cron edge when the schedule
+    fires twice in one second): Spark collapses equal bounds to ONE
+    partition instead of erroring, and no rows are lost. Pinned so a
+    Spark version bump changing this to a hard error is caught here,
+    not in production."""
+    part = read_clickhouse_partitioned(
+        spark,
+        sink_table,
+        "2024-01-05 10:00:00",
+        "2024-01-05 10:00:00",
+        num_partitions=4,
+        url=DERBY_URL,
+        driver=DERBY_DRIVER,
+    )
+    assert part.rdd.getNumPartitions() == 1
+    assert part.count() == 4  # bounds split, never filter
+
+
 def test_full_width_round_trip_all_columns_byte_exact(spark):
     """VERDICT r5 task 6: the round trip must prove EVERY column
     survives write->read exactly — all 7 timestamp columns with
