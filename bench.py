@@ -172,16 +172,21 @@ def main() -> int:
     # (text_quality_classifier runs in group 0, before the mllib group)
     try:
         from pyspark.ml.classification import LogisticRegression
+        from pyspark.ml.clustering import KMeans
         from pyspark.ml.feature import VectorAssembler
 
         tiny = spark.range(10).selectExpr(
             "cast(id % 2 as double) AS label", "cast(id as double) AS x"
         )
-        LogisticRegression(maxIter=2).fit(
-            VectorAssembler(inputCols=["x"], outputCol="features").transform(
-                tiny
-            )
-        )
+        feats = VectorAssembler(
+            inputCols=["x"], outputCol="features"
+        ).transform(tiny)
+        LogisticRegression(maxIter=2).fit(feats)
+        # KMeans loads its own solver/codegen paths beyond what the
+        # LogisticRegression fit touches — without this, the first
+        # KMeans query pays ~9-10 s one-time (measured: 12.5 s cold
+        # vs 2.6 s warm for dedup_semantic_kmeans at sf0.1)
+        KMeans(k=2, maxIter=2, seed=7).fit(feats)
     except Exception as exc:  # noqa: BLE001
         print(f"[bench] mllib warmup failed: {exc}", file=sys.stderr)
     timings: dict[str, float] = {}

@@ -121,6 +121,31 @@ def test_unknown_algorithm_raises(spark):
         connected_components(df, algorithm="bogus")
 
 
+def test_star_round_growth_curve_is_logarithmic(spark):
+    """Three-point growth curve (the repo's standard scale-evidence
+    shape): quadrupling a path graph's length must add only a constant
+    handful of star rounds (~log4 = 2, plus rewrite slack), never
+    quadruple them — the empirical form of the O(log n) claim that a
+    single-size pin can't distinguish from O(n/c)."""
+    import math
+
+    rounds = {}
+    for n in (64, 256, 1024):
+        path = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+        )
+        stats: dict = {}
+        labels = connected_components_star(
+            path, max_iter=2 * int(math.log2(n)) + 2, stats=stats
+        )
+        assert labels.filter("component != 0").count() == 0
+        rounds[n] = stats["rounds"]
+    # each 4x size step adds at most ~2xlog4 + slack rounds, and the
+    # absolute counts stay under the 2*log2(n)+2 cap enforced above
+    assert rounds[256] - rounds[64] <= 5, rounds
+    assert rounds[1024] - rounds[256] <= 5, rounds
+
+
 def _union_find(pairs):
     """Driver-side exact ground truth for small graphs."""
     parent: dict = {}
