@@ -470,6 +470,27 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                         os.remove(os.path.join(self._path, f))
                     except OSError:
                         pass
+                if self._stream_id is None or prev_id is None:
+                    # UNKNOWN lineage: this drop is the conservative
+                    # guess (a dirty-restart replay is far likelier
+                    # than a brand-new stream whose batchId collides
+                    # with the high-water mark), but if this really IS
+                    # a new single-batch stream its rows were just
+                    # suppressed — tell the operator how to make the
+                    # ambiguity go away instead of staying silent.
+                    import warnings
+
+                    warnings.warn(
+                        f"chbatch sink at {self._path}: dropped batch "
+                        f"{batchId} as a presumed replay, but the "
+                        "stream lineage is unknown (checkpointLocation "
+                        "was not set via .option() on the writer). If "
+                        "this was a NEW stream, its rows were "
+                        "suppressed; set an explicit "
+                        '.option("checkpointLocation", ...) for exact '
+                        "lineage tracking.",
+                        stacklevel=2,
+                    )
                 return
             # different lineage (fresh checkpoint against an existing
             # sink) appends like a new job: accept the commit and

@@ -98,8 +98,11 @@ def user_stats_transform_with_state(stream_df: DataFrame) -> DataFrame:
     bootstrap. The processor below keeps two independent ValueStates;
     at 100 TB state still scales with distinct keys only, and the
     RocksDB state store backend this API is designed around spills
-    per-key state off-heap. The class is defined inline so the Arrow
-    worker pickles a self-contained processor.
+    per-key state off-heap (exercised for this repo's stateful tier in
+    tests/test_rocksdb_state_store.py: result-parity across providers,
+    rocksdb metrics engaged, changelog checkpointing transparent). The
+    class is defined inline so the Arrow worker pickles a
+    self-contained processor.
 
     GATED like the multimodal codecs: the driver<->worker state
     protocol of this API is protobuf-framed, and ``protobuf`` is not

@@ -203,6 +203,76 @@ def test_pre_lineage_manifest_with_known_writer_is_conservative(tmp_path):
     assert m2["stream_id"] == "/ckpt/run1"  # lineage now tracked
 
 
+def test_unknown_lineage_drop_warns(tmp_path):
+    """The conservative drop under UNKNOWN lineage is a guess — when
+    it fires, the operator must be told (a genuinely new stream's rows
+    were just suppressed) instead of silent suppression."""
+    import warnings
+
+    w1 = _writer(tmp_path)
+    _touch_parts(tmp_path, ["p0.jsonl"])
+    w1.commit([_PartCommit(["p0.jsonl"], 10, 1)], batchId=4)
+    w2 = _writer(tmp_path)
+    _touch_parts(tmp_path, ["p0_replay.jsonl"])
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        w2.commit([_PartCommit(["p0_replay.jsonl"], 10, 1)], batchId=4)
+    assert any("lineage is unknown" in str(c.message) for c in caught)
+    # known lineage drops stay silent (they are certain, not a guess)
+    w3 = _ckpt_writer(tmp_path, "/ckpt/k")
+    _touch_parts(tmp_path, ["k0.jsonl", "k0_replay.jsonl"])
+    w3.commit([_PartCommit(["k0.jsonl"], 1, 1)], batchId=9)
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        w3.commit([_PartCommit(["k0_replay.jsonl"], 1, 1)], batchId=9)
+    assert not any("lineage" in str(c.message) for c in caught2)
+
+
+def test_live_conf_default_checkpoint_has_no_lineage(spark, tmp_path):
+    """CANARY (ADVICE r6): with the session-conf default
+    spark.sql.streaming.checkpointLocation, Spark does NOT deliver the
+    resolved checkpoint dir into the writer options — verified live
+    here. The sink must therefore record NO stream_id (never guess).
+    If a future Spark version starts delivering it, this test fails —
+    that's good news: flip the assertion and drop the conservative
+    fallback docs."""
+    from pyspark.sql import functions as F
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseBatchDataSource,
+    )
+
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    src = str(tmp_path / "src")
+    spark.range(25).select(
+        F.col("id").cast("string").alias("k")
+    ).write.parquet(src)
+    schema = spark.read.parquet(src).schema
+    sink = str(tmp_path / "sink")
+    prev = spark.conf.get("spark.sql.streaming.checkpointLocation", None)
+    spark.conf.set(
+        "spark.sql.streaming.checkpointLocation", str(tmp_path / "ckroot")
+    )
+    try:
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("chbatch")
+            .option("path", sink)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.checkpointLocation")
+        else:
+            spark.conf.set("spark.sql.streaming.checkpointLocation", prev)
+    m = json.loads((tmp_path / "sink" / MANIFEST).read_text())
+    assert m["rows"] == 25
+    assert "stream_id" not in m  # unknown stays unknown — never guessed
+
+
 def test_live_stream_checkpoint_lineage_end_to_end(spark, tmp_path):
     """VERDICT r6 task 7: pin — with a REAL writeStream — that Spark
     delivers the writer-option checkpointLocation into the sink's
