@@ -208,6 +208,68 @@ def q_stream_stateful_counter(spark, sf_dir):
 
 
 @register(
+    "stream_stateful_counter_rocksdb",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS events_seen
+    FROM events WHERE user_id % 10 = 0 GROUP BY user_id
+    """,
+)
+def q_stream_stateful_counter_rocksdb(spark, sf_dir):
+    """The stateful counter on the RocksDBStateStoreProvider — the
+    state backend a 100 TB ingest actually runs on (per-key state
+    spills to local disk instead of capping at executor heap; ships
+    inside Spark, no extra dependency). SAME oracle as
+    stream_stateful_counter: the provider is an execution detail and
+    must never change the answer — this registration makes that claim
+    driver-graded, not just pytest-pinned
+    (tests/test_rocksdb_state_store.py carries the metrics-engaged
+    proof and the changelog-checkpointing variant)."""
+    conf = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(conf, None)
+    spark.conf.set(
+        conf,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        # the stream runs to completion inside (awaitTermination);
+        # only the final batch-side groupBy escapes the conf scope
+        return q_stream_stateful_counter(spark, sf_dir)
+    finally:
+        if prev is None:
+            spark.conf.unset(conf)
+        else:
+            spark.conf.set(conf, prev)
+
+
+@register(
+    "dedup_clusters_minlabel",
+    f"""
+    WITH RECURSIVE
+    {candidates_cte('documents')},
+    {components_cte()}
+    SELECT doc_id, component FROM comp
+    """,
+)
+def q_dedup_clusters_minlabel(spark, sf_dir):
+    """dedup_clusters on the min-label propagation engine — the
+    O(component-diameter) twin of the default large-star/small-star
+    path, kept driver-graded so BOTH connected-components engines stay
+    continuously differentials against the same recursive-CTE oracle
+    (LSH candidate graphs are dense and shallow, so min-label is
+    competitive here; the star engine wins on chain-shaped components
+    — round-count pins in tests/test_connected_components.py)."""
+    docs = load_fanout(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
+    pairs = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    from pyspark.sql import functions as F2
+
+    return connected_components(pairs, algorithm="minlabel").select(
+        F2.col("id").alias("doc_id"), "component"
+    )
+
+
+@register(
     "stream_static_join",
     """
     SELECT c_mktsegment,

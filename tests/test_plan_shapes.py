@@ -322,6 +322,7 @@ def test_no_registered_query_plans_a_cartesian_product(spark):
         "similarity_ivf_kmeans",  # driver-side KMeans fit at build
         "join_bucketed_colocate",  # writes bucketed tables at build
         "dedup_clusters",  # iterative localCheckpoint at build
+        "dedup_clusters_minlabel",  # iterative localCheckpoint at build
         "config_env",  # no scan at all
     }
     checked = 0
