@@ -55,6 +55,13 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "dedup_embedding_cosine",
+    # the iterative CC queries are the most driver-action-dense in the
+    # registry (per-round count + fixpoint check), so a mid-run JVM
+    # pause lands on them with outsized probability — measured 4.8 /
+    # 4.8 / 11.2 s across three otherwise-identical solo runs.
+    # Median-of-3 keeps the recorded number an engine property.
+    "dedup_clusters",
+    "dedup_cluster_representatives",
     "similarity_topk",
     "text_analysis",
     "training_data_pipeline",
