@@ -464,3 +464,195 @@ def q_scan_sink_keys_jdbc(spark, sf_dir):
         num_partitions=4, url=_DERBY_URL, driver=_DERBY_DRIVER,
     )
     return scan_sink_keys(sink, WIN_FROM, WIN_TO)
+
+
+# ---------------------------------------------------------------------------
+# sink maintenance as graded queries: OPTIMIZE (small-file compaction)
+# and retention expiry — sinks/maintenance.py has the machinery and
+# tests/test_sink_maintenance.py the unit pins; registering them puts
+# both under the continuous driver-side oracle differential too.
+# ---------------------------------------------------------------------------
+
+# rows per output file for the compaction query. 200 makes the three
+# SFs land on DIFFERENT per-date file counts (≈33/333/3333 rows/date →
+# 1/2/17 files), so the oracle's bin-pack arithmetic is exercised off
+# the trivial "everything fits in one file" corner at two of three SFs.
+_COMPACT_TARGET_ROWS = 200
+
+# a 5-date window: compaction's real-world cadence is incremental
+# (compact yesterday's partitions, not the table), and the bounded date
+# list keeps the per-partition rewrite loop a constant number of jobs.
+_COMPACT_DATES = [f"2024-01-{d:02d}" for d in range(8, 13)]
+
+
+@register(
+    "sink_compact_small_files",
+    f"""
+    SELECT CAST(ts AS DATE) AS install_date,
+           COUNT(*) AS n_rows,
+           CAST(CEIL(COUNT(*) / {_COMPACT_TARGET_ROWS}.0) AS BIGINT)
+             AS n_files
+    FROM events
+    WHERE CAST(ts AS DATE)
+          BETWEEN DATE '{_COMPACT_DATES[0]}' AND DATE '{_COMPACT_DATES[-1]}'
+    GROUP BY install_date
+    """,
+)
+def q_sink_compact_small_files(spark, sf_dir):
+    """OPTIMIZE round-trip with file accounting (the lakehouse
+    small-file rewrite on plain partitioned parquet): fragment an
+    events-derived sink (16-way round-robin write → up to 16 files per
+    install_date — the shape continuous micro-batch appends leave
+    behind), compact a 5-date window via ``compact_partitions``, then
+    read back and report per-date row count AND the number of distinct
+    data files backing it (``_metadata.file_path``). The oracle
+    recomputes the bin-pack arithmetic ceil(rows/target) from row
+    counts alone, so a compaction that silently no-ops (files stay
+    ~16), over-merges, or drops rows hash-mismatches — the file COUNT
+    is graded, not just the data. Scale shape: each date's rewrite is
+    directory-pruned and dynamically overwritten (never the table), and
+    the date list bounds the pass exactly like the nightly
+    compact-yesterday job a 100 TB sink runs."""
+    from ..sinks.maintenance import compact_partitions
+
+    ev = load(spark, sf_dir, "events")
+    sunk = ev.select(
+        F.expr("event_id DIV 9").cast("string").alias("appsflyer_id"),
+        F.col("ts").alias("install_time"),
+        F.to_date("ts").alias("install_date"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_compact_")
+    (
+        sunk.repartition(16)
+        .write.mode("overwrite")
+        .partitionBy("install_date")
+        .parquet(path)
+    )
+    import datetime
+
+    dates = [datetime.date.fromisoformat(d) for d in _COMPACT_DATES]
+    compact_partitions(
+        spark,
+        path,
+        target_rows_per_file=_COMPACT_TARGET_ROWS,
+        partitions=dates,
+    )
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("install_date").isin(dates))
+        .groupBy("install_date")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(F.col("_metadata.file_path")).alias("n_files"),
+        )
+    )
+
+
+_RETENTION_CUTOFF = "2024-01-15"
+
+
+@register(
+    "sink_retention_expire",
+    f"""
+    SELECT CAST(ts AS DATE) AS install_date,
+           COUNT(*) AS n_rows,
+           MIN(ts) AS first_install,
+           MAX(ts) AS last_install
+    FROM events
+    WHERE CAST(ts AS DATE) >= DATE '{_RETENTION_CUTOFF}'
+    GROUP BY install_date
+    """,
+)
+def q_sink_retention_expire(spark, sf_dir):
+    """Retention/TTL round-trip: materialize the full 30-date
+    events-derived sink, expire everything before the cutoff via
+    ``expire_partitions`` (filesystem-level partition-directory drops —
+    the only retention affordable at 100 TB; no table scan, surviving
+    partitions byte-identical), then read back per-date row counts and
+    install_time extrema. The oracle is the same aggregate over the
+    logical rows >= cutoff, so an expiry that under-deletes (stale
+    dates survive), over-deletes, or disturbs surviving rows
+    hash-mismatches."""
+    from ..sinks.maintenance import expire_partitions
+
+    ev = load(spark, sf_dir, "events")
+    sunk = ev.select(
+        F.expr("event_id DIV 9").cast("string").alias("appsflyer_id"),
+        F.col("ts").alias("install_time"),
+        F.to_date("ts").alias("install_date"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_retention_")
+    (
+        sunk.write.mode("overwrite")
+        .partitionBy("install_date")
+        .parquet(path)
+    )
+    expire_partitions(spark, path, _RETENTION_CUTOFF)
+    return (
+        spark.read.parquet(path)
+        .groupBy("install_date")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("install_time").alias("first_install"),
+            F.max("install_time").alias("last_install"),
+        )
+    )
+
+
+@register(
+    "sink_compact_one_pass",
+    f"""
+    SELECT CAST(ts AS DATE) AS install_date,
+           COUNT(*) AS n_rows,
+           CAST(CEIL(COUNT(*) / {_COMPACT_TARGET_ROWS}.0) AS BIGINT)
+             AS n_files,
+           MIN(CAST(event_id // 9 AS VARCHAR)) AS min_key,
+           MAX(CAST(event_id // 9 AS VARCHAR)) AS max_key
+    FROM events
+    GROUP BY install_date
+    """,
+)
+def q_sink_compact_one_pass(spark, sf_dir):
+    """Full-table compaction in ONE job (the many-small-partitions
+    regime, where the per-date rewrite loop would schedule a job per
+    date): a single shuffle by install_date with
+    ``spark.sql.files.maxRecordsPerFile`` rolling output files at the
+    target, plus sort_by clustering on the key so each rewritten
+    file's footer min/max are disjoint (file-skipping scans;
+    disjointness itself is pinned in tests/test_sink_maintenance.py —
+    footers aren't SQL-visible). Graded here: per-date row counts,
+    EXACT ceil(rows/target) file counts (every date's rows land in
+    exactly one task, so the roll arithmetic is deterministic), and
+    the per-date key extrema surviving the sorted rewrite."""
+    from ..sinks.maintenance import compact_partitions
+
+    ev = load(spark, sf_dir, "events")
+    sunk = ev.select(
+        F.expr("event_id DIV 9").cast("string").alias("appsflyer_id"),
+        F.col("ts").alias("install_time"),
+        F.to_date("ts").alias("install_date"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_compact1p_")
+    (
+        sunk.repartition(16)
+        .write.mode("overwrite")
+        .partitionBy("install_date")
+        .parquet(path)
+    )
+    compact_partitions(
+        spark,
+        path,
+        target_rows_per_file=_COMPACT_TARGET_ROWS,
+        one_pass=True,
+        sort_by=["appsflyer_id"],
+    )
+    return (
+        spark.read.parquet(path)
+        .groupBy("install_date")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct(F.col("_metadata.file_path")).alias("n_files"),
+            F.min("appsflyer_id").alias("min_key"),
+            F.max("appsflyer_id").alias("max_key"),
+        )
+    )

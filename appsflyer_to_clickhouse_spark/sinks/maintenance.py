@@ -37,6 +37,17 @@ def _dynamic_overwrite(spark: SparkSession):
         spark.conf.set(key, prev)
 
 
+@contextmanager
+def _max_records_per_file(spark: SparkSession, n: int):
+    key = "spark.sql.files.maxRecordsPerFile"
+    prev = spark.conf.get(key, "0")
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def merge_upsert(
     spark: SparkSession,
     batch: DataFrame,
@@ -81,22 +92,70 @@ def compact_partitions(
     path: str,
     target_rows_per_file: int = 1_000_000,
     partitions: list | None = None,
+    one_pass: bool = False,
+    sort_by: list[str] | None = None,
 ) -> None:
     """Bin-pack each partition's small files into
     ceil(rows / target_rows_per_file) outputs (OPTIMIZE/rewrite).
 
     Continuous micro-batch appends leave partitions with one file per
     trigger; scans then pay per-file open/footer costs and lose
-    row-group locality. Compaction reads the partition once,
-    repartitions to the target file count, and dynamically overwrites
-    just that directory. ``partitions`` limits the pass to named
+    row-group locality. ``partitions`` limits the pass to named
     install_dates (the incremental form — compact yesterday, not the
     table); None compacts everything. At production scale the target is
     bytes-based (~1 GB files); rows are the stand-in here because the
-    testdata rowsize is uniform."""
+    testdata rowsize is uniform.
+
+    Two rewrite strategies, picked by the partition-count/size regime:
+
+    * ``one_pass=False`` (default): count rows per partition, then
+      rewrite each named partition with an explicit
+      ``repartition(n_files)`` — intra-partition parallel (a huge
+      day's rewrite fans across the cluster), at the cost of one Spark
+      job per date. The right shape for the incremental
+      compact-yesterday cadence where the date list is a handful.
+    * ``one_pass=True``: a single shuffle-by-partition-column write
+      with ``spark.sql.files.maxRecordsPerFile`` rolling files at the
+      target — ONE job and NO counting pass regardless of how many
+      partitions are touched, because every date's rows land in
+      exactly one task which rolls ceil(rows/target) files
+      deterministically. The right shape for the many-small-partitions
+      regime (the actual small-file pathology: thousands of dates ×
+      dozens of trigger-sized files), where the per-date loop would
+      schedule thousands of jobs. Trade-off: one task per date, so a
+      single pathologically-large date does not fan out — use the
+      default strategy for those.
+
+    ``sort_by`` additionally clusters rows within each rewritten
+    partition (OPTIMIZE ... ZORDER's 1-D little sibling on plain
+    parquet): files are written key-ordered, so parquet footer
+    min/max ranges for the sort key are pairwise DISJOINT across a
+    partition's files and a key-predicate scan prunes whole files /
+    row groups instead of reading everything
+    (tests/test_sink_maintenance.py pins footer disjointness). In
+    one-pass mode the sort rides the same single shuffle
+    (sortWithinPartitions after the date repartition); in per-date
+    mode each date is range-repartitioned by the sort key, so files
+    are disjoint AND the rewrite stays intra-date parallel."""
     df = spark.read.parquet(path)
     if partitions is not None:
         df = df.filter(F.col(PARTITION_COL).isin(partitions))
+    if one_pass:
+        shuffled = df.repartition(F.col(PARTITION_COL))
+        if sort_by:
+            shuffled = shuffled.sortWithinPartitions(
+                PARTITION_COL, *sort_by
+            )
+        with (
+            _dynamic_overwrite(spark),
+            _max_records_per_file(spark, target_rows_per_file),
+        ):
+            (
+                shuffled.write.mode("overwrite")
+                .partitionBy(PARTITION_COL)
+                .parquet(path)
+            )
+        return
     counts = {
         r[0]: r[1]
         for r in df.groupBy(PARTITION_COL).count().collect()
@@ -107,9 +166,14 @@ def compact_partitions(
         for pdate, n in counts.items():
             n_files = max(1, -(-n // target_rows_per_file))
             part = df.filter(F.col(PARTITION_COL) == pdate)
+            if sort_by:
+                part = part.repartitionByRange(
+                    n_files, *sort_by
+                ).sortWithinPartitions(*sort_by)
+            else:
+                part = part.repartition(n_files)
             (
-                part.repartition(n_files)
-                .write.mode("overwrite")
+                part.write.mode("overwrite")
                 .partitionBy(PARTITION_COL)
                 .parquet(path)
             )

@@ -314,3 +314,108 @@ def test_expire_partitions_is_directory_scoped(spark, tmp_path):
             if not f.startswith(".")
         )
         assert now == files, f"surviving partition {d} was rewritten"
+
+
+def _footer_key_ranges(path: str, date: str, col: str):
+    """(min, max) of ``col`` per parquet file in one partition dir,
+    straight from the footer statistics — the metadata a clustered
+    scan prunes on."""
+    import pyarrow.parquet as pq
+
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/install_date={date}/*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }[col]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+def _slim_fragmented_sink(spark, tmp_path, dates, keys_per_date, n_frags):
+    """A slim partitioned sink with ``n_frags`` round-robin files per
+    date and zero-padded distinct keys (lexical order == numeric)."""
+    rows = [
+        (f"k{i:03d}", d) for d in dates for i in range(keys_per_date)
+    ]
+    path = str(tmp_path / "sink")
+    df = spark.createDataFrame(rows, ["appsflyer_id", "install_date_s"])
+    (
+        df.select(
+            "appsflyer_id",
+            F.to_date("install_date_s").alias("install_date"),
+        )
+        .repartition(n_frags)
+        .write.partitionBy("install_date")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    return path
+
+
+def test_compact_one_pass_exact_file_counts_and_rows(spark, tmp_path):
+    """one_pass=True: a single shuffle-by-date write with
+    maxRecordsPerFile must leave EXACTLY ceil(rows/target) files per
+    partition (each date's rows land in one task, which rolls files
+    deterministically at the target) and identical rows — with no
+    per-date counting pass and no per-date job loop."""
+    dates = ["2024-03-01", "2024-03-02", "2024-03-03"]
+    path = _slim_fragmented_sink(spark, tmp_path, dates, 90, 9)
+    for d in dates:
+        assert len(_files(path, d)) > 3  # genuinely fragmented first
+
+    before = sorted(
+        map(str, spark.read.parquet(path).collect())
+    )
+    compact_partitions(spark, path, target_rows_per_file=30, one_pass=True)
+
+    for d in dates:
+        assert len(_files(path, d)) == 3  # ceil(90/30), exact
+    after = sorted(map(str, spark.read.parquet(path).collect()))
+    assert before == after
+
+
+def test_compact_sort_by_makes_footer_ranges_disjoint(spark, tmp_path):
+    """sort_by clustering: after a sorted rewrite every partition's
+    files carry pairwise-DISJOINT footer min/max ranges for the sort
+    key, so a key-predicate scan prunes whole files instead of
+    reading all of them. Pinned for BOTH strategies (one-pass rides
+    sortWithinPartitions on the date shuffle; per-date uses
+    repartitionByRange on the key)."""
+    dates = ["2024-03-04", "2024-03-05"]
+
+    for strategy in ("one_pass", "per_date"):
+        sub = tmp_path / strategy
+        sub.mkdir()
+        path = _slim_fragmented_sink(spark, sub, dates, 90, 9)
+        # fragmented round-robin writes: ranges overlap before compact
+        pre = _footer_key_ranges(path, dates[0], "appsflyer_id")
+        assert len(pre) > 3
+        overlaps = sum(
+            1
+            for i, (lo1, hi1) in enumerate(pre)
+            for lo2, hi2 in pre[i + 1 :]
+            if lo1 <= hi2 and lo2 <= hi1
+        )
+        assert overlaps > 0, "fixture should start unclustered"
+
+        compact_partitions(
+            spark,
+            path,
+            target_rows_per_file=30,
+            one_pass=(strategy == "one_pass"),
+            sort_by=["appsflyer_id"],
+        )
+        for d in dates:
+            got = sorted(_footer_key_ranges(path, d, "appsflyer_id"))
+            assert 1 < len(got) <= 3, got
+            for (_, hi), (lo_next, _) in zip(got, got[1:]):
+                assert hi < lo_next, f"{strategy}: overlapping files {got}"
+        rows = spark.read.parquet(path)
+        assert rows.count() == len(dates) * 90
+        assert rows.select("appsflyer_id").distinct().count() == 90
