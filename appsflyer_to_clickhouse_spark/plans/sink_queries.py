@@ -656,3 +656,44 @@ def q_sink_compact_one_pass(spark, sf_dir):
             F.max("appsflyer_id").alias("max_key"),
         )
     )
+
+
+@register(
+    "sink_snapshot_read_as_of",
+    """
+    SELECT CAST(event_id // 3 AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type
+    FROM events WHERE event_id % 3 IN (0, 1)
+    """,
+)
+def q_sink_snapshot_read_as_of(spark, sf_dir):
+    """Time travel on the manifest sink: three appends land as commit
+    versions 0/1/2 in the manifest's snapshot log, and a
+    ``version=1`` read resolves exactly the first two commits' parts
+    from manifest METADATA alone (no directory listing, no data IO
+    beyond the selected parts) — while the newest rows, already
+    committed and physically present in the same directory, stay
+    invisible. The oracle is the logical content of appends 0+1, so an
+    as-of read that leaks version 2 (directory-listing reads), loses a
+    commit, or mis-unions the log hash-mismatches. The snapshot log is
+    what Delta/Iceberg keep in their commit journals, here on the
+    sink's single-manifest protocol; vacuum/truncate_history retention
+    is pinned in tests/test_datasource_sink.py."""
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    ev = load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="spark_graft_asof_") + "/staged"
+    for residue in (0, 1, 2):
+        out = ev.filter(F.col("event_id") % 3 == residue).select(
+            F.expr("event_id DIV 3").cast("string").alias("appsflyer_id"),
+            F.col("user_id").alias("uid"),
+            "event_type",
+        )
+        (
+            out.write.format("chbatch")
+            .option("path", path)
+            .option("batchsize", "500")
+            .mode("append")
+            .save()
+        )
+    return read_committed(spark, path, _DS_SCHEMA, version=1)

@@ -24,6 +24,18 @@ repo implements as ``dedup_anti_join``/Bloom pre-filter).
 Scale: N partitions write N independent streams of bounded batches —
 executor memory holds ``batch_size`` rows, never the partition; the
 driver holds only commit messages (a filename + count per task).
+
+The manifest additionally keeps a SNAPSHOT LOG — one history entry
+per publish naming only the files that commit added — which buys the
+three retention/time-travel affordances a long-lived sink needs, all
+resolved from manifest metadata (filenames, never data):
+``read_committed(..., version=v)`` replays any retained snapshot;
+``vacuum_sink`` deletes parts no retained snapshot references
+(crashed writers, replaced overwrite generations) behind a
+``min_age_s`` in-flight safety lag; ``truncate_history`` folds old
+entries into a base so an unbounded stream's manifest stays
+metadata-sized. Same shape as the Delta/Iceberg commit journal,
+scoped to the single-manifest protocol.
 """
 
 from __future__ import annotations
@@ -225,10 +237,18 @@ class _BatchWriter(DataSourceWriter):
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages: list[_PartCommit]) -> None:
+        new_files = sorted(f for m in messages for f in m.files)
         manifest = {
-            "files": sorted(f for m in messages for f in m.files),
+            "files": new_files,
             "rows": sum(m.rows for m in messages),
             "batches": sum(m.batches for m in messages),
+            # commit history: one entry per publish naming ONLY the
+            # files that commit added — the snapshot log that makes
+            # version-as-of reads (time travel) and orphan vacuum
+            # resolvable from manifest metadata alone. Metadata-sized
+            # at any data scale (filenames, not data); unbounded runs
+            # truncate with truncate_history().
+            "history": [{"v": 0, "files": new_files}],
         }
         # append mode MERGES with the previously committed manifest —
         # replacing it would silently orphan every earlier run's rows
@@ -250,9 +270,10 @@ class _BatchWriter(DataSourceWriter):
                 with open(mpath) as fh:
                     prev = json.load(fh)
                 manifest = {
-                    "files": sorted(set(prev["files"]) | set(manifest["files"])),
+                    "files": sorted(set(prev["files"]) | set(new_files)),
                     "rows": prev["rows"] + manifest["rows"],
                     "batches": prev["batches"] + manifest["batches"],
+                    "history": _extend_history(prev, new_files),
                 }
             tmp = mpath + ".tmp"
             with open(tmp, "w") as fh:
@@ -268,19 +289,153 @@ class _BatchWriter(DataSourceWriter):
                     pass
 
 
-def _manifest_files(path: str) -> list[str]:
+def _extend_history(prev: dict, new_files: list[str]) -> list[dict]:
+    """Append a commit-log entry for ``new_files`` to ``prev``'s
+    history. A pre-history manifest (written before this upgrade)
+    collapses its already-published files into one base entry — time
+    travel can't see inside what was never logged, but everything from
+    the upgrade forward is versioned."""
+    history = list(prev.get("history") or ())
+    if not history and prev.get("files"):
+        history = [{"v": 0, "files": sorted(prev["files"])}]
+    next_v = (max(e["v"] for e in history) + 1) if history else 0
+    return [*history, {"v": next_v, "files": new_files}]
+
+
+def _manifest_read(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def _manifest_files(path: str, version: int | None = None) -> list[str]:
     """Resolve the manifest's published part list to absolute paths —
     the single definition of the manifest protocol's read side, shared
-    by the JSONL and parquet tiers."""
-    with open(os.path.join(path, MANIFEST)) as fh:
-        manifest = json.load(fh)
-    return [os.path.join(path, f) for f in manifest["files"]]
+    by the JSONL and parquet tiers.
+
+    ``version`` selects a historical snapshot (time travel): the union
+    of every commit-log entry with v <= version. Resolution is pure
+    manifest metadata — no directory listing, no data IO — so an as-of
+    read plans exactly like a current read, just over fewer parts."""
+    manifest = _manifest_read(path)
+    if version is None:
+        return [os.path.join(path, f) for f in manifest["files"]]
+    history = manifest.get("history")
+    if not history:
+        raise ValueError(
+            f"sink at {path}: manifest has no commit history "
+            "(written before snapshot logging); version-as-of reads "
+            "need at least one post-upgrade commit"
+        )
+    known = sorted(e["v"] for e in history)
+    if version not in known:
+        raise ValueError(
+            f"sink at {path}: no snapshot v{version}; available "
+            f"versions {known} (older ones may have been folded by "
+            "truncate_history)"
+        )
+    files = sorted(
+        {f for e in history if e["v"] <= version for f in e["files"]}
+    )
+    return [os.path.join(path, f) for f in files]
 
 
-def read_committed(spark, path: str, schema):
+def sink_versions(path: str) -> list[dict]:
+    """The sink's snapshot log: one row per retained commit —
+    version, files added, and the stream batchId when the commit came
+    from the streaming tier."""
+    history = _manifest_read(path).get("history") or []
+    return [
+        {
+            "v": e["v"],
+            "n_files": len(e["files"]),
+            "batch_id": e.get("batch_id"),
+        }
+        for e in sorted(history, key=lambda e: e["v"])
+    ]
+
+
+def vacuum_sink(path: str, min_age_s: float = 0.0) -> list[str]:
+    """Delete data parts in the sink directory that NO retained
+    snapshot references (crashed pre-commit writers, replaced
+    overwrite generations) and return their names.
+
+    Referenced = the current manifest file list ∪ every commit-log
+    entry — so time travel keeps working after a vacuum; only truly
+    unreachable parts go. ``min_age_s`` is the safety lag for files an
+    IN-FLIGHT (not yet committed) job just wrote: its parts exist
+    before its manifest entry does, and only age separates them from
+    orphans — run production vacuums with min_age_s comfortably above
+    the longest job duration (the same contract as Delta's VACUUM
+    retention). Runs under the manifest lock so the reference set
+    can't move mid-sweep; the cost is one directory listing — no data
+    is read at any scale."""
+    import time as _time
+
+    with _manifest_lock(path):
+        manifest = _manifest_read(path)
+        referenced = set(manifest["files"])
+        for e in manifest.get("history") or ():
+            referenced.update(e["files"])
+        now = _time.time()
+        removed: list[str] = []
+        for name in sorted(os.listdir(path)):
+            if not (
+                name.startswith("part-")
+                and name.rsplit(".", 1)[-1] in ("jsonl", "parquet")
+            ):
+                continue  # manifest, lock, foreign files: never touched
+            if name in referenced:
+                continue
+            full = os.path.join(path, name)
+            try:
+                if now - os.path.getmtime(full) < min_age_s:
+                    continue
+                os.remove(full)
+                removed.append(name)
+            except OSError:
+                pass  # already gone (concurrent abort): that's the goal
+        return removed
+
+
+def truncate_history(path: str, retain_last: int) -> int:
+    """Bound the commit log: fold every entry older than the newest
+    ``retain_last`` into a single base entry (their files stay
+    referenced — this frees METADATA, not data). Time travel below the
+    fold point becomes unavailable; the current snapshot and the
+    retained versions are untouched. One micro-batch per minute for a
+    year is ~500k entries — this is the knob that keeps the manifest a
+    metadata-sized object on unbounded streams. Returns the number of
+    entries folded."""
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    with _manifest_lock(path):
+        mpath = os.path.join(path, MANIFEST)
+        manifest = _manifest_read(path)
+        history = sorted(
+            manifest.get("history") or (), key=lambda e: e["v"]
+        )
+        if len(history) <= retain_last:
+            return 0
+        fold, keep = history[:-retain_last], history[-retain_last:]
+        base = {
+            "v": fold[-1]["v"],
+            "files": sorted({f for e in fold for f in e["files"]}),
+        }
+        if "batch_id" in fold[-1]:
+            base["batch_id"] = fold[-1]["batch_id"]
+        manifest["history"] = [base, *keep]
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mpath)
+        return len(fold)
+
+
+def read_committed(spark, path: str, schema, version: int | None = None):
     """Read back ONLY manifest-published parts (uncommitted/orphan
-    files are invisible — the read side of the two-phase contract)."""
-    files = _manifest_files(path)
+    files are invisible — the read side of the two-phase contract).
+    ``version`` time-travels to that snapshot's part list."""
+    files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).json(files)
@@ -348,9 +503,10 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
         _BatchWriter.abort(self, messages)
 
 
-def read_committed_parquet(spark, path: str, schema):
-    """Manifest-resolved read of the Arrow tier's parquet parts."""
-    files = _manifest_files(path)
+def read_committed_parquet(spark, path: str, schema, version: int | None = None):
+    """Manifest-resolved read of the Arrow tier's parquet parts.
+    ``version`` time-travels to that snapshot's part list."""
+    files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)
     return spark.read.schema(schema).parquet(*files)
@@ -497,6 +653,8 @@ class _StreamBatchWriter(DataSourceStreamWriter):
             # re-stamp the manifest with the new lineage's identity
             # (dropped when unknown, so a later lineage-aware run still
             # sees it as unknown rather than trusting a guessed id).
+            history = _extend_history(prev, new_files)
+            history[-1]["batch_id"] = batchId
             manifest = {
                 "files": sorted(set(prev["files"]) | set(new_files)),
                 "rows": prev["rows"]
@@ -504,6 +662,7 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                 "batches": prev["batches"]
                 + sum(m.batches for m in messages if m is not None),
                 "last_batch_id": batchId,
+                "history": history,
             }
             if self._stream_id is not None:
                 manifest["stream_id"] = self._stream_id

@@ -222,6 +222,9 @@ def main() -> int:
         "source_http_datasource",
         "sink_datasource_batch",
         "sink_datasource_arrow",
+        # three chbatch appends + a manifest as-of read — same Python
+        # Data Source writer fleet as the other chbatch queries
+        "sink_snapshot_read_as_of",
         "stream_stateful_counter",
         # streaming Python Data Source queries — the stream_ prefix
         # would route them to the streaming group and charge Python

@@ -369,3 +369,146 @@ def test_manifest_lock_break_restores_fresh_owner(tmp_path):
         t.join(timeout=30)
     assert acquired.is_set()
     assert not lock.exists()
+
+
+# ---------------------------------------------------------------------------
+# snapshot log: version-as-of reads, vacuum, history truncation
+# ---------------------------------------------------------------------------
+
+
+def _manifest(path):
+    with open(os.path.join(path, MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def test_as_of_reads_replay_each_append_snapshot(spark):
+    """Three appends -> versions 0/1/2; an as-of read of v must see
+    exactly the first v+1 appends' rows, and the version log must
+    resolve from manifest metadata alone."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        sink_versions,
+    )
+
+    path = tempfile.mkdtemp(prefix="chb_asof_") + "/out"
+    _write(spark, path, n=10, batchsize=100, parts=1)  # v0: ids 0-9
+    _write(spark, path, n=25, batchsize=100, parts=1)  # v1: ids 0-24
+    _write(spark, path, n=40, batchsize=100, parts=1)  # v2: ids 0-39
+
+    assert [e["v"] for e in sink_versions(path)] == [0, 1, 2]
+    assert read_committed(spark, path, _SCHEMA, version=0).count() == 10
+    assert read_committed(spark, path, _SCHEMA, version=1).count() == 35
+    assert read_committed(spark, path, _SCHEMA, version=2).count() == 75
+    # default read == newest snapshot
+    assert read_committed(spark, path, _SCHEMA).count() == 75
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot v7"):
+        read_committed(spark, path, _SCHEMA, version=7)
+
+
+def test_vacuum_removes_only_unreferenced_parts(spark):
+    """Vacuum deletes crashed-writer orphans and overwrite leftovers,
+    never manifest- or history-referenced parts, and honors the
+    min_age_s in-flight safety lag."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        vacuum_sink,
+    )
+
+    path = tempfile.mkdtemp(prefix="chb_vac_") + "/out"
+    _write(spark, path, n=10, batchsize=100, parts=1)
+    _write(spark, path, n=20, batchsize=100, parts=1)
+
+    # a crashed pre-commit writer's leftover: part-named, uncommitted
+    orphan = os.path.join(path, "part-deadbeef.jsonl")
+    with open(orphan, "w") as fh:
+        fh.write('{"k": "zombie", "v": -1}\n')
+    # a foreign file that must never be touched
+    keep = os.path.join(path, "README.txt")
+    with open(keep, "w") as fh:
+        fh.write("not a part\n")
+
+    # age guard: a "fresh" orphan (simulating an in-flight writer's
+    # part) survives a lagged vacuum...
+    assert vacuum_sink(path, min_age_s=3600) == []
+    assert os.path.exists(orphan)
+    # ...and goes when the lag is zero
+    assert vacuum_sink(path) == ["part-deadbeef.jsonl"]
+    assert not os.path.exists(orphan)
+    assert os.path.exists(keep)
+
+    # both committed snapshots still fully readable (history survives)
+    assert read_committed(spark, path, _SCHEMA, version=0).count() == 10
+    assert read_committed(spark, path, _SCHEMA).count() == 30
+
+    # overwrite starts a new generation: the old parts become
+    # unreferenced and vacuumable, the new snapshot intact
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    (
+        spark.range(5)
+        .select(F.col("id").cast("string").alias("k"), F.col("id").alias("v"))
+        .write.format("chbatch")
+        .option("path", path)
+        .mode("overwrite")
+        .save()
+    )
+    removed = vacuum_sink(path)
+    assert len(removed) == 2  # one part per pre-overwrite append
+    assert read_committed(spark, path, _SCHEMA).count() == 5
+
+
+def test_truncate_history_folds_old_versions_keeps_data(spark):
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        sink_versions,
+        truncate_history,
+        vacuum_sink,
+    )
+
+    path = tempfile.mkdtemp(prefix="chb_trunc_") + "/out"
+    for n in (10, 20, 30, 40):
+        _write(spark, path, n=n, batchsize=100, parts=1)
+    assert [e["v"] for e in sink_versions(path)] == [0, 1, 2, 3]
+
+    assert truncate_history(path, retain_last=2) == 2  # v0+v1 -> base v1
+    assert [e["v"] for e in sink_versions(path)] == [1, 2, 3]
+    # folded base still resolves: v1 == first two appends
+    assert read_committed(spark, path, _SCHEMA, version=1).count() == 30
+    # v0 is below the fold now
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no snapshot v0"):
+        read_committed(spark, path, _SCHEMA, version=0)
+    # truncation freed metadata, not data: vacuum finds no orphans and
+    # the current snapshot is untouched
+    assert vacuum_sink(path) == []
+    assert read_committed(spark, path, _SCHEMA).count() == 100
+    assert truncate_history(path, retain_last=3) == 0  # already bounded
+
+
+def test_stream_commits_log_batch_ids_in_history(spark, tmp_path):
+    """The streaming tier's commits append history entries carrying
+    their batchId — replays (dropped) must NOT mint versions."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        _PartCommit,
+        _StreamBatchWriter,
+        sink_versions,
+    )
+
+    path = str(tmp_path / "sink")
+    os.makedirs(path)
+
+    def _commit(batch_id, fname):
+        with open(os.path.join(path, fname), "w") as fh:
+            fh.write('{"k": "x", "v": 1}\n')
+        w = _StreamBatchWriter(
+            {"path": path, "checkpointlocation": "/ckpt/a"}, ["k", "v"]
+        )
+        w.commit([_PartCommit([fname], 1, 1)], batch_id)
+
+    _commit(0, "part-a.jsonl")
+    _commit(1, "part-b.jsonl")
+    _commit(1, "part-b2.jsonl")  # replay of batch 1: dropped
+
+    log = sink_versions(path)
+    assert [(e["v"], e["batch_id"]) for e in log] == [(0, 0), (1, 1)]
+    assert not os.path.exists(os.path.join(path, "part-b2.jsonl"))
