@@ -697,3 +697,319 @@ def q_sink_snapshot_read_as_of(spark, sf_dir):
             .save()
         )
     return read_committed(spark, path, _DS_SCHEMA, version=1)
+
+
+# ---------------------------------------------------------------------------
+# sink_optimize_rewrite — OPTIMIZE as a REPLACE commit in the snapshot log
+# ---------------------------------------------------------------------------
+
+# rows per compacted output file. The three SFs' subset row counts
+# (250 / 2,500 / 25,000) land on 1 / 2 / 13 output files — different
+# bin-pack results at every SF, 13-way off the one-file corner — while
+# staying below the 16 fragmented inputs so the rewrite is never a
+# no-op.
+_OPTIMIZE_TARGET_ROWS = 2_000
+
+
+@register(
+    "sink_optimize_rewrite",
+    f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+           MIN(event_type) AS min_type,
+           CAST(CEIL(COUNT(*) / {_OPTIMIZE_TARGET_ROWS}.0) AS BIGINT)
+             AS n_files
+    FROM events WHERE event_id % 4 = 0
+    """,
+)
+def q_sink_optimize_rewrite(spark, sf_dir):
+    """OPTIMIZE on the MANIFEST sink (datasource_sink.optimize_sink):
+    16 fragmented Arrow-tier parts are compacted into
+    ceil(rows/target) files, published as a REPLACE commit that logs
+    both the outputs and the parts they replace — current reads
+    resolve only the compacted parts, retained pre-compaction
+    versions still time-travel to the originals, and the originals
+    stay on disk until truncate_history folds the log past the
+    compaction and vacuum_sink reclaims them (the Delta
+    OPTIMIZE→retention→VACUUM hand-off, pinned in
+    tests/test_sink_optimize.py). Graded here: row count, content
+    checksum, and the DISTINCT BACKING-FILE COUNT of the read-back
+    (``_metadata.file_path``) against the oracle's own bin-pack
+    arithmetic — a rewrite that no-ops, over-merges, or leaks a
+    replaced part into the current snapshot hash-mismatches. The
+    metadata commit is optimistic-concurrency checked (conflicts
+    abort and discard the rewrite's outputs), so compaction never
+    blocks concurrent appends — the property that lets a 100 TB sink
+    compact continuously while ingesting."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        optimize_sink,
+        read_committed_parquet,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    out = ev.filter(F.col("event_id") % 4 == 0).select(
+        F.col("user_id").alias("uid"),
+        "event_type",
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_optimize_") + "/staged"
+    (
+        out.repartition(16)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "100000")
+        .mode("append")
+        .save()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    stats = optimize_sink(
+        spark, path, schema, target_rows_per_file=_OPTIMIZE_TARGET_ROWS
+    )
+    assert stats["replaced"] == 16, stats  # the rewrite really ran
+    return (
+        read_committed_parquet(spark, path, schema)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("uid").alias("sum_uid"),
+            F.min("event_type").alias("min_type"),
+            F.count_distinct(F.col("_metadata.file_path")).alias("n_files"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink_stats_prune_read — data skipping over manifest per-file stats
+# ---------------------------------------------------------------------------
+
+_PRUNE_LO = "2024-01-12 00:00:00"
+_PRUNE_HI = "2024-01-18 00:00:00"
+
+
+@register(
+    "sink_stats_prune_read",
+    f"""
+    SELECT user_id AS uid,
+           event_type,
+           ts,
+           CAST(1 AS BIGINT) AS n_scanned
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_PRUNE_LO}' AND TIMESTAMP '{_PRUNE_HI}'
+    """,
+)
+def q_sink_stats_prune_read(spark, sf_dir):
+    """DATA SKIPPING on the manifest sink (datasource_sink.
+    prune_files / read_committed_pruned): the Arrow tier records exact
+    per-part min/max at flush time, and a range read resolves the
+    predicate against manifest METADATA to decide which parts to scan
+    before Spark plans a single task — Delta/Iceberg-style file
+    skipping on the single-manifest protocol. Three appends land the
+    events stream as time-correlated parts (the natural layout of
+    continuous ingest); the pruned read of a mid-range window must
+    select EXACTLY the middle part. Graded: every surviving row (stats
+    prune files, the residual BETWEEN prunes rows — exactness is the
+    filter's job, IO avoidance the stats') plus ``n_scanned``, the
+    pruning decision itself — a stats layer that degrades to
+    keep-everything returns 3 and hash-mismatches. At a 100 TB sink
+    this is the difference between scanning a day and scanning the
+    table. Conservative soundness (stats-less parts always kept,
+    all-null parts pruned for range predicates, NaN refused) is pinned
+    in tests/test_sink_stats.py."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        prune_files,
+        read_committed_pruned,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), "event_type", "ts"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_prune_") + "/staged"
+    splits = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    windows = [
+        ev.filter(F.col("ts") < F.lit(splits[0])),
+        ev.filter(
+            (F.col("ts") >= F.lit(splits[0])) & (F.col("ts") < F.lit(splits[1]))
+        ),
+        ev.filter(F.col("ts") >= F.lit(splits[1])),
+    ]
+    for w in windows:  # one time-correlated part per append
+        (
+            w.coalesce(1)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    lo = datetime.datetime.fromisoformat(_PRUNE_LO)
+    hi = datetime.datetime.fromisoformat(_PRUNE_HI)
+    n_scanned = len(prune_files(path, "ts", lo, hi))
+    return read_committed_pruned(
+        spark, path, schema, "ts", lo, hi
+    ).withColumn("n_scanned", F.lit(n_scanned).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# source_manifest_reader_asof — the sink's Data Source READ side
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "source_manifest_reader_asof",
+    f"""
+    SELECT user_id AS uid,
+           event_type,
+           ts
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-05 00:00:00'
+      AND ts < TIMESTAMP '2024-01-21 00:00:00'
+    """,
+)
+def q_source_manifest_reader_asof(spark, sf_dir):
+    """The manifest sink read back through its own Data Source READER
+    (sources/manifest_source.py): ``spark.read.format("chbatch_arrow")
+    .option("version", 1)`` resolves the as-of snapshot (appends 0+1 of
+    3) inside the DataSource protocol — one InputPartition per
+    committed part, orphans invisible — and the residual ``ts >=``
+    predicate travels through Catalyst's pushFilters into
+    manifest-stats pruning before any task is planned (partition-level
+    skip pinned in tests/test_manifest_source.py; conf is
+    runtime-enabled here because the driver's plain session has Python
+    pushdown off by default). Oracle = the two retained appends'
+    window, so a reader that leaks commit 2, loses a part, or
+    mis-applies the version log hash-mismatches."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import ClickHouseArrowDataSource
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), "event_type", "ts"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_mreader_") + "/staged"
+    splits = ("2024-01-11 00:00:00", "2024-01-21 00:00:00")
+    windows = [
+        ev.filter(F.col("ts") < F.lit(splits[0])),
+        ev.filter(
+            (F.col("ts") >= F.lit(splits[0])) & (F.col("ts") < F.lit(splits[1]))
+        ),
+        ev.filter(F.col("ts") >= F.lit(splits[1])),
+    ]
+    for w in windows:
+        (
+            w.coalesce(1)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    return (
+        spark.read.format("chbatch_arrow")
+        .schema(schema)
+        .option("path", path)
+        .option("version", "1")
+        .load()
+        .filter(F.col("ts") >= F.lit(datetime.datetime(2024, 1, 5)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_sink_tail_source — the sink's snapshot log as a STREAM source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sink_tail_source",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type
+    FROM events WHERE event_id % 5 IN (0, 1, 2)
+    """,
+)
+def q_stream_sink_tail_source(spark, sf_dir):
+    """The manifest sink TAILED as a stream
+    (``spark.readStream.format("chbatch")``): three batch appends land
+    as commit versions 0/1/2 in the snapshot log, then an
+    availableNow tail replays the log — offsets are manifest versions,
+    each micro-batch reads exactly the files its append commits named,
+    executor-side — into a parquet sink. The oracle is the union of
+    the three appends, so a tail that double-emits a commit, loses
+    one, or leaks an uncommitted part hash-mismatches. Exactly-once
+    resume across restarts, REPLACE-commit skipping, and
+    fold-past-offset refusal are pinned in
+    tests/test_manifest_source.py — this entry grades the end-to-end
+    loop that makes the sink a CDC source for downstream pipelines
+    (the Delta 'table as stream' affordance on the single-manifest
+    protocol)."""
+    from pyspark.sql import types as T
+
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    ev = load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="spark_graft_tail_") + "/staged"
+    for residue in (0, 1, 2):
+        out = ev.filter(F.col("event_id") % 5 == residue).select(
+            F.col("event_id").cast("string").alias("appsflyer_id"),
+            F.col("user_id").alias("uid"),
+            "event_type",
+        )
+        (
+            out.write.format("chbatch")
+            .option("path", path)
+            .option("batchsize", "2000")
+            .mode("append")
+            .save()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("appsflyer_id", T.StringType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_tail_out_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_tail_ckpt_")
+    q = (
+        spark.readStream.format("chbatch")
+        .schema(schema)
+        .option("path", path)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.schema(schema).parquet(out_dir)

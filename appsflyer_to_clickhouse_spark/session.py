@@ -47,6 +47,12 @@ def get_spark(
         # in plans.registry.load (truncating to micros, like DuckDB).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python Data Source filter pushdown (Spark 4.1, default off):
+        # the chbatch manifest reader implements pushFilters so
+        # Catalyst-pushed range predicates prune whole parts against
+        # manifest stats before any task is planned. Runtime-settable,
+        # so plain sessions can opt in with spark.conf.set too.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
         .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")

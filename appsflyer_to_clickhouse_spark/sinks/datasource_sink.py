@@ -36,6 +36,22 @@ resolved from manifest metadata (filenames, never data):
 entries into a base so an unbounded stream's manifest stays
 metadata-sized. Same shape as the Delta/Iceberg commit journal,
 scoped to the single-manifest protocol.
+
+On top of the log, three more table-format affordances:
+
+- ``optimize_sink`` — OPTIMIZE as a REPLACE commit: compacts small
+  parts distributedly and logs ``files`` + ``removes`` so current
+  reads see the new layout while retained versions still time-travel
+  to the originals; optimistic-concurrency checked, so compaction
+  never blocks concurrent appends.
+- per-file column STATS — the Arrow tier records exact min/max/null
+  counts per flushed part in the manifest; ``prune_files`` /
+  ``read_committed_pruned`` (and the Data Source reader's Catalyst
+  pushFilters hook) skip whole parts from metadata alone.
+- a READ side (``sources/manifest_source.py``): the sink is also a
+  batch table (``spark.read.format("chbatch")``, as-of versions,
+  pushdown-driven skipping) and a STREAM source
+  (``spark.readStream`` tails the commit log, append commits only).
 """
 
 from __future__ import annotations
@@ -157,19 +173,118 @@ def _manifest_lock(path: str, timeout_s: float = 30.0):
 
 
 class _PartCommit(WriterCommitMessage):
-    def __init__(self, files: list[str], rows: int, batches: int):
+    def __init__(
+        self,
+        files: list[str],
+        rows: int,
+        batches: int,
+        stats: dict | None = None,
+    ):
         self.files = files
         self.rows = rows
         self.batches = batches
+        # per-file column stats ({fname: {col: {min,max,nulls}}}) —
+        # the Arrow tier fills this at flush time; the JSONL tier
+        # leaves it None (readers then treat its parts conservatively)
+        self.stats = stats
+
+
+def _stat_cell(v):
+    """Normalize a min/max value for the manifest's JSON stats: the
+    encoding must COMPARE correctly against a query bound normalized
+    the same way. Timestamps normalize to naive-UTC ISO strings
+    ('YYYY-MM-DD HH:MM:SS[.ffffff]'), whose lexicographic order is
+    chronological — mixing aware and naive encodings would break
+    boundary comparisons, so tz-aware values are converted, never
+    passed through. NaN returns the sentinel ``_STAT_UNSAFE``: NaN
+    breaks range reasoning entirely (the caller must drop that
+    column's stats for the file, not record a bound)."""
+    import datetime as _dt
+    import decimal as _dec
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, _dec.Decimal):
+        return str(v)
+    if isinstance(v, float) and math.isnan(v):
+        return _STAT_UNSAFE
+    return v
+
+
+_STAT_UNSAFE = object()
+
+
+def _arrow_table_stats(table) -> dict:
+    """Exact per-column min/max/null-count for the part being flushed,
+    computed on the in-memory Arrow table (vectorized, zero extra IO —
+    the data is already in hand). Only primitive orderable types
+    participate; nested/binary columns are skipped, which readers
+    treat as 'no stats, keep the file'. An all-null column records
+    min=max=None with its null count — a RANGE predicate can then
+    prune the file outright (BETWEEN never matches NULL)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    out: dict = {}
+    for i, field in enumerate(table.schema):
+        t = field.type
+        if not (
+            pa.types.is_integer(t)
+            or pa.types.is_floating(t)
+            or pa.types.is_string(t)
+            or pa.types.is_large_string(t)
+            or pa.types.is_timestamp(t)
+            or pa.types.is_date(t)
+            or pa.types.is_boolean(t)
+            or pa.types.is_decimal(t)
+        ):
+            continue
+        col = table.column(i)
+        nulls = col.null_count
+        if nulls == len(col):
+            out[field.name] = {"min": None, "max": None, "nulls": nulls}
+            continue
+        mm = pc.min_max(col)
+        mn = _stat_cell(mm["min"].as_py())
+        mx = _stat_cell(mm["max"].as_py())
+        if mn is _STAT_UNSAFE or mx is _STAT_UNSAFE:
+            continue  # NaN bound: no stats beat wrong stats
+        out[field.name] = {"min": mn, "max": mx, "nulls": nulls}
+    return out
 
 
 class ClickHouseBatchDataSource(DataSource):
     """``df.write.format("chbatch")`` — options: ``path`` (staging
-    dir), ``batchsize`` (rows per flushed insert, default 10000)."""
+    dir), ``batchsize`` (rows per flushed insert, default 10000).
+
+    The READ side lives in ``sources/manifest_source.py``:
+    ``spark.read.format("chbatch")`` resolves the manifest's current
+    (or ``version``-as-of) snapshot with Catalyst-pushdown-driven
+    stats file skipping, and ``spark.readStream.format("chbatch")``
+    TAILS the snapshot log (append commits only) — the sink is also a
+    table and a stream, closing the CDC loop on one protocol."""
 
     @classmethod
     def name(cls) -> str:
         return "chbatch"
+
+    def schema(self):
+        ddl = self.options.get("schema")
+        if ddl:
+            return ddl
+        raise ValueError(
+            "chbatch reads need a schema: pass .schema(...) on the "
+            'reader or .option("schema", "<DDL>") — the JSONL parts '
+            "are schemaless on purpose (they mirror INSERT batches, "
+            "not a table definition)"
+        )
 
     def writer(self, schema, overwrite: bool) -> "_BatchWriter":
         return _BatchWriter(
@@ -180,6 +295,16 @@ class ClickHouseBatchDataSource(DataSource):
         return _StreamBatchWriter(
             self.options, [f.name for f in schema.fields]
         )
+
+    def reader(self, schema):
+        from ..sources.manifest_source import ManifestBatchReader
+
+        return ManifestBatchReader(self.options, schema)
+
+    def streamReader(self, schema):
+        from ..sources.manifest_source import ManifestTailReader
+
+        return ManifestTailReader(self.options, schema)
 
 
 def _json_cell(v):
@@ -238,6 +363,10 @@ class _BatchWriter(DataSourceWriter):
     # -- driver side -------------------------------------------------------
     def commit(self, messages: list[_PartCommit]) -> None:
         new_files = sorted(f for m in messages for f in m.files)
+        new_stats: dict = {}
+        for m in messages:
+            if getattr(m, "stats", None):
+                new_stats.update(m.stats)
         manifest = {
             "files": new_files,
             "rows": sum(m.rows for m in messages),
@@ -250,6 +379,8 @@ class _BatchWriter(DataSourceWriter):
             # truncate with truncate_history().
             "history": [{"v": 0, "files": new_files}],
         }
+        if new_stats:
+            manifest["stats"] = new_stats
         # append mode MERGES with the previously committed manifest —
         # replacing it would silently orphan every earlier run's rows
         # (append behaving as overwrite with no error). Overwrite mode
@@ -269,12 +400,15 @@ class _BatchWriter(DataSourceWriter):
             if not getattr(self, "_overwrite", True) and os.path.exists(mpath):
                 with open(mpath) as fh:
                     prev = json.load(fh)
+                merged_stats = {**(prev.get("stats") or {}), **new_stats}
                 manifest = {
                     "files": sorted(set(prev["files"]) | set(new_files)),
                     "rows": prev["rows"] + manifest["rows"],
                     "batches": prev["batches"] + manifest["batches"],
                     "history": _extend_history(prev, new_files),
                 }
+                if merged_stats:
+                    manifest["stats"] = merged_stats
             tmp = mpath + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)
@@ -312,8 +446,10 @@ def _manifest_files(path: str, version: int | None = None) -> list[str]:
     the single definition of the manifest protocol's read side, shared
     by the JSONL and parquet tiers.
 
-    ``version`` selects a historical snapshot (time travel): the union
-    of every commit-log entry with v <= version. Resolution is pure
+    ``version`` selects a historical snapshot (time travel): commit-log
+    entries with v <= version applied IN ORDER — each entry's ``files``
+    added, then its ``removes`` (REPLACE commits: optimize_sink logs the
+    compacted-away parts there) subtracted. Resolution is pure
     manifest metadata — no directory listing, no data IO — so an as-of
     read plans exactly like a current read, just over fewer parts."""
     manifest = _manifest_read(path)
@@ -333,10 +469,13 @@ def _manifest_files(path: str, version: int | None = None) -> list[str]:
             f"versions {known} (older ones may have been folded by "
             "truncate_history)"
         )
-    files = sorted(
-        {f for e in history if e["v"] <= version for f in e["files"]}
-    )
-    return [os.path.join(path, f) for f in files]
+    files: set[str] = set()
+    for e in sorted(history, key=lambda e: e["v"]):
+        if e["v"] > version:
+            break
+        files |= set(e["files"])
+        files -= set(e.get("removes") or ())
+    return [os.path.join(path, f) for f in sorted(files)]
 
 
 def sink_versions(path: str) -> list[dict]:
@@ -349,6 +488,7 @@ def sink_versions(path: str) -> list[dict]:
             "v": e["v"],
             "n_files": len(e["files"]),
             "batch_id": e.get("batch_id"),
+            "op": e.get("op", "append"),
         }
         for e in sorted(history, key=lambda e: e["v"])
     ]
@@ -394,6 +534,18 @@ def vacuum_sink(path: str, min_age_s: float = 0.0) -> list[str]:
                 removed.append(name)
             except OSError:
                 pass  # already gone (concurrent abort): that's the goal
+        # a vacuumed part's stats are dead metadata — drop them so the
+        # manifest doesn't accrete entries for files that no longer
+        # exist (the lock is already held)
+        stats = manifest.get("stats")
+        if stats and any(n in stats for n in removed):
+            for n in removed:
+                stats.pop(n, None)
+            mpath = os.path.join(path, MANIFEST)
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh)
+            os.replace(tmp, mpath)
         return removed
 
 
@@ -417,9 +569,26 @@ def truncate_history(path: str, retain_last: int) -> int:
         if len(history) <= retain_last:
             return 0
         fold, keep = history[:-retain_last], history[-retain_last:]
+        # the base is the NET snapshot at the fold point: each folded
+        # entry's adds applied, then its removes — so parts a folded
+        # REPLACE commit compacted away drop out of the base, lose
+        # their last history reference, and become vacuum-reclaimable
+        # (the Delta OPTIMIZE→VACUUM retention hand-off). Removes in
+        # RETAINED entries are untouched: the files they replace stay
+        # in the base because retained pre-replace versions still
+        # resolve them.
+        base_files: set[str] = set()
+        for e in fold:
+            base_files |= set(e["files"])
+            base_files -= set(e.get("removes") or ())
         base = {
             "v": fold[-1]["v"],
-            "files": sorted({f for e in fold for f in e["files"]}),
+            "files": sorted(base_files),
+            # marks this entry as a multi-commit fold: a streaming
+            # tail whose offset lies strictly INSIDE the folded range
+            # can no longer tell which of these files it already
+            # consumed and must fail instead of double-emitting
+            "folded": True,
         }
         if "batch_id" in fold[-1]:
             base["batch_id"] = fold[-1]["batch_id"]
@@ -429,6 +598,302 @@ def truncate_history(path: str, retain_last: int) -> int:
             json.dump(manifest, fh)
         os.replace(tmp, mpath)
         return len(fold)
+
+
+def _parquet_footer_stats(fullpath: str) -> dict:
+    """Per-column min/max/null-count for an existing parquet part,
+    aggregated across its row groups from FOOTER statistics only (a
+    metadata read — no data pages touched). Used by optimize_sink so
+    compacted outputs keep the skipping metadata their inputs had.
+
+    Strings are skipped on purpose: parquet writers may TRUNCATE
+    string min/max in footers, and a truncated max understates the
+    range — pruning on it would wrongly skip matching files. Numeric,
+    temporal, and boolean stats are exact."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(fullpath)
+    schema = pf.schema_arrow
+    import pyarrow as pa
+
+    wanted = {
+        f.name
+        for f in schema
+        if pa.types.is_integer(f.type)
+        or pa.types.is_floating(f.type)
+        or pa.types.is_timestamp(f.type)
+        or pa.types.is_date(f.type)
+        or pa.types.is_boolean(f.type)
+        or pa.types.is_decimal(f.type)
+    }
+    agg: dict = {}
+    md = pf.metadata
+    for rg in range(md.num_row_groups):
+        group = md.row_group(rg)
+        for ci in range(group.num_columns):
+            col = group.column(ci)
+            name = col.path_in_schema
+            if name not in wanted:
+                continue
+            st = col.statistics
+            if st is None:
+                agg[name] = _STAT_UNSAFE  # a chunk without stats
+                continue
+            cur = agg.get(name)
+            if cur is _STAT_UNSAFE:
+                continue
+            nulls = st.null_count or 0
+            if not st.has_min_max:
+                if st.num_values == 0:  # all-null chunk: legal
+                    mn = mx = None
+                else:  # stats suppressed for real values: unusable
+                    agg[name] = _STAT_UNSAFE
+                    continue
+            else:
+                mn, mx = _stat_cell(st.min), _stat_cell(st.max)
+                if mn is _STAT_UNSAFE or mx is _STAT_UNSAFE:
+                    agg[name] = _STAT_UNSAFE
+                    continue
+            if cur is None:
+                agg[name] = {"min": mn, "max": mx, "nulls": nulls}
+            else:
+                if mn is not None:
+                    cur["min"] = mn if cur["min"] is None else min(cur["min"], mn)
+                    cur["max"] = mx if cur["max"] is None else max(cur["max"], mx)
+                cur["nulls"] += nulls
+    return {k: v for k, v in agg.items() if v is not _STAT_UNSAFE}
+
+
+def optimize_sink(
+    spark,
+    path: str,
+    schema,
+    target_rows_per_file: int = 1_000_000,
+) -> dict:
+    """Compact the manifest sink's small parts into
+    ceil(rows/target_rows_per_file) parquet files and publish the
+    rewrite as a REPLACE commit in the snapshot log — the manifest
+    protocol's OPTIMIZE (Delta OPTIMIZE / Iceberg rewrite_data_files).
+
+    Semantics the snapshot log buys over a blind rewrite:
+
+    - The commit entry records ``files`` (the compacted outputs) AND
+      ``removes`` (the parts it replaced), so the CURRENT snapshot
+      reads only the new parts while every retained PRE-compaction
+      version still time-travels to the originals (``removes`` are
+      applied in version order by ``_manifest_files``).
+    - The replaced parts stay on disk until ``truncate_history`` folds
+      the log past the compaction — then they lose their last history
+      reference and ``vacuum_sink`` reclaims them. Data is never
+      deleted by the rewrite itself (the OPTIMIZE→retention→VACUUM
+      hand-off).
+    - Optimistic concurrency, Delta-style: the data rewrite runs
+      WITHOUT the manifest lock (it's the expensive distributed part);
+      the metadata commit re-reads the manifest under the lock and
+      aborts — deleting its own outputs — if any replaced part
+      vanished from the current snapshot meanwhile (a concurrent
+      overwrite or competing compaction). Concurrent APPENDS are never
+      a conflict: their parts simply aren't in the replace set.
+
+    Scale shape: ONE distributed read-repartition-write over the
+    selected parts (executors stream row groups; the driver handles
+    filenames only), staged inside the sink directory so publishing is
+    same-filesystem renames. Rows/batch counters are preserved — a
+    REPLACE commit changes layout, never content. Applies to the
+    Arrow/parquet tier (``chbatch_arrow``); a JSONL-tier sink raises
+    rather than silently changing its parts' format."""
+    import shutil
+
+    manifest = _manifest_read(path)
+    old = sorted(manifest["files"])
+    not_parquet = [f for f in old if not f.endswith(".parquet")]
+    if not_parquet:
+        raise ValueError(
+            f"optimize_sink at {path}: only the parquet (chbatch_arrow) "
+            f"tier is compactable; found non-parquet parts "
+            f"{not_parquet[:3]} ({len(not_parquet)} total)"
+        )
+    n_rows = int(manifest.get("rows", 0))
+    n_out = max(1, -(-n_rows // target_rows_per_file))
+    if not old or n_out >= len(old):
+        return {"replaced": 0, "written": 0, "version": None}
+
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(path, f) for f in old]
+    )
+    staging = os.path.join(path, f"_optimize_{uuid.uuid4().hex}")
+    # write timestamps as annotated INT64 micros, not Spark's default
+    # INT96: INT96 column chunks carry NO footer min/max, which would
+    # silently drop temporal columns from the compacted parts' skipping
+    # stats (and INT96 is deprecated in the parquet spec anyway)
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        df.repartition(n_out).write.mode("overwrite").parquet(staging)
+    finally:
+        spark.conf.set(ts_key, prev_ts)
+    new_files: list[str] = []
+    try:
+        for name in sorted(os.listdir(staging)):
+            if name.endswith(".parquet"):
+                nf = f"part-{uuid.uuid4().hex}.parquet"
+                os.rename(
+                    os.path.join(staging, name), os.path.join(path, nf)
+                )
+                new_files.append(nf)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    new_files.sort()
+    # compacted outputs keep the skipping metadata their inputs had:
+    # footer-derived min/max (a metadata read per output file, no data
+    # pages) — without this, every compaction would degrade pruning
+    # back to scan-everything
+    new_stats = {
+        f: s
+        for f in new_files
+        if (s := _parquet_footer_stats(os.path.join(path, f)))
+    }
+
+    mpath = os.path.join(path, MANIFEST)
+    with _manifest_lock(path):
+        cur = _manifest_read(path)
+        missing = sorted(set(old) - set(cur["files"]))
+        if missing:
+            for f in new_files:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(path, f))
+            raise ValueError(
+                f"optimize_sink at {path}: conflict — {len(missing)} "
+                f"replaced part(s) left the current snapshot during the "
+                f"rewrite (concurrent overwrite or compaction), e.g. "
+                f"{missing[:3]}; the rewrite was discarded, re-run "
+                "against the new snapshot"
+            )
+        history = list(cur.get("history") or ())
+        if not history and cur.get("files"):
+            history = [{"v": 0, "files": sorted(cur["files"])}]
+        next_v = (max(e["v"] for e in history) + 1) if history else 0
+        history.append(
+            {
+                "v": next_v,
+                "files": new_files,
+                "removes": old,
+                "op": "compact",
+            }
+        )
+        cur["files"] = sorted(
+            (set(cur["files"]) - set(old)) | set(new_files)
+        )
+        cur["history"] = history
+        if new_stats:
+            cur["stats"] = {**(cur.get("stats") or {}), **new_stats}
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(cur, fh)
+        os.replace(tmp, mpath)
+    return {
+        "replaced": len(old),
+        "written": len(new_files),
+        "version": next_v,
+    }
+
+
+def prune_files(
+    path: str,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> list[str]:
+    """DATA SKIPPING over the manifest's per-file column stats: return
+    the part names (relative) whose ``[min, max]`` MAY intersect the
+    closed range ``[lo, hi]`` — the file-pruning decision Delta/Iceberg
+    make from their stats manifests, resolved here from manifest
+    metadata alone (no footer reads, no file listing, no data IO).
+
+    Soundness rules, in order:
+    - a part with NO stats for ``column`` (JSONL tier, pre-stats
+      manifests, non-orderable types) is KEPT — skipping is an
+      optimization, never a correctness filter;
+    - an all-null part (min=max=None with stats present) is PRUNED —
+      a range predicate never matches NULL;
+    - otherwise the part is kept iff max >= lo and min <= hi (either
+      bound may be None = unbounded).
+
+    Bounds are normalized exactly like the stored stats
+    (``_stat_cell``: naive-UTC ISO strings for timestamps, str for
+    Decimal), so comparisons are same-encoding. Stats are advisory:
+    callers must still apply the real predicate to the surviving
+    parts (``read_committed_pruned`` does)."""
+    manifest = _manifest_read(path)
+    stats = manifest.get("stats") or {}
+    names = [os.path.basename(p) for p in _manifest_files(path, version)]
+    lo_k, hi_k = _stat_cell(lo), _stat_cell(hi)
+    if lo_k is _STAT_UNSAFE or hi_k is _STAT_UNSAFE:
+        raise ValueError("NaN is not a meaningful pruning bound")
+    keep: list[str] = []
+    for name in names:
+        st = (stats.get(name) or {}).get(column)
+        if st is None:
+            keep.append(name)  # unknown: conservative
+            continue
+        mn, mx = st["min"], st["max"]
+        if mn is None:  # stats known AND all-null: range can't match
+            continue
+        if lo_k is not None and mx < lo_k:
+            continue
+        if hi_k is not None and mn > hi_k:
+            continue
+        keep.append(name)
+    return keep
+
+
+def read_committed_pruned(
+    spark,
+    path: str,
+    schema,
+    column: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+):
+    """Manifest-resolved read that SKIPS parts whose stats prove they
+    cannot contain a row with ``column`` in ``[lo, hi]``, then applies
+    the real BETWEEN predicate to the survivors (stats prune files,
+    the filter prunes rows — both are needed for exactness). At a
+    100 TB sink with time-correlated parts this is the difference
+    between scanning a day and scanning the table, decided before
+    Spark plans a single task."""
+    from pyspark.sql import functions as F
+
+    names = prune_files(path, column, lo, hi, version)
+    df = _read_parts(spark, path, schema, names)
+    if lo is not None:
+        df = df.filter(F.col(column) >= F.lit(lo))
+    if hi is not None:
+        df = df.filter(F.col(column) <= F.lit(hi))
+    return df
+
+
+def _read_parts(spark, path: str, schema, names: list[str]):
+    """Read a list of sink parts with the reader their extension
+    demands; a mixed JSONL/parquet list is a protocol violation."""
+    if not names:
+        return spark.createDataFrame([], schema)
+    exts = {n.rsplit(".", 1)[-1] for n in names}
+    if exts == {"parquet"}:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(path, n) for n in names]
+        )
+    if exts == {"jsonl"}:
+        return spark.read.schema(schema).json(
+            [os.path.join(path, n) for n in names]
+        )
+    raise ValueError(
+        f"sink at {path}: mixed part formats {sorted(exts)} in one "
+        "snapshot — the JSONL and Arrow tiers must not share a path"
+    )
 
 
 def read_committed(spark, path: str, schema, version: int | None = None):
@@ -454,8 +919,27 @@ class ClickHouseArrowDataSource(DataSource):
     def name(cls) -> str:
         return "chbatch_arrow"
 
+    def schema(self):
+        ddl = self.options.get("schema")
+        if ddl:
+            return ddl
+        raise ValueError(
+            "chbatch_arrow reads need a schema: pass .schema(...) on "
+            'the reader or .option("schema", "<DDL>")'
+        )
+
     def writer(self, schema, overwrite: bool) -> "_ArrowBatchWriter":
         return _ArrowBatchWriter(self.options, overwrite)
+
+    def reader(self, schema):
+        from ..sources.manifest_source import ManifestBatchReader
+
+        return ManifestBatchReader(self.options, schema)
+
+    def streamReader(self, schema):
+        from ..sources.manifest_source import ManifestTailReader
+
+        return ManifestTailReader(self.options, schema)
 
 
 class _ArrowBatchWriter(DataSourceArrowWriter):
@@ -470,6 +954,7 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
 
         os.makedirs(self._path, exist_ok=True)
         files: list[str] = []
+        stats: dict = {}
         pending: list = []
         pend_rows = 0
         n = 0
@@ -479,11 +964,12 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
             if not pending:
                 return
             fname = f"part-{uuid.uuid4().hex}.parquet"
-            pq.write_table(
-                pa.Table.from_batches(pending),
-                os.path.join(self._path, fname),
-            )
+            table = pa.Table.from_batches(pending)
+            pq.write_table(table, os.path.join(self._path, fname))
             files.append(fname)
+            # exact per-file min/max while the data is in hand — the
+            # metadata that lets readers skip whole parts later
+            stats[fname] = _arrow_table_stats(table)
             pending.clear()
             pend_rows = 0
 
@@ -494,7 +980,7 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
             if pend_rows >= self._batch:
                 _flush()
         _flush()
-        return _PartCommit(files, n, len(files))
+        return _PartCommit(files, n, len(files), stats)
 
     def commit(self, messages: list[_PartCommit]) -> None:
         _BatchWriter.commit(self, messages)  # same manifest protocol
@@ -666,6 +1152,11 @@ class _StreamBatchWriter(DataSourceStreamWriter):
             }
             if self._stream_id is not None:
                 manifest["stream_id"] = self._stream_id
+            if prev.get("stats"):
+                # JSONL micro-batches carry no stats of their own, but
+                # a stream commit must not drop the stats earlier
+                # Arrow-tier commits published
+                manifest["stats"] = prev["stats"]
             tmp = mpath + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)

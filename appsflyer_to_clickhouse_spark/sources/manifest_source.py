@@ -1,0 +1,265 @@
+"""READ side of the manifest sink ("chbatch"/"chbatch_arrow") as a
+PySpark 4 Python Data Source — batch reader with Catalyst filter
+pushdown feeding manifest-stats file skipping, and a STREAMING TAIL
+reader over the snapshot log (the Delta/Iceberg "table as a stream
+source" affordance on the single-manifest protocol).
+
+Batch: ``spark.read.format("chbatch").schema(s).option("path", p)`` —
+``partitions()`` is one InputPartition per committed part, and
+``pushFilters`` captures the range/equality/null predicates Catalyst
+offers so the part list is PRUNED against the manifest's per-file
+stats before Spark plans a single task. All filters are returned to
+Spark for re-evaluation: stats pruning is advisory (IO avoidance),
+row-level exactness stays the engine's job — the same split
+``read_committed_pruned`` makes explicit.
+
+Streaming: ``spark.readStream.format("chbatch")`` tails the commit
+log. Offsets are manifest versions ({"version": N}); each micro-batch
+reads exactly the files the APPEND commits in (start, end] named —
+REPLACE (compact) commits are skipped because their files are layout
+rewrites of rows already emitted (Delta's streaming source likewise
+refuses/ignores non-append commits). A fold (truncate_history) that
+swallowed versions past the stream's offset, or a manifest reset
+beneath the stream, fails loudly instead of double-emitting.
+
+Scale: the driver touches only manifest metadata (filenames, versions,
+stats); every part is read executor-side — parquet parts as Arrow
+RecordBatches (zero-copy into Spark), JSONL parts line-parsed with
+schema-driven converters (the exact inverse of the writer's
+``_json_cell`` encoding, so a sink round-trip is byte-faithful).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    IsNotNull,
+    IsNull,
+    LessThan,
+    LessThanOrEqual,
+)
+
+
+def _part_converters(schema) -> list[tuple[str, str]]:
+    """(name, typeName) per top-level field — the picklable spec the
+    executor-side JSONL parser uses to undo ``_json_cell``."""
+    return [(f.name, f.dataType.typeName()) for f in schema.fields]
+
+
+def _from_json_cell(kind: str, v):
+    if v is None:
+        return None
+    if kind in ("timestamp", "timestamp_ntz"):
+        import datetime
+
+        return datetime.datetime.fromisoformat(v)
+    if kind == "date":
+        import datetime
+
+        return datetime.date.fromisoformat(v)
+    if kind == "decimal":
+        import decimal
+
+        return decimal.Decimal(v)
+    if kind == "binary":
+        return bytes.fromhex(v)
+    if kind in ("double", "float"):
+        return float(v)
+    return v
+
+
+def _read_part(fullpath: str, convs: list[tuple[str, str]]) -> Iterator:
+    """Executor-side read of ONE committed part."""
+    if fullpath.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(fullpath, columns=[c for c, _ in convs])
+        yield from table.to_batches()
+        return
+    import json as _json
+
+    with open(fullpath) as fh:
+        for line in fh:
+            if not line.strip():
+                continue
+            rec = _json.loads(line)
+            yield tuple(_from_json_cell(k, rec.get(c)) for c, k in convs)
+
+
+def _file_survives(st: dict | None, flt) -> bool:
+    """Can a file with stats ``st`` contain a row matching ``flt``?
+    Unknown stats => True (skipping is advisory, never a filter)."""
+    if st is None:
+        return True
+    mn, mx, nulls = st["min"], st["max"], st.get("nulls", 0)
+    if isinstance(flt, IsNull):
+        return nulls > 0
+    if isinstance(flt, IsNotNull):
+        return mn is not None
+    # range/equality predicates never match NULL; an all-null file
+    # (min is None with stats present) cannot satisfy them
+    if mn is None:
+        return False
+    from ..sinks.datasource_sink import _STAT_UNSAFE, _stat_cell
+
+    v = _stat_cell(flt.value)
+    if v is None or v is _STAT_UNSAFE:
+        return True  # NULL/NaN literal: leave it to Spark
+    if isinstance(flt, EqualTo):
+        return mn <= v <= mx
+    if isinstance(flt, GreaterThan):
+        return mx > v
+    if isinstance(flt, GreaterThanOrEqual):
+        return mx >= v
+    if isinstance(flt, LessThan):
+        return mn < v
+    if isinstance(flt, LessThanOrEqual):
+        return mn <= v
+    return True
+
+
+def _prune_names(names: list[str], stats: dict, filters: list) -> list[str]:
+    keep = []
+    for name in names:
+        fstats = stats.get(name) or {}
+        ok = True
+        for flt in filters:
+            col = flt.attribute[0]
+            if not _file_survives(fstats.get(col), flt):
+                ok = False
+                break
+        if ok:
+            keep.append(name)
+    return keep
+
+
+_PUSHABLE = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    IsNull,
+    IsNotNull,
+)
+
+
+class ManifestBatchReader(DataSourceReader):
+    """Batch reader over the manifest's CURRENT (or as-of) snapshot,
+    with stats-based file skipping driven by Catalyst's own pushed
+    filters."""
+
+    def __init__(self, options, schema):
+        self._path = options["path"]
+        v = options.get("version")
+        self._version = int(v) if v is not None else None
+        self._convs = _part_converters(schema)
+        self._filters: list = []
+
+    def pushFilters(self, filters):
+        for flt in filters:
+            # only simple top-level-column predicates inform pruning;
+            # everything is handed back to Spark either way, so a
+            # filter we keep is an IO hint, never a correctness gate
+            if isinstance(flt, _PUSHABLE) and len(flt.attribute) == 1:
+                self._filters.append(flt)
+        return filters
+
+    def partitions(self) -> Sequence[InputPartition]:
+        from ..sinks.datasource_sink import _manifest_files, _manifest_read
+
+        names = [
+            os.path.basename(p)
+            for p in _manifest_files(self._path, self._version)
+        ]
+        if self._filters:
+            stats = _manifest_read(self._path).get("stats") or {}
+            names = _prune_names(names, stats, self._filters)
+        return [
+            InputPartition(os.path.join(self._path, n)) for n in names
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator:
+        yield from _read_part(partition.value, self._convs)
+
+
+class ManifestTailReader(DataSourceStreamReader):
+    """Streaming tail over the snapshot log: each micro-batch is the
+    files the APPEND commits in (start, end] added."""
+
+    def __init__(self, options, schema):
+        self._path = options["path"]
+        self._convs = _part_converters(schema)
+
+    # -- offset protocol ---------------------------------------------------
+    def initialOffset(self) -> dict:
+        return {"version": -1}
+
+    def _history(self) -> list[dict]:
+        from ..sinks.datasource_sink import MANIFEST, _manifest_read
+
+        if not os.path.exists(os.path.join(self._path, MANIFEST)):
+            return []
+        manifest = _manifest_read(self._path)
+        history = manifest.get("history")
+        if history:
+            return sorted(history, key=lambda e: e["v"])
+        if manifest.get("files"):
+            # pre-snapshot-log manifest: everything is one base commit
+            return [
+                {"v": 0, "files": sorted(manifest["files"]), "folded": True}
+            ]
+        return []
+
+    def latestOffset(self) -> dict:
+        history = self._history()
+        return {"version": history[-1]["v"] if history else -1}
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        lo, hi = start["version"], end["version"]
+        if hi < lo:
+            raise ValueError(
+                f"chbatch tail at {self._path}: manifest version went "
+                f"backwards ({lo} -> {hi}); the sink was overwritten or "
+                "reset beneath a running stream — restart the stream "
+                "with a fresh checkpoint against the new sink state"
+            )
+        out: list[InputPartition] = []
+        for e in self._history():
+            if not (lo < e["v"] <= hi):
+                continue
+            if e.get("folded") and lo > -1 and lo < e["v"]:
+                raise ValueError(
+                    f"chbatch tail at {self._path}: truncate_history "
+                    f"folded the log past this stream's offset v{lo} "
+                    f"(fold base is v{e['v']}) — the already-consumed "
+                    "prefix of the fold is indistinguishable from new "
+                    "data. Re-read from scratch with a fresh checkpoint, "
+                    "or retain at least the tail's lag when truncating."
+                )
+            if e.get("op") == "compact":
+                # layout rewrite: same rows, new files — emitting them
+                # would duplicate every compacted row downstream
+                continue
+            out.extend(
+                InputPartition(os.path.join(self._path, f))
+                for f in e["files"]
+            )
+        return out
+
+    def read(self, partition: InputPartition) -> Iterator:
+        yield from _read_part(partition.value, self._convs)
+
+    def commit(self, end: dict) -> None:
+        pass  # the manifest is the source of truth; nothing to ack
+
+    def stop(self) -> None:
+        pass

@@ -1,0 +1,210 @@
+"""OPTIMIZE on the manifest sink (sinks/datasource_sink.py:
+optimize_sink): the small-part rewrite publishes as a REPLACE commit
+in the snapshot log — current reads see only the compacted parts,
+retained pre-compaction versions still time-travel to the originals,
+vacuum spares the replaced parts until truncate_history folds past the
+compaction, and a conflicting concurrent snapshot change aborts the
+commit and discards the rewrite's own outputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+    MANIFEST,
+    ClickHouseArrowDataSource,
+    optimize_sink,
+    read_committed_parquet,
+    sink_versions,
+    truncate_history,
+    vacuum_sink,
+)
+
+_SCHEMA = T.StructType(
+    [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+)
+
+
+def _append(
+    spark, path: str, lo: int, hi: int, batchsize: int = 100, parts: int = 2
+) -> None:
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    df = (
+        spark.range(lo, hi)
+        .repartition(parts)
+        .select(F.col("id").cast("string").alias("k"), F.col("id").alias("v"))
+    )
+    (
+        df.write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", str(batchsize))
+        .mode("append")
+        .save()
+    )
+
+
+def _manifest(path: str) -> dict:
+    with open(os.path.join(path, MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def _content(spark, path: str, version: int | None = None) -> tuple:
+    df = read_committed_parquet(spark, path, _SCHEMA, version=version)
+    row = df.agg(
+        F.count("*").alias("n"), F.sum("v").alias("s")
+    ).first()
+    return row["n"], row["s"]
+
+
+def test_optimize_compacts_parts_preserves_content_and_counters(spark):
+    path = tempfile.mkdtemp(prefix="opt_") + "/sink"
+    # Spark hands the Arrow writer whole-partition RecordBatches, so
+    # part count == task count: 6 + 4 = 10 small parts
+    _append(spark, path, 0, 600, parts=6)
+    _append(spark, path, 600, 900, parts=4)
+    before = _manifest(path)
+    assert len(before["files"]) == 10
+    stats = optimize_sink(spark, path, _SCHEMA, target_rows_per_file=500)
+    after = _manifest(path)
+    # 900 rows / 500 target -> 2 files, counters untouched by a
+    # layout-only commit
+    assert stats["replaced"] == len(before["files"])
+    assert stats["written"] == 2 == len(after["files"])
+    assert after["rows"] == before["rows"] == 900
+    assert after["batches"] == before["batches"]
+    assert _content(spark, path) == (900, 899 * 900 // 2)
+    # the REPLACE commit is versioned and typed in the snapshot log
+    vs = sink_versions(path)
+    assert [e["op"] for e in vs] == ["append", "append", "compact"]
+    assert vs[-1]["v"] == stats["version"] == 2
+
+
+def test_optimize_noop_when_already_compact(spark):
+    path = tempfile.mkdtemp(prefix="optnoop_") + "/sink"
+    _append(spark, path, 0, 100, batchsize=1000)  # 2 parts (one per task)
+    stats = optimize_sink(spark, path, _SCHEMA, target_rows_per_file=50)
+    # target needs 2 files and the sink already has exactly 2
+    assert stats == {"replaced": 0, "written": 0, "version": None}
+    assert len(_manifest(path)["files"]) == 2
+
+
+def test_time_travel_below_replace_resolves_original_parts(spark):
+    path = tempfile.mkdtemp(prefix="opttt_") + "/sink"
+    _append(spark, path, 0, 400)
+    _append(spark, path, 400, 500)
+    pre_files = set(_manifest(path)["files"])
+    optimize_sink(spark, path, _SCHEMA, target_rows_per_file=1000)
+    # as-of v0 is append 0 only; v1 is both appends via the ORIGINAL
+    # parts; v2 (the replace) is the same content via the new parts
+    assert _content(spark, path, version=0) == (400, 399 * 400 // 2)
+    assert _content(spark, path, version=1) == (500, 499 * 500 // 2)
+    assert _content(spark, path, version=2) == (500, 499 * 500 // 2)
+    # replaced originals are still on disk (time travel needs them)
+    for f in pre_files:
+        assert os.path.exists(os.path.join(path, f))
+
+
+def test_vacuum_spares_replaced_parts_until_history_folds(spark):
+    path = tempfile.mkdtemp(prefix="optvac_") + "/sink"
+    _append(spark, path, 0, 400)
+    _append(spark, path, 400, 500)
+    pre_files = set(_manifest(path)["files"])
+    optimize_sink(spark, path, _SCHEMA, target_rows_per_file=1000)
+    # history still references the originals -> vacuum removes nothing
+    assert vacuum_sink(path) == []
+    for f in pre_files:
+        assert os.path.exists(os.path.join(path, f))
+    # folding only UP TO the compact entry keeps the originals: the
+    # fold base (v1) is a retained, readable version and it resolves
+    # to the original parts
+    truncate_history(path, retain_last=1)
+    assert vacuum_sink(path) == []
+    assert _content(spark, path, version=1) == (500, 499 * 500 // 2)
+    # fold PAST the compaction (append v3, then retain only it): the
+    # new base nets the replace — originals lose their last reference
+    # and the OPTIMIZE->retention->VACUUM hand-off completes
+    _append(spark, path, 500, 550)
+    truncate_history(path, retain_last=1)
+    removed = set(vacuum_sink(path))
+    assert removed == pre_files
+    assert _content(spark, path) == (550, 549 * 550 // 2)
+    # time travel below the fold is gone, loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="no snapshot v0"):
+        read_committed_parquet(spark, path, _SCHEMA, version=0)
+
+
+def test_conflicting_snapshot_change_aborts_and_discards_rewrite(spark):
+    """Optimistic concurrency: if a replaced part leaves the current
+    snapshot between the rewrite and the metadata commit (concurrent
+    overwrite/compaction), the commit must abort and delete the
+    rewrite's own outputs — not publish a replace of files that are no
+    longer current."""
+    import pytest
+
+    path = tempfile.mkdtemp(prefix="optconf_") + "/sink"
+    _append(spark, path, 0, 600)
+    mpath = os.path.join(path, MANIFEST)
+
+    # simulate the concurrent commit by dropping one replaced part
+    # from the snapshot mid-optimize, via a hook on the manifest read
+    # that the locked commit section performs
+    import appsflyer_to_clickhouse_spark.sinks.datasource_sink as ds
+
+    real_read = ds._manifest_read
+    state = {"reads": 0}
+
+    def tampering_read(p):
+        m = real_read(p)
+        state["reads"] += 1
+        if state["reads"] == 2:  # the under-lock re-read
+            victim = m["files"][0]
+            m2 = dict(m)
+            m2["files"] = [f for f in m["files"] if f != victim]
+            with open(mpath + ".tmp", "w") as fh:
+                json.dump(m2, fh)
+            os.replace(mpath + ".tmp", mpath)
+            return m2
+        return m
+
+    before_parts = {
+        n for n in os.listdir(path) if n.endswith(".parquet")
+    }
+    ds._manifest_read = tampering_read
+    try:
+        with pytest.raises(ValueError, match="conflict"):
+            optimize_sink(spark, path, _SCHEMA, target_rows_per_file=1000)
+    finally:
+        ds._manifest_read = real_read
+    # the aborted rewrite's outputs were deleted — no orphan accretion
+    after_parts = {n for n in os.listdir(path) if n.endswith(".parquet")}
+    assert after_parts == before_parts
+    assert not os.path.exists(os.path.join(path, MANIFEST + ".lock"))
+
+
+def test_optimize_refuses_jsonl_tier(spark):
+    import pytest
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseBatchDataSource,
+    )
+
+    path = tempfile.mkdtemp(prefix="optjsonl_") + "/sink"
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    (
+        spark.range(10)
+        .select(F.col("id").cast("string").alias("k"), F.col("id").alias("v"))
+        .write.format("chbatch")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with pytest.raises(ValueError, match="non-parquet"):
+        optimize_sink(spark, path, _SCHEMA, target_rows_per_file=1)
