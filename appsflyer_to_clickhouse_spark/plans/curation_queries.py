@@ -676,3 +676,185 @@ def q_split_leakage_safe(spark, sf_dir):
         "split",
         F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sample_importance_dsir — hashed-n-gram importance sampling toward a
+# target distribution (DSIR, Xie et al. 2023, arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+# hashed-unigram feature space. 8192 buckets keeps both distribution
+# tables broadcast-sized (KBs) at ANY corpus size — the whole point of
+# DSIR's hashing trick: the importance model's footprint is fixed
+# while the corpus scales.
+_DSIR_BUCKETS = 8192
+
+_DSIR_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                '[^a-z0-9]+'), x -> x != '')) AS tok
+  FROM documents
+), bk AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(tok), 1, 15))::UBIGINT % {_DSIR_BUCKETS} AS b
+  FROM tok
+), c_doc AS (
+  SELECT doc_id, b, count(*) AS c FROM bk GROUP BY 1, 2
+), n_raw AS (
+  SELECT b, count(*) AS n_raw FROM bk GROUP BY 1
+), n_tgt AS (
+  SELECT b, count(*) AS n_tgt FROM bk WHERE lang = 'en' GROUP BY 1
+), lut AS (
+  SELECT n_raw.b,
+         ((coalesce(n_tgt, 0) + 1) * 1000000) // (n_raw + 1) AS r_ppm
+  FROM n_raw LEFT JOIN n_tgt USING (b)
+), score AS (
+  SELECT doc_id, CAST(SUM(c * r_ppm) AS BIGINT) AS affinity
+  FROM c_doc JOIN lut USING (b) GROUP BY 1
+), ranked AS (
+  SELECT doc_id, affinity,
+         row_number() OVER (ORDER BY affinity DESC, doc_id) AS rn
+  FROM score
+)
+SELECT doc_id, affinity FROM ranked
+WHERE rn <= (SELECT count(*) // 10 FROM documents)
+"""
+
+
+@register("sample_importance_dsir", _DSIR_ORACLE)
+def q_sample_importance_dsir(spark, sf_dir):
+    """Data Selection with Importance Resampling (DSIR): score every
+    document by how much its hashed-unigram bag looks like a TARGET
+    distribution (here lang='en' as the quality proxy) relative to the
+    raw corpus, keep the top 10%. The published form weights by
+    sum c_b * log(p_tgt(b)/p_raw(b)); this implementation uses the
+    integer LUT variant — per-bucket ratio in parts-per-million with
+    Laplace smoothing, integer DIV — so the per-doc reduction is a
+    BIGINT sum and the cross-engine differential is exact (the same
+    staged-LUT determinism technique as the PQ/ADC tier; a production
+    deployment swaps the ppm ratio for the log ratio, changing only
+    the LUT expression).
+
+    Scale shape: ONE tokenize pass feeds three aggregates; both
+    distribution tables are bucket-sized (8192 rows — broadcast KBs
+    forever, the hashing trick's purpose), so scoring is a broadcast
+    join onto the per-doc bucket counts: no shuffle ever carries the
+    token stream twice, and the only global sort is over doc-level
+    scores (metadata, not corpus). The top-k is a rank over that
+    doc-score table."""
+    from ..functions.text import hash60, tokens
+
+    docs = load_fanout(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar control state, KB-bounded
+    bk = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.pmod(hash60(F.col("tok")), F.lit(_DSIR_BUCKETS)).alias("b"),
+    )
+    c_doc = bk.groupBy("doc_id", "b").agg(F.count("*").alias("c"))
+    n_raw = bk.groupBy("b").agg(F.count("*").alias("n_raw"))
+    n_tgt = (
+        bk.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count("*").alias("n_tgt"))
+    )
+    lut = n_raw.join(n_tgt, "b", "left").select(
+        "b",
+        F.expr(
+            "((coalesce(n_tgt, 0) + 1) * 1000000) DIV (n_raw + 1)"
+        ).alias("r_ppm"),
+    )
+    score = (
+        c_doc.join(F.broadcast(lut), "b")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("c") * F.col("r_ppm")).cast("bigint").alias("affinity"))
+    )
+    # top-10% as sort+limit, NOT a global row_number window: limit
+    # pushes a LocalLimit into every partition before the single-point
+    # exchange, where an unpartitioned window would drag the whole
+    # doc-score table through one task. Deterministic under the
+    # (affinity, doc_id) total order.
+    return (
+        score.orderBy(F.col("affinity").desc(), F.col("doc_id"))
+        .limit(n_docs // 10)
+        .select("doc_id", "affinity")
+    )
+
+
+# ---------------------------------------------------------------------------
+# quota_temperature_mix — alpha=0.5 temperature sampling across strata
+# (the multilingual/data-mixing reweighting of mT5/XLM-R: p_i^alpha)
+# ---------------------------------------------------------------------------
+
+_TEMP_MIX_ORACLE = """
+WITH n_lang AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1
+), w AS (
+  SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w FROM n_lang
+), tot AS (
+  SELECT SUM(w) AS tot_w, (SELECT count(*) // 4 FROM documents) AS budget
+  FROM w
+), quota AS (
+  SELECT lang, CAST((budget * w) // tot_w AS BIGINT) AS quota
+  FROM w, tot
+), picked AS (
+  SELECT d.doc_id, d.lang, q.quota,
+         row_number() OVER (
+           PARTITION BY d.lang
+           ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+         ) AS rn
+  FROM documents d JOIN quota q USING (lang)
+)
+SELECT doc_id, lang, quota FROM picked WHERE rn <= quota
+"""
+
+
+@register("quota_temperature_mix", _TEMP_MIX_ORACLE)
+def q_quota_temperature_mix(spark, sf_dir):
+    """Temperature-based mixture reweighting (alpha = 0.5): sampling
+    proportional to n_i^alpha UP-weights low-resource strata relative
+    to their raw share — the mT5/XLM-R data-mixing rule, here over the
+    skewed lang distribution with a total budget of 25% of the corpus.
+    Every step is integer-exact cross-engine: IEEE sqrt is correctly
+    rounded so FLOOR(SQRT(n)) is deterministic, quotas are BIGINT
+    multiply-then-DIV, and the per-stratum pick is a deterministic
+    md5-ordered prefix (same selection on both engines, no RNG).
+
+    Scale shape: stratum weights/quotas are a lang-sized table (a
+    broadcast scalar row each); the pick is ONE window per stratum
+    keyed by lang — the same single-shuffle shape as quota_per_source,
+    with the quota now derived from the temperature formula instead of
+    a constant."""
+    docs = load_fanout(spark, sf_dir, "documents")
+    budget = docs.count() // 4  # scalar control state
+    n_lang = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    w = n_lang.select(
+        "lang",
+        F.floor(F.sqrt(F.col("n"))).cast("bigint").alias("w"),
+    )
+    tot_w = w.agg(F.sum("w").alias("tot_w"))
+    quota = (
+        w.crossJoin(F.broadcast(tot_w))
+        .select(
+            "lang",
+            F.expr(f"({budget} * w) DIV tot_w").cast("bigint").alias("quota"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(
+            F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+        )
+    )
+    return (
+        docs.join(F.broadcast(quota), "lang")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "lang", "quota")
+    )

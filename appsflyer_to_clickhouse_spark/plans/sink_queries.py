@@ -1013,3 +1013,76 @@ def q_stream_sink_tail_source(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.schema(schema).parquet(out_dir)
+
+
+# ---------------------------------------------------------------------------
+# sink_optimize_clustered — sort_by clustering makes skipping selective
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_optimize_clustered",
+    """
+    SELECT user_id AS uid,
+           event_type,
+           CAST(1 AS BIGINT) AS n_scanned
+    FROM events
+    WHERE user_id = (SELECT MIN(user_id) FROM events)
+    """,
+)
+def q_sink_optimize_clustered(spark, sf_dir):
+    """CLUSTERED rewrite on the manifest sink (optimize_sink
+    ``sort_by`` — OPTIMIZE ZORDER's 1-D form on the single-manifest
+    protocol): three interleaved appends each span the FULL uid range,
+    so every part's [min,max] overlaps and stats skipping degenerates
+    to keep-everything; the clustered rewrite range-partitions by uid
+    and sorts within each output, making file key-ranges pairwise
+    DISJOINT (equal keys colocate under repartitionByRange, so a key
+    never straddles a boundary). Graded: a point probe at min(uid)
+    must then prune to EXACTLY ONE part — ``n_scanned`` is the pruning
+    decision; an unclustered layout or degraded stats return 3/20 and
+    hash-mismatch — plus the probe's rows themselves (residual filter
+    exactness). Range disjointness from footer-refreshed stats and the
+    cluster-even-when-compact rule are pinned in
+    tests/test_sink_optimize.py. At 100 TB this is the nightly
+    cluster-by-user job that turns per-user lookups from table scans
+    into single-file reads."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        optimize_sink,
+        prune_files,
+        read_committed_pruned,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), "event_type", "event_id"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_cluster_") + "/staged"
+    for r in (0, 1, 2):  # interleaved: every part spans the uid range
+        (
+            ev.filter(F.col("event_id") % 3 == r)
+            .drop("event_id")
+            .coalesce(1)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    optimize_sink(
+        spark, path, schema, target_rows_per_file=5_000, sort_by=["uid"]
+    )
+    probe = ev.agg(F.min("uid")).first()[0]  # KB-bounded control state
+    n_scanned = len(prune_files(path, "uid", probe, probe))
+    return read_committed_pruned(
+        spark, path, schema, "uid", probe, probe
+    ).withColumn("n_scanned", F.lit(n_scanned).cast("long"))

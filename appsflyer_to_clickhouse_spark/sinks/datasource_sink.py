@@ -669,6 +669,7 @@ def optimize_sink(
     path: str,
     schema,
     target_rows_per_file: int = 1_000_000,
+    sort_by: list[str] | None = None,
 ) -> dict:
     """Compact the manifest sink's small parts into
     ceil(rows/target_rows_per_file) parquet files and publish the
@@ -715,12 +716,27 @@ def optimize_sink(
         )
     n_rows = int(manifest.get("rows", 0))
     n_out = max(1, -(-n_rows // target_rows_per_file))
-    if not old or n_out >= len(old):
+    # without sort_by the goal is bin-packing, so an already-compact
+    # sink is a no-op; WITH sort_by the goal is CLUSTERING — the
+    # rewrite runs regardless of file count, because unsorted files
+    # with overlapping ranges defeat stats skipping no matter how few
+    # they are (Delta's OPTIMIZE ZORDER rewrites on the same logic)
+    if not old or (sort_by is None and n_out >= len(old)):
         return {"replaced": 0, "written": 0, "version": None}
 
     df = spark.read.schema(schema).parquet(
         *[os.path.join(path, f) for f in old]
     )
+    if sort_by:
+        # range-partition by the cluster key, then sort within each
+        # output: equal keys colocate and file key-ranges are pairwise
+        # DISJOINT, so a point/narrow-range read prunes to one part
+        # via the footer-refreshed stats below
+        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
+            *sort_by
+        )
+    else:
+        df = df.repartition(n_out)
     staging = os.path.join(path, f"_optimize_{uuid.uuid4().hex}")
     # write timestamps as annotated INT64 micros, not Spark's default
     # INT96: INT96 column chunks carry NO footer min/max, which would
@@ -730,7 +746,7 @@ def optimize_sink(
     prev_ts = spark.conf.get(ts_key)
     spark.conf.set(ts_key, "TIMESTAMP_MICROS")
     try:
-        df.repartition(n_out).write.mode("overwrite").parquet(staging)
+        df.write.mode("overwrite").parquet(staging)
     finally:
         spark.conf.set(ts_key, prev_ts)
     new_files: list[str] = []
@@ -774,14 +790,15 @@ def optimize_sink(
         if not history and cur.get("files"):
             history = [{"v": 0, "files": sorted(cur["files"])}]
         next_v = (max(e["v"] for e in history) + 1) if history else 0
-        history.append(
-            {
-                "v": next_v,
-                "files": new_files,
-                "removes": old,
-                "op": "compact",
-            }
-        )
+        entry = {
+            "v": next_v,
+            "files": new_files,
+            "removes": old,
+            "op": "compact",
+        }
+        if sort_by:
+            entry["clustered_by"] = list(sort_by)
+        history.append(entry)
         cur["files"] = sorted(
             (set(cur["files"]) - set(old)) | set(new_files)
         )

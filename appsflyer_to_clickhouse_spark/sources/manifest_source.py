@@ -77,12 +77,31 @@ def _from_json_cell(kind: str, v):
 
 
 def _read_part(fullpath: str, convs: list[tuple[str, str]]) -> Iterator:
-    """Executor-side read of ONE committed part."""
+    """Executor-side read of ONE committed part. Parts are
+    self-describing (parquet footer / JSONL keys), so ADDITIVE schema
+    evolution reconciles at read time: a part written before a column
+    existed surfaces NULL for it — same contract as the parquet sink's
+    mergeSchema read, no rewrite of history (the only affordable
+    evolution at 100 TB)."""
     if fullpath.endswith(".parquet"):
         import pyarrow.parquet as pq
 
-        table = pq.read_table(fullpath, columns=[c for c, _ in convs])
-        yield from table.to_batches()
+        pf = pq.ParquetFile(fullpath)
+        avail = set(pf.schema_arrow.names)
+        want = [c for c, _ in convs]
+        if all(c in avail for c in want):
+            yield from pq.read_table(fullpath, columns=want).to_batches()
+            return
+        # pre-evolution part: NULL-fill the missing columns (row path —
+        # the rare case; complete parts stay on the Arrow fast path)
+        table = pq.read_table(
+            fullpath, columns=[c for c in want if c in avail]
+        )
+        cols = {c: table.column(c).to_pylist() for c in table.column_names}
+        for i in range(table.num_rows):
+            yield tuple(
+                cols[c][i] if c in cols else None for c in want
+            )
         return
     import json as _json
 

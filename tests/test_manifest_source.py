@@ -247,3 +247,40 @@ def test_tail_partition_protocol_guards():
     assert r.latestOffset() == {"version": -1}
     with pytest.raises(ValueError, match="went backwards"):
         r.partitions({"version": 5}, {"version": 0})
+
+
+@pytest.mark.parametrize("fmt", ["chbatch", "chbatch_arrow"])
+def test_additive_schema_evolution_null_fills_old_parts(spark, fmt):
+    """A part committed before a column existed surfaces NULL for it
+    on read — both tiers are self-describing, so evolution is a read-
+    time reconciliation, never a history rewrite."""
+    path = tempfile.mkdtemp(prefix="mevolve_") + "/sink"
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    v1 = spark.range(5).select(
+        F.col("id").cast("string").alias("k"), F.col("id").alias("v")
+    )
+    v2 = spark.range(5, 10).select(
+        F.col("id").cast("string").alias("k"),
+        F.col("id").alias("v"),
+        F.lit("new").alias("extra"),
+    )
+    for df in (v1, v2):
+        df.write.format(fmt).option("path", path).mode("append").save()
+    evolved = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("v", T.LongType()),
+            T.StructField("extra", T.StringType()),
+        ]
+    )
+    got = (
+        spark.read.format(fmt)
+        .schema(evolved)
+        .option("path", path)
+        .load()
+        .orderBy("v")
+        .collect()
+    )
+    assert [r["extra"] for r in got] == [None] * 5 + ["new"] * 5
+    assert [r["v"] for r in got] == list(range(10))

@@ -208,3 +208,67 @@ def test_optimize_refuses_jsonl_tier(spark):
     )
     with pytest.raises(ValueError, match="non-parquet"):
         optimize_sink(spark, path, _SCHEMA, target_rows_per_file=1)
+
+
+def test_clustered_optimize_makes_ranges_disjoint_and_prunable(spark):
+    """sort_by clustering: three appends each spanning the FULL key
+    range leave every part's [min,max] overlapping — stats skipping
+    degenerates to keep-everything. A clustered rewrite
+    (repartitionByRange + sortWithinPartitions) makes file key-ranges
+    pairwise disjoint, so a point probe prunes to exactly one part."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        prune_files,
+    )
+
+    path = tempfile.mkdtemp(prefix="optclust_") + "/sink"
+    # interleaved appends: v % 3 == r, each covering v in [0, 900)
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    for r in range(3):
+        df = (
+            spark.range(900)
+            .filter(F.col("id") % 3 == r)
+            .coalesce(1)
+            .select(
+                F.col("id").cast("string").alias("k"),
+                F.col("id").alias("v"),
+            )
+        )
+        (
+            df.write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "100000")
+            .mode("append")
+            .save()
+        )
+    # overlapping ranges: a point probe keeps ALL parts
+    assert len(prune_files(path, "v", 450, 450)) == 3
+    stats = optimize_sink(
+        spark, path, _SCHEMA, target_rows_per_file=300, sort_by=["v"]
+    )
+    assert stats["written"] == 3
+    m = _manifest(path)
+    hist_entry = [e for e in m["history"] if e.get("op") == "compact"][-1]
+    assert hist_entry["clustered_by"] == ["v"]
+    # footer-refreshed stats: disjoint, strictly increasing ranges
+    ranges = sorted(
+        (m["stats"][f]["v"]["min"], m["stats"][f]["v"]["max"])
+        for f in m["files"]
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # the same point probe now prunes to exactly one part
+    assert len(prune_files(path, "v", 450, 450)) == 1
+    # content untouched by the layout change
+    assert _content(spark, path) == (900, 899 * 900 // 2)
+
+
+def test_clustered_optimize_runs_even_when_already_compact(spark):
+    """Clustering is not bin-packing: a sink that already meets the
+    file-count target still rewrites when sort_by is given (overlap,
+    not count, is the problem clustering solves)."""
+    path = tempfile.mkdtemp(prefix="optclust2_") + "/sink"
+    _append(spark, path, 0, 100, parts=1)
+    stats = optimize_sink(
+        spark, path, _SCHEMA, target_rows_per_file=1000, sort_by=["v"]
+    )
+    assert stats == {"replaced": 1, "written": 1, "version": 1}
