@@ -522,3 +522,161 @@ def q_stream_sink_datasource(spark, sf_dir):
         ]
     )
     return read_committed(spark, sink, out_schema)
+
+
+@register(
+    "stream_sink_prune_read",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           ts
+    FROM events
+    WHERE event_id % 5 = 0
+      AND ts BETWEEN TIMESTAMP '2024-01-12 00:00:00'
+                 AND TIMESTAMP '2024-01-18 00:00:00'
+    """,
+)
+def q_stream_sink_prune_read(spark, sf_dir):
+    """Data skipping over a STREAM-WRITTEN sink: the chbatch stream
+    writer records per-part min/max at every micro-batch flush (the
+    row-tier stats pass, sinks/datasource_sink.py:_rows_stats), and a
+    time-window read afterwards resolves the predicate against those
+    stats before touching data. This grades the JSONL stats ENCODING
+    end-to-end — stream rows arrive as Python objects, so a tz or ISO
+    normalization bug between the recorded bounds and the query bound
+    would prune a matching part and LOSE rows here (the residual
+    filter can't resurrect a skipped file), hash-mismatching the
+    oracle. Part boundaries follow trigger scheduling, so the file
+    count is not graded — soundness is. At 100 TB this is the
+    continuous-ingest layout where skipping pays most: micro-batch
+    parts are time-correlated by construction, and the daily scan
+    reads a day, not the sink."""
+    import datetime
+
+    from ..sinks.datasource_sink import (
+        ClickHouseBatchDataSource,
+        read_committed_pruned,
+    )
+
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    src = _replay_src(spark, sf_dir, _REPLAY_COLS, "streamprune")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("event_id").cast("string").alias("appsflyer_id"),
+            F.col("user_id").alias("uid"),
+            "ts",
+        )
+    )
+    sink = tempfile.mkdtemp(prefix="spark_graft_streamprune_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_streamprune_ckpt_")
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.format("chbatch")
+            .option("path", sink)
+            .option("batchsize", "5000")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out_schema = T.StructType(
+        [
+            T.StructField("appsflyer_id", T.StringType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    return read_committed_pruned(
+        spark,
+        sink,
+        out_schema,
+        "ts",
+        datetime.datetime(2024, 1, 12),
+        datetime.datetime(2024, 1, 18),
+    )
+
+
+@register(
+    "stream_cdc_loop",
+    """
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
+    FROM events
+    WHERE event_id % 4 IN (0, 1)
+    GROUP BY 1
+    """,
+)
+def q_stream_cdc_loop(spark, sf_dir):
+    """The full CDC loop on one commit protocol: an upstream producer
+    batch-appends three commits to the manifest sink — the THIRD is a
+    byte-identical REPLAY of the first (an at-least-once producer
+    re-publishing after a dirty failure) — then a downstream consumer
+    TAILS the snapshot log as a stream and runs a stateful
+    dedup + per-day windowed count. The replayed commit's rows arrive
+    (the sink accepted them: batch appends carry no batchId), so
+    convergence is the CONSUMER's job — ``dropDuplicates`` on the key
+    inside the stream, exactly where a production CDC pipeline puts
+    idempotence when the producer can't guarantee it. The oracle is
+    the per-day DISTINCT count straight from events: a tail that
+    drops a commit, double-counts the replay past the dedup, or
+    mis-buckets a window boundary hash-mismatches.
+
+    Scale shape: the tail reads each commit's files executor-side;
+    dedup state is keyed by event id (bounded by the distinct set, the
+    same state the graded watermark-dedup entries bound in time);
+    the windowed count shuffles key-space-sized aggregates only.
+    Complete-mode memory sink because the graded result is the
+    converged aggregate, not a change stream."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import ClickHouseBatchDataSource
+
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    ev = load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="spark_graft_cdcloop_") + "/staged"
+    for residue in (0, 1, 0):  # third commit replays the first
+        out = ev.filter(F.col("event_id") % 4 == residue).select(
+            F.col("event_id").cast("string").alias("appsflyer_id"),
+            F.col("ts").cast("timestamp").alias("ts"),
+        )
+        (
+            out.write.format("chbatch")
+            .option("path", path)
+            .option("batchsize", "5000")
+            .mode("append")
+            .save()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("appsflyer_id", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    name = f"cdc_loop_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_cdcloop_ckpt_")
+    with stream_shuffle_partitions(spark):
+        q = (
+            spark.readStream.format("chbatch")
+            .schema(schema)
+            .option("path", path)
+            .load()
+            .dropDuplicates(["appsflyer_id"])
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").cast("date").alias("day"), "n")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -183,9 +183,10 @@ class _PartCommit(WriterCommitMessage):
         self.files = files
         self.rows = rows
         self.batches = batches
-        # per-file column stats ({fname: {col: {min,max,nulls}}}) —
-        # the Arrow tier fills this at flush time; the JSONL tier
-        # leaves it None (readers then treat its parts conservatively)
+        # per-file column stats ({fname: {col: {min,max,nulls}}}),
+        # filled at flush time by BOTH tiers (Arrow: vectorized
+        # min_max; JSONL: a pass over the buffered rows). Readers
+        # treat a missing entry conservatively (file always kept).
         self.stats = stats
 
 
@@ -219,6 +220,44 @@ def _stat_cell(v):
 
 
 _STAT_UNSAFE = object()
+
+
+def _rows_stats(buf: list[dict], cols: list[str]) -> dict:
+    """Per-column min/max/null-count for a JSONL flush, computed over
+    the buffered row dicts (the rows are already in Python hands — the
+    stats pass rides the same loop tax the row tier already pays).
+    Gives the STREAM tier the same skipping metadata as the Arrow
+    tier, which matters most exactly there: continuous ingest lands
+    time-correlated micro-batch parts, the layout where range pruning
+    pays. Non-orderable cell types (bytes, lists, dicts) and NaN
+    bounds exclude the column for that file — no stats beat wrong
+    stats."""
+    out: dict = {}
+    for c in cols:
+        mn = mx = None
+        nulls = 0
+        unsafe = False
+        for r in buf:
+            v = r[c]
+            if v is None:
+                nulls += 1
+                continue
+            if isinstance(v, (bytes, bytearray, list, dict, tuple, set)):
+                unsafe = True
+                break
+            if mn is None:
+                mn = mx = v
+            elif v < mn:
+                mn = v
+            elif v > mx:
+                mx = v
+        if unsafe:
+            continue
+        mn_k, mx_k = _stat_cell(mn), _stat_cell(mx)
+        if mn_k is _STAT_UNSAFE or mx_k is _STAT_UNSAFE:
+            continue
+        out[c] = {"min": mn_k, "max": mx_k, "nulls": nulls}
+    return out
 
 
 def _arrow_table_stats(table) -> dict:
@@ -336,6 +375,7 @@ class _BatchWriter(DataSourceWriter):
     def write(self, rows: Iterator) -> _PartCommit:
         os.makedirs(self._path, exist_ok=True)
         files: list[str] = []
+        stats: dict = {}
         buf: list[dict] = []
         n = 0
 
@@ -350,6 +390,7 @@ class _BatchWriter(DataSourceWriter):
                 for r in buf:
                     fh.write(json.dumps(r, sort_keys=True, default=_json_cell) + "\n")
             files.append(fname)
+            stats[fname] = _rows_stats(buf, self._cols)
             buf.clear()
 
         for row in rows:
@@ -358,7 +399,7 @@ class _BatchWriter(DataSourceWriter):
             if len(buf) >= self._batch:
                 _flush()
         _flush()
-        return _PartCommit(files, n, len(files))
+        return _PartCommit(files, n, len(files), stats)
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages: list[_PartCommit]) -> None:
@@ -1169,11 +1210,13 @@ class _StreamBatchWriter(DataSourceStreamWriter):
             }
             if self._stream_id is not None:
                 manifest["stream_id"] = self._stream_id
-            if prev.get("stats"):
-                # JSONL micro-batches carry no stats of their own, but
-                # a stream commit must not drop the stats earlier
-                # Arrow-tier commits published
-                manifest["stats"] = prev["stats"]
+            batch_stats: dict = {}
+            for m in messages:
+                if m is not None and getattr(m, "stats", None):
+                    batch_stats.update(m.stats)
+            merged_stats = {**(prev.get("stats") or {}), **batch_stats}
+            if merged_stats:
+                manifest["stats"] = merged_stats
             tmp = mpath + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)

@@ -204,3 +204,89 @@ def test_vacuum_drops_stats_of_deleted_parts(spark, three_part_sink):
     assert not (removed & set(m["stats"]))
     # survivors keep theirs
     assert all(f in m["stats"] for f in m["files"] if f.endswith(".parquet"))
+
+
+def test_jsonl_tier_records_stats_and_prunes(spark):
+    """The row/JSONL tier (and therefore the STREAM writer, which
+    shares its flush) records per-part stats too — continuous ingest
+    is exactly where time-correlated parts make range pruning pay."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseBatchDataSource,
+        read_committed,
+    )
+
+    path = tempfile.mkdtemp(prefix="statsjl_") + "/sink"
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    for lo in (0, 100, 200):
+        df = spark.range(lo, lo + 100).coalesce(1).select(
+            F.col("id").cast("string").alias("k"),
+            F.col("id").alias("v"),
+            (
+                F.lit(_T0) + F.make_interval(mins=F.col("id").cast("int"))
+            ).alias("t"),
+        )
+        (
+            df.write.format("chbatch")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+    m = _manifest(path)
+    assert len(m["files"]) == 3
+    st = m["stats"][_files_of_version(path, 1)[0]]
+    assert st["v"] == {"min": 100, "max": 199, "nulls": 0}
+    # timestamps normalized identically to the Arrow tier
+    assert st["t"]["min"] == "2024-03-01 01:40:00"
+    assert prune_files(path, "v", 120, 180) == _files_of_version(path, 1)
+    got = read_committed_pruned(spark, path, _SCHEMA, "v", 120, 180)
+    assert got.count() == 61
+    assert len(got.inputFiles()) == 1
+    # the unpruned read still sees everything
+    assert read_committed(spark, path, _SCHEMA).count() == 300
+
+
+def test_stream_writer_commits_stats(spark):
+    """Micro-batch commits through the STREAM writer publish stats and
+    merge them across batches."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseBatchDataSource,
+    )
+
+    path = tempfile.mkdtemp(prefix="statsst_") + "/sink"
+    src = tempfile.mkdtemp(prefix="statsst_src_")
+    ckpt = tempfile.mkdtemp(prefix="statsst_ckpt_")
+    for lo in (0, 500):
+        (
+            spark.range(lo, lo + 500)
+            .coalesce(1)
+            .select(
+                F.col("id").cast("string").alias("k"),
+                F.col("id").alias("v"),
+            )
+            .write.mode("append")
+            .parquet(src)
+        )
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("chbatch")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    m = _manifest(path)
+    assert m["rows"] == 1000
+    # every committed part has v-stats, and the union covers 0..999
+    assert set(m["stats"]) == set(m["files"])
+    mns = [s["v"]["min"] for s in m["stats"].values()]
+    mxs = [s["v"]["max"] for s in m["stats"].values()]
+    assert min(mns) == 0 and max(mxs) == 999
+    # a range probe prunes to the parts whose stats admit it
+    kept = prune_files(path, "v", 0, 10)
+    assert all(m["stats"][f]["v"]["min"] <= 10 for f in kept)
+    assert len(kept) < len(m["files"])
