@@ -1086,3 +1086,75 @@ def q_sink_optimize_clustered(spark, sf_dir):
     return read_committed_pruned(
         spark, path, schema, "uid", probe, probe
     ).withColumn("n_scanned", F.lit(n_scanned).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# sink_history_versions — DESCRIBE HISTORY parity on the snapshot log
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_history_versions",
+    """
+    SELECT CAST(0 AS BIGINT) AS v, 'append' AS op,
+           CAST(16 AS BIGINT) AS n_files, CAST(NULL AS BIGINT) AS batch_id
+    UNION ALL SELECT 1, 'append', 16, NULL
+    UNION ALL SELECT 2, 'append', 16, NULL
+    UNION ALL SELECT 3, 'compact',
+      (SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) FROM events), NULL
+    """,
+)
+def q_sink_history_versions(spark, sf_dir):
+    """DESCRIBE HISTORY on the manifest sink (sink_versions): three
+    16-way appends then an OPTIMIZE, and the returned version log must
+    name each commit's version, operation type, and file count — the
+    compact entry's count is the oracle's own ceil(rows/target)
+    arithmetic, so the log is value-graded, not just shape-graded. A
+    log that misnumbers versions, drops the replace entry, or
+    misattributes files hash-mismatches. This is the audit surface a
+    table format owes its operators: what changed, when, by which
+    kind of commit (Delta's DESCRIBE HISTORY, on the single-manifest
+    protocol); the underlying entries also drive time travel, the
+    streaming tail, and vacuum reachability, all graded separately."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        optimize_sink,
+        sink_versions,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="spark_graft_history_") + "/staged"
+    for r in (0, 1, 2):
+        (
+            ev.filter(F.col("event_id") % 3 == r)
+            .select(F.col("user_id").alias("uid"), "event_type")
+            .repartition(16)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    optimize_sink(spark, path, schema, target_rows_per_file=5_000)
+    log_schema = T.StructType(
+        [
+            T.StructField("v", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("n_files", T.LongType()),
+            T.StructField("batch_id", T.LongType()),
+        ]
+    )
+    rows = [
+        (e["v"], e["op"], e["n_files"], e["batch_id"])
+        for e in sink_versions(path)
+    ]
+    return spark.createDataFrame(rows, log_schema)

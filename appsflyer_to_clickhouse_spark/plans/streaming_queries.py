@@ -680,3 +680,69 @@ def q_stream_cdc_loop(spark, sf_dir):
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_sink_arrow_datasource",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type
+    FROM events WHERE event_id % 5 = 0
+    """,
+)
+def q_stream_sink_arrow_datasource(spark, sf_dir):
+    """ARROW stream tier of the Data Source sink
+    (``writeStream.format("chbatch_arrow")``,
+    sinks/datasource_sink.py:_StreamArrowBatchWriter): micro-batches
+    arrive executor-side as pyarrow RecordBatches and land as
+    columnar parquet parts WITH per-part stats, under the exact same
+    manifest/batchId exactly-once protocol as the JSONL stream tier
+    (the commit method is literally shared). This is the layout a
+    long-lived streaming sink should run on — parts are
+    optimize_sink-compactable and stats-skippable (pinned in
+    tests/test_sink_stats.py) — while the JSONL twin
+    (stream_sink_datasource) measures the per-row Python tax this
+    tier removes. Identical oracle to the JSONL twin, so the two
+    registrations benchmark the tiers side by side on the same work."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    src = _replay_src(spark, sf_dir, _REPLAY_COLS, "streamsinkarrow")
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            F.col("event_id").cast("string").alias("appsflyer_id"),
+            F.col("user_id").alias("uid"),
+            "event_type",
+        )
+    )
+    sink = tempfile.mkdtemp(prefix="spark_graft_streamsinkar_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_streamsinkar_ckpt_")
+    with stream_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.format("chbatch_arrow")
+            .option("path", sink)
+            .option("batchsize", "20000")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    out_schema = T.StructType(
+        [
+            T.StructField("appsflyer_id", T.StringType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    return read_committed_parquet(spark, sink, out_schema)

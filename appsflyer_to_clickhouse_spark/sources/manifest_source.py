@@ -212,7 +212,20 @@ class ManifestBatchReader(DataSourceReader):
 
 class ManifestTailReader(DataSourceStreamReader):
     """Streaming tail over the snapshot log: each micro-batch is the
-    files the APPEND commits in (start, end] added."""
+    files the APPEND commits in (start, end] added.
+
+    Known bound: ``latestOffset`` always returns the newest manifest
+    version, so one micro-batch consumes ALL pending commits — there
+    is no maxOffsetsPerTrigger-style rate limit. The Python stream
+    reader protocol gives ``latestOffset()`` no view of the
+    checkpointed start offset, so any reader-side limit would either
+    leave the first batch of a restart unbounded or mis-signal an
+    offset regression; Spark's AvailableNow fallback for Python
+    sources ("single batch execution") has the same
+    consume-everything shape. Backfilling a sink with a very deep
+    commit log is therefore one large batch today — bound it
+    upstream with truncate_history, or tail from a fresh checkpoint
+    after a batch backfill read."""
 
     def __init__(self, options, schema):
         self._path = options["path"]

@@ -513,3 +513,31 @@ def test_q9_small_dims_broadcast(spark):
     shuffle join is lineitem x orders."""
     plan = _plan(spark, "join_profit_q9")
     assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_dsir_scoring_joins_are_broadcast(spark):
+    """sample_importance_dsir: both distribution joins (the 8192-row
+    LUT onto per-doc bucket counts, and the left join building the
+    LUT) must be broadcast — the hashing trick's whole point is that
+    the importance model stays broadcast-sized while the corpus
+    scales. A SortMergeJoin here would shuffle the token-derived
+    stream a second time."""
+    plan = _plan(spark, "sample_importance_dsir")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # top-10% is sort+limit (TakeOrdered or local-limited sort), not
+    # an unpartitioned window dragging doc scores through one task
+    assert "Window" not in plan
+
+
+def test_temperature_mix_quota_join_is_broadcast(spark):
+    """quota_temperature_mix: the per-stratum quota table (5 langs)
+    joins back by broadcast; the only shuffle carrying document rows
+    is the per-stratum window. The scalar total-weight row rides a
+    1-row broadcast nested loop, which is the correct shape for a
+    scalar cross, not a data-sized Cartesian."""
+    plan = _plan(spark, "quota_temperature_mix")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -290,3 +290,61 @@ def test_stream_writer_commits_stats(spark):
     kept = prune_files(path, "v", 0, 10)
     assert all(m["stats"][f]["v"]["min"] <= 10 for f in kept)
     assert len(kept) < len(m["files"])
+
+
+def test_arrow_stream_writer_parquet_parts_stats_and_optimize(spark):
+    """The ARROW stream tier (writeStream.format('chbatch_arrow')):
+    micro-batches land as parquet parts WITH stats under the same
+    manifest/batchId protocol, and the stream-written sink is
+    optimize_sink-compactable — the layout a long-lived streaming
+    sink should run on (the JSONL tier is the row-tax measurement)."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        optimize_sink,
+        read_committed_parquet,
+    )
+
+    path = tempfile.mkdtemp(prefix="statsas_") + "/sink"
+    src = tempfile.mkdtemp(prefix="statsas_src_")
+    ckpt = tempfile.mkdtemp(prefix="statsas_ckpt_")
+    for lo in (0, 400):
+        (
+            spark.range(lo, lo + 400)
+            .coalesce(1)
+            .select(
+                F.col("id").cast("string").alias("k"),
+                F.col("id").alias("v"),
+                (
+                    F.lit(_T0) + F.make_interval(mins=F.col("id").cast("int"))
+                ).alias("t"),
+            )
+            .write.mode("append")
+            .parquet(src)
+        )
+    schema = spark.read.parquet(src).schema
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.format("chbatch_arrow")
+        .option("path", path)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    m = _manifest(path)
+    assert m["rows"] == 800
+    assert m["last_batch_id"] is not None
+    assert all(f.endswith(".parquet") for f in m["files"])
+    # every part carries stats; a range probe prunes
+    assert set(m["stats"]) == set(m["files"])
+    kept = prune_files(path, "v", 0, 10)
+    assert 0 < len(kept) < len(m["files"]) or len(m["files"]) == 1
+    got = read_committed_pruned(spark, path, _SCHEMA, "v", 0, 10)
+    assert got.count() == 11
+    # the stream-written sink compacts like any other Arrow sink
+    stats = optimize_sink(spark, path, _SCHEMA, target_rows_per_file=1000)
+    assert stats["written"] == 1
+    back = read_committed_parquet(spark, path, _SCHEMA)
+    assert back.count() == 800
+    assert back.agg(F.sum("v")).first()[0] == 799 * 800 // 2
