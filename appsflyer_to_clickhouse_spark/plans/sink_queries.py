@@ -1158,3 +1158,75 @@ def q_sink_history_versions(spark, sf_dir):
         for e in sink_versions(path)
     ]
     return spark.createDataFrame(rows, log_schema)
+
+
+# ---------------------------------------------------------------------------
+# sink_restore_version — RESTORE as a first-class commit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_restore_version",
+    """
+    SELECT CAST(event_id // 3 AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type,
+           CAST(2 AS BIGINT) AS n_backing
+    FROM events WHERE event_id % 3 IN (0, 1)
+    """,
+)
+def q_sink_restore_version(spark, sf_dir):
+    """RESTORE on the manifest sink (datasource_sink.restore_sink —
+    Delta's RESTORE TABLE ... VERSION AS OF): three appends land as
+    versions 0/1/2, then the CURRENT snapshot rolls back to v1 as a
+    NEW commit (op='restore' in the log; no history rewrite, no file
+    IO — pure metadata under the lock). Graded: the current read must
+    serve exactly appends 0+1, and ``n_backing`` (distinct
+    ``_metadata.file_path``) must be exactly the two original parts —
+    an as-of read that didn't actually move the snapshot, or a
+    restore that leaks the rolled-away commit's part, hash-mismatches.
+    Reversibility, the rows-counter repair from the log's rows_total,
+    vacuum protection of rolled-away parts, restore-across-compaction,
+    and tail-skip of restore commits are pinned in
+    tests/test_sink_restore.py. This completes the Delta verb set on
+    the single-manifest protocol: append / time travel / OPTIMIZE
+    (+clustered/Z-order) / VACUUM / HISTORY / RESTORE."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+        restore_sink,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="spark_graft_restore_") + "/staged"
+    for residue in (0, 1, 2):
+        (
+            ev.filter(F.col("event_id") % 3 == residue)
+            .select(
+                F.expr("event_id DIV 3").cast("string").alias("appsflyer_id"),
+                F.col("user_id").alias("uid"),
+                "event_type",
+            )
+            .coalesce(1)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    out = restore_sink(path, 1)
+    assert out["changed"] and out["rows_repaired"], out
+    schema = T.StructType(
+        [
+            T.StructField("appsflyer_id", T.StringType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    backing = F.count_distinct(F.col("_metadata.file_path"))
+    df = read_committed_parquet(spark, path, schema)
+    n_backing = df.select(backing.alias("nb")).first()["nb"]
+    return df.withColumn("n_backing", F.lit(int(n_backing)).cast("long"))

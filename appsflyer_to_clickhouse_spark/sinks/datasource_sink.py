@@ -52,6 +52,8 @@ On top of the log, three more table-format affordances:
   batch table (``spark.read.format("chbatch")``, as-of versions,
   pushdown-driven skipping) and a STREAM source
   (``spark.readStream`` tails the commit log, append commits only).
+- ``restore_sink`` — RESTORE VERSION AS OF as a first-class commit:
+  metadata-only roll-back, auditable, reversible, vacuum-safe.
 """
 
 from __future__ import annotations
@@ -418,7 +420,16 @@ class _BatchWriter(DataSourceWriter):
             # resolvable from manifest metadata alone. Metadata-sized
             # at any data scale (filenames, not data); unbounded runs
             # truncate with truncate_history().
-            "history": [{"v": 0, "files": new_files}],
+            "history": [
+                {
+                    "v": 0,
+                    "files": new_files,
+                    # cumulative row count AS OF this commit — what
+                    # lets restore_sink repair the rows counter
+                    # exactly when rolling back to this version
+                    "rows_total": sum(m.rows for m in messages),
+                }
+            ],
         }
         if new_stats:
             manifest["stats"] = new_stats
@@ -442,12 +453,14 @@ class _BatchWriter(DataSourceWriter):
                 with open(mpath) as fh:
                     prev = json.load(fh)
                 merged_stats = {**(prev.get("stats") or {}), **new_stats}
+                history = _extend_history(prev, new_files)
                 manifest = {
                     "files": sorted(set(prev["files"]) | set(new_files)),
                     "rows": prev["rows"] + manifest["rows"],
                     "batches": prev["batches"] + manifest["batches"],
-                    "history": _extend_history(prev, new_files),
+                    "history": history,
                 }
+                history[-1]["rows_total"] = manifest["rows"]
                 if merged_stats:
                     manifest["stats"] = merged_stats
             tmp = mpath + ".tmp"
@@ -530,9 +543,80 @@ def sink_versions(path: str) -> list[dict]:
             "n_files": len(e["files"]),
             "batch_id": e.get("batch_id"),
             "op": e.get("op", "append"),
+            "rows_total": e.get("rows_total"),
         }
         for e in sorted(history, key=lambda e: e["v"])
     ]
+
+
+def restore_sink(path: str, version: int) -> dict:
+    """RESTORE the sink's CURRENT snapshot to a retained ``version``
+    — published as a new commit, never a history rewrite (Delta's
+    RESTORE TABLE ... VERSION AS OF): the restore entry re-adds the
+    target snapshot's missing parts and removes everything newer, so
+    the roll-back is itself time-travelable, auditable in the version
+    log (op='restore', ``restored_to``), and reversible by restoring
+    forward again. Pure metadata under the manifest lock — no part is
+    copied, moved, or deleted; vacuum keeps honoring every retained
+    entry's references exactly as before, so the rolled-away parts
+    survive until the log folds past them.
+
+    The rows counter is repaired from the target entry's
+    ``rows_total`` when the log recorded it (all commits since that
+    field shipped do); a pre-upgrade target leaves the counter stale
+    with that fact returned to the caller — the counter only feeds
+    optimize_sink's bin-pack arithmetic, never correctness.
+
+    Stream-fed sinks: restore rolls back DATA, not the stream's
+    batchId high-water mark (``last_batch_id`` is deliberately kept —
+    it belongs to the checkpoint lineage, not the snapshot). A stream
+    resumed on its old checkpoint will NOT re-deliver the rolled-away
+    epochs (they are still "committed" to that lineage); to replay
+    them, rewind/replace the checkpoint together with the restore."""
+    with _manifest_lock(path):
+        manifest = _manifest_read(path)
+        # resolve inside the lock so a concurrent commit can't slide
+        # between resolution and publish
+        target = {
+            os.path.basename(p) for p in _manifest_files(path, version)
+        }
+        cur = set(manifest["files"])
+        history = sorted(
+            manifest.get("history") or (), key=lambda e: e["v"]
+        )
+        if target == cur:
+            return {"restored_to": version, "changed": False}
+        adds = sorted(target - cur)
+        removes = sorted(cur - target)
+        next_v = history[-1]["v"] + 1
+        entry = {
+            "v": next_v,
+            "files": adds,
+            "removes": removes,
+            "op": "restore",
+            "restored_to": version,
+        }
+        target_entry = next(e for e in history if e["v"] == version)
+        rows_known = "rows_total" in target_entry
+        if rows_known:
+            manifest["rows"] = target_entry["rows_total"]
+            entry["rows_total"] = target_entry["rows_total"]
+        history.append(entry)
+        manifest["files"] = sorted(target)
+        manifest["history"] = history
+        mpath = os.path.join(path, MANIFEST)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mpath)
+        return {
+            "restored_to": version,
+            "changed": True,
+            "version": next_v,
+            "re_added": len(adds),
+            "removed": len(removes),
+            "rows_repaired": rows_known,
+        }
 
 
 def vacuum_sink(path: str, min_age_s: float = 0.0) -> list[str]:
@@ -633,6 +717,8 @@ def truncate_history(path: str, retain_last: int) -> int:
         }
         if "batch_id" in fold[-1]:
             base["batch_id"] = fold[-1]["batch_id"]
+        if "rows_total" in fold[-1]:
+            base["rows_total"] = fold[-1]["rows_total"]
         manifest["history"] = [base, *keep]
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
@@ -705,12 +791,78 @@ def _parquet_footer_stats(fullpath: str) -> dict:
     return {k: v for k, v in agg.items() if v is not _STAT_UNSAFE}
 
 
+def _zorder_column(df, cols: list[str]):
+    """Append a Z-ORDER key column interleaving the bits of the named
+    columns, each min/max-normalized to 16 bits — Morton order, the
+    multi-dimensional generalization of sort_by clustering: sorting by
+    the interleaved key keeps EVERY participating dimension locally
+    tight per output file, so per-file min/max stats prune usefully on
+    ANY of the z-ordered columns (1-D sort clusters only its own key;
+    every other dimension spans the full range in every file).
+
+    Built entirely from JVM-side expressions: one bounds aggregate
+    (a single scalar row — the only extra job), then shift/mask/add
+    terms that whole-stage codegen fuses. Numeric and timestamp
+    columns only; normalization is rank-free on purpose (no
+    data-sized window pass)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    exprs = []
+    for c in cols:
+        f = df.schema[c].dataType
+        if isinstance(f, (T.TimestampType, T.TimestampNTZType)):
+            exprs.append((c, f"unix_micros({c})"))
+        elif isinstance(f, (T.DateType,)):
+            exprs.append((c, f"datediff({c}, DATE '1970-01-01')"))
+        elif isinstance(
+            f, (T.LongType, T.IntegerType, T.ShortType, T.ByteType,
+                T.DoubleType, T.FloatType, T.DecimalType)
+        ):
+            exprs.append((c, f"CAST({c} AS DOUBLE)"))
+        else:
+            raise ValueError(
+                f"zorder_by column {c!r}: only numeric/temporal columns "
+                f"can be z-ordered (got {f.simpleString()})"
+            )
+    bounds = df.agg(
+        *[
+            F.expr(f"min({e})").alias(f"mn_{i}")
+            for i, (_, e) in enumerate(exprs)
+        ],
+        *[
+            F.expr(f"max({e})").alias(f"mx_{i}")
+            for i, (_, e) in enumerate(exprs)
+        ],
+    ).first()
+    scaled = []
+    for i, (_, e) in enumerate(exprs):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        if mn is None or mx is None or mx == mn:
+            scaled.append("CAST(0 AS BIGINT)")
+        else:
+            # nulls collapse to the low corner; the residual filter
+            # owns exactness, the key only drives layout
+            scaled.append(
+                f"CAST((coalesce({e}, {mn!r}) - {mn!r}) * 65535.0 "
+                f"/ ({mx!r} - {mn!r}) AS BIGINT)"
+            )
+    nd = len(scaled)
+    terms = [
+        f"shiftleft(shiftright({s}, {bit}) & 1, {bit * nd + d})"
+        for bit in range(16)
+        for d, s in enumerate(scaled)
+    ]
+    return df.withColumn("_zorder_key", F.expr(" + ".join(terms)))
+
+
 def optimize_sink(
     spark,
     path: str,
     schema,
     target_rows_per_file: int = 1_000_000,
     sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """Compact the manifest sink's small parts into
     ceil(rows/target_rows_per_file) parquet files and publish the
@@ -755,20 +907,38 @@ def optimize_sink(
             f"tier is compactable; found non-parquet parts "
             f"{not_parquet[:3]} ({len(not_parquet)} total)"
         )
+    if sort_by and zorder_by:
+        raise ValueError(
+            "optimize_sink: sort_by and zorder_by are exclusive — 1-D "
+            "clustering or Morton clustering, not both"
+        )
     n_rows = int(manifest.get("rows", 0))
     n_out = max(1, -(-n_rows // target_rows_per_file))
-    # without sort_by the goal is bin-packing, so an already-compact
-    # sink is a no-op; WITH sort_by the goal is CLUSTERING — the
-    # rewrite runs regardless of file count, because unsorted files
-    # with overlapping ranges defeat stats skipping no matter how few
-    # they are (Delta's OPTIMIZE ZORDER rewrites on the same logic)
-    if not old or (sort_by is None and n_out >= len(old)):
+    # without a cluster key the goal is bin-packing, so an
+    # already-compact sink is a no-op; WITH one the goal is
+    # CLUSTERING — the rewrite runs regardless of file count, because
+    # unsorted files with overlapping ranges defeat stats skipping no
+    # matter how few they are (Delta's OPTIMIZE ZORDER logic)
+    clustering = bool(sort_by or zorder_by)
+    if not old or (not clustering and n_out >= len(old)):
         return {"replaced": 0, "written": 0, "version": None}
 
     df = spark.read.schema(schema).parquet(
         *[os.path.join(path, f) for f in old]
     )
-    if sort_by:
+    if zorder_by:
+        # Morton clustering: range-partition and sort on the
+        # interleaved-bits key, then drop it (a Project after the
+        # sort — no exchange, layout preserved). Every z-ordered
+        # dimension ends up locally tight per file, so stats prune on
+        # ANY of them — what 1-D sort_by cannot give a second column.
+        df = (
+            _zorder_column(df, zorder_by)
+            .repartitionByRange(n_out, "_zorder_key")
+            .sortWithinPartitions("_zorder_key")
+            .drop("_zorder_key")
+        )
+    elif sort_by:
         # range-partition by the cluster key, then sort within each
         # output: equal keys colocate and file key-ranges are pairwise
         # DISJOINT, so a point/narrow-range read prunes to one part
@@ -836,9 +1006,13 @@ def optimize_sink(
             "files": new_files,
             "removes": old,
             "op": "compact",
+            # layout-only commit: cumulative rows unchanged
+            "rows_total": int(cur.get("rows", 0)),
         }
         if sort_by:
             entry["clustered_by"] = list(sort_by)
+        if zorder_by:
+            entry["zordered_by"] = list(zorder_by)
         history.append(entry)
         cur["files"] = sorted(
             (set(cur["files"]) - set(old)) | set(new_files)
@@ -1205,6 +1379,9 @@ class _StreamBatchWriter(DataSourceStreamWriter):
             # sees it as unknown rather than trusting a guessed id).
             history = _extend_history(prev, new_files)
             history[-1]["batch_id"] = batchId
+            history[-1]["rows_total"] = prev["rows"] + sum(
+                m.rows for m in messages if m is not None
+            )
             manifest = {
                 "files": sorted(set(prev["files"]) | set(new_files)),
                 "rows": prev["rows"]

@@ -277,9 +277,10 @@ class ManifestTailReader(DataSourceStreamReader):
                     "data. Re-read from scratch with a fresh checkpoint, "
                     "or retain at least the tail's lag when truncating."
                 )
-            if e.get("op") == "compact":
-                # layout rewrite: same rows, new files — emitting them
-                # would duplicate every compacted row downstream
+            if e.get("op") not in (None, "append"):
+                # non-append commit (compact rewrite, restore
+                # re-add): its files carry only rows the tail already
+                # emitted — forwarding them would duplicate downstream
                 continue
             out.extend(
                 InputPartition(os.path.join(self._path, f))

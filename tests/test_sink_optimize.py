@@ -272,3 +272,130 @@ def test_clustered_optimize_runs_even_when_already_compact(spark):
         spark, path, _SCHEMA, target_rows_per_file=1000, sort_by=["v"]
     )
     assert stats == {"replaced": 1, "written": 1, "version": 1}
+
+
+_SCHEMA_XY = T.StructType(
+    [
+        T.StructField("x", T.LongType()),
+        T.StructField("y", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ]
+)
+
+
+def _grid_sink(spark, prefix):
+    """64x64 grid with x and y independent — the workload where 1-D
+    clustering can only serve one dimension."""
+    path = tempfile.mkdtemp(prefix=prefix) + "/sink"
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+        F.col("id").cast("string").alias("payload"),
+    )
+    (
+        df.repartition(4)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    return path
+
+
+def test_zorder_prunes_on_every_dimension(spark):
+    """The reason Z-ORDER exists: after a 1-D sort on x, a y-probe
+    keeps EVERY file (y spans the full range in each); after Morton
+    clustering on (x, y), BOTH an x-probe and a y-probe prune to a
+    fraction — each dimension is locally tight per file."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        prune_files,
+        read_committed_parquet,
+    )
+
+    # 1-D baseline: x clusters, y doesn't
+    p1 = _grid_sink(spark, "zorder1d_")
+    optimize_sink(
+        spark, p1, _SCHEMA_XY, target_rows_per_file=256, sort_by=["x"]
+    )
+    n1 = len(_manifest(p1)["files"])
+    assert n1 == 16
+    assert len(prune_files(p1, "x", 10, 13)) <= 2
+    assert len(prune_files(p1, "y", 10, 13)) == n1  # blind dimension
+
+    # Morton: both dimensions prune
+    p2 = _grid_sink(spark, "zorder2d_")
+    stats = optimize_sink(
+        spark, p2, _SCHEMA_XY, target_rows_per_file=256,
+        zorder_by=["x", "y"],
+    )
+    assert stats["written"] >= 8
+    m = _manifest(p2)
+    entry = [e for e in m["history"] if e.get("op") == "compact"][-1]
+    assert entry["zordered_by"] == ["x", "y"]
+    n2 = len(m["files"])
+    x_kept = len(prune_files(p2, "x", 10, 13))
+    y_kept = len(prune_files(p2, "y", 10, 13))
+    assert x_kept <= n2 // 2, (x_kept, n2)
+    assert y_kept <= n2 // 2, (y_kept, n2)
+    # content exact after the layout change
+    back = read_committed_parquet(spark, p2, _SCHEMA_XY)
+    assert back.count() == 4096
+    assert back.agg(F.sum("x"), F.sum("y")).first() == (
+        4096 * 63 // 2,
+        4096 * 63 // 2,
+    )
+    # the z key never leaks into the written schema
+    assert back.columns == ["x", "y", "payload"]
+
+
+def test_zorder_rejects_string_columns_and_sortby_conflict(spark):
+    import pytest
+
+    path = _grid_sink(spark, "zorderr_")
+    with pytest.raises(ValueError, match="exclusive"):
+        optimize_sink(
+            spark, path, _SCHEMA_XY, sort_by=["x"], zorder_by=["y"]
+        )
+    with pytest.raises(ValueError, match="z-ordered"):
+        optimize_sink(spark, path, _SCHEMA_XY, zorder_by=["payload"])
+
+
+def test_zorder_on_timestamp_dimension(spark):
+    """Temporal columns z-order through unix_micros normalization."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        prune_files,
+    )
+    import datetime
+
+    path = tempfile.mkdtemp(prefix="zorderts_") + "/sink"
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    t0 = datetime.datetime(2024, 6, 1)
+    df = spark.range(4096).select(
+        (F.col("id") % 64).alias("x"),
+        (
+            F.lit(t0)
+            + F.make_interval(hours=(F.col("id") / 64).cast("int"))
+        ).alias("t"),
+    )
+    schema = T.StructType(
+        [T.StructField("x", T.LongType()), T.StructField("t", T.TimestampType())]
+    )
+    (
+        df.repartition(4)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    optimize_sink(
+        spark, path, schema, target_rows_per_file=256, zorder_by=["x", "t"]
+    )
+    n = len(_manifest(path)["files"])
+    kept = prune_files(
+        path, "t", t0 + datetime.timedelta(hours=10),
+        t0 + datetime.timedelta(hours=13),
+    )
+    assert len(kept) <= n // 2
