@@ -20,10 +20,14 @@ from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
     truncate_history,
 )
 
-# a commit script: each step is (n_new_files, replace_fraction_pct).
+# a commit script: each step is (n_new_files, replace_fraction_pct)
+# or the marker (0, -k) meaning RESTORE to k versions back.
 # replace_fraction_pct > 0 makes the step a REPLACE commit that
 # removes that deterministic fraction of the live set.
-_STEP = st.tuples(st.integers(1, 3), st.sampled_from([0, 0, 0, 40, 100]))
+_STEP = st.one_of(
+    st.tuples(st.integers(1, 3), st.sampled_from([0, 0, 0, 40, 100])),
+    st.tuples(st.just(0), st.integers(-4, -1)),  # restore marker
+)
 
 
 def _play(script):
@@ -33,6 +37,21 @@ def _play(script):
     live: set[str] = set()
     serial = 0
     for v, (n_new, pct) in enumerate(script):
+        if n_new == 0 and pct < 0:
+            # RESTORE to (-pct) versions back, clamped; degenerates
+            # to an empty append at v=0
+            back = min(-pct, len(live_sets))
+            target = live_sets[-back] if back else set()
+            entry = {
+                "v": v,
+                "files": sorted(target - live),
+                "removes": sorted(live - target),
+                "op": "restore",
+            }
+            live = set(target)
+            history.append(entry)
+            live_sets.append(set(live))
+            continue
         new = [f"part-{serial + i:04d}.x" for i in range(n_new)]
         serial += n_new
         entry = {"v": v, "files": sorted(new)}

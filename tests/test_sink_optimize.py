@@ -399,3 +399,46 @@ def test_zorder_on_timestamp_dimension(spark):
         t0 + datetime.timedelta(hours=13),
     )
     assert len(kept) <= n // 2
+
+
+def test_optimize_never_blocks_or_loses_concurrent_appends(spark):
+    """Optimistic concurrency, live: appends land WHILE the OPTIMIZE
+    rewrite runs. Appends only add parts, so they can never conflict
+    with the replace set — whatever the interleaving, no row is lost,
+    the counters agree with the data, and the manifest resolves to
+    files that exist. (Both orders of the final two history entries
+    are legal; what's pinned is consistency, not a schedule.)"""
+    import threading
+
+    path = tempfile.mkdtemp(prefix="optconc_") + "/sink"
+    _append(spark, path, 0, 2000, parts=8)
+
+    errs = []
+
+    def run_optimize():
+        try:
+            optimize_sink(spark, path, _SCHEMA, target_rows_per_file=1500)
+        except Exception as e:  # pragma: no cover - surfaced below
+            errs.append(e)
+
+    t = threading.Thread(target=run_optimize)
+    t.start()
+    for lo in (2000, 2200, 2400):
+        _append(spark, path, lo, lo + 200, parts=1)
+    t.join(timeout=120)
+    assert not t.is_alive() and not errs, errs
+    m = _manifest(path)
+    total = 2600
+    assert m["rows"] == total
+    assert _content(spark, path) == (total, (total - 1) * total // 2)
+    for f in m["files"]:
+        assert os.path.exists(os.path.join(path, f))
+    # the log's final version resolves to exactly the current files
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        _manifest_files,
+    )
+
+    last_v = max(e["v"] for e in m["history"])
+    assert sorted(
+        os.path.basename(p) for p in _manifest_files(path, last_v)
+    ) == m["files"]
