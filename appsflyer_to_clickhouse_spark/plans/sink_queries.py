@@ -1101,7 +1101,8 @@ def q_sink_optimize_clustered(spark, sf_dir):
     UNION ALL SELECT 1, 'append', 16, NULL
     UNION ALL SELECT 2, 'append', 16, NULL
     UNION ALL SELECT 3, 'compact',
-      (SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) FROM events), NULL
+      (SELECT CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) FROM events
+       WHERE event_id % 6 IN (0, 1, 2)), NULL
     """,
 )
 def q_sink_history_versions(spark, sf_dir):
@@ -1127,9 +1128,9 @@ def q_sink_history_versions(spark, sf_dir):
     spark.dataSource.register(ClickHouseArrowDataSource)
     ev = load(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="spark_graft_history_") + "/staged"
-    for r in (0, 1, 2):
+    for r in (0, 1, 2):  # half the events, three disjoint commits
         (
-            ev.filter(F.col("event_id") % 3 == r)
+            ev.filter(F.col("event_id") % 6 == r)
             .select(F.col("user_id").alias("uid"), "event_type")
             .repartition(16)
             .write.format("chbatch_arrow")

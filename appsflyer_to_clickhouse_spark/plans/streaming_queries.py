@@ -607,7 +607,7 @@ def q_stream_sink_prune_read(spark, sf_dir):
     SELECT CAST(ts AS DATE) AS day,
            CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n
     FROM events
-    WHERE event_id % 4 IN (0, 1)
+    WHERE event_id % 10 IN (0, 1)
     GROUP BY 1
     """,
 )
@@ -642,7 +642,7 @@ def q_stream_cdc_loop(spark, sf_dir):
     ev = load(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="spark_graft_cdcloop_") + "/staged"
     for residue in (0, 1, 0):  # third commit replays the first
-        out = ev.filter(F.col("event_id") % 4 == residue).select(
+        out = ev.filter(F.col("event_id") % 10 == residue).select(
             F.col("event_id").cast("string").alias("appsflyer_id"),
             F.col("ts").cast("timestamp").alias("ts"),
         )
