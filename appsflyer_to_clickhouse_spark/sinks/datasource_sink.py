@@ -619,10 +619,15 @@ def restore_sink(path: str, version: int) -> dict:
         }
 
 
-def vacuum_sink(path: str, min_age_s: float = 0.0) -> list[str]:
+def vacuum_sink(
+    path: str, min_age_s: float = 0.0, dry_run: bool = False
+) -> list[str]:
     """Delete data parts in the sink directory that NO retained
     snapshot references (crashed pre-commit writers, replaced
-    overwrite generations) and return their names.
+    overwrite generations) and return their names. ``dry_run=True``
+    returns the same candidate list WITHOUT deleting anything or
+    touching the manifest (Delta's VACUUM DRY RUN) — the operator's
+    pre-flight before an irreversible sweep.
 
     Referenced = the current manifest file list ∪ every commit-log
     entry — so time travel keeps working after a vacuum; only truly
@@ -655,10 +660,13 @@ def vacuum_sink(path: str, min_age_s: float = 0.0) -> list[str]:
             try:
                 if now - os.path.getmtime(full) < min_age_s:
                     continue
-                os.remove(full)
+                if not dry_run:
+                    os.remove(full)
                 removed.append(name)
             except OSError:
                 pass  # already gone (concurrent abort): that's the goal
+        if dry_run:
+            return removed
         # a vacuumed part's stats are dead metadata — drop them so the
         # manifest doesn't accrete entries for files that no longer
         # exist (the lock is already held)

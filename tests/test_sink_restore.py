@@ -145,3 +145,29 @@ def test_restore_unknown_version_raises(spark):
     _append(spark, path, 0, 10)
     with pytest.raises(ValueError, match="no snapshot v7"):
         restore_sink(path, 7)
+
+
+def test_vacuum_dry_run_reports_without_deleting(spark):
+    """VACUUM DRY RUN: same candidate list, nothing deleted, manifest
+    untouched — the pre-flight an operator runs before the real sweep."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        truncate_history,
+    )
+
+    path = tempfile.mkdtemp(prefix="rstdry_") + "/sink"
+    _append(spark, path, 0, 100)
+    _append(spark, path, 100, 200)
+    pre = set(_manifest(path)["files"])
+    optimize_sink(spark, path, _SCHEMA, target_rows_per_file=1000)
+    _append(spark, path, 200, 210)
+    truncate_history(path, retain_last=1)
+    before_manifest = _manifest(path)
+    candidates = vacuum_sink(path, dry_run=True)
+    assert set(candidates) == pre
+    for f in pre:  # nothing deleted
+        assert os.path.exists(os.path.join(path, f))
+    assert _manifest(path) == before_manifest  # stats map untouched too
+    # the real sweep removes exactly what the dry run promised
+    assert set(vacuum_sink(path)) == set(candidates)
+    for f in pre:
+        assert not os.path.exists(os.path.join(path, f))
