@@ -1,0 +1,101 @@
+"""Metadata-scale evidence for the manifest table format: a sink
+that has lived through 10,000 commits (a one-minute-trigger stream's
+week) must keep every log operation metadata-speed — version
+resolution, stats pruning, tail planning, history folding — with no
+data IO and no per-commit blowup. Synthetic manifests (filenames +
+stats only), so this pins the LOG algorithms, not Spark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+import time
+
+from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+    MANIFEST,
+    _manifest_files,
+    prune_files,
+    sink_versions,
+    truncate_history,
+)
+from appsflyer_to_clickhouse_spark.sources.manifest_source import (
+    ManifestTailReader,
+)
+
+N_COMMITS = 10_000
+
+
+def _big_sink(tmpdir: str) -> list[str]:
+    """10k single-part append commits, each part with v-stats covering
+    [100*i, 100*i+99] — the time-correlated layout continuous ingest
+    produces."""
+    files, history, stats = [], [], {}
+    for i in range(N_COMMITS):
+        name = f"part-{i:06d}.jsonl"
+        files.append(name)
+        history.append(
+            {"v": i, "files": [name], "rows_total": 100 * (i + 1)}
+        )
+        stats[name] = {
+            "v": {"min": 100 * i, "max": 100 * i + 99, "nulls": 0}
+        }
+    manifest = {
+        "files": files,
+        "rows": 100 * N_COMMITS,
+        "batches": N_COMMITS,
+        "last_batch_id": N_COMMITS - 1,
+        "history": history,
+        "stats": stats,
+    }
+    with open(os.path.join(tmpdir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    return files
+
+
+def test_log_operations_stay_metadata_speed_at_10k_commits():
+    tmpdir = tempfile.mkdtemp(prefix="mscale_")
+    files = _big_sink(tmpdir)
+    t0 = time.monotonic()
+
+    # version resolution: mid-log as-of = exactly the first half
+    mid = N_COMMITS // 2 - 1
+    resolved = _manifest_files(tmpdir, mid)
+    assert len(resolved) == N_COMMITS // 2
+    assert os.path.basename(resolved[-1]) == files[mid]
+
+    # stats pruning: a 3-commit window out of 10k
+    kept = prune_files(tmpdir, "v", 500_000, 500_250)
+    assert kept == files[5000:5003]
+    # unbounded-low range
+    assert len(prune_files(tmpdir, "v", None, 99)) == 1
+
+    # tail planning: a 100-commit catch-up out of 10k
+    r = ManifestTailReader({"path": tmpdir}, _schema())
+    assert r.latestOffset() == {"version": N_COMMITS - 1}
+    parts = r.partitions({"version": 8_899}, {"version": 8_999})
+    assert len(parts) == 100
+    assert parts[0].value.endswith(files[8_900])
+
+    # history fold: 9,900 commits collapse into one base; retained
+    # tail still resolves exactly, fold base = net prefix
+    folded = truncate_history(tmpdir, retain_last=100)
+    assert folded == N_COMMITS - 100
+    vs = sink_versions(tmpdir)
+    assert len(vs) == 101  # base + 100 retained
+    assert vs[0]["n_files"] == N_COMMITS - 100
+    assert len(_manifest_files(tmpdir, N_COMMITS - 1)) == N_COMMITS
+
+    # the whole battery is metadata arithmetic: generous wall bound
+    # (loaded CI machines) that still forbids any per-commit
+    # quadratic blowup
+    assert time.monotonic() - t0 < 30.0
+
+
+def _schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
