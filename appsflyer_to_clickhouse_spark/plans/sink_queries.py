@@ -1231,3 +1231,65 @@ def q_sink_restore_version(spark, sf_dir):
     df = read_committed_parquet(spark, path, schema)
     n_backing = df.select(backing.alias("nb")).first()["nb"]
     return df.withColumn("n_backing", F.lit(int(n_backing)).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# sink_idempotent_txn — Delta-style txnAppId/txnVersion replay protection
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_idempotent_txn",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type
+    FROM events WHERE event_id % 6 IN (0, 3)
+    """,
+)
+def q_sink_idempotent_txn(spark, sf_dir):
+    """Idempotent BATCH writes (Delta's txnAppId/txnVersion on the
+    manifest protocol): a backfill job writes its first slice under
+    ('backfill', 1), RETRIES the identical write (the at-least-once
+    reality of any job scheduler), then writes its second slice under
+    ('backfill', 2). The manifest records the per-app high-water
+    version under the commit lock, and the retry — same app, same
+    version — is dropped whole, its parts deleted. The oracle is each
+    slice exactly ONCE: a sink without the guard returns the first
+    slice twice and hash-mismatches. This is the batch-mode twin of
+    the stream tier's batchId idempotence — what a foreachBatch
+    pipeline stamps with its epoch id so a replayed epoch cannot
+    double-append (replay/independence/orphan-free pins in
+    tests/test_sink_txn.py)."""
+    from pyspark.sql import types as T
+
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    ev = load(spark, sf_dir, "events")
+
+    def slice_df(residue):
+        return ev.filter(F.col("event_id") % 6 == residue).select(
+            F.col("event_id").cast("string").alias("appsflyer_id"),
+            F.col("user_id").alias("uid"),
+            "event_type",
+        )
+
+    path = tempfile.mkdtemp(prefix="spark_graft_txn_") + "/staged"
+    for residue, version in ((0, 1), (0, 1), (3, 2)):  # (0,1) twice!
+        (
+            slice_df(residue)
+            .write.format("chbatch")
+            .option("path", path)
+            .option("batchsize", "5000")
+            .option("txnAppId", "backfill")
+            .option("txnVersion", str(version))
+            .mode("append")
+            .save()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("appsflyer_id", T.StringType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    return read_committed(spark, path, schema)

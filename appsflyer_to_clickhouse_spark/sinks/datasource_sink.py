@@ -348,6 +348,20 @@ class ClickHouseBatchDataSource(DataSource):
         return ManifestTailReader(self.options, schema)
 
 
+def _parse_txn(options) -> tuple[str | None, int | None]:
+    """(txnAppId, txnVersion) from writer options — both or neither;
+    a lone value would silently disable replay protection, so it
+    raises instead."""
+    app = options.get("txnappid")
+    v = options.get("txnversion")
+    if (app is None) != (v is None):
+        raise ValueError(
+            "chbatch idempotent writes need BOTH txnAppId and "
+            "txnVersion (got only one)"
+        )
+    return app, int(v) if v is not None else None
+
+
 def _json_cell(v):
     """JSON-serialize the non-JSON-native cell types a ClickHouse sink
     frame actually carries: timestamps/dates as ISO strings, decimals
@@ -372,6 +386,15 @@ class _BatchWriter(DataSourceWriter):
         self._batch = int(options.get("batchsize", "10000"))
         self._cols = cols
         self._overwrite = overwrite
+        # Idempotent batch writes (Delta's txnAppId/txnVersion): a
+        # writer that stamps options("txnappid", "txnversion") gets
+        # replay protection in APPEND mode — the manifest records the
+        # highest committed version per app id, and a commit at or
+        # below it is DROPPED (its parts deleted, manifest untouched).
+        # This is what upgrades a retried foreachBatch job or a
+        # re-run backfill from at-least-once to exactly-once effect
+        # without the streaming tier's checkpoint machinery.
+        self._txn_app, self._txn_version = _parse_txn(options)
 
     # -- executor side ----------------------------------------------------
     def write(self, rows: Iterator) -> _PartCommit:
@@ -448,10 +471,25 @@ class _BatchWriter(DataSourceWriter):
         # instead (the standing limitation of file-listing commit
         # protocols that drove Delta/Iceberg's log design).
         mpath = os.path.join(self._path, MANIFEST)
+        txn_app = getattr(self, "_txn_app", None)
+        txn_version = getattr(self, "_txn_version", None)
         with _manifest_lock(self._path):
             if not getattr(self, "_overwrite", True) and os.path.exists(mpath):
                 with open(mpath) as fh:
                     prev = json.load(fh)
+                if txn_app is not None:
+                    last_txn = (prev.get("txns") or {}).get(txn_app)
+                    if last_txn is not None and txn_version <= last_txn:
+                        # replayed transaction (retried foreachBatch
+                        # epoch, re-run backfill): the data is already
+                        # committed under this (app, version) — drop
+                        # the replay's parts, publish nothing. The
+                        # batch-mode twin of the stream tier's batchId
+                        # guard.
+                        for f in new_files:
+                            with contextlib.suppress(OSError):
+                                os.remove(os.path.join(self._path, f))
+                        return
                 merged_stats = {**(prev.get("stats") or {}), **new_stats}
                 history = _extend_history(prev, new_files)
                 manifest = {
@@ -463,6 +501,13 @@ class _BatchWriter(DataSourceWriter):
                 history[-1]["rows_total"] = manifest["rows"]
                 if merged_stats:
                     manifest["stats"] = merged_stats
+                if prev.get("txns"):
+                    manifest["txns"] = prev["txns"]
+            if txn_app is not None:
+                manifest["txns"] = {
+                    **(manifest.get("txns") or {}),
+                    txn_app: txn_version,
+                }
             tmp = mpath + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)
@@ -1190,6 +1235,7 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
         self._path = options["path"]
         self._batch = int(options.get("batchsize", "10000"))
         self._overwrite = overwrite
+        self._txn_app, self._txn_version = _parse_txn(options)
 
     def write(self, batches) -> _PartCommit:
         import pyarrow as pa
