@@ -230,10 +230,29 @@ class ManifestTailReader(DataSourceStreamReader):
     def __init__(self, options, schema):
         self._path = options["path"]
         self._convs = _part_converters(schema)
+        # Delta's startingVersion: where a FRESH stream (no checkpoint)
+        # begins. Default -1 = full backfill (every retained commit);
+        # "latest" = only commits made after the stream starts; an
+        # integer v = emit from commit v onward. Ignored on restart —
+        # the checkpointed offset wins, as it must.
+        sv = options.get("startingversion", "-1")
+        self._starting = sv.strip().lower()
 
     # -- offset protocol ---------------------------------------------------
     def initialOffset(self) -> dict:
-        return {"version": -1}
+        if self._starting == "latest":
+            history = self._history()
+            return {"version": history[-1]["v"] if history else -1}
+        try:
+            v = int(self._starting)
+        except ValueError as exc:
+            raise ValueError(
+                f"chbatch tail: startingVersion must be an integer or "
+                f"'latest', got {self._starting!r}"
+            ) from exc
+        # offsets are exclusive lower bounds: start AT commit v means
+        # the initial offset is v-1
+        return {"version": max(v - 1, -1)}
 
     def _history(self) -> list[dict]:
         from ..sinks.datasource_sink import MANIFEST, _manifest_read
