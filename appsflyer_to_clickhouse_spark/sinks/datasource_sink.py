@@ -451,6 +451,7 @@ class _BatchWriter(DataSourceWriter):
                     # lets restore_sink repair the rows counter
                     # exactly when rolling back to this version
                     "rows_total": sum(m.rows for m in messages),
+                    "ts": __import__("time").time(),
                 }
             ],
         }
@@ -528,11 +529,19 @@ def _extend_history(prev: dict, new_files: list[str]) -> list[dict]:
     collapses its already-published files into one base entry — time
     travel can't see inside what was never logged, but everything from
     the upgrade forward is versioned."""
+    import time as _time
+
     history = list(prev.get("history") or ())
     if not history and prev.get("files"):
         history = [{"v": 0, "files": sorted(prev["files"])}]
     next_v = (max(e["v"] for e in history) + 1) if history else 0
-    return [*history, {"v": next_v, "files": new_files}]
+    # commit wall-clock (epoch seconds): powers timestamp-as-of reads
+    # and the history audit. Never used for ordering or replay logic —
+    # versions own that — so clock skew can't corrupt the protocol.
+    return [
+        *history,
+        {"v": next_v, "files": new_files, "ts": _time.time()},
+    ]
 
 
 def _manifest_read(path: str) -> dict:
@@ -577,6 +586,44 @@ def _manifest_files(path: str, version: int | None = None) -> list[str]:
     return [os.path.join(path, f) for f in sorted(files)]
 
 
+def _version_for_timestamp(path: str, ts_epoch: float) -> int:
+    """TIMESTAMP AS OF resolution: the newest commit whose recorded
+    wall-clock is <= ``ts_epoch`` (Delta's timestampAsOf). Commit
+    timestamps are audit metadata — versions, not clocks, order the
+    log — so a commit without one (pre-upgrade history) simply can't
+    be selected by time and a too-early timestamp fails loudly."""
+    history = _manifest_read(path).get("history") or []
+    stamped = sorted(
+        (e for e in history if e.get("ts") is not None),
+        key=lambda e: e["v"],
+    )
+    eligible = [e for e in stamped if e["ts"] <= ts_epoch]
+    if not eligible:
+        lo = stamped[0]["ts"] if stamped else None
+        raise ValueError(
+            f"sink at {path}: no commit at or before timestamp "
+            f"{ts_epoch} (earliest recorded commit ts: {lo}); "
+            "pre-timestamp history is only reachable by version"
+        )
+    return eligible[-1]["v"]
+
+
+def _as_epoch(ts) -> float:
+    """Accept epoch seconds (int/float), a datetime, or an ISO string
+    (naive = UTC, matching the session timezone contract)."""
+    import datetime as _dt
+
+    if isinstance(ts, (int, float)):
+        return float(ts)
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=_dt.timezone.utc)
+        return ts.timestamp()
+    raise TypeError(f"unsupported timestamp type: {type(ts).__name__}")
+
+
 def sink_versions(path: str) -> list[dict]:
     """The sink's snapshot log: one row per retained commit —
     version, files added, and the stream batchId when the commit came
@@ -589,6 +636,7 @@ def sink_versions(path: str) -> list[dict]:
             "batch_id": e.get("batch_id"),
             "op": e.get("op", "append"),
             "rows_total": e.get("rows_total"),
+            "ts": e.get("ts"),
         }
         for e in sorted(history, key=lambda e: e["v"])
     ]
@@ -634,12 +682,15 @@ def restore_sink(path: str, version: int) -> dict:
         adds = sorted(target - cur)
         removes = sorted(cur - target)
         next_v = history[-1]["v"] + 1
+        import time as _time
+
         entry = {
             "v": next_v,
             "files": adds,
             "removes": removes,
             "op": "restore",
             "restored_to": version,
+            "ts": _time.time(),
         }
         target_entry = next(e for e in history if e["v"] == version)
         rows_known = "rows_total" in target_entry
@@ -772,6 +823,8 @@ def truncate_history(path: str, retain_last: int) -> int:
             base["batch_id"] = fold[-1]["batch_id"]
         if "rows_total" in fold[-1]:
             base["rows_total"] = fold[-1]["rows_total"]
+        if "ts" in fold[-1]:
+            base["ts"] = fold[-1]["ts"]
         manifest["history"] = [base, *keep]
         tmp = mpath + ".tmp"
         with open(tmp, "w") as fh:
@@ -1054,6 +1107,8 @@ def optimize_sink(
         if not history and cur.get("files"):
             history = [{"v": 0, "files": sorted(cur["files"])}]
         next_v = (max(e["v"] for e in history) + 1) if history else 0
+        import time as _time
+
         entry = {
             "v": next_v,
             "files": new_files,
@@ -1061,6 +1116,7 @@ def optimize_sink(
             "op": "compact",
             # layout-only commit: cumulative rows unchanged
             "rows_total": int(cur.get("rows", 0)),
+            "ts": _time.time(),
         }
         if sort_by:
             entry["clustered_by"] = list(sort_by)
@@ -1181,10 +1237,15 @@ def _read_parts(spark, path: str, schema, names: list[str]):
     )
 
 
-def read_committed(spark, path: str, schema, version: int | None = None):
+def read_committed(
+    spark, path: str, schema, version: int | None = None, timestamp=None
+):
     """Read back ONLY manifest-published parts (uncommitted/orphan
     files are invisible — the read side of the two-phase contract).
-    ``version`` time-travels to that snapshot's part list."""
+    ``version`` time-travels to that snapshot's part list;
+    ``timestamp`` (epoch / datetime / ISO string) resolves to the
+    newest commit at or before that wall-clock instant."""
+    version = _resolve_as_of(path, version, timestamp)
     files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)
@@ -1278,9 +1339,20 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
         _BatchWriter.abort(self, messages)
 
 
-def read_committed_parquet(spark, path: str, schema, version: int | None = None):
+def _resolve_as_of(path: str, version, timestamp):
+    if timestamp is None:
+        return version
+    if version is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    return _version_for_timestamp(path, _as_epoch(timestamp))
+
+
+def read_committed_parquet(
+    spark, path: str, schema, version: int | None = None, timestamp=None
+):
     """Manifest-resolved read of the Arrow tier's parquet parts.
-    ``version`` time-travels to that snapshot's part list."""
+    ``version`` / ``timestamp`` time-travel as in read_committed."""
+    version = _resolve_as_of(path, version, timestamp)
     files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)

@@ -171,3 +171,41 @@ def test_vacuum_dry_run_reports_without_deleting(spark):
     assert set(vacuum_sink(path)) == set(candidates)
     for f in pre:
         assert not os.path.exists(os.path.join(path, f))
+
+
+def test_timestamp_as_of_resolution(spark):
+    """TIMESTAMP AS OF: commits record wall-clock, reads resolve the
+    newest commit at or before the instant. Clocks are audit metadata
+    only — versions order the log — so pre-timestamp history is
+    reachable by version alone and a too-early timestamp is loud."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        _version_for_timestamp,
+    )
+
+    path = tempfile.mkdtemp(prefix="tsof_") + "/sink"
+    _append(spark, path, 0, 100)    # v0
+    _append(spark, path, 100, 300)  # v1
+    m = _manifest(path)
+    assert all("ts" in e for e in m["history"])
+    # pin deterministic clocks, preserving order
+    m["history"][0]["ts"] = 1000.0
+    m["history"][1]["ts"] = 2000.0
+    with open(os.path.join(path, MANIFEST), "w") as fh:
+        json.dump(m, fh)
+    assert _version_for_timestamp(path, 1500.0) == 0
+    assert _version_for_timestamp(path, 2000.0) == 1
+    assert _version_for_timestamp(path, 10**9) == 1
+    with pytest.raises(ValueError, match="no commit at or before"):
+        _version_for_timestamp(path, 999.0)
+    # reader plumbing: epoch, ISO string, and exclusivity
+    assert _content(spark, path)[0] == 300
+    got = read_committed_parquet(spark, path, _SCHEMA, timestamp=1500.0)
+    assert got.count() == 100
+    got2 = read_committed_parquet(
+        spark, path, _SCHEMA, timestamp="1970-01-01 00:33:20"  # = 2000s
+    )
+    assert got2.count() == 300
+    with pytest.raises(ValueError, match="not both"):
+        read_committed_parquet(
+            spark, path, _SCHEMA, version=1, timestamp=1500.0
+        )
