@@ -1301,3 +1301,92 @@ def q_graph_triangle_count(spark, sf_dir):
             ).alias("global_clustering"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_shortest_paths — multi-source BFS hop distances (landmarks)
+# ---------------------------------------------------------------------------
+
+_SSSP_MAX_HOPS = 3
+
+_SSSP_ORACLE = f"""
+WITH RECURSIVE items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+  FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+            AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+), edges AS (
+  SELECT part_a AS src, part_b AS dst FROM pairs
+  UNION ALL
+  SELECT part_b AS src, part_a AS dst FROM pairs
+), seeds AS (
+  SELECT src AS node FROM edges GROUP BY src ORDER BY src LIMIT 3
+), walk(node, dist) AS (
+  SELECT node, 0 FROM seeds
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {_SSSP_MAX_HOPS}
+)
+SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
+@register("graph_shortest_paths", _SSSP_ORACLE)
+def q_graph_shortest_paths(spark, sf_dir):
+    """Multi-source shortest hop distances (landmark BFS) over the
+    co-purchase graph: from the 3 smallest part ids, the minimum hop
+    count to every node within _SSSP_MAX_HOPS hops — the landmark /
+    k-hop-neighborhood primitive under graph features (node
+    reachability, landmark distance embeddings, blast-radius
+    queries).
+
+    Frontier BFS, the Pregel shape: per round, ONE join of the
+    CURRENT FRONTIER (not the graph) against the edge list, then an
+    anti-join against the visited set — first discovery IS the
+    shortest distance, so no min-aggregation re-visits a node. Work
+    per round is frontier-sized; rounds are bounded by the hop cap
+    (landmark queries fix the radius up front — this never iterates
+    to a graph diameter). The edge list reuses the shared
+    co-purchase stage (``_basket_pairs``), symmetrized; frontiers and
+    the visited set are node-id sets, KBs per round here, and the
+    visited set is re-persisted per round so lineage stays O(1).
+    Oracle: DuckDB recursive CTE with UNION-dedup and MIN(dist).
+    """
+    pairs = _basket_pairs(spark, sf_dir).select("part_a", "part_b")
+    edges = pairs.union(
+        pairs.select(
+            F.col("part_b").alias("part_a"),
+            F.col("part_a").alias("part_b"),
+        )
+    ).toDF("src", "dst")
+    seeds = (
+        edges.select("src").distinct().orderBy("src").limit(3)
+        .select(F.col("src").alias("node"))
+    )
+    visited = seeds.withColumn("dist", F.lit(0)).persist()
+    frontier = visited.select("node").persist()
+    for hop in range(1, _SSSP_MAX_HOPS + 1):
+        neighbors = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        new_frontier = neighbors.join(
+            visited.select("node"), "node", "left_anti"
+        ).persist()
+        if not new_frontier.head(1):
+            new_frontier.unpersist()
+            break
+        nxt = visited.unionByName(
+            new_frontier.withColumn("dist", F.lit(hop))
+        ).persist()
+        visited.unpersist()
+        frontier.unpersist()
+        visited, frontier = nxt, new_frontier
+    return visited.select(
+        "node", F.col("dist").cast("bigint").alias("dist")
+    )

@@ -1293,3 +1293,323 @@ def q_sink_idempotent_txn(spark, sf_dir):
         ]
     )
     return read_committed(spark, path, schema)
+
+
+# ---------------------------------------------------------------------------
+# sink_delete_where — copy-on-write DELETE as a REPLACE commit
+# ---------------------------------------------------------------------------
+
+_DELETE_LO = "2024-01-12 00:00:00"
+_DELETE_HI = "2024-01-18 00:00:00"
+
+
+@register(
+    "sink_delete_where",
+    f"""
+    SELECT user_id AS uid,
+           event_type,
+           ts,
+           CAST(1 AS BIGINT) AS n_rewritten
+    FROM events
+    WHERE NOT (ts >= TIMESTAMP '{_DELETE_LO}'
+               AND ts < TIMESTAMP '{_DELETE_HI}')
+    """,
+)
+def q_sink_delete_where(spark, sf_dir):
+    """Row-level DELETE on the manifest sink, copy-on-write
+    (mutations.delete_where): three time-correlated appends, then a
+    time-scoped delete whose match scan is bounded by the same
+    per-part stats the pruned reads use — the candidate set is ONE
+    part, and only parts that actually contain matches are rewritten
+    (a filter job over the touched scan: no repartition, no
+    exchange). The commit is a REPLACE entry in the snapshot log
+    (adds + removes + the predicate), so current reads see the
+    post-delete table while retained versions still time-travel to
+    the pre-delete rows (pinned in tests/test_sink_delete.py).
+    Graded: every surviving row AND ``n_rewritten`` — a delete that
+    rewrote all three parts (no pruning / no touch detection) or
+    rewrote nothing returns a different literal and hash-mismatches.
+    At a 100 TB sink this is GDPR erasure priced at the touched
+    parts, not the table."""
+    import datetime
+
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+    )
+    from ..sinks.mutations import delete_where
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"), "event_type", "ts"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_delete_") + "/staged"
+    splits = (_DELETE_LO, _DELETE_HI)
+    windows = [
+        ev.filter(F.col("ts") < F.lit(splits[0])),
+        ev.filter(
+            (F.col("ts") >= F.lit(splits[0])) & (F.col("ts") < F.lit(splits[1]))
+        ),
+        ev.filter(F.col("ts") >= F.lit(splits[1])),
+    ]
+    for w in windows:  # one time-correlated part per append
+        (
+            w.write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    lo = datetime.datetime.fromisoformat(_DELETE_LO)
+    hi = datetime.datetime.fromisoformat(_DELETE_HI)
+    r = delete_where(
+        spark,
+        path,
+        schema,
+        f"ts >= TIMESTAMP '{_DELETE_LO}' AND ts < TIMESTAMP '{_DELETE_HI}'",
+        prune_column="ts",
+        prune_lo=lo,
+        prune_hi=hi - datetime.timedelta(microseconds=1),
+    )
+    # stats pruning scoped the scan to the middle part; the whole part
+    # matched, so the rewrite produced no replacement file
+    assert r["n_rewritten"] == 1 and r["n_kept"] == 0, r
+    return read_committed_parquet(spark, path, schema).withColumn(
+        "n_rewritten", F.lit(int(r["n_rewritten"])).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink_delete_dv — merge-on-read DELETE via deletion vectors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_delete_dv",
+    """
+    SELECT user_id AS uid,
+           event_type,
+           CAST(3 AS BIGINT) AS n_backing
+    FROM events
+    WHERE event_id % 97 != 0
+    """,
+)
+def q_sink_delete_dv(spark, sf_dir):
+    """Merge-on-read DELETE (deletion vectors): a sparse predicate —
+    ~1% of rows spread across EVERY part — is exactly the case where
+    copy-on-write is wrong (it would rewrite the whole table to drop
+    a sliver). ``delete_where(mode='dv')`` records (file, row_index)
+    vectors in the manifest and rewrites NOTHING; readers subtract
+    them with a broadcast anti-join against the pinned
+    ``_metadata`` file/position columns. Graded twice over: the
+    surviving rows (a reader that misses the mask returns the
+    deleted rows and hash-mismatches) AND ``n_backing`` — the
+    DISTINCT backing-file count of the read-back, which must still
+    be the THREE ORIGINAL parts (a delete that fell back to rewrite
+    returns a different count). OPTIMIZE materializes the vectors
+    away and restore/fold carry them exactly
+    (tests/test_sink_delete.py). The Delta/Iceberg-v2 trade, on the
+    single-manifest protocol."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        _manifest_read,
+        read_committed_parquet,
+    )
+    from ..sinks.mutations import delete_where
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        "event_type",
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_dv_") + "/staged"
+    for residue in (0, 1, 2):  # three parts, matches in every one
+        (
+            ev.filter(F.col("eid") % 3 == residue)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    schema = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    files_before = sorted(_manifest_read(path)["files"])
+    r = delete_where(spark, path, schema, "eid % 97 = 0", mode="dv")
+    assert r["n_rewritten"] == 0 and r["deleted"] > 0, r
+    assert sorted(_manifest_read(path)["files"]) == files_before
+    df = read_committed_parquet(spark, path, schema)
+    n_backing = df.select(
+        F.count_distinct(F.col("_metadata.file_path")).alias("nb")
+    ).first()["nb"]
+    return df.select("uid", "event_type").withColumn(
+        "n_backing", F.lit(int(n_backing)).cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sink_merge_manifest — MERGE INTO as one snapshot-log commit
+# ---------------------------------------------------------------------------
+
+_MERGE_MANIFEST_ORACLE = """
+WITH initial AS (
+  SELECT event_id AS eid, user_id AS uid, event_type
+  FROM events WHERE event_id % 3 = 0
+), batch AS (
+  SELECT event_id AS eid, user_id + 1000000 AS uid,
+         'updated' AS event_type
+  FROM events WHERE event_id % 6 = 0 OR event_id % 5 = 4
+)
+SELECT coalesce(b.eid, i.eid) AS eid,
+       coalesce(b.uid, i.uid) AS uid,
+       coalesce(b.event_type, i.event_type) AS event_type
+FROM initial i FULL JOIN batch b ON i.eid = b.eid
+"""
+
+
+@register("sink_merge_manifest", _MERGE_MANIFEST_ORACLE)
+def q_sink_merge_manifest(spark, sf_dir):
+    """MERGE INTO the manifest sink (mutations.merge_sink): the
+    target holds the event_id%3=0 slice across four parts; the source
+    batch overlaps it (%6=0 — matched, updated wholesale) and brings
+    new keys (%5=4 ∖ %3=0 — inserted). One snapshot-log commit
+    publishes the whole upsert: touched parts are rewritten as
+    (kept ∪ updated) with the source keys BROADCAST on both the
+    touch-detection semi-join and the anti-join — the big side never
+    shuffles — and inserts land as fresh adds in the same commit, so
+    a reader never observes a half-merged table. The oracle is the
+    independent FULL JOIN + coalesce statement of MERGE semantics;
+    duplicate source keys raise (Delta's multiple-matches error,
+    pinned in tests/test_sink_delete.py). This is the CDC-upsert the
+    reference's insert-only sink cannot express."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+    )
+    from ..sinks.mutations import merge_sink
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    initial = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        "event_type",
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_merge_") + "/staged"
+    (
+        initial.repartition(4)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    batch = ev.filter(
+        (F.col("event_id") % 6 == 0) | (F.col("event_id") % 5 == 4)
+    ).select(
+        F.col("event_id").alias("eid"),
+        (F.col("user_id") + 1000000).alias("uid"),
+        F.lit("updated").alias("event_type"),
+    )
+    r = merge_sink(spark, path, schema, batch, ["eid"])
+    assert r["updated"] > 0 and r["inserted"] > 0, r
+    return read_committed_parquet(spark, path, schema)
+
+
+# ---------------------------------------------------------------------------
+# sink_constraint_enforce — commit-time CHECK constraints from part stats
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_constraint_enforce",
+    """
+    SELECT user_id AS uid, event_type
+    FROM events WHERE event_id % 4 IN (0, 1)
+    """,
+)
+def q_sink_constraint_enforce(spark, sf_dir):
+    """CHECK constraints on the manifest sink (datasource_sink.
+    add_constraint): NOT NULL + range invariants validated at COMMIT
+    time from the per-part stats both writer tiers already record —
+    metadata arithmetic under the manifest lock, zero data IO at any
+    table size (an arbitrary-SQL CHECK needs a scan per commit; a
+    100 TB ingest can't pay that, and range/not-null are the schema
+    invariants a sink actually enforces). Sequence graded here: a
+    valid slice commits; a VIOLATING slice (uid negated) is rejected
+    whole — its parts deleted, the manifest untouched; a second valid
+    slice commits. The oracle is exactly the two valid slices, so a
+    sink that let the bad batch through (or lost a good one rolling
+    back) hash-mismatches. ADD CONSTRAINT itself validates existing
+    data fail-closed (no stats = cannot verify = refused); stream
+    micro-batch commits enforce identically
+    (tests/test_sink_constraints.py)."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        add_constraint,
+        read_committed_parquet,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+
+    def slice_df(residue, negate=False):
+        uid = F.col("user_id")
+        if negate:
+            uid = -uid - 1  # strictly negative: provably violating
+        return ev.filter(F.col("event_id") % 4 == residue).select(
+            uid.alias("uid"), "event_type"
+        )
+
+    path = tempfile.mkdtemp(prefix="spark_graft_check_") + "/staged"
+    writer = lambda df: (  # noqa: E731
+        df.write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    writer(slice_df(0))
+    add_constraint(path, "uid_nonneg", "uid", not_null=True, min=0)
+    rejected = False
+    try:
+        writer(slice_df(1, negate=True))
+    except Exception:
+        rejected = True
+    assert rejected, "violating commit was accepted"
+    writer(slice_df(1))
+    return read_committed_parquet(spark, path, schema)

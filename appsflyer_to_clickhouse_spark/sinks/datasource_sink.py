@@ -491,6 +491,7 @@ class _BatchWriter(DataSourceWriter):
                             with contextlib.suppress(OSError):
                                 os.remove(os.path.join(self._path, f))
                         return
+                _enforce_constraints(prev, new_stats, new_files, self._path)
                 merged_stats = {**(prev.get("stats") or {}), **new_stats}
                 history = _extend_history(prev, new_files)
                 manifest = {
@@ -502,8 +503,12 @@ class _BatchWriter(DataSourceWriter):
                 history[-1]["rows_total"] = manifest["rows"]
                 if merged_stats:
                     manifest["stats"] = merged_stats
-                if prev.get("txns"):
-                    manifest["txns"] = prev["txns"]
+                # table-level metadata survives every append: the txn
+                # high-water map, live deletion vectors (dropping them
+                # would RESURRECT deleted rows), and constraints
+                for carry in ("txns", "dv", "constraints"):
+                    if prev.get(carry):
+                        manifest[carry] = prev[carry]
             if txn_app is not None:
                 manifest["txns"] = {
                     **(manifest.get("txns") or {}),
@@ -624,6 +629,231 @@ def _as_epoch(ts) -> float:
     raise TypeError(f"unsupported timestamp type: {type(ts).__name__}")
 
 
+def add_constraint(
+    path: str,
+    name: str,
+    column: str,
+    *,
+    not_null: bool = False,
+    min=None,
+    max=None,
+) -> dict:
+    """ADD CONSTRAINT on the manifest sink: NOT NULL and/or a closed
+    [min, max] range on ``column``, enforced at COMMIT time from the
+    per-part stats both writer tiers already record — validation is
+    metadata arithmetic, zero data IO, at any table size (the reason
+    the constraint vocabulary is stats-expressible forms rather than
+    arbitrary SQL: an arbitrary CHECK needs a scan per commit, which
+    a 100 TB ingest cannot pay; range + not-null cover the schema
+    invariants a sink actually enforces — Delta's own NOT NULL and
+    CHECK-on-range fast paths).
+
+    Adding the constraint validates every CURRENT part first, from
+    stats alone. Fail-closed: a part with NO stats for the column
+    cannot be proven clean and is rejected (the JSONL tier records
+    stats too, so in practice this means pre-stats manifests).
+    Validation is against PHYSICAL stats — rows hidden by deletion
+    vectors still count until OPTIMIZE materializes them — which is
+    strictly conservative, never unsound.
+
+    Range semantics follow SQL CHECK: NULLs pass the range (unknown
+    is not a violation); use ``not_null=True`` to forbid them.
+    Constraints are table metadata, not snapshot content: RESTORE
+    rolls back data, constraints stay (Delta's behavior for table
+    properties). Overwrite-mode writes replace the manifest and drop
+    them — an overwrite is a new table definition."""
+    if not (not_null or min is not None or max is not None):
+        raise ValueError(
+            "add_constraint: nothing to enforce (set not_null and/or "
+            "min/max)"
+        )
+    lo_k, hi_k = _stat_cell(min), _stat_cell(max)
+    if lo_k is _STAT_UNSAFE or hi_k is _STAT_UNSAFE:
+        raise ValueError("NaN is not a meaningful constraint bound")
+    spec = {"column": column, "not_null": bool(not_null)}
+    if lo_k is not None:
+        spec["min"] = lo_k
+    if hi_k is not None:
+        spec["max"] = hi_k
+    with _manifest_lock(path):
+        manifest = _manifest_read(path)
+        constraints = dict(manifest.get("constraints") or {})
+        if name in constraints:
+            raise ValueError(
+                f"sink at {path}: constraint {name!r} already exists "
+                "(drop_constraint first)"
+            )
+        constraints[name] = spec
+        stats = manifest.get("stats") or {}
+        bad = _constraint_violations(
+            {name: spec}, stats, manifest["files"]
+        )
+        if bad:
+            raise ValueError(
+                f"sink at {path}: cannot add constraint {name!r} — "
+                f"existing data violates it (or lacks stats to prove "
+                f"otherwise): {bad[:3]}"
+            )
+        manifest["constraints"] = constraints
+        mpath = os.path.join(path, MANIFEST)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mpath)
+    return spec
+
+
+def drop_constraint(path: str, name: str) -> None:
+    with _manifest_lock(path):
+        manifest = _manifest_read(path)
+        constraints = dict(manifest.get("constraints") or {})
+        if name not in constraints:
+            raise ValueError(
+                f"sink at {path}: no constraint named {name!r}"
+            )
+        del constraints[name]
+        if constraints:
+            manifest["constraints"] = constraints
+        else:
+            manifest.pop("constraints", None)
+        mpath = os.path.join(path, MANIFEST)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mpath)
+
+
+def _constraint_violations(
+    constraints: dict, stats: dict, files: list[str]
+) -> list[str]:
+    """Check each file's recorded stats against each constraint;
+    return human-readable violation strings (empty = all provably
+    clean). Fail-closed: a file without stats for a constrained
+    column is a violation — 'cannot verify' must block the commit,
+    not wave it through."""
+    bad: list[str] = []
+    for cname, spec in (constraints or {}).items():
+        col = spec["column"]
+        for f in files:
+            st = (stats.get(f) or {}).get(col)
+            if st is None:
+                bad.append(
+                    f"{cname}: {f} has no stats for column {col!r} "
+                    "(cannot verify)"
+                )
+                continue
+            if spec.get("not_null") and st.get("nulls", 0) > 0:
+                bad.append(
+                    f"{cname}: {f} has {st['nulls']} NULLs in {col!r}"
+                )
+            mn, mx = st.get("min"), st.get("max")
+            if mn is None:
+                continue  # all-null: range CHECK passes (SQL unknown)
+            if "min" in spec and mn < spec["min"]:
+                bad.append(
+                    f"{cname}: {f} min({col})={mn!r} < {spec['min']!r}"
+                )
+            if "max" in spec and mx > spec["max"]:
+                bad.append(
+                    f"{cname}: {f} max({col})={mx!r} > {spec['max']!r}"
+                )
+    return bad
+
+
+def _enforce_constraints(
+    prev_manifest: dict,
+    new_stats: dict,
+    new_files: list[str],
+    path: str,
+) -> None:
+    """Commit-side enforcement hook (both writer tiers, batch and
+    stream): validate the incoming parts' stats against the table's
+    constraints and — on violation — delete the parts and raise, so
+    the manifest is never published with proven-bad or unprovable
+    data. Called under the manifest lock."""
+    constraints = prev_manifest.get("constraints")
+    if not constraints:
+        return
+    bad = _constraint_violations(constraints, new_stats, new_files)
+    if bad:
+        for f in new_files:
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(path, f))
+        raise ValueError(
+            f"chbatch sink at {path}: commit rejected — constraint "
+            f"violation(s): {bad[:5]} ({len(bad)} total); the "
+            "commit's parts were discarded and the manifest is "
+            "unchanged"
+        )
+
+
+def dv_current(manifest: dict) -> dict[str, list[int]]:
+    """The CURRENT deletion-vector map: {part name: sorted deleted
+    row indexes} — merge-on-read DELETEs (``mutations.delete_where``
+    with mode='dv') record positions here instead of rewriting parts.
+    Maintained incrementally by every commit; equals
+    ``dv_for_version`` at the newest version (property-pinned in
+    tests/test_sink_delete.py)."""
+    return {k: list(v) for k, v in (manifest.get("dv") or {}).items()}
+
+
+def dv_for_version(manifest: dict, version: int | None) -> dict:
+    """Reconstruct the deletion-vector state AS OF ``version`` by
+    folding the snapshot log — what makes time travel exact across
+    merge-on-read deletes. Three entry effects, in version order:
+
+    - ``dv_set`` (restore commits, fold bases): an absolute reset —
+      restore rolls the whole table state back, and a fold base
+      collapses everything below it;
+    - ``removes`` (REPLACE commits — compact / CoW delete / merge):
+      the removed parts' vectors drop with them (their survivors were
+      materialized into the new parts);
+    - ``dv_add`` (merge-on-read deletes): per-file indexes unioned in.
+    """
+    if version is None:
+        return dv_current(manifest)
+    dv: dict[str, set[int]] = {}
+    for e in sorted(manifest.get("history") or (), key=lambda e: e["v"]):
+        if e["v"] > version:
+            break
+        if "dv_set" in e:
+            dv = {k: set(v) for k, v in e["dv_set"].items()}
+        for f in e.get("removes") or ():
+            dv.pop(f, None)
+        for f, idx in (e.get("dv_add") or {}).items():
+            dv.setdefault(f, set()).update(idx)
+    return {k: sorted(v) for k, v in dv.items() if v}
+
+
+def mask_dv(df, dv: dict):
+    """Apply a deletion-vector map to a parquet-tier DataFrame: a
+    broadcast anti-join on (_metadata.file_name, _metadata.row_index).
+    The DV side is KB-scale by the ``dv_max_rows`` contract on
+    ``delete_where``, so the join never shuffles the data side — each
+    task drops its own file's deleted positions against the broadcast
+    map. No-op (the unchanged plan, not even a projection) when the
+    map is empty — every pre-existing read keeps its exact plan."""
+    from pyspark.sql import functions as F
+
+    if not dv:
+        return df
+    pairs = [(f, int(i)) for f, idxs in sorted(dv.items()) for i in idxs]
+    dvdf = df.sparkSession.createDataFrame(
+        pairs, "_dv_file string, _dv_idx long"
+    )
+    return (
+        df.withColumn("_dv_f", F.col("_metadata.file_name"))
+        .withColumn("_dv_r", F.col("_metadata.row_index"))
+        .join(
+            F.broadcast(dvdf),
+            (F.col("_dv_f") == F.col("_dv_file"))
+            & (F.col("_dv_r") == F.col("_dv_idx")),
+            "left_anti",
+        )
+        .drop("_dv_f", "_dv_r")
+    )
+
+
 def sink_versions(path: str) -> list[dict]:
     """The sink's snapshot log: one row per retained commit —
     version, files added, and the stream batchId when the commit came
@@ -677,7 +907,11 @@ def restore_sink(path: str, version: int) -> dict:
         history = sorted(
             manifest.get("history") or (), key=lambda e: e["v"]
         )
-        if target == cur:
+        # "nothing to do" must compare the FULL snapshot state: a
+        # dv-only delete changes no file list, so file-set equality
+        # alone would wrongly no-op a restore across it
+        dv_target = dv_for_version(manifest, version)
+        if target == cur and dv_target == dv_current(manifest):
             return {"restored_to": version, "changed": False}
         adds = sorted(target - cur)
         removes = sorted(cur - target)
@@ -697,6 +931,15 @@ def restore_sink(path: str, version: int) -> dict:
         if rows_known:
             manifest["rows"] = target_entry["rows_total"]
             entry["rows_total"] = target_entry["rows_total"]
+        # deletion-vector state rolls back WITH the snapshot: the
+        # restore entry records the absolute target-version DV map
+        # (dv_set — a reset, so dv_for_version folds restores exactly)
+        # and the current cache is repointed at it
+        entry["dv_set"] = dv_target
+        if dv_target:
+            manifest["dv"] = dv_target
+        else:
+            manifest.pop("dv", None)
         history.append(entry)
         manifest["files"] = sorted(target)
         manifest["history"] = history
@@ -819,6 +1062,12 @@ def truncate_history(path: str, retain_last: int) -> int:
             # consumed and must fail instead of double-emitting
             "folded": True,
         }
+        # the fold base carries the ABSOLUTE deletion-vector state at
+        # the fold point so dv_for_version stays exact for retained
+        # versions (folded dv_add/dv_set entries are gone)
+        base_dv = dv_for_version(manifest, fold[-1]["v"])
+        if base_dv:
+            base["dv_set"] = base_dv
         if "batch_id" in fold[-1]:
             base["batch_id"] = fold[-1]["batch_id"]
         if "rows_total" in fold[-1]:
@@ -1029,8 +1278,17 @@ def optimize_sink(
     if not old or (not clustering and n_out >= len(old)):
         return {"replaced": 0, "written": 0, "version": None}
 
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(path, f) for f in old]
+    # merge-on-read deletion vectors are MATERIALIZED by the rewrite:
+    # the compacted parts carry no deleted rows and the vectors are
+    # dropped under the commit lock below (Delta's OPTIMIZE-purges-DVs
+    # contract). Reading WITHOUT the mask would resurrect every
+    # dv-deleted row into the new layout.
+    dv0 = dv_current(manifest)
+    df = mask_dv(
+        spark.read.schema(schema).parquet(
+            *[os.path.join(path, f) for f in old]
+        ),
+        {k: v for k, v in dv0.items() if k in set(old)},
     )
     if zorder_by:
         # Morton clustering: range-partition and sort on the
@@ -1092,16 +1350,25 @@ def optimize_sink(
     with _manifest_lock(path):
         cur = _manifest_read(path)
         missing = sorted(set(old) - set(cur["files"]))
-        if missing:
+        cur_dv = {k: set(v) for k, v in (cur.get("dv") or {}).items()}
+        dv_moved = [
+            f for f in old if cur_dv.get(f, set()) != set(dv0.get(f, []))
+        ]
+        if missing or dv_moved:
             for f in new_files:
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(path, f))
+            what = (
+                f"{len(missing)} replaced part(s) left the current "
+                f"snapshot (e.g. {missing[:3]})"
+                if missing
+                else f"deletion vectors changed on {dv_moved[:3]}"
+            )
             raise ValueError(
-                f"optimize_sink at {path}: conflict — {len(missing)} "
-                f"replaced part(s) left the current snapshot during the "
-                f"rewrite (concurrent overwrite or compaction), e.g. "
-                f"{missing[:3]}; the rewrite was discarded, re-run "
-                "against the new snapshot"
+                f"optimize_sink at {path}: conflict — {what} during "
+                "the rewrite (concurrent overwrite, compaction, or "
+                "delete); the rewrite was discarded, re-run against "
+                "the new snapshot"
             )
         history = list(cur.get("history") or ())
         if not history and cur.get("files"):
@@ -1127,6 +1394,14 @@ def optimize_sink(
             (set(cur["files"]) - set(old)) | set(new_files)
         )
         cur["history"] = history
+        # the replaced parts' deletion vectors are now materialized —
+        # drop them (dv_for_version derives the same from `removes`)
+        for f in old:
+            cur_dv.pop(f, None)
+        if cur_dv:
+            cur["dv"] = {k: sorted(v) for k, v in cur_dv.items()}
+        else:
+            cur.pop("dv", None)
         if new_stats:
             cur["stats"] = {**(cur.get("stats") or {}), **new_stats}
         tmp = mpath + ".tmp"
@@ -1210,6 +1485,8 @@ def read_committed_pruned(
 
     names = prune_files(path, column, lo, hi, version)
     df = _read_parts(spark, path, schema, names)
+    dv = dv_for_version(_manifest_read(path), version)
+    df = mask_dv(df, {k: v for k, v in dv.items() if k in set(names)})
     if lo is not None:
         df = df.filter(F.col(column) >= F.lit(lo))
     if hi is not None:
@@ -1249,6 +1526,13 @@ def read_committed(
     files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)
+    dv = dv_for_version(_manifest_read(path), version)
+    if any(os.path.basename(f) in dv for f in files):
+        raise ValueError(
+            f"sink at {path}: deletion vectors exist on this snapshot "
+            "— the JSONL read path cannot apply them (row_index is a "
+            "parquet-reader affordance); use read_committed_parquet"
+        )
     return spark.read.schema(schema).json(files)
 
 
@@ -1351,12 +1635,20 @@ def read_committed_parquet(
     spark, path: str, schema, version: int | None = None, timestamp=None
 ):
     """Manifest-resolved read of the Arrow tier's parquet parts.
-    ``version`` / ``timestamp`` time-travel as in read_committed."""
+    ``version`` / ``timestamp`` time-travel as in read_committed.
+    Deletion vectors (merge-on-read DELETEs) are subtracted as of the
+    resolved version — a broadcast anti-join that is a strict no-op
+    when no vectors exist."""
     version = _resolve_as_of(path, version, timestamp)
     files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)
-    return spark.read.schema(schema).parquet(*files)
+    dv = dv_for_version(_manifest_read(path), version)
+    present = {os.path.basename(f) for f in files}
+    return mask_dv(
+        spark.read.schema(schema).parquet(*files),
+        {k: v for k, v in dv.items() if k in present},
+    )
 
 
 from pyspark.sql.datasource import (  # noqa: E402
@@ -1503,6 +1795,11 @@ class _StreamBatchWriter(DataSourceStreamWriter):
             # re-stamp the manifest with the new lineage's identity
             # (dropped when unknown, so a later lineage-aware run still
             # sees it as unknown rather than trusting a guessed id).
+            pre_stats: dict = {}
+            for m in messages:
+                if m is not None and getattr(m, "stats", None):
+                    pre_stats.update(m.stats)
+            _enforce_constraints(prev, pre_stats, new_files, self._path)
             history = _extend_history(prev, new_files)
             history[-1]["batch_id"] = batchId
             history[-1]["rows_total"] = prev["rows"] + sum(
@@ -1519,13 +1816,14 @@ class _StreamBatchWriter(DataSourceStreamWriter):
             }
             if self._stream_id is not None:
                 manifest["stream_id"] = self._stream_id
-            batch_stats: dict = {}
-            for m in messages:
-                if m is not None and getattr(m, "stats", None):
-                    batch_stats.update(m.stats)
-            merged_stats = {**(prev.get("stats") or {}), **batch_stats}
+            merged_stats = {**(prev.get("stats") or {}), **pre_stats}
             if merged_stats:
                 manifest["stats"] = merged_stats
+            # table-level metadata survives every micro-batch commit
+            # (dropping dv would resurrect deleted rows)
+            for carry in ("txns", "dv", "constraints"):
+                if prev.get(carry):
+                    manifest[carry] = prev[carry]
             tmp = mpath + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)

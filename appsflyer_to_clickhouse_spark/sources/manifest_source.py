@@ -76,13 +76,23 @@ def _from_json_cell(kind: str, v):
     return v
 
 
-def _read_part(fullpath: str, convs: list[tuple[str, str]]) -> Iterator:
+def _read_part(
+    fullpath: str,
+    convs: list[tuple[str, str]],
+    deleted: tuple[int, ...] = (),
+) -> Iterator:
     """Executor-side read of ONE committed part. Parts are
     self-describing (parquet footer / JSONL keys), so ADDITIVE schema
     evolution reconciles at read time: a part written before a column
     existed surfaces NULL for it — same contract as the parquet sink's
     mergeSchema read, no rewrite of history (the only affordable
-    evolution at 100 TB)."""
+    evolution at 100 TB).
+
+    ``deleted`` is the part's deletion vector (sorted row positions a
+    merge-on-read DELETE removed): parquet batches are masked
+    positionally with one vectorized boolean filter per RecordBatch —
+    the Arrow zero-copy path is kept for clean parts and the masked
+    path touches only the files a DV names."""
     if fullpath.endswith(".parquet"):
         import pyarrow.parquet as pq
 
@@ -90,7 +100,25 @@ def _read_part(fullpath: str, convs: list[tuple[str, str]]) -> Iterator:
         avail = set(pf.schema_arrow.names)
         want = [c for c, _ in convs]
         if all(c in avail for c in want):
-            yield from pq.read_table(fullpath, columns=want).to_batches()
+            batches = pq.read_table(fullpath, columns=want).to_batches()
+            if not deleted:
+                yield from batches
+                return
+            import numpy as np
+            import pyarrow as pa
+
+            dv = np.asarray(deleted, dtype=np.int64)
+            offset = 0
+            for b in batches:
+                n = b.num_rows
+                local = dv[(dv >= offset) & (dv < offset + n)] - offset
+                if len(local):
+                    mask = np.ones(n, dtype=bool)
+                    mask[local] = False
+                    b = b.filter(pa.array(mask))
+                if b.num_rows:
+                    yield b
+                offset += n
             return
         # pre-evolution part: NULL-fill the missing columns (row path —
         # the rare case; complete parts stay on the Arrow fast path)
@@ -98,7 +126,10 @@ def _read_part(fullpath: str, convs: list[tuple[str, str]]) -> Iterator:
             fullpath, columns=[c for c in want if c in avail]
         )
         cols = {c: table.column(c).to_pylist() for c in table.column_names}
+        dead = set(deleted)
         for i in range(table.num_rows):
+            if i in dead:
+                continue
             yield tuple(
                 cols[c][i] if c in cols else None for c in want
             )
@@ -193,21 +224,34 @@ class ManifestBatchReader(DataSourceReader):
         return filters
 
     def partitions(self) -> Sequence[InputPartition]:
-        from ..sinks.datasource_sink import _manifest_files, _manifest_read
+        from ..sinks.datasource_sink import (
+            _manifest_files,
+            _manifest_read,
+            dv_for_version,
+        )
 
         names = [
             os.path.basename(p)
             for p in _manifest_files(self._path, self._version)
         ]
+        manifest = _manifest_read(self._path)
         if self._filters:
-            stats = _manifest_read(self._path).get("stats") or {}
+            stats = manifest.get("stats") or {}
             names = _prune_names(names, stats, self._filters)
+        # merge-on-read deletion vectors ride INSIDE each part's
+        # InputPartition (a bounded index tuple), so executors mask
+        # their own file positionally with no extra coordination
+        dv = dv_for_version(manifest, self._version)
         return [
-            InputPartition(os.path.join(self._path, n)) for n in names
+            InputPartition(
+                (os.path.join(self._path, n), tuple(dv.get(n, ())))
+            )
+            for n in names
         ]
 
     def read(self, partition: InputPartition) -> Iterator:
-        yield from _read_part(partition.value, self._convs)
+        fullpath, deleted = partition.value
+        yield from _read_part(fullpath, self._convs, deleted)
 
 
 class ManifestTailReader(DataSourceStreamReader):

@@ -1,0 +1,421 @@
+"""Row-level DELETE / MERGE on the manifest sink (sinks/mutations.py):
+copy-on-write rewrites, merge-on-read deletion vectors, and their
+interaction with every other snapshot-log verb (time travel, OPTIMIZE,
+RESTORE, truncate_history, the Data Source reader).
+
+The scale contracts pinned here:
+- copy-on-write rewrites ONLY parts that contain matches (n_rewritten
+  graded), with the match scan bounded by stats pruning when scoped;
+- dv deletes rewrite NOTHING and readers subtract positions via a
+  broadcast anti-join / per-part positional mask;
+- OPTIMIZE materializes vectors (never resurrects deleted rows);
+- dv_current == dv_for_version(latest) after ANY verb sequence.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+    ClickHouseArrowDataSource,
+    _manifest_read,
+    dv_current,
+    dv_for_version,
+    optimize_sink,
+    read_committed_parquet,
+    read_committed_pruned,
+    restore_sink,
+    sink_versions,
+    truncate_history,
+    vacuum_sink,
+)
+from appsflyer_to_clickhouse_spark.sinks.mutations import (
+    delete_where,
+    merge_sink,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def _build(spark, n=900, parts=((0, 300), (300, 600), (600, 900))):
+    """A sink of len(parts) single-file appends over ids [0, n)."""
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    path = tempfile.mkdtemp(prefix="spark_graft_del_") + "/s"
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    for lo, hi in parts:
+        (
+            df.filter((F.col("id") >= lo) & (F.col("id") < hi))
+            .coalesce(1)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "100000")
+            .mode("append")
+            .save()
+        )
+    return path
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.select("id").collect())
+
+
+def test_cow_delete_rewrites_only_touched_parts(spark):
+    path = _build(spark)
+    r = delete_where(
+        spark,
+        path,
+        SCHEMA,
+        "id >= 350 AND id < 400",
+        prune_column="id",
+        prune_lo=350,
+        prune_hi=399,
+    )
+    # stats pruning scoped the scan to the one part that can match,
+    # and only that part was rewritten
+    assert r["mode"] == "rewrite"
+    assert r["deleted"] == 50
+    assert r["n_rewritten"] == 1
+    assert r["n_kept"] == 0  # pruning removed the other candidates
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 850
+    assert back.filter("id >= 350 and id < 400").count() == 0
+    m = _manifest_read(path)
+    assert m["rows"] == 850
+    entry = m["history"][-1]
+    assert entry["op"] == "delete" and entry["mode"] == "rewrite"
+    assert len(entry["removes"]) == 1
+    # untouched parts still back the read (2 originals + 1 rewrite)
+    n_backing = (
+        back.select(F.col("_metadata.file_path")).distinct().count()
+    )
+    assert n_backing == 3
+
+
+def test_cow_delete_time_travel_sees_predeleted_rows(spark):
+    path = _build(spark)
+    pre_v = sink_versions(path)[-1]["v"]
+    delete_where(spark, path, SCHEMA, "grp = '3'")
+    cur = read_committed_parquet(spark, path, SCHEMA)
+    assert cur.filter("grp = '3'").count() == 0
+    old = read_committed_parquet(spark, path, SCHEMA, version=pre_v)
+    assert old.count() == 900
+
+
+def test_cow_delete_whole_part_drops_it(spark):
+    path = _build(spark)
+    r = delete_where(spark, path, SCHEMA, "id < 300")
+    assert r["deleted"] == 300 and r["n_rewritten"] == 1
+    m = _manifest_read(path)
+    # the all-deleted part produced no replacement file
+    assert m["history"][-1]["files"] == []
+    assert len(m["files"]) == 2
+    assert read_committed_parquet(spark, path, SCHEMA).count() == 600
+
+
+def test_cow_delete_no_matches_is_a_noop(spark):
+    path = _build(spark)
+    before = _manifest_read(path)
+    r = delete_where(spark, path, SCHEMA, "id > 100000")
+    assert r == {
+        "deleted": 0,
+        "n_rewritten": 0,
+        "n_kept": 3,
+        "version": None,
+        "mode": "rewrite",
+    }
+    assert _manifest_read(path) == before
+
+
+def test_dv_delete_rewrites_nothing(spark):
+    path = _build(spark)
+    files_before = sorted(_manifest_read(path)["files"])
+    r = delete_where(spark, path, SCHEMA, "id % 90 = 1", mode="dv")
+    assert r["mode"] == "dv"
+    assert r["deleted"] == 10
+    assert r["n_rewritten"] == 0
+    m = _manifest_read(path)
+    assert sorted(m["files"]) == files_before  # no data file moved
+    assert m["rows"] == 890
+    assert sum(len(v) for v in m["dv"].values()) == 10
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 890
+    assert back.filter("id % 90 = 1").count() == 0
+
+
+def test_dv_delete_datasource_reader_masks(spark):
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id IN (5, 305, 605)", mode="dv")
+    ds = (
+        spark.read.format("chbatch_arrow")
+        .schema(SCHEMA)
+        .option("path", path)
+        .load()
+    )
+    assert ds.count() == 897
+    assert ds.filter("id IN (5, 305, 605)").count() == 0
+    # pushed-filter pruning composes with the mask
+    assert ds.filter("id = 5").count() == 0
+    assert ds.filter("id = 6").count() == 1
+
+
+def test_dv_delete_as_of_versions_are_exact(spark):
+    path = _build(spark)
+    v0 = sink_versions(path)[-1]["v"]
+    r1 = delete_where(spark, path, SCHEMA, "id = 10", mode="dv")
+    r2 = delete_where(spark, path, SCHEMA, "id = 20", mode="dv")
+    assert (
+        read_committed_parquet(spark, path, SCHEMA, version=v0).count()
+        == 900
+    )
+    asof1 = read_committed_parquet(
+        spark, path, SCHEMA, version=r1["version"]
+    )
+    assert asof1.count() == 899
+    assert asof1.filter("id = 20").count() == 1  # not yet deleted at v1
+    asof2 = read_committed_parquet(
+        spark, path, SCHEMA, version=r2["version"]
+    )
+    assert asof2.count() == 898
+    m = _manifest_read(path)
+    assert dv_current(m) == dv_for_version(m, r2["version"])
+
+
+def test_dv_deletes_accumulate_and_commute(spark):
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id = 1", mode="dv")
+    # overlapping predicate: id=1 already gone, only id=2 is new
+    r = delete_where(spark, path, SCHEMA, "id IN (1, 2)", mode="dv")
+    assert r["deleted"] == 1
+    m = _manifest_read(path)
+    assert m["rows"] == 898
+    assert read_committed_parquet(spark, path, SCHEMA).count() == 898
+
+
+def test_dv_cap_raises_loudly(spark):
+    path = _build(spark)
+    with pytest.raises(ValueError, match="dv_max_rows"):
+        delete_where(
+            spark, path, SCHEMA, "id < 500", mode="dv", dv_max_rows=100
+        )
+    # nothing was committed
+    m = _manifest_read(path)
+    assert m["rows"] == 900 and "dv" not in m
+
+
+def test_optimize_materializes_dvs(spark):
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id % 2 = 1 AND id < 20", mode="dv")
+    st = optimize_sink(spark, path, SCHEMA, target_rows_per_file=1000)
+    assert st["replaced"] == 3
+    m = _manifest_read(path)
+    assert "dv" not in m  # vectors materialized away
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 890
+    assert back.filter("id % 2 = 1 AND id < 20").count() == 0
+    # physical rows in the compacted parts equal logical rows
+    import pyarrow.parquet as pq
+
+    physical = sum(
+        pq.ParquetFile(os.path.join(path, f)).metadata.num_rows
+        for f in m["files"]
+    )
+    assert physical == 890
+
+
+def test_cow_delete_materializes_existing_dvs_on_touched_parts(spark):
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id = 0", mode="dv")
+    # CoW rewrite of the same part must not resurrect id=0
+    delete_where(spark, path, SCHEMA, "id = 1")
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.filter("id IN (0, 1)").count() == 0
+    assert back.count() == 898
+    m = _manifest_read(path)
+    assert "dv" not in m  # the touched part's vector went with it
+
+
+def test_restore_rolls_back_dv_state(spark):
+    path = _build(spark)
+    v0 = sink_versions(path)[-1]["v"]
+    delete_where(spark, path, SCHEMA, "id = 7", mode="dv")
+    rr = restore_sink(path, v0)
+    assert rr["changed"]
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 900
+    assert back.filter("id = 7").count() == 1
+    m = _manifest_read(path)
+    assert "dv" not in m
+    assert m["rows"] == 900
+    # and restore FORWARD to the deleted state works too
+    dv_v = [e["v"] for e in m["history"] if e.get("op") == "delete"][-1]
+    restore_sink(path, dv_v)
+    assert read_committed_parquet(spark, path, SCHEMA).count() == 899
+    m = _manifest_read(path)
+    assert dv_current(m) == dv_for_version(
+        m, max(e["v"] for e in m["history"])
+    )
+
+
+def test_fold_carries_dv_state(spark):
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id = 3", mode="dv")
+    delete_where(spark, path, SCHEMA, "id = 4", mode="dv")
+    folded = truncate_history(path, 1)
+    assert folded >= 2
+    m = _manifest_read(path)
+    base = sorted(m["history"], key=lambda e: e["v"])[0]
+    assert base.get("folded")
+    # the base's absolute dv_set reproduces the folded deletes
+    assert sum(len(v) for v in base["dv_set"].values()) >= 1
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 898
+    assert back.filter("id IN (3, 4)").count() == 0
+    assert dv_current(m) == dv_for_version(
+        m, max(e["v"] for e in m["history"])
+    )
+
+
+def test_pruned_read_applies_dvs(spark):
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id = 100", mode="dv")
+    df = read_committed_pruned(spark, path, SCHEMA, "id", 90, 110)
+    got = _ids(df)
+    assert got == [i for i in range(90, 111) if i != 100]
+
+
+def test_jsonl_tier_refuses_mutations(spark):
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseBatchDataSource,
+    )
+
+    spark.dataSource.register(ClickHouseBatchDataSource)
+    path = tempfile.mkdtemp(prefix="spark_graft_deljson_") + "/s"
+    (
+        spark.range(10)
+        .select(
+            F.col("id"),
+            F.lit("a").alias("grp"),
+            F.lit(1.0).alias("val"),
+        )
+        .write.format("chbatch")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    with pytest.raises(ValueError, match="parquet"):
+        delete_where(spark, path, SCHEMA, "id = 1")
+    with pytest.raises(ValueError, match="parquet"):
+        merge_sink(
+            spark, path, SCHEMA, spark.createDataFrame([], SCHEMA), ["id"]
+        )
+
+
+def test_merge_updates_and_inserts(spark):
+    path = _build(spark)
+    src = spark.createDataFrame(
+        [(0, "UPD", -1.0), (305, "UPD", -2.0), (9999, "NEW", -3.0)],
+        SCHEMA,
+    )
+    r = merge_sink(spark, path, SCHEMA, src, ["id"])
+    assert r["updated"] == 2
+    assert r["inserted"] == 1
+    assert r["n_rewritten"] == 2  # ids 0 and 305 live in two parts
+    assert r["n_kept"] == 1
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 901
+    rows = {
+        r["id"]: (r["grp"], r["val"])
+        for r in back.filter("id IN (0, 305, 9999, 10)").collect()
+    }
+    assert rows[0] == ("UPD", -1.0)
+    assert rows[305] == ("UPD", -2.0)
+    assert rows[9999] == ("NEW", -3.0)
+    assert rows[10] == ("3", 15.0)  # untouched row intact
+    m = _manifest_read(path)
+    assert m["rows"] == 901
+    assert m["history"][-1]["op"] == "merge"
+
+
+def test_merge_duplicate_source_keys_raise(spark):
+    path = _build(spark)
+    src = spark.createDataFrame(
+        [(1, "a", 0.0), (1, "b", 1.0)], SCHEMA
+    )
+    with pytest.raises(ValueError, match="multiple rows"):
+        merge_sink(spark, path, SCHEMA, src, ["id"])
+
+
+def test_merge_insert_only_touches_nothing(spark):
+    path = _build(spark)
+    files_before = sorted(_manifest_read(path)["files"])
+    src = spark.createDataFrame([(5000, "NEW", 0.0)], SCHEMA)
+    r = merge_sink(spark, path, SCHEMA, src, ["id"])
+    assert r["updated"] == 0 and r["inserted"] == 1
+    assert r["n_rewritten"] == 0 and r["n_kept"] == 3
+    m = _manifest_read(path)
+    assert set(files_before) <= set(m["files"])
+    assert read_committed_parquet(spark, path, SCHEMA).count() == 901
+
+
+def test_merge_applies_existing_dvs(spark):
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id = 2", mode="dv")
+    # merge on a DIFFERENT key in the same part: the rewrite must not
+    # resurrect id=2
+    src = spark.createDataFrame([(3, "UPD", 0.0)], SCHEMA)
+    merge_sink(spark, path, SCHEMA, src, ["id"])
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.filter("id = 2").count() == 0
+    assert back.filter("id = 3").collect()[0]["grp"] == "UPD"
+    assert back.count() == 899
+
+
+def test_vacuum_reclaims_cow_deleted_parts_after_fold(spark):
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id < 300")
+    # originals still referenced by retained history: vacuum spares
+    assert vacuum_sink(path) == []
+    # the fold must move PAST the delete commit for the replaced
+    # original to lose its last reference (same hand-off as OPTIMIZE):
+    # with the delete as the newest entry, retain_last=1 keeps it and
+    # the base still references the original
+    truncate_history(path, 1)
+    assert vacuum_sink(path) == []
+    src = spark.createDataFrame([(5000, "NEW", 0.0)], SCHEMA)
+    merge_sink(spark, path, SCHEMA, src, ["id"])  # one more commit
+    truncate_history(path, 1)  # now the delete itself folds
+    removed = vacuum_sink(path)
+    assert len(removed) == 1  # the replaced original part
+    assert read_committed_parquet(spark, path, SCHEMA).count() == 601
+
+
+def test_dv_then_merge_then_optimize_counter_exact(spark):
+    """rows counter stays exact across a mixed verb sequence."""
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id < 10", mode="dv")  # -10
+    src = spark.createDataFrame(
+        [(0, "BACK", 0.0), (20, "UPD", 0.0)], SCHEMA
+    )
+    # id=0 is dv-deleted => NOT matched => insert; id=20 matched
+    r = merge_sink(spark, path, SCHEMA, src, ["id"])
+    assert r["inserted"] == 1 and r["updated"] == 1
+    optimize_sink(spark, path, SCHEMA, target_rows_per_file=10_000)
+    m = _manifest_read(path)
+    got = read_committed_parquet(spark, path, SCHEMA).count()
+    assert got == 891
+    assert m["rows"] == got
