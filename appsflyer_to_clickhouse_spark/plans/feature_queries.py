@@ -139,3 +139,138 @@ def q_features_hashed_ngrams(spark, sf_dir):
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("tf"))
     )
+
+
+# ---------------------------------------------------------------------------
+# features_target_encoding — leakage-safe K-fold out-of-fold encoding
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 4
+_TE_ALPHA = 10  # smoothing pseudo-count toward the global prior
+
+# fold = md5('te|' || orderkey) % K — the same pure-function-of-the-row
+# assignment split_train_test_hash uses, so folds are reproducible
+# across engines, runs, and repartitions
+_TE_FOLD_DUCK = (
+    "CAST(('0x' || substr(md5('te|' || o_orderkey), 1, 15))::UBIGINT"
+    f" % {_TE_FOLDS} AS BIGINT)"
+)
+
+_TE_ORACLE = f"""
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS y,
+         {_TE_FOLD_DUCK} AS fold
+  FROM orders
+), cell AS (
+  SELECT o_custkey, fold,
+         CAST(SUM(y) AS BIGINT) AS s_cf,
+         CAST(COUNT(*) AS BIGINT) AS n_cf
+  FROM base GROUP BY 1, 2
+), cat AS (
+  SELECT o_custkey,
+         CAST(SUM(s_cf) AS BIGINT) AS s_c,
+         CAST(SUM(n_cf) AS BIGINT) AS n_c
+  FROM cell GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(s_c) AS BIGINT) AS s_all,
+         CAST(SUM(n_c) AS BIGINT) AS n_all
+  FROM cat
+)
+SELECT b.o_orderkey, b.o_custkey, b.fold, b.y,
+       round(
+         CAST((c.s_c - COALESCE(ce.s_cf, 0)) * g.n_all
+              + {_TE_ALPHA} * g.s_all AS DOUBLE)
+         / CAST((c.n_c - COALESCE(ce.n_cf, 0) + {_TE_ALPHA}) * g.n_all
+                AS DOUBLE),
+         6
+       ) AS te
+FROM base b
+JOIN cat c ON c.o_custkey = b.o_custkey
+LEFT JOIN cell ce ON ce.o_custkey = b.o_custkey AND ce.fold = b.fold
+CROSS JOIN tot g
+"""
+
+
+@register("features_target_encoding", _TE_ORACLE)
+def q_features_target_encoding(spark, sf_dir):
+    """Leakage-safe K-fold target encoding of a high-cardinality
+    categorical (o_custkey, thousands of values per SF) against a binary target: each
+    row's encoding is the smoothed target mean computed WITHOUT its
+    own fold —
+    te = (s_oof + alpha*prior) / (n_oof + alpha) — so the feature
+    never sees the row's own label (the leak that makes naive target
+    encoding overfit catastrophically).
+
+    Scale shape: the heavy input collapses FIRST — one groupBy on
+    (category, fold) produces a cell table of |categories| x K rows
+    (KBs at any corpus size), category and global totals roll up from
+    the cells without touching the data again, and everything joins
+    back BROADCAST onto the row stream: one shuffle of the fact table,
+    total. Exactness: the target is 0/1 so every aggregate is a
+    BIGINT; the encoding is computed as ONE integer-ratio division —
+    (s_oof*n_all + alpha*s_all) / ((n_oof+alpha)*n_all) — with the
+    global prior folded into the integers, so both engines round the
+    identical quotient (float-sum ordering never enters). Fold
+    assignment is md5-derived from the row key: reproducible across
+    engines, runs, and repartitions. A category seen in only one fold
+    degrades to the global prior by construction (n_oof = 0)."""
+    from ..functions.text import hash60
+
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_totalprice") > 150000, 1)
+        .otherwise(0)
+        .alias("y"),
+        F.pmod(
+            hash60(
+                F.concat(
+                    F.lit("te|"), F.col("o_orderkey").cast("string")
+                )
+            ),
+            F.lit(_TE_FOLDS),
+        )
+        .cast("bigint")
+        .alias("fold"),
+    )
+    cell = base.groupBy("o_custkey", "fold").agg(
+        F.sum("y").cast("bigint").alias("s_cf"),
+        F.count("*").cast("bigint").alias("n_cf"),
+    )
+    cat = cell.groupBy("o_custkey").agg(
+        F.sum("s_cf").cast("bigint").alias("s_c"),
+        F.sum("n_cf").cast("bigint").alias("n_c"),
+    )
+    glob = cat.agg(
+        F.sum("s_c").cast("bigint").alias("s_all"),
+        F.sum("n_c").cast("bigint").alias("n_all"),
+    )
+    te = (
+        (
+            (F.col("s_c") - F.coalesce(F.col("s_cf"), F.lit(0)))
+            * F.col("n_all")
+            + _TE_ALPHA * F.col("s_all")
+        ).cast("double")
+        / (
+            (
+                F.col("n_c")
+                - F.coalesce(F.col("n_cf"), F.lit(0))
+                + _TE_ALPHA
+            )
+            * F.col("n_all")
+        ).cast("double")
+    )
+    return (
+        base.join(F.broadcast(cat), "o_custkey")
+        .join(F.broadcast(cell), ["o_custkey", "fold"], "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "fold",
+            "y",
+            F.round(te, 6).alias("te"),
+        )
+    )

@@ -429,6 +429,8 @@ def merge_sink(
     schema,
     source_df,
     keys: list[str],
+    *,
+    broadcast_source: bool = True,
 ) -> dict:
     """MERGE INTO the manifest sink: WHEN MATCHED UPDATE (the source
     row replaces the target row wholesale), WHEN NOT MATCHED INSERT —
@@ -454,6 +456,14 @@ def merge_sink(
     Deletion vectors on touched parts are materialized by the rewrite;
     matched-row accounting is DV-exact. Optimistic concurrency as in
     ``delete_where``.
+
+    ``broadcast_source=False`` drops the broadcast hints for a source
+    too large to fit executor memory (a bulk backfill rather than a
+    CDC trickle): the key joins become shuffle joins planned by
+    Catalyst/AQE — more exchange, same semantics. The default stays
+    broadcast because MERGE's everyday shape is small-batch-vs-huge-
+    table, and a broadcast semi-join is the only plan where the big
+    side never moves.
 
     Returns ``{updated, inserted, n_rewritten, n_kept, version}``."""
     manifest = _manifest_read(path)
@@ -485,9 +495,10 @@ def merge_sink(
         else spark.createDataFrame([], schema)
     )
 
+    hint = F.broadcast if broadcast_source else (lambda df: df)
     src_keys = src.select(*keys).distinct()
     matched_rows = (
-        target.join(F.broadcast(src_keys), keys, "left_semi")
+        target.join(hint(src_keys), keys, "left_semi")
         if files
         else None
     )
@@ -510,10 +521,10 @@ def merge_sink(
     if touched:
         matched_keys = matched_rows.select(*keys).distinct()
         n_matched_keys = matched_keys.count()
-        upd = src.join(F.broadcast(matched_keys), keys, "left_semi")
-        ins = src.join(F.broadcast(matched_keys), keys, "left_anti")
+        upd = src.join(hint(matched_keys), keys, "left_semi")
+        ins = src.join(hint(matched_keys), keys, "left_anti")
         kept = _scan_with_meta(spark, path, schema, touched, dv0).join(
-            F.broadcast(src_keys), keys, "left_anti"
+            hint(src_keys), keys, "left_anti"
         )
         rewrite_df = kept.select(*cols).unionByName(upd.select(*cols))
     else:

@@ -419,3 +419,28 @@ def test_dv_then_merge_then_optimize_counter_exact(spark):
     got = read_committed_parquet(spark, path, SCHEMA).count()
     assert got == 891
     assert m["rows"] == got
+
+
+def test_merge_shuffle_join_path_matches_broadcast(spark):
+    """broadcast_source=False (the bulk-backfill shape) must produce
+    the identical table through shuffle joins."""
+    path_a = _build(spark)
+    path_b = _build(spark)
+    src = spark.createDataFrame(
+        [(0, "UPD", -1.0), (305, "UPD", -2.0), (9999, "NEW", -3.0)],
+        SCHEMA,
+    )
+    ra = merge_sink(spark, path_a, SCHEMA, src, ["id"])
+    rb = merge_sink(
+        spark, path_b, SCHEMA, src, ["id"], broadcast_source=False
+    )
+    assert (ra["updated"], ra["inserted"]) == (rb["updated"], rb["inserted"])
+    a = {
+        (r["id"], r["grp"], r["val"])
+        for r in read_committed_parquet(spark, path_a, SCHEMA).collect()
+    }
+    b = {
+        (r["id"], r["grp"], r["val"])
+        for r in read_committed_parquet(spark, path_b, SCHEMA).collect()
+    }
+    assert a == b
