@@ -1344,17 +1344,20 @@ def q_graph_shortest_paths(spark, sf_dir):
     reachability, landmark distance embeddings, blast-radius
     queries).
 
-    Frontier BFS, the Pregel shape: per round, ONE join of the
-    CURRENT FRONTIER (not the graph) against the edge list, then an
-    anti-join against the visited set — first discovery IS the
-    shortest distance, so no min-aggregation re-visits a node. Work
-    per round is frontier-sized; rounds are bounded by the hop cap
-    (landmark queries fix the radius up front — this never iterates
-    to a graph diameter). The edge list reuses the shared
-    co-purchase stage (``_basket_pairs``), symmetrized; frontiers and
-    the visited set are node-id sets, KBs per round here, and the
-    visited set is re-persisted per round so lineage stays O(1).
-    Oracle: DuckDB recursive CTE with UNION-dedup and MIN(dist).
+    Because the hop cap is FIXED (landmark queries set their radius
+    up front), the whole expansion is ONE declarative DAG — no
+    per-round driver actions, no persist churn: level k is
+    distinct(neighbors(level k-1)), levels union, and a final
+    groupBy-MIN picks each node's first-reached hop. Per-level
+    distinct bounds every frontier by |V|, so a level's expansion
+    join costs at most one pass of the edge list (the same unit of
+    work as one PageRank iteration) — on a 1000-executor cluster the
+    levels pipeline through AQE with zero driver round trips. The
+    open-radius variant (iterate-to-fixpoint with visited-set
+    anti-joins) is what ``connected_components`` implements; a
+    landmark feature never needs it. Edge list reuses the shared
+    co-purchase stage (``_basket_pairs``), symmetrized. Oracle:
+    DuckDB recursive CTE with UNION-dedup and MIN(dist).
     """
     pairs = _basket_pairs(spark, sf_dir).select("part_a", "part_b")
     edges = pairs.union(
@@ -1367,26 +1370,18 @@ def q_graph_shortest_paths(spark, sf_dir):
         edges.select("src").distinct().orderBy("src").limit(3)
         .select(F.col("src").alias("node"))
     )
-    visited = seeds.withColumn("dist", F.lit(0)).persist()
-    frontier = visited.select("node").persist()
+    levels = [seeds.withColumn("dist", F.lit(0))]
+    frontier = seeds
     for hop in range(1, _SSSP_MAX_HOPS + 1):
-        neighbors = (
+        frontier = (
             frontier.join(edges, frontier["node"] == edges["src"])
             .select(F.col("dst").alias("node"))
             .distinct()
         )
-        new_frontier = neighbors.join(
-            visited.select("node"), "node", "left_anti"
-        ).persist()
-        if not new_frontier.head(1):
-            new_frontier.unpersist()
-            break
-        nxt = visited.unionByName(
-            new_frontier.withColumn("dist", F.lit(hop))
-        ).persist()
-        visited.unpersist()
-        frontier.unpersist()
-        visited, frontier = nxt, new_frontier
-    return visited.select(
-        "node", F.col("dist").cast("bigint").alias("dist")
+        levels.append(frontier.withColumn("dist", F.lit(hop)))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.groupBy("node").agg(
+        F.min("dist").cast("bigint").alias("dist")
     )

@@ -1613,3 +1613,83 @@ def q_sink_constraint_enforce(spark, sf_dir):
     assert rejected, "violating commit was accepted"
     writer(slice_df(1))
     return read_committed_parquet(spark, path, schema)
+
+
+# ---------------------------------------------------------------------------
+# sink_change_data_feed — per-commit insert/delete rows from the log
+# ---------------------------------------------------------------------------
+
+_CDF_ORACLE = """
+WITH base AS (
+  SELECT event_id AS eid, user_id AS uid, event_type FROM events
+)
+SELECT eid, uid, event_type,
+       'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
+FROM base WHERE eid % 3 = 0
+UNION ALL
+SELECT eid, uid, event_type, 'insert', 1
+FROM base WHERE eid % 3 = 1
+UNION ALL
+SELECT eid, uid, event_type, 'delete', 2
+FROM base WHERE eid % 3 IN (0, 1) AND eid % 50 = 0
+UNION ALL
+SELECT eid, uid, event_type, 'delete', 3
+FROM base
+WHERE eid % 3 IN (0, 1) AND NOT eid % 50 = 0 AND uid % 7 = 3
+"""
+
+
+@register("sink_change_data_feed", _CDF_ORACLE)
+def q_sink_change_data_feed(spark, sf_dir):
+    """CHANGE DATA FEED (datasource_sink.table_changes — Delta's
+    table_changes on the single-manifest protocol): two appends, a
+    merge-on-read (deletion-vector) delete, and a copy-on-write
+    delete; the feed must reproduce every logical row change tagged
+    with its change type and commit version. The commit-bounded fast
+    paths are what make this a 100 TB feature: appends read exactly
+    their own files, the dv delete reads only the recorded positions
+    (broadcast position semi-join over just the named parts), and
+    OPTIMIZE commits emit NOTHING without IO; only rewrite-style
+    commits pay a snapshot diff offline (production writes CDF
+    sidecars at commit time — same protocol, earlier
+    materialization). The oracle states each commit's change set
+    independently from events, so a feed that leaks compaction rows,
+    misses a dv position, or mis-versions a change hash-mismatches.
+    Downstream-materialization equivalence at every version is pinned
+    in tests/test_sink_cdf.py."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        table_changes,
+    )
+    from ..sinks.mutations import delete_where
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        "event_type",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_cdf_") + "/staged"
+    for residue in (0, 1):  # commits v0, v1
+        (
+            ev.filter(F.col("eid") % 3 == residue)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    r_dv = delete_where(spark, path, schema, "eid % 50 = 0", mode="dv")
+    assert r_dv["n_rewritten"] == 0 and r_dv["deleted"] > 0, r_dv
+    r_cow = delete_where(spark, path, schema, "uid % 7 = 3")
+    assert r_cow["n_rewritten"] > 0, r_cow
+    return table_changes(spark, path, schema, 0, 3)

@@ -1,0 +1,164 @@
+"""Change Data Feed (datasource_sink.table_changes): per-commit
+insert/delete rows reconstructed from the snapshot log — Delta CDF on
+the single-manifest protocol. Pinned: fast paths are commit-bounded
+(appends read their own files, dv deletes read only dv positions,
+compact emits NOTHING), rewrite/merge/restore reconstruct exactly via
+snapshot diff, folds refuse, and a downstream materialization of the
+feed reproduces the table at every version."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+    ClickHouseArrowDataSource,
+    optimize_sink,
+    read_committed_parquet,
+    restore_sink,
+    sink_versions,
+    table_changes,
+    truncate_history,
+)
+from appsflyer_to_clickhouse_spark.sinks.mutations import (
+    delete_where,
+    merge_sink,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ]
+)
+
+
+def _sink(spark):
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    return tempfile.mkdtemp(prefix="spark_graft_cdf_") + "/s"
+
+
+def _append(spark, path, lo, hi, tagv="a"):
+    (
+        spark.range(lo, hi)
+        .select(F.col("id"), F.lit(tagv).alias("v"))
+        .coalesce(1)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+
+
+def _changes(spark, path, lo=0, hi=None):
+    cdf = table_changes(spark, path, SCHEMA, lo, hi)
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in cdf.collect()
+    )
+
+
+def test_cdf_across_all_verb_types(spark):
+    path = _sink(spark)
+    _append(spark, path, 0, 10)  # v0
+    _append(spark, path, 10, 20)  # v1
+    delete_where(spark, path, SCHEMA, "id IN (3, 13)", mode="dv")  # v2
+    delete_where(spark, path, SCHEMA, "id >= 18")  # v3 CoW
+    optimize_sink(spark, path, SCHEMA, target_rows_per_file=1000)  # v4
+    src = spark.createDataFrame([(5, "UPD"), (100, "NEW")], SCHEMA)
+    merge_sink(spark, path, SCHEMA, src, ["id"])  # v5
+
+    got = _changes(spark, path)
+    by_v = {}
+    for cv, t, i, val in got:
+        by_v.setdefault(cv, []).append((t, i, val))
+    assert by_v[0] == [("insert", i, "a") for i in range(10)]
+    assert by_v[1] == [("insert", i, "a") for i in range(10, 20)]
+    assert sorted(by_v[2]) == [("delete", 3, "a"), ("delete", 13, "a")]
+    assert sorted(by_v[3]) == [("delete", 18, "a"), ("delete", 19, "a")]
+    assert 4 not in by_v  # compact: layout-only, NO change rows
+    assert sorted(by_v[5]) == [
+        ("delete", 5, "a"),
+        ("insert", 5, "UPD"),
+        ("insert", 100, "NEW"),
+    ]
+
+
+def test_cdf_partial_range_and_bad_range(spark):
+    path = _sink(spark)
+    _append(spark, path, 0, 5)
+    delete_where(spark, path, SCHEMA, "id = 0", mode="dv")
+    _append(spark, path, 5, 8)
+    got = _changes(spark, path, 1, 2)
+    assert got == [
+        (1, "delete", 0, "a"),
+        (2, "insert", 5, "a"),
+        (2, "insert", 6, "a"),
+        (2, "insert", 7, "a"),
+    ]
+    with pytest.raises(ValueError, match="outside retained"):
+        table_changes(spark, path, SCHEMA, 0, 99)
+
+
+def test_cdf_restore_emits_logical_diff(spark):
+    path = _sink(spark)
+    _append(spark, path, 0, 5)  # v0
+    delete_where(spark, path, SCHEMA, "id = 2", mode="dv")  # v1
+    restore_sink(path, 0)  # v2: brings id=2 back
+    got = _changes(spark, path, 2, 2)
+    assert got == [(2, "insert", 2, "a")]
+
+
+def test_cdf_refuses_fold_base_in_range(spark):
+    path = _sink(spark)
+    _append(spark, path, 0, 3)
+    _append(spark, path, 3, 6)
+    _append(spark, path, 6, 9)
+    truncate_history(path, 1)
+    # the fold base (v1) swallowed commits 0-1: asking for changes
+    # FROM it must refuse; asking from the first retained real commit
+    # (v2) still works
+    with pytest.raises(ValueError, match="fold"):
+        table_changes(spark, path, SCHEMA, 1)
+    got = _changes(spark, path, 2, 2)
+    assert got == [(2, "insert", i, "a") for i in (6, 7, 8)]
+    # and new commits after the fold keep feeding normally
+    _append(spark, path, 9, 12)
+    v = sink_versions(path)[-1]["v"]
+    got = _changes(spark, path, v, v)
+    assert got == [(v, "insert", i, "a") for i in (9, 10, 11)]
+
+
+def test_cdf_materialization_reproduces_every_version(spark):
+    """Applying the feed commit-by-commit onto an empty multiset must
+    reproduce read_committed_parquet at every version — the CDC
+    consumer contract."""
+    path = _sink(spark)
+    _append(spark, path, 0, 8)
+    delete_where(spark, path, SCHEMA, "id % 3 = 1", mode="dv")
+    src = spark.createDataFrame([(0, "U")], SCHEMA)
+    merge_sink(spark, path, SCHEMA, src, ["id"])
+    delete_where(spark, path, SCHEMA, "id >= 6")
+    rows = _changes(spark, path)
+    from collections import Counter
+
+    state: Counter = Counter()
+    versions = sorted({cv for cv, *_ in rows})
+    for v in versions:
+        for cv, t, i, val in rows:
+            if cv != v:
+                continue
+            if t == "insert":
+                state[(i, val)] += 1
+            else:
+                state[(i, val)] -= 1
+        expect = Counter(
+            (r["id"], r["v"])
+            for r in read_committed_parquet(
+                spark, path, SCHEMA, version=v
+            ).collect()
+        )
+        assert +state == expect, f"v{v}"
