@@ -1693,3 +1693,176 @@ def q_sink_change_data_feed(spark, sf_dir):
     r_cow = delete_where(spark, path, schema, "uid % 7 = 3")
     assert r_cow["n_rewritten"] > 0, r_cow
     return table_changes(spark, path, schema, 0, 3)
+
+
+# ---------------------------------------------------------------------------
+# sink_update_where — copy-on-write UPDATE as a REPLACE commit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_update_where",
+    """
+    SELECT user_id AS uid,
+           CASE WHEN user_id % 11 = 0 THEN 'flagged' ELSE event_type
+             END AS event_type,
+           CASE WHEN user_id % 11 = 0 THEN user_id + 1000000
+             ELSE user_id END AS adjusted
+    FROM events WHERE event_id % 2 = 0
+    """,
+)
+def q_sink_update_where(spark, sf_dir):
+    """Row-level UPDATE on the manifest sink
+    (mutations.update_where): SET event_type='flagged',
+    adjusted=uid+1000000 WHERE uid%11=0, copy-on-write — the same
+    touch-detection + bounded-rewrite machinery as DELETE, with the
+    row transform a single CASE WHEN projection that sees the
+    PRE-update row (SQL UPDATE semantics; no shuffle, no repartition,
+    cardinality unchanged by construction). Published as a REPLACE
+    commit (op='update' with the predicate and assigned columns in
+    the log) so time travel reaches the pre-update rows and the
+    change feed shows each update as delete(old)+insert(new)
+    (tests/test_sink_delete.py). The oracle applies the identical
+    CASE WHEN to the source slice — a sink that updated the wrong
+    rows, double-applied the transform, or lost cardinality
+    hash-mismatches."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+    )
+    from ..sinks.mutations import update_where
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_id") % 2 == 0)
+    out = ev.select(
+        F.col("user_id").alias("uid"),
+        "event_type",
+        F.col("user_id").alias("adjusted"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_update_") + "/staged"
+    (
+        out.repartition(4)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("adjusted", T.LongType()),
+        ]
+    )
+    r = update_where(
+        spark,
+        path,
+        schema,
+        "uid % 11 = 0",
+        {"event_type": "'flagged'", "adjusted": "adjusted + 1000000"},
+    )
+    assert r["updated"] > 0, r
+    return read_committed_parquet(spark, path, schema)
+
+
+# ---------------------------------------------------------------------------
+# stream_sink_changefeed — the change feed as a STREAM source
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sink_changefeed",
+    """
+    SELECT user_id AS uid, event_type,
+           'insert' AS _change_type,
+           CAST(CASE WHEN event_id % 4 = 0 THEN 0 ELSE 1 END AS BIGINT)
+             AS _commit_version
+    FROM events WHERE event_id % 4 IN (0, 1)
+    UNION ALL
+    SELECT user_id AS uid, event_type, 'delete', 2
+    FROM events WHERE event_id % 4 IN (0, 1) AND event_id % 100 = 0
+    """,
+)
+def q_stream_sink_changefeed(spark, sf_dir):
+    """The CHANGE FEED tailed as a STREAM
+    (``readStream.option("changefeed", "true")`` — Delta's
+    readChangeFeed): two appends and a merge-on-read delete land in
+    the log; the stream replays them as CHANGE rows — inserts from
+    exactly the append commits' own files, delete rows read from
+    exactly the recorded dv positions (one ``take`` per named part),
+    OPTIMIZE commits skipped without IO. Offsets stay manifest
+    versions, so exactly-once resume carries over from the plain
+    tail. Rewrite-style commits fail the stream loudly (their change
+    rows need a snapshot diff — production materializes CDF sidecars
+    at commit; the batch table_changes API serves them offline). The
+    oracle states each commit's change rows independently; a feed
+    that leaks compaction rows, drops a delete, or mis-versions a
+    change hash-mismatches. This closes the CDC loop WITH deletes:
+    pipeline → sink → downstream change consumer, one commit
+    protocol end to end."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        optimize_sink,
+    )
+    from ..sinks.mutations import delete_where
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_cdfs_") + "/staged"
+    for residue in (0, 1):  # commits v0, v1
+        (
+            ev.filter(F.col("event_id") % 4 == residue)
+            .select(
+                F.col("event_id").alias("eid"),
+                F.col("user_id").alias("uid"),
+                "event_type",
+            )
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    r = delete_where(spark, path, schema, "eid % 100 = 0", mode="dv")
+    assert r["n_rewritten"] == 0 and r["deleted"] > 0, r
+    st = optimize_sink(spark, path, schema, target_rows_per_file=100_000)
+    assert st["replaced"] > 0, st  # the feed must NOT emit these rows
+    cdf_schema = T.StructType(
+        [
+            *schema.fields,
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+    out_dir = tempfile.mkdtemp(prefix="spark_graft_cdfs_out_") + "/out"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_cdfs_ckpt_")
+    q = (
+        spark.readStream.format("chbatch_arrow")
+        .schema(cdf_schema)
+        .option("path", path)
+        .option("changefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.schema(cdf_schema)
+        .parquet(out_dir)
+        .select("uid", "event_type", "_change_type", "_commit_version")
+    )

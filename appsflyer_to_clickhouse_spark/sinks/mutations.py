@@ -60,7 +60,13 @@ from .datasource_sink import (
     prune_files,
 )
 
-__all__ = ["delete_where", "merge_sink", "dv_current", "dv_for_version"]
+__all__ = [
+    "delete_where",
+    "update_where",
+    "merge_sink",
+    "dv_current",
+    "dv_for_version",
+]
 
 
 def _require_parquet_tier(files: list[str], path: str, verb: str) -> None:
@@ -605,5 +611,145 @@ def merge_sink(
         "inserted": n_inserted,
         "n_rewritten": len(touched),
         "n_kept": len(files) - len(touched),
+        "version": next_v,
+    }
+
+
+def update_where(
+    spark,
+    path: str,
+    schema,
+    predicate: str,
+    assignments: dict[str, str],
+    *,
+    prune_column: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+) -> dict:
+    """UPDATE the manifest sink SET col = expr, ... WHERE predicate —
+    the third DML verb, copy-on-write like ``delete_where(
+    mode='rewrite')`` and sharing its whole scale shape: the match
+    scan is bounded by stats pruning, ONE aggregate finds the parts
+    that actually contain matches, and ONLY those are rewritten, each
+    row passing through CASE WHEN predicate THEN expr ELSE col END —
+    a single no-shuffle projection job over the touched scan.
+    Existing deletion vectors on touched parts are materialized by
+    the rewrite (a dv-deleted row is neither updated nor
+    resurrected). Published as a REPLACE commit (op='update', the
+    predicate and assigned columns in the log); the rows counter is
+    unchanged — UPDATE moves values, never cardinality.
+
+    ``assignments`` maps column name -> SQL expression over the row
+    (e.g. ``{"status": "'archived'", "price": "price * 0.9"}``);
+    expressions see the PRE-update row, SQL UPDATE semantics.
+    Assigning an unknown column raises. Concurrency: identical
+    optimistic protocol to delete — commit aborts (discarding its own
+    outputs) if a touched part or its vectors moved mid-rewrite."""
+    manifest = _manifest_read(path)
+    _require_parquet_tier(manifest["files"], path, "update_where")
+    cols = [f.name for f in schema.fields]
+    unknown = [c for c in assignments if c not in cols]
+    if unknown:
+        raise ValueError(
+            f"update_where: assigned column(s) {unknown} not in schema"
+        )
+    if not assignments:
+        raise ValueError("update_where: no assignments")
+    cand = _candidates(manifest, path, prune_column, prune_lo, prune_hi)
+    if not cand:
+        return {"updated": 0, "n_rewritten": 0, "n_kept": 0, "version": None}
+    dv0 = dv_current(manifest)
+    scan = _scan_with_meta(spark, path, schema, cand, dv0)
+    per_file = (
+        scan.filter(F.expr(predicate))
+        .groupBy(F.col("_mut_f").alias("f"))
+        .count()
+        .collect()
+    )
+    touched = sorted(r["f"] for r in per_file)
+    n_updated = sum(int(r["count"]) for r in per_file)
+    if not touched:
+        return {
+            "updated": 0,
+            "n_rewritten": 0,
+            "n_kept": len(cand),
+            "version": None,
+        }
+    # CASE WHEN projection over the touched parts: expressions see the
+    # PRE-update row (select computes all columns from the input row,
+    # never from each other — SQL UPDATE semantics by construction)
+    proj = [
+        F.expr(
+            f"CASE WHEN ({predicate}) THEN ({assignments[c]}) "
+            f"ELSE {c} END"
+        )
+        .cast(schema[c].dataType)
+        .alias(c)
+        if c in assignments
+        else F.col(c)
+        for c in cols
+    ]
+    rewritten = _scan_with_meta(spark, path, schema, touched, dv0).select(
+        *proj
+    )
+    new_files = _stage_rewrite(spark, rewritten, path)
+    new_stats = {
+        f: s
+        for f in new_files
+        if (s := _parquet_footer_stats(os.path.join(path, f)))
+    }
+    with _manifest_lock(path):
+        cur = _manifest_read(path)
+        missing = sorted(set(touched) - set(cur["files"]))
+        dv = {k: set(v) for k, v in (cur.get("dv") or {}).items()}
+        moved = [
+            f for f in touched if dv.get(f, set()) != set(dv0.get(f, []))
+        ]
+        if missing or moved:
+            _discard(path, new_files)
+            raise ValueError(
+                f"update_where at {path}: conflict — touched part(s) "
+                f"{(missing or moved)[:3]} changed during the rewrite; "
+                "the update was discarded, re-run against the new "
+                "snapshot"
+            )
+        history = list(cur.get("history") or ())
+        if not history and cur.get("files"):
+            history = [{"v": 0, "files": sorted(cur["files"])}]
+        next_v = _next_version(history)
+        import time as _time
+
+        history.append(
+            {
+                "v": next_v,
+                "files": new_files,
+                "removes": touched,
+                "op": "update",
+                "predicate": predicate,
+                "set_columns": sorted(assignments),
+                "rows_total": int(cur.get("rows", 0)),
+                "ts": _time.time(),
+            }
+        )
+        cur["files"] = sorted(
+            (set(cur["files"]) - set(touched)) | set(new_files)
+        )
+        cur["history"] = history
+        for f in touched:
+            dv.pop(f, None)
+        if dv:
+            cur["dv"] = {k: sorted(v) for k, v in dv.items()}
+        else:
+            cur.pop("dv", None)
+        stats = {**(cur.get("stats") or {}), **new_stats}
+        for f in touched:
+            stats.pop(f, None)
+        if stats:
+            cur["stats"] = stats
+        _publish(path, cur)
+    return {
+        "updated": n_updated,
+        "n_rewritten": len(touched),
+        "n_kept": len(cand) - len(touched),
         "version": next_v,
     }

@@ -144,6 +144,51 @@ def _read_part(
             yield tuple(_from_json_cell(k, rec.get(c)) for c, k in convs)
 
 
+def _read_part_changes(
+    fullpath: str,
+    convs: list[tuple[str, str]],
+    positions: tuple[int, ...],
+    kind: str,
+    version: int,
+) -> Iterator:
+    """Change-feed read of one part: 'insert' emits every row
+    (an append commit's own file), 'delete' emits ONLY the rows at
+    ``positions`` (a merge-on-read delete's recorded row indexes) —
+    commit-bounded IO either way. Each row/batch is tagged with
+    (_change_type, _commit_version)."""
+    if kind == "insert":
+        import pyarrow as pa
+
+        for item in _read_part(fullpath, convs):
+            if isinstance(item, pa.RecordBatch):
+                n = item.num_rows
+                item = item.append_column(
+                    "_change_type", pa.array(["insert"] * n, pa.string())
+                ).append_column(
+                    "_commit_version",
+                    pa.array([version] * n, pa.int64()),
+                )
+                yield item
+            else:
+                yield (*item, "insert", version)
+        return
+    # delete: select exactly the recorded positions
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    want = [c for c, _ in convs]
+    table = pq.read_table(fullpath, columns=want)
+    idx = pa.array(sorted(positions), pa.int64())
+    hit = table.take(idx)
+    n = hit.num_rows
+    hit = hit.append_column(
+        "_change_type", pa.array(["delete"] * n, pa.string())
+    ).append_column(
+        "_commit_version", pa.array([version] * n, pa.int64())
+    )
+    yield from hit.to_batches()
+
+
 def _file_survives(st: dict | None, flt) -> bool:
     """Can a file with stats ``st`` contain a row matching ``flt``?
     Unknown stats => True (skipping is advisory, never a filter)."""
@@ -273,7 +318,6 @@ class ManifestTailReader(DataSourceStreamReader):
 
     def __init__(self, options, schema):
         self._path = options["path"]
-        self._convs = _part_converters(schema)
         # Delta's startingVersion: where a FRESH stream (no checkpoint)
         # begins. Default -1 = full backfill (every retained commit);
         # "latest" = only commits made after the stream starts; an
@@ -281,6 +325,29 @@ class ManifestTailReader(DataSourceStreamReader):
         # the checkpointed offset wins, as it must.
         sv = options.get("startingversion", "-1")
         self._starting = sv.strip().lower()
+        # CHANGE FEED mode (Delta's readChangeFeed): micro-batches are
+        # per-commit CHANGE rows — appends as inserts, merge-on-read
+        # deletes as delete rows read from exactly the recorded
+        # positions, compaction skipped without IO. The reader schema
+        # must end with (_change_type string, _commit_version bigint).
+        # Rewrite-style commits (CoW delete/update, merge, restore)
+        # FAIL the stream loudly: reconstructing their change rows
+        # takes a snapshot diff, which a stream partition cannot run —
+        # production materializes CDF sidecar files at commit time
+        # instead (same protocol, earlier materialization); offline,
+        # feed those commits from the batch table_changes API.
+        self._cdf = options.get("changefeed", "false").lower() == "true"
+        if self._cdf:
+            names = [f.name for f in schema.fields]
+            if names[-2:] != ["_change_type", "_commit_version"]:
+                raise ValueError(
+                    "chbatch tail changefeed=true: the schema must end "
+                    "with (_change_type string, _commit_version bigint)"
+                    f", got {names}"
+                )
+            self._convs = _part_converters(schema)[:-2]
+        else:
+            self._convs = _part_converters(schema)
 
     # -- offset protocol ---------------------------------------------------
     def initialOffset(self) -> dict:
@@ -340,7 +407,41 @@ class ManifestTailReader(DataSourceStreamReader):
                     "data. Re-read from scratch with a fresh checkpoint, "
                     "or retain at least the tail's lag when truncating."
                 )
-            if e.get("op") not in (None, "append"):
+            op = e.get("op")
+            if self._cdf:
+                v = e["v"]
+                if op in (None, "append"):
+                    out.extend(
+                        InputPartition(
+                            (os.path.join(self._path, f), (), "insert", v)
+                        )
+                        for f in e["files"]
+                    )
+                elif op == "delete" and e.get("dv_add"):
+                    out.extend(
+                        InputPartition(
+                            (
+                                os.path.join(self._path, f),
+                                tuple(idxs),
+                                "delete",
+                                v,
+                            )
+                        )
+                        for f, idxs in sorted(e["dv_add"].items())
+                    )
+                elif op == "compact":
+                    pass  # layout-only: no logical change
+                else:
+                    raise ValueError(
+                        f"chbatch tail changefeed at {self._path}: "
+                        f"commit v{v} is a rewrite-style {op!r} — its "
+                        "change rows need a snapshot diff the stream "
+                        "cannot run; read it via the batch "
+                        "table_changes API (production materializes "
+                        "CDF files at commit time)"
+                    )
+                continue
+            if op not in (None, "append"):
                 # non-append commit (compact rewrite, restore
                 # re-add): its files carry only rows the tail already
                 # emitted — forwarding them would duplicate downstream
@@ -352,6 +453,12 @@ class ManifestTailReader(DataSourceStreamReader):
         return out
 
     def read(self, partition: InputPartition) -> Iterator:
+        if self._cdf:
+            fullpath, positions, kind, v = partition.value
+            yield from _read_part_changes(
+                fullpath, self._convs, positions, kind, v
+            )
+            return
         yield from _read_part(partition.value, self._convs)
 
     def commit(self, end: dict) -> None:

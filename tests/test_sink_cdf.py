@@ -162,3 +162,91 @@ def test_cdf_materialization_reproduces_every_version(spark):
             ).collect()
         )
         assert +state == expect, f"v{v}"
+
+
+CDF_SCHEMA = T.StructType(
+    [
+        *SCHEMA.fields,
+        T.StructField("_change_type", T.StringType()),
+        T.StructField("_commit_version", T.LongType()),
+    ]
+)
+
+
+def _tail_changes(spark, path, name):
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_cdft_ck_")
+    q = (
+        spark.readStream.format("chbatch_arrow")
+        .schema(CDF_SCHEMA)
+        .option("path", path)
+        .option("changefeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(
+        (r["_commit_version"], r["_change_type"], r["id"], r["v"])
+        for r in spark.sql(f"select * from {name}").collect()
+    )
+
+
+def test_stream_changefeed_emits_inserts_and_dv_deletes(spark):
+    path = _sink(spark)
+    _append(spark, path, 0, 6)
+    _append(spark, path, 6, 10)
+    delete_where(spark, path, SCHEMA, "id IN (2, 8)", mode="dv")
+    optimize_sink(spark, path, SCHEMA, target_rows_per_file=1000)
+    got = _tail_changes(spark, path, "cdf_tail_basic")
+    exp = sorted(
+        [(0, "insert", i, "a") for i in range(6)]
+        + [(1, "insert", i, "a") for i in range(6, 10)]
+        + [(2, "delete", 2, "a"), (2, "delete", 8, "a")]
+    )
+    assert got == exp  # compact (v3) emitted NOTHING
+
+
+def test_stream_changefeed_refuses_rewrite_commits(spark):
+    path = _sink(spark)
+    _append(spark, path, 0, 5)
+    delete_where(spark, path, SCHEMA, "id = 0")  # CoW rewrite
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_cdft_ck2_")
+    q = (
+        spark.readStream.format("chbatch_arrow")
+        .schema(CDF_SCHEMA)
+        .option("path", path)
+        .option("changefeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_tail_refuse")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="rewrite-style"):
+        q.awaitTermination()
+
+
+def test_stream_changefeed_schema_guard(spark):
+    path = _sink(spark)
+    _append(spark, path, 0, 3)
+    with pytest.raises(Exception, match="_change_type"):
+        (
+            spark.readStream.format("chbatch_arrow")
+            .schema(SCHEMA)  # missing the change columns
+            .option("path", path)
+            .option("changefeed", "true")
+            .load()
+            .writeStream.format("memory")
+            .queryName("cdf_tail_guard")
+            .option(
+                "checkpointLocation",
+                tempfile.mkdtemp(prefix="spark_graft_cdft_ck3_"),
+            )
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )

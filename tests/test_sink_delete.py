@@ -444,3 +444,70 @@ def test_merge_shuffle_join_path_matches_broadcast(spark):
         for r in read_committed_parquet(spark, path_b, SCHEMA).collect()
     }
     assert a == b
+
+
+def test_update_where_rewrites_only_touched_parts(spark):
+    from appsflyer_to_clickhouse_spark.sinks.mutations import update_where
+
+    path = _build(spark)
+    r = update_where(
+        spark,
+        path,
+        SCHEMA,
+        "id >= 350 AND id < 360",
+        {"grp": "'X'", "val": "val * 2"},
+        prune_column="id",
+        prune_lo=350,
+        prune_hi=359,
+    )
+    assert r["updated"] == 10 and r["n_rewritten"] == 1, r
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 900  # cardinality unchanged
+    hit = back.filter("id = 355").collect()[0]
+    assert hit["grp"] == "X" and hit["val"] == 355 * 1.5 * 2
+    # untouched row intact, and expressions saw the PRE-update row
+    assert back.filter("grp = 'X'").count() == 10
+    m = _manifest_read(path)
+    assert m["rows"] == 900
+    e = m["history"][-1]
+    assert e["op"] == "update" and e["set_columns"] == ["grp", "val"]
+    # time travel to pre-update
+    pre = read_committed_parquet(spark, path, SCHEMA, version=2)
+    assert pre.filter("grp = 'X'").count() == 0
+
+
+def test_update_where_materializes_dvs_and_skips_deleted_rows(spark):
+    from appsflyer_to_clickhouse_spark.sinks.mutations import update_where
+
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id = 100", mode="dv")
+    update_where(spark, path, SCHEMA, "id < 200", {"grp": "'U'"})
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.filter("id = 100").count() == 0  # not resurrected
+    assert back.filter("grp = 'U'").count() == 199  # 0..199 minus 100
+    assert "dv" not in _manifest_read(path)
+
+
+def test_update_where_unknown_column_raises(spark):
+    from appsflyer_to_clickhouse_spark.sinks.mutations import update_where
+
+    path = _build(spark)
+    with pytest.raises(ValueError, match="not in schema"):
+        update_where(spark, path, SCHEMA, "id = 1", {"nope": "1"})
+    with pytest.raises(ValueError, match="no assignments"):
+        update_where(spark, path, SCHEMA, "id = 1", {})
+
+
+def test_update_then_cdf_shows_delete_insert_pair(spark):
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        table_changes,
+    )
+    from appsflyer_to_clickhouse_spark.sinks.mutations import update_where
+
+    path = _build(spark)
+    r = update_where(spark, path, SCHEMA, "id = 7", {"grp": "'Z'"})
+    cdf = table_changes(spark, path, SCHEMA, r["version"], r["version"])
+    rows = sorted(
+        (x["_change_type"], x["id"], x["grp"]) for x in cdf.collect()
+    )
+    assert rows == [("delete", 7, "0"), ("insert", 7, "Z")]
