@@ -1866,3 +1866,87 @@ def q_stream_sink_changefeed(spark, sf_dir):
         .parquet(out_dir)
         .select("uid", "event_type", "_change_type", "_commit_version")
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_rename_column — column mapping: RENAME without rewriting data
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_rename_column",
+    """
+    SELECT user_id AS uid,
+           event_type AS category,
+           CAST(2 AS BIGINT) AS n_backing
+    FROM events WHERE event_id % 3 IN (0, 1)
+    """,
+)
+def q_sink_rename_column(spark, sf_dir):
+    """RENAME COLUMN without rewriting a byte
+    (datasource_sink.rename_column — Delta/Iceberg column mapping on
+    the manifest protocol): a first append lands under the old name
+    (event_type), the rename records a logical→physical alias in the
+    manifest, a second append writes the NEW name (category), and the
+    Data Source reader serves BOTH generations under one logical
+    schema — each part's physical name resolved executor-side from
+    the alias map riding in its InputPartition. Graded: the unified
+    rows AND ``n_backing`` = the distinct backing-part count, which
+    must be the two ORIGINAL parts — a rename that fell back to a
+    rewrite, NULL-filled the pre-rename part (the silent failure this
+    design forbids — the plain parquet readers refuse instead), or
+    dropped the alias map on the second append's manifest rebuild
+    hash-mismatches. OPTIMIZE materializes renames and clears the
+    map; chained renames, constraint follow-through, alias-aware
+    stats pruning, and dv interaction are pinned in
+    tests/test_sink_rename.py."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        _manifest_read,
+        rename_column,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ev = load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="spark_graft_rename_") + "/staged"
+    (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .select(F.col("user_id").alias("uid"), "event_type")
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    rename_column(path, "event_type", "category")
+    (
+        ev.filter(F.col("event_id") % 3 == 1)
+        .select(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("category"),
+        )
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("category", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.format("chbatch_arrow")
+        .schema(schema)
+        .option("path", path)
+        .load()
+    )
+    n_backing = len(_manifest_read(path)["files"])
+    return df.withColumn(
+        "n_backing", F.lit(int(n_backing)).cast("long")
+    )

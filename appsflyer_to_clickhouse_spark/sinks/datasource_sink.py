@@ -506,7 +506,7 @@ class _BatchWriter(DataSourceWriter):
                 # table-level metadata survives every append: the txn
                 # high-water map, live deletion vectors (dropping them
                 # would RESURRECT deleted rows), and constraints
-                for carry in ("txns", "dv", "constraints"):
+                for carry in ("txns", "dv", "constraints", "column_aliases"):
                     if prev.get(carry):
                         manifest[carry] = prev[carry]
             if txn_app is not None:
@@ -784,6 +784,102 @@ def _enforce_constraints(
             f"violation(s): {bad[:5]} ({len(bad)} total); the "
             "commit's parts were discarded and the manifest is "
             "unchanged"
+        )
+
+
+def rename_column(path: str, old: str, new: str) -> dict:
+    """RENAME COLUMN without rewriting a byte of data (Delta/Iceberg
+    column mapping on the single-manifest protocol): the manifest
+    records ``column_aliases`` — {logical name: [older physical
+    names]} — and readers resolve each part's physical name at read
+    time (parts are self-describing; a part written before the rename
+    carries the old name, one written after carries the new). Chained
+    renames accumulate aliases; a rename commits to the snapshot log
+    (op='rename') so the audit trail shows when the name changed.
+
+    Scope contract, enforced loudly rather than silently mis-read:
+    the alias-aware read path is the Python Data Source reader
+    (``spark.read.format("chbatch_arrow")``) and the streaming tail;
+    the PLAIN parquet readers (read_committed_parquet / _pruned) and
+    the row-level mutation verbs refuse while aliases are live —
+    ``optimize_sink`` is the materialization verb: it reads through
+    the alias map, rewrites every part under the logical names, and
+    clears the mapping (after which every path works again). Delta
+    solves the same problem with parquet field IDs; aliases are the
+    name-based equivalent that needs no format extension.
+
+    Constraints follow the rename (their column field is logical);
+    per-file stats stay keyed by each part's physical name and the
+    readers' pruning translates through the alias map."""
+    if old == new:
+        raise ValueError("rename_column: old and new are identical")
+    with _manifest_lock(path):
+        manifest = _manifest_read(path)
+        aliases = {
+            k: list(v)
+            for k, v in (manifest.get("column_aliases") or {}).items()
+        }
+        taken = set(aliases) | {a for v in aliases.values() for a in v}
+        if new in taken:
+            raise ValueError(
+                f"rename_column at {path}: {new!r} is already a live "
+                "logical name or a historical alias — renaming onto it "
+                "would make old parts ambiguous"
+            )
+        # chained rename: the new name inherits the old name's alias
+        # trail, and the old logical name itself becomes an alias
+        trail = aliases.pop(old, [])
+        aliases[new] = [old, *trail]
+        manifest["column_aliases"] = aliases
+        for spec in (manifest.get("constraints") or {}).values():
+            if spec["column"] == old:
+                spec["column"] = new
+        history = sorted(
+            manifest.get("history") or (), key=lambda e: e["v"]
+        )
+        if not history and manifest.get("files"):
+            history = [{"v": 0, "files": sorted(manifest["files"])}]
+        next_v = (max(e["v"] for e in history) + 1) if history else 0
+        import time as _time
+
+        history.append(
+            {
+                "v": next_v,
+                "files": [],
+                "op": "rename",
+                "renamed": {"from": old, "to": new},
+                "rows_total": int(manifest.get("rows", 0)),
+                "ts": _time.time(),
+            }
+        )
+        manifest["history"] = history
+        mpath = os.path.join(path, MANIFEST)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mpath)
+    return {"renamed": {old: new}, "version": next_v}
+
+
+def column_aliases(manifest: dict) -> dict[str, list[str]]:
+    return {
+        k: list(v)
+        for k, v in (manifest.get("column_aliases") or {}).items()
+    }
+
+
+def _refuse_if_renamed(manifest: dict, path: str, what: str) -> None:
+    """The plain parquet read paths and mutation verbs see physical
+    column names only; running them over a renamed-but-not-yet-
+    materialized table would silently NULL-fill every pre-rename
+    part. Fail loudly instead, naming the two ways out."""
+    if manifest.get("column_aliases"):
+        raise ValueError(
+            f"{what} at {path}: column renames are live "
+            f"({manifest['column_aliases']}); read through "
+            'spark.read.format("chbatch_arrow") (alias-aware), or '
+            "materialize the renames first with optimize_sink — the "
+            "plain parquet path would NULL-fill pre-rename parts"
         )
 
 
@@ -1273,8 +1369,12 @@ def optimize_sink(
     # already-compact sink is a no-op; WITH one the goal is
     # CLUSTERING — the rewrite runs regardless of file count, because
     # unsorted files with overlapping ranges defeat stats skipping no
-    # matter how few they are (Delta's OPTIMIZE ZORDER logic)
-    clustering = bool(sort_by or zorder_by)
+    # matter how few they are (Delta's OPTIMIZE ZORDER logic). Live
+    # column renames likewise force the rewrite: OPTIMIZE is the
+    # rename-MATERIALIZATION verb (every part lands under the logical
+    # names and the alias map clears).
+    aliases0 = column_aliases(manifest)
+    clustering = bool(sort_by or zorder_by) or bool(aliases0)
     if not old or (not clustering and n_out >= len(old)):
         return {"replaced": 0, "written": 0, "version": None}
 
@@ -1284,12 +1384,26 @@ def optimize_sink(
     # contract). Reading WITHOUT the mask would resurrect every
     # dv-deleted row into the new layout.
     dv0 = dv_current(manifest)
-    df = mask_dv(
-        spark.read.schema(schema).parquet(
-            *[os.path.join(path, f) for f in old]
-        ),
-        {k: v for k, v in dv0.items() if k in set(old)},
-    )
+    if aliases0:
+        # alias-aware read: the Data Source reader resolves each
+        # part's PHYSICAL column names (and applies current deletion
+        # vectors); the rewrite's outputs carry the logical names, so
+        # the mapping clears at commit
+        spark.dataSource.register(ClickHouseArrowDataSource)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+        df = (
+            spark.read.format("chbatch_arrow")
+            .schema(schema)
+            .option("path", path)
+            .load()
+        )
+    else:
+        df = mask_dv(
+            spark.read.schema(schema).parquet(
+                *[os.path.join(path, f) for f in old]
+            ),
+            {k: v for k, v in dv0.items() if k in set(old)},
+        )
     if zorder_by:
         # Morton clustering: range-partition and sort on the
         # interleaved-bits key, then drop it (a Project after the
@@ -1354,6 +1468,15 @@ def optimize_sink(
         dv_moved = [
             f for f in old if cur_dv.get(f, set()) != set(dv0.get(f, []))
         ]
+        if column_aliases(cur) != aliases0:
+            for f in new_files:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(path, f))
+            raise ValueError(
+                f"optimize_sink at {path}: conflict — column renames "
+                "changed during the rewrite; the rewrite was discarded "
+                "(its outputs carry stale logical names), re-run"
+            )
         if missing or dv_moved:
             for f in new_files:
                 with contextlib.suppress(OSError):
@@ -1394,6 +1517,11 @@ def optimize_sink(
             (set(cur["files"]) - set(old)) | set(new_files)
         )
         cur["history"] = history
+        # the rewrite materialized both deletion vectors AND column
+        # renames: every output carries the logical names, so the
+        # alias map clears with the replaced parts
+        if aliases0:
+            cur.pop("column_aliases", None)
         # the replaced parts' deletion vectors are now materialized —
         # drop them (dv_for_version derives the same from `removes`)
         for f in old:
@@ -1445,12 +1573,18 @@ def prune_files(
     manifest = _manifest_read(path)
     stats = manifest.get("stats") or {}
     names = [os.path.basename(p) for p in _manifest_files(path, version)]
+    # a renamed column's stats live under each part's PHYSICAL name:
+    # try the logical name first, then its alias trail
+    lookup = [column, *column_aliases(manifest).get(column, [])]
     lo_k, hi_k = _stat_cell(lo), _stat_cell(hi)
     if lo_k is _STAT_UNSAFE or hi_k is _STAT_UNSAFE:
         raise ValueError("NaN is not a meaningful pruning bound")
     keep: list[str] = []
     for name in names:
-        st = (stats.get(name) or {}).get(column)
+        fstats = stats.get(name) or {}
+        st = next(
+            (fstats[c] for c in lookup if c in fstats), None
+        )
         if st is None:
             keep.append(name)  # unknown: conservative
             continue
@@ -1483,6 +1617,9 @@ def read_committed_pruned(
     Spark plans a single task."""
     from pyspark.sql import functions as F
 
+    _refuse_if_renamed(
+        _manifest_read(path), path, "read_committed_pruned"
+    )
     names = prune_files(path, column, lo, hi, version)
     df = _read_parts(spark, path, schema, names)
     dv = dv_for_version(_manifest_read(path), version)
@@ -1523,6 +1660,7 @@ def read_committed(
     ``timestamp`` (epoch / datetime / ISO string) resolves to the
     newest commit at or before that wall-clock instant."""
     version = _resolve_as_of(path, version, timestamp)
+    _refuse_if_renamed(_manifest_read(path), path, "read_committed")
     files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)
@@ -1578,6 +1716,7 @@ def table_changes(
     from pyspark.sql import functions as F
 
     manifest = _manifest_read(path)
+    _refuse_if_renamed(manifest, path, "table_changes")
     history = sorted(
         manifest.get("history") or (), key=lambda e: e["v"]
     )
@@ -1786,6 +1925,9 @@ def read_committed_parquet(
     resolved version — a broadcast anti-join that is a strict no-op
     when no vectors exist."""
     version = _resolve_as_of(path, version, timestamp)
+    _refuse_if_renamed(
+        _manifest_read(path), path, "read_committed_parquet"
+    )
     files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)
@@ -1967,7 +2109,7 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                 manifest["stats"] = merged_stats
             # table-level metadata survives every micro-batch commit
             # (dropping dv would resurrect deleted rows)
-            for carry in ("txns", "dv", "constraints"):
+            for carry in ("txns", "dv", "constraints", "column_aliases"):
                 if prev.get(carry):
                     manifest[carry] = prev[carry]
             tmp = mpath + ".tmp"

@@ -76,17 +76,38 @@ def _from_json_cell(kind: str, v):
     return v
 
 
+def _resolve_physical(
+    avail: set, convs: list[tuple[str, str]], aliases
+) -> list[tuple[str, str | None, str]]:
+    """(logical, physical-or-None, typeName) per wanted column: the
+    physical name is the logical name when the part carries it, else
+    the newest alias present (a part written before a RENAME carries
+    an older name), else None (a part written before the column
+    existed — NULL-fill)."""
+    amap = dict(aliases or ())
+    out = []
+    for c, kind in convs:
+        phys = c if c in avail else next(
+            (a for a in amap.get(c, ()) if a in avail), None
+        )
+        out.append((c, phys, kind))
+    return out
+
+
 def _read_part(
     fullpath: str,
     convs: list[tuple[str, str]],
     deleted: tuple[int, ...] = (),
+    aliases: tuple = (),
 ) -> Iterator:
     """Executor-side read of ONE committed part. Parts are
     self-describing (parquet footer / JSONL keys), so ADDITIVE schema
     evolution reconciles at read time: a part written before a column
     existed surfaces NULL for it — same contract as the parquet sink's
     mergeSchema read, no rewrite of history (the only affordable
-    evolution at 100 TB).
+    evolution at 100 TB). ``aliases`` extends the same resolution to
+    RENAMED columns: a pre-rename part's physical name translates to
+    the logical name at read time (column mapping — zero rewrite).
 
     ``deleted`` is the part's deletion vector (sorted row positions a
     merge-on-read DELETE removed): parquet batches are masked
@@ -98,9 +119,16 @@ def _read_part(
 
         pf = pq.ParquetFile(fullpath)
         avail = set(pf.schema_arrow.names)
+        resolved = _resolve_physical(avail, convs, aliases)
         want = [c for c, _ in convs]
-        if all(c in avail for c in want):
-            batches = pq.read_table(fullpath, columns=want).to_batches()
+        if all(phys is not None for _, phys, _ in resolved):
+            batches = (
+                pq.read_table(
+                    fullpath, columns=[p for _, p, _ in resolved]
+                )
+                .rename_columns(want)
+                .to_batches()
+            )
             if not deleted:
                 yield from batches
                 return
@@ -122,10 +150,15 @@ def _read_part(
             return
         # pre-evolution part: NULL-fill the missing columns (row path —
         # the rare case; complete parts stay on the Arrow fast path)
+        present = [
+            (c, phys) for c, phys, _ in resolved if phys is not None
+        ]
         table = pq.read_table(
-            fullpath, columns=[c for c in want if c in avail]
+            fullpath, columns=[p for _, p in present]
         )
-        cols = {c: table.column(c).to_pylist() for c in table.column_names}
+        cols = {
+            c: table.column(p).to_pylist() for c, p in present
+        }
         dead = set(deleted)
         for i in range(table.num_rows):
             if i in dead:
@@ -136,12 +169,23 @@ def _read_part(
         return
     import json as _json
 
+    amap = dict(aliases or ())
+
+    def _cell(rec, c, k):
+        v = rec.get(c)
+        if v is None and c not in rec:
+            for a in amap.get(c, ()):
+                if a in rec:
+                    v = rec[a]
+                    break
+        return _from_json_cell(k, v)
+
     with open(fullpath) as fh:
         for line in fh:
             if not line.strip():
                 continue
             rec = _json.loads(line)
-            yield tuple(_from_json_cell(k, rec.get(c)) for c, k in convs)
+            yield tuple(_cell(rec, c, k) for c, k in convs)
 
 
 def _read_part_changes(
@@ -150,6 +194,7 @@ def _read_part_changes(
     positions: tuple[int, ...],
     kind: str,
     version: int,
+    aliases: tuple = (),
 ) -> Iterator:
     """Change-feed read of one part: 'insert' emits every row
     (an append commit's own file), 'delete' emits ONLY the rows at
@@ -159,7 +204,7 @@ def _read_part_changes(
     if kind == "insert":
         import pyarrow as pa
 
-        for item in _read_part(fullpath, convs):
+        for item in _read_part(fullpath, convs, aliases=aliases):
             if isinstance(item, pa.RecordBatch):
                 n = item.num_rows
                 item = item.append_column(
@@ -177,7 +222,18 @@ def _read_part_changes(
     import pyarrow.parquet as pq
 
     want = [c for c, _ in convs]
-    table = pq.read_table(fullpath, columns=want)
+    avail = set(pq.ParquetFile(fullpath).schema_arrow.names)
+    resolved = _resolve_physical(avail, convs, aliases)
+    gone = [c for c, p, _ in resolved if p is None]
+    if gone:
+        raise ValueError(
+            f"change feed: part {os.path.basename(fullpath)} carries "
+            f"no physical column for {gone} under any alias — emit "
+            "this commit via the batch table_changes API"
+        )
+    table = pq.read_table(
+        fullpath, columns=[p for _, p, _ in resolved]
+    ).rename_columns(want)
     idx = pa.array(sorted(positions), pa.int64())
     hit = table.take(idx)
     n = hit.num_rows
@@ -221,14 +277,28 @@ def _file_survives(st: dict | None, flt) -> bool:
     return True
 
 
-def _prune_names(names: list[str], stats: dict, filters: list) -> list[str]:
+def _prune_names(
+    names: list[str], stats: dict, filters: list, aliases: tuple = ()
+) -> list[str]:
+    amap = dict(aliases or ())
     keep = []
     for name in names:
         fstats = stats.get(name) or {}
         ok = True
         for flt in filters:
             col = flt.attribute[0]
-            if not _file_survives(fstats.get(col), flt):
+            # a pre-rename part's stats live under its physical name
+            st = fstats.get(col)
+            if st is None:
+                st = next(
+                    (
+                        fstats[a]
+                        for a in amap.get(col, ())
+                        if a in fstats
+                    ),
+                    None,
+                )
+            if not _file_survives(st, flt):
                 ok = False
                 break
         if ok:
@@ -280,23 +350,36 @@ class ManifestBatchReader(DataSourceReader):
             for p in _manifest_files(self._path, self._version)
         ]
         manifest = _manifest_read(self._path)
+        aliases = tuple(
+            (k, tuple(v))
+            for k, v in sorted(
+                (manifest.get("column_aliases") or {}).items()
+            )
+        )
         if self._filters:
             stats = manifest.get("stats") or {}
-            names = _prune_names(names, stats, self._filters)
-        # merge-on-read deletion vectors ride INSIDE each part's
-        # InputPartition (a bounded index tuple), so executors mask
-        # their own file positionally with no extra coordination
+            names = _prune_names(names, stats, self._filters, aliases)
+        # merge-on-read deletion vectors and the column-alias map ride
+        # INSIDE each part's InputPartition (bounded metadata), so
+        # executors mask and name-resolve their own file with no
+        # extra coordination
         dv = dv_for_version(manifest, self._version)
         return [
             InputPartition(
-                (os.path.join(self._path, n), tuple(dv.get(n, ())))
+                (
+                    os.path.join(self._path, n),
+                    tuple(dv.get(n, ())),
+                    aliases,
+                )
             )
             for n in names
         ]
 
     def read(self, partition: InputPartition) -> Iterator:
-        fullpath, deleted = partition.value
-        yield from _read_part(fullpath, self._convs, deleted)
+        if partition is None:  # Spark's stand-in when partitions()==[]
+            return
+        fullpath, deleted, aliases = partition.value
+        yield from _read_part(fullpath, self._convs, deleted, aliases)
 
 
 class ManifestTailReader(DataSourceStreamReader):
@@ -395,6 +478,19 @@ class ManifestTailReader(DataSourceStreamReader):
                 "with a fresh checkpoint against the new sink state"
             )
         out: list[InputPartition] = []
+        from ..sinks.datasource_sink import MANIFEST as _M
+        from ..sinks.datasource_sink import _manifest_read as _mr
+
+        aliases: tuple = ()
+        if os.path.exists(os.path.join(self._path, _M)):
+            aliases = tuple(
+                (k, tuple(v))
+                for k, v in sorted(
+                    (
+                        _mr(self._path).get("column_aliases") or {}
+                    ).items()
+                )
+            )
         for e in self._history():
             if not (lo < e["v"] <= hi):
                 continue
@@ -413,7 +509,13 @@ class ManifestTailReader(DataSourceStreamReader):
                 if op in (None, "append"):
                     out.extend(
                         InputPartition(
-                            (os.path.join(self._path, f), (), "insert", v)
+                            (
+                                os.path.join(self._path, f),
+                                (),
+                                "insert",
+                                v,
+                                aliases,
+                            )
                         )
                         for f in e["files"]
                     )
@@ -425,6 +527,7 @@ class ManifestTailReader(DataSourceStreamReader):
                                 tuple(idxs),
                                 "delete",
                                 v,
+                                aliases,
                             )
                         )
                         for f, idxs in sorted(e["dv_add"].items())
@@ -447,19 +550,24 @@ class ManifestTailReader(DataSourceStreamReader):
                 # emitted — forwarding them would duplicate downstream
                 continue
             out.extend(
-                InputPartition(os.path.join(self._path, f))
+                InputPartition((os.path.join(self._path, f), aliases))
                 for f in e["files"]
             )
         return out
 
     def read(self, partition: InputPartition) -> Iterator:
+        if partition is None:  # Spark's stand-in when partitions()==[]
+            return
         if self._cdf:
-            fullpath, positions, kind, v = partition.value
+            fullpath, positions, kind, v, aliases = partition.value
             yield from _read_part_changes(
-                fullpath, self._convs, positions, kind, v
+                fullpath, self._convs, positions, kind, v, aliases
             )
             return
-        yield from _read_part(partition.value, self._convs)
+        fullpath, aliases = partition.value
+        yield from _read_part(
+            fullpath, self._convs, aliases=aliases
+        )
 
     def commit(self, end: dict) -> None:
         pass  # the manifest is the source of truth; nothing to ack

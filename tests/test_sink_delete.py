@@ -511,3 +511,41 @@ def test_update_then_cdf_shows_delete_insert_pair(spark):
         (x["_change_type"], x["id"], x["grp"]) for x in cdf.collect()
     )
     assert rows == [("delete", 7, "0"), ("insert", 7, "Z")]
+
+
+def test_concurrent_dv_deletes_never_double_count(spark):
+    """Two threads dv-delete OVERLAPPING predicates concurrently: the
+    lock-guarded NET-delta recompute must make deletes commute — the
+    union is deleted exactly once, the rows counter decrements by the
+    true union size, and dv_current stays consistent with the log."""
+    import threading
+
+    path = _build(spark)
+    preds = ["id % 10 = 1", "id % 5 = 1"]  # overlap: id % 10 == 1
+    errs = []
+
+    def run(p):
+        try:
+            delete_where(spark, path, SCHEMA, p, mode="dv")
+        except Exception as ex:  # conflict abort is acceptable; log it
+            errs.append(ex)
+
+    threads = [threading.Thread(target=run, args=(p,)) for p in preds]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    # conflicts may abort one writer (dv commits only conflict when a
+    # file vanishes, which never happens here) — both should land
+    assert not errs, errs
+    m = _manifest_read(path)
+    # union: id%5==1 has 180 ids in [0,900); id%10==1 is a subset
+    n_dv = sum(len(v) for v in m["dv"].values())
+    assert n_dv == 180
+    assert m["rows"] == 900 - 180
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 720
+    assert back.filter("id % 5 = 1").count() == 0
+    assert dv_current(m) == dv_for_version(
+        m, max(e["v"] for e in m["history"])
+    )
