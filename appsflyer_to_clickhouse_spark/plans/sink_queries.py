@@ -1950,3 +1950,82 @@ def q_sink_rename_column(spark, sf_dir):
     return df.withColumn(
         "n_backing", F.lit(int(n_backing)).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_shallow_clone — zero-copy clone, independent divergence
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_shallow_clone",
+    """
+    SELECT user_id AS uid, event_type,
+           CAST(1 AS BIGINT) AS n_foreign
+    FROM events WHERE event_id % 5 IN (0, 1, 2)
+    """,
+)
+def q_sink_shallow_clone(spark, sf_dir):
+    """SHALLOW CLONE (datasource_sink.clone_sink — Delta's CLONE
+    SHALLOW): the clone's manifest references the source's part by
+    ABSOLUTE PATH — zero bytes copied at any table size — and then
+    diverges independently: a clone-local append lands in the clone's
+    own directory while the source never changes. Graded: the clone's
+    content after the divergence (source slice ∪ clone-only slice —
+    a clone that copied stale data, missed the foreign reference, or
+    leaked its append back to the source hash-mismatches) plus
+    ``n_foreign``, the count of absolute part references, which pins
+    that the read really crossed directories instead of copying.
+    Clone-side VACUUM never reaps source parts; OPTIMIZE localizes
+    the foreign references and cuts the source dependency; mutations
+    refuse until then (tests/test_sink_clone.py)."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        _manifest_read,
+        clone_sink,
+        read_committed_parquet,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    src = tempfile.mkdtemp(prefix="spark_graft_clone_") + "/src"
+    (
+        ev.filter(F.col("event_id") % 5 < 2)
+        .select(F.col("user_id").alias("uid"), "event_type")
+        .repartition(1)
+        .write.format("chbatch_arrow")
+        .option("path", src)
+        .option("batchsize", "10000000")
+        .mode("append")
+        .save()
+    )
+    dst = tempfile.mkdtemp(prefix="spark_graft_clone_") + "/dst"
+    r = clone_sink(src, dst)
+    assert r["n_parts"] == 1, r
+    (
+        ev.filter(F.col("event_id") % 5 == 2)
+        .select(F.col("user_id").alias("uid"), "event_type")
+        .write.format("chbatch_arrow")
+        .option("path", dst)
+        .option("batchsize", "10000000")
+        .mode("append")
+        .save()
+    )
+    src_rows = len(_manifest_read(src)["files"])
+    assert src_rows == 1  # the source never saw the clone's append
+    n_foreign = sum(
+        1 for f in _manifest_read(dst)["files"] if _os.path.isabs(f)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    return read_committed_parquet(spark, dst, schema).withColumn(
+        "n_foreign", F.lit(int(n_foreign)).cast("long")
+    )

@@ -883,6 +883,101 @@ def _refuse_if_renamed(manifest: dict, path: str, what: str) -> None:
         )
 
 
+def clone_sink(src: str, dst: str) -> dict:
+    """SHALLOW CLONE (Delta's CLONE ... SHALLOW): create a NEW sink at
+    ``dst`` whose manifest references the source's current parts BY
+    ABSOLUTE PATH — zero bytes copied, however large the table. The
+    clone is immediately independent: appends/streams land locally,
+    its snapshot log starts at a fresh v0 base (op='clone',
+    ``cloned_from`` recorded), and deletion vectors / constraints /
+    column aliases / txn high-water marks carry over so reads and
+    replay protection behave identically from the first second.
+
+    What makes this safe on the manifest protocol: every read path
+    resolves part entries with ``os.path.join(path, entry)``, and
+    join with an ABSOLUTE second argument returns it unchanged — a
+    foreign entry reads from the source directory with no special
+    casing. ``vacuum_sink`` only ever deletes files it finds in its
+    OWN directory listing, so a clone can never reap source parts.
+
+    Contracts, loud where they must be:
+    - VACUUM ON THE SOURCE does not know about clones (same as
+      Delta): folding the source's history past parts a clone still
+      references and vacuuming will break the clone's reads. Clone
+      for experiments/short-lived branches, or OPTIMIZE the clone
+      (see below) to cut the dependency.
+    - row-level mutations on a clone refuse while foreign parts are
+      live (their touch accounting is name-based); ``optimize_sink``
+      is the LOCALIZATION verb — it reads through the absolute
+      references and rewrites everything into the clone's own
+      directory, after which every verb works and the source can be
+      vacuumed freely.
+    - the clone's v0 base is a fold base (``folded``): a change feed
+      cannot see inside it (pre-clone history belongs to the source),
+      and a fresh tail emits it as one backfill commit."""
+    src_manifest = _manifest_read(src)
+    if os.path.exists(os.path.join(dst, MANIFEST)):
+        raise ValueError(
+            f"clone_sink: destination {dst} already has a manifest"
+        )
+    os.makedirs(dst, exist_ok=True)
+    src_abs = os.path.abspath(src)
+    entries = [
+        f if os.path.isabs(f) else os.path.join(src_abs, f)
+        for f in src_manifest["files"]
+    ]
+    import time as _time
+
+    manifest = {
+        "files": sorted(entries),
+        "rows": int(src_manifest.get("rows", 0)),
+        "batches": int(src_manifest.get("batches", 0)),
+        "history": [
+            {
+                "v": 0,
+                "files": sorted(entries),
+                "op": "clone",
+                "cloned_from": src_abs,
+                "rows_total": int(src_manifest.get("rows", 0)),
+                "folded": True,
+                "ts": _time.time(),
+            }
+        ],
+    }
+    # stats/dv are keyed by part BASENAME (uuid names make cross-dir
+    # collisions impossible), so they carry over unchanged — as do
+    # constraints, column aliases, and txn replay protection
+    for carry in ("stats", "dv", "constraints", "column_aliases", "txns"):
+        if src_manifest.get(carry):
+            manifest[carry] = src_manifest[carry]
+    if manifest.get("dv"):
+        manifest["history"][0]["dv_set"] = manifest["dv"]
+    with _manifest_lock(dst):
+        mpath = os.path.join(dst, MANIFEST)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mpath)
+    return {
+        "cloned_from": src_abs,
+        "n_parts": len(entries),
+        "rows": manifest["rows"],
+    }
+
+
+def _refuse_if_foreign(manifest: dict, path: str, what: str) -> None:
+    """Row-level mutations track touched parts by basename; a shallow
+    clone's absolute (foreign) references would break that accounting
+    — refuse until optimize_sink localizes the parts."""
+    foreign = [f for f in manifest["files"] if os.path.isabs(f)]
+    if foreign:
+        raise ValueError(
+            f"{what} at {path}: {len(foreign)} part(s) are foreign "
+            f"shallow-clone references (e.g. {foreign[:2]}); run "
+            "optimize_sink first to localize them, then mutate"
+        )
+
+
 def dv_current(manifest: dict) -> dict[str, list[int]]:
     """The CURRENT deletion-vector map: {part name: sorted deleted
     row indexes} — merge-on-read DELETEs (``mutations.delete_where``
@@ -1374,7 +1469,11 @@ def optimize_sink(
     # rename-MATERIALIZATION verb (every part lands under the logical
     # names and the alias map clears).
     aliases0 = column_aliases(manifest)
-    clustering = bool(sort_by or zorder_by) or bool(aliases0)
+    foreign = any(os.path.isabs(f) for f in old)
+    # live renames AND foreign shallow-clone references force the
+    # rewrite regardless of file count: OPTIMIZE is the
+    # materialization/localization verb for both
+    clustering = bool(sort_by or zorder_by) or bool(aliases0) or foreign
     if not old or (not clustering and n_out >= len(old)):
         return {"replaced": 0, "written": 0, "version": None}
 
@@ -1384,6 +1483,7 @@ def optimize_sink(
     # contract). Reading WITHOUT the mask would resurrect every
     # dv-deleted row into the new layout.
     dv0 = dv_current(manifest)
+    old_basenames = {os.path.basename(f) for f in old}
     if aliases0:
         # alias-aware read: the Data Source reader resolves each
         # part's PHYSICAL column names (and applies current deletion
@@ -1398,11 +1498,13 @@ def optimize_sink(
             .load()
         )
     else:
+        # dv is keyed by part BASENAME (entries may be absolute
+        # shallow-clone references)
         df = mask_dv(
             spark.read.schema(schema).parquet(
                 *[os.path.join(path, f) for f in old]
             ),
-            {k: v for k, v in dv0.items() if k in set(old)},
+            {k: v for k, v in dv0.items() if k in old_basenames},
         )
     if zorder_by:
         # Morton clustering: range-partition and sort on the
@@ -1466,7 +1568,10 @@ def optimize_sink(
         missing = sorted(set(old) - set(cur["files"]))
         cur_dv = {k: set(v) for k, v in (cur.get("dv") or {}).items()}
         dv_moved = [
-            f for f in old if cur_dv.get(f, set()) != set(dv0.get(f, []))
+            f
+            for f in old
+            if cur_dv.get(os.path.basename(f), set())
+            != set(dv0.get(os.path.basename(f), []))
         ]
         if column_aliases(cur) != aliases0:
             for f in new_files:
@@ -1523,9 +1628,10 @@ def optimize_sink(
         if aliases0:
             cur.pop("column_aliases", None)
         # the replaced parts' deletion vectors are now materialized —
-        # drop them (dv_for_version derives the same from `removes`)
+        # drop them (dv_for_version derives the same from `removes`;
+        # keys are basenames, entries may be absolute)
         for f in old:
-            cur_dv.pop(f, None)
+            cur_dv.pop(os.path.basename(f), None)
         if cur_dv:
             cur["dv"] = {k: sorted(v) for k, v in cur_dv.items()}
         else:
@@ -1572,7 +1678,17 @@ def prune_files(
     parts (``read_committed_pruned`` does)."""
     manifest = _manifest_read(path)
     stats = manifest.get("stats") or {}
-    names = [os.path.basename(p) for p in _manifest_files(path, version)]
+    # entries as stored: plain filenames normally, absolute paths for
+    # shallow-clone references — recovered from the resolved full
+    # paths so callers can re-join them (join passes absolutes
+    # through). Stats stay keyed by part basename in both cases.
+    base = os.path.normpath(path)
+    names = [
+        os.path.basename(p)
+        if os.path.dirname(os.path.normpath(p)) == base
+        else p
+        for p in _manifest_files(path, version)
+    ]
     # a renamed column's stats live under each part's PHYSICAL name:
     # try the logical name first, then its alias trail
     lookup = [column, *column_aliases(manifest).get(column, [])]
@@ -1581,7 +1697,7 @@ def prune_files(
         raise ValueError("NaN is not a meaningful pruning bound")
     keep: list[str] = []
     for name in names:
-        fstats = stats.get(name) or {}
+        fstats = stats.get(os.path.basename(name)) or {}
         st = next(
             (fstats[c] for c in lookup if c in fstats), None
         )

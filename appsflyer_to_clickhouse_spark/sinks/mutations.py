@@ -55,6 +55,7 @@ from .datasource_sink import (
     _manifest_lock,
     _manifest_read,
     _parquet_footer_stats,
+    _refuse_if_foreign,
     _refuse_if_renamed,
     dv_current,
     dv_for_version,
@@ -225,6 +226,7 @@ def delete_where(
     manifest = _manifest_read(path)
     _require_parquet_tier(manifest["files"], path, "delete_where")
     _refuse_if_renamed(manifest, path, "delete_where")
+    _refuse_if_foreign(manifest, path, "delete_where")
     cand = _candidates(manifest, path, prune_column, prune_lo, prune_hi)
     if not cand:
         return {
@@ -477,6 +479,7 @@ def merge_sink(
     manifest = _manifest_read(path)
     _require_parquet_tier(manifest["files"], path, "merge_sink")
     _refuse_if_renamed(manifest, path, "merge_sink")
+    _refuse_if_foreign(manifest, path, "merge_sink")
     cols = [f.name for f in schema.fields]
     missing_keys = [k for k in keys if k not in cols]
     if missing_keys:
@@ -651,6 +654,7 @@ def update_where(
     manifest = _manifest_read(path)
     _require_parquet_tier(manifest["files"], path, "update_where")
     _refuse_if_renamed(manifest, path, "update_where")
+    _refuse_if_foreign(manifest, path, "update_where")
     cols = [f.name for f in schema.fields]
     unknown = [c for c in assignments if c not in cols]
     if unknown:

@@ -325,7 +325,26 @@ class ManifestBatchReader(DataSourceReader):
     def __init__(self, options, schema):
         self._path = options["path"]
         v = options.get("version")
-        self._version = int(v) if v is not None else None
+        ts = options.get("timestamp")
+        if v is not None and ts is not None:
+            raise ValueError(
+                "chbatch read: pass version OR timestamp, not both"
+            )
+        if ts is not None:
+            # Delta's timestampAsOf on the reader: resolve the newest
+            # commit at or before the instant (epoch seconds or ISO)
+            from ..sinks.datasource_sink import (
+                _as_epoch,
+                _version_for_timestamp,
+            )
+
+            try:
+                ts_val = float(ts)
+            except ValueError:
+                ts_val = _as_epoch(ts)
+            self._version = _version_for_timestamp(self._path, ts_val)
+        else:
+            self._version = int(v) if v is not None else None
         self._convs = _part_converters(schema)
         self._filters: list = []
 
@@ -345,10 +364,9 @@ class ManifestBatchReader(DataSourceReader):
             dv_for_version,
         )
 
-        names = [
-            os.path.basename(p)
-            for p in _manifest_files(self._path, self._version)
-        ]
+        # full resolved paths (foreign shallow-clone references come
+        # back absolute); stats/dv stay keyed by part BASENAME
+        fulls = list(_manifest_files(self._path, self._version))
         manifest = _manifest_read(self._path)
         aliases = tuple(
             (k, tuple(v))
@@ -358,7 +376,15 @@ class ManifestBatchReader(DataSourceReader):
         )
         if self._filters:
             stats = manifest.get("stats") or {}
-            names = _prune_names(names, stats, self._filters, aliases)
+            keep = set(
+                _prune_names(
+                    [os.path.basename(p) for p in fulls],
+                    stats,
+                    self._filters,
+                    aliases,
+                )
+            )
+            fulls = [p for p in fulls if os.path.basename(p) in keep]
         # merge-on-read deletion vectors and the column-alias map ride
         # INSIDE each part's InputPartition (bounded metadata), so
         # executors mask and name-resolve their own file with no
@@ -366,13 +392,9 @@ class ManifestBatchReader(DataSourceReader):
         dv = dv_for_version(manifest, self._version)
         return [
             InputPartition(
-                (
-                    os.path.join(self._path, n),
-                    tuple(dv.get(n, ())),
-                    aliases,
-                )
+                (p, tuple(dv.get(os.path.basename(p), ())), aliases)
             )
-            for n in names
+            for p in fulls
         ]
 
     def read(self, partition: InputPartition) -> Iterator:
