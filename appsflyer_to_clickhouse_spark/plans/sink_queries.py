@@ -1625,17 +1625,17 @@ WITH base AS (
 )
 SELECT eid, uid, event_type,
        'insert' AS _change_type, CAST(0 AS BIGINT) AS _commit_version
-FROM base WHERE eid % 3 = 0
+FROM base WHERE eid % 6 = 0
 UNION ALL
 SELECT eid, uid, event_type, 'insert', 1
-FROM base WHERE eid % 3 = 1
+FROM base WHERE eid % 6 = 3
 UNION ALL
 SELECT eid, uid, event_type, 'delete', 2
-FROM base WHERE eid % 3 IN (0, 1) AND eid % 50 = 0
+FROM base WHERE eid % 6 IN (0, 3) AND eid % 50 = 0
 UNION ALL
 SELECT eid, uid, event_type, 'delete', 3
 FROM base
-WHERE eid % 3 IN (0, 1) AND NOT eid % 50 = 0 AND uid % 7 = 3
+WHERE eid % 6 IN (0, 3) AND NOT eid % 50 = 0 AND uid % 7 = 3
 """
 
 
@@ -1679,9 +1679,9 @@ def q_sink_change_data_feed(spark, sf_dir):
         ]
     )
     path = tempfile.mkdtemp(prefix="spark_graft_cdf_") + "/staged"
-    for residue in (0, 1):  # commits v0, v1
+    for residue in (0, 3):  # commits v0, v1
         (
-            ev.filter(F.col("eid") % 3 == residue)
+            ev.filter(F.col("eid") % 6 == residue)
             .write.format("chbatch_arrow")
             .option("path", path)
             .option("batchsize", "1000000")

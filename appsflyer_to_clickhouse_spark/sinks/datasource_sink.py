@@ -1176,11 +1176,12 @@ def vacuum_sink(
         referenced = set(manifest["files"])
         for e in manifest.get("history") or ():
             referenced.update(e["files"])
+            referenced.update(e.get("cdf_files") or ())
         now = _time.time()
         removed: list[str] = []
         for name in sorted(os.listdir(path)):
             if not (
-                name.startswith("part-")
+                name.startswith(("part-", "cdf-"))
                 and name.rsplit(".", 1)[-1] in ("jsonl", "parquet")
             ):
                 continue  # manifest, lock, foreign files: never touched
@@ -1880,7 +1881,21 @@ def table_changes(
                 "irrecoverable; start the feed after it"
             )
         op = e.get("op", "append")
-        if op == "append":
+        if e.get("cdf_files"):
+            # the commit materialized its own change rows (Delta's
+            # _change_data): serve them directly — commit-bounded for
+            # EVERY op type, including rewrites
+            sidecar = spark.read.schema(
+                T.StructType(
+                    [*schema.fields, T.StructField("_change_type", T.StringType())]
+                )
+            ).parquet(*[os.path.join(path, f) for f in e["cdf_files"]])
+            frames.append(
+                sidecar.withColumn(
+                    "_commit_version", F.lit(v).cast("bigint")
+                ).select(*cols, "_change_type", "_commit_version")
+            )
+        elif op == "append":
             if e["files"]:
                 frames.append(
                     tag(_read_parts(spark, path, schema, e["files"]), "insert", v)

@@ -118,6 +118,46 @@ def _stage_rewrite(spark, df, path: str) -> list[str]:
     return new_files
 
 
+def _stage_cdf(spark, df, path: str) -> list[str]:
+    """Materialize a commit's CHANGE ROWS (schema cols +
+    ``_change_type``) as cdf-*.parquet sidecar files in the sink
+    directory — Delta's _change_data, flattened onto the single-dir
+    layout. Written OUTSIDE the manifest lock like the data rewrite;
+    the commit records the names in its history entry (``cdf_files``)
+    so the batch change feed and the streaming tail can serve
+    rewrite-style commits commit-bounded instead of snapshot-diffing
+    or refusing. Sidecars are not data parts: readers of the table
+    never see them, and vacuum reaps them when their history entry
+    folds away."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    staging = os.path.join(path, f"_cdf_{uuid.uuid4().hex}")
+    ts_key = "spark.sql.parquet.outputTimestampType"
+    prev_ts = spark.conf.get(ts_key)
+    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+    try:
+        df.write.mode("overwrite").parquet(staging)
+    finally:
+        spark.conf.set(ts_key, prev_ts)
+    out: list[str] = []
+    try:
+        for name in sorted(os.listdir(staging)):
+            if not name.endswith(".parquet"):
+                continue
+            full = os.path.join(staging, name)
+            if pq.ParquetFile(full).metadata.num_rows == 0:
+                continue
+            nf = f"cdf-{uuid.uuid4().hex}.parquet"
+            os.rename(full, os.path.join(path, nf))
+            out.append(nf)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    out.sort()
+    return out
+
+
 def _discard(path: str, files: list[str]) -> None:
     for f in files:
         with contextlib.suppress(OSError):
@@ -190,6 +230,7 @@ def delete_where(
     prune_lo=None,
     prune_hi=None,
     dv_max_rows: int = 100_000,
+    write_cdf: bool = False,
 ) -> dict:
     """DELETE FROM the manifest sink WHERE ``predicate`` (a SQL boolean
     expression over the sink schema), published as a snapshot-log
@@ -212,6 +253,12 @@ def delete_where(
     Returns ``{deleted, n_rewritten, n_kept, version, mode}`` where
     ``n_rewritten`` counts replaced parts (always 0 for dv) and
     ``n_kept`` the candidate parts the match scan proved clean.
+
+    ``write_cdf=True`` (copy-on-write mode only; dv commits are
+    already commit-bounded for the feed) additionally materializes
+    the deleted rows as cdf-* sidecar files recorded in the commit —
+    Delta's _change_data — so the change feed serves this commit
+    commit-bounded and the STREAMING feed no longer refuses it.
 
     Concurrency: the scan and rewrite run WITHOUT the manifest lock;
     the metadata commit re-reads under the lock and — like
@@ -350,11 +397,19 @@ def delete_where(
     # any existing deletion vectors materialized away in the same pass
     # (a rewritten part must not resurrect dv-deleted rows). Filter
     # job over the touched scan — no repartition, no exchange.
-    survivors = (
-        _scan_with_meta(spark, path, schema, touched, dv0)
-        .filter(~F.expr(predicate))
-        .select(*cols)
-    )
+    touched_scan = _scan_with_meta(spark, path, schema, touched, dv0)
+    survivors = touched_scan.filter(~F.expr(predicate)).select(*cols)
+    cdf_files: list[str] = []
+    if write_cdf:
+        # the deleted rows are already in hand — one more bounded pass
+        # over the touched parts materializes the commit's change set
+        cdf_files = _stage_cdf(
+            spark,
+            touched_scan.filter(F.expr(predicate))
+            .select(*cols)
+            .withColumn("_change_type", F.lit("delete")),
+            path,
+        )
     new_files = _stage_rewrite(spark, survivors, path)
     new_stats = {
         f: s
@@ -365,7 +420,7 @@ def delete_where(
         cur = _manifest_read(path)
         missing = sorted(set(touched) - set(cur["files"]))
         if missing:
-            _discard(path, new_files)
+            _discard(path, new_files + cdf_files)
             raise ValueError(
                 f"delete_where at {path}: conflict — {len(missing)} "
                 f"touched part(s) left the snapshot during the rewrite "
@@ -381,7 +436,7 @@ def delete_where(
             if dv.get(f, set()) != set(dv0.get(f, []))
         ]
         if grew:
-            _discard(path, new_files)
+            _discard(path, new_files + cdf_files)
             raise ValueError(
                 f"delete_where at {path}: conflict — deletion vectors "
                 f"on touched part(s) {grew[:3]} changed during the "
@@ -395,18 +450,19 @@ def delete_where(
         import time as _time
 
         cur["rows"] = int(cur.get("rows", 0)) - n_deleted
-        history.append(
-            {
-                "v": next_v,
-                "files": new_files,
-                "removes": touched,
-                "op": "delete",
-                "mode": "rewrite",
-                "predicate": predicate,
-                "rows_total": cur["rows"],
-                "ts": _time.time(),
-            }
-        )
+        entry = {
+            "v": next_v,
+            "files": new_files,
+            "removes": touched,
+            "op": "delete",
+            "mode": "rewrite",
+            "predicate": predicate,
+            "rows_total": cur["rows"],
+            "ts": _time.time(),
+        }
+        if cdf_files:
+            entry["cdf_files"] = cdf_files
+        history.append(entry)
         cur["files"] = sorted(
             (set(cur["files"]) - set(touched)) | set(new_files)
         )
@@ -441,6 +497,7 @@ def merge_sink(
     keys: list[str],
     *,
     broadcast_source: bool = True,
+    write_cdf: bool = False,
 ) -> dict:
     """MERGE INTO the manifest sink: WHEN MATCHED UPDATE (the source
     row replaces the target row wholesale), WHEN NOT MATCHED INSERT —
@@ -551,6 +608,20 @@ def merge_sink(
         _stage_rewrite(spark, ins.select(*cols), path) if n_inserted else []
     )
     adds = sorted(new_files + insert_files)
+    cdf_files: list[str] = []
+    if write_cdf:
+        # deletes = pre-image of matched target rows; inserts = the
+        # source rows that landed (updates' post-image + new keys)
+        changes = src.select(*cols).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        if touched:
+            changes = (
+                matched_rows.select(*cols)
+                .withColumn("_change_type", F.lit("delete"))
+                .unionByName(changes)
+            )
+        cdf_files = _stage_cdf(spark, changes, path)
     new_stats = {
         f: s
         for f in adds
@@ -566,7 +637,7 @@ def merge_sink(
             != set(dv0.get(f, []))
         ]
         if missing or changed_dv:
-            _discard(path, adds)
+            _discard(path, adds + cdf_files)
             raise ValueError(
                 f"merge_sink at {path}: conflict — touched part(s) "
                 f"{(missing or changed_dv)[:3]} changed during the "
@@ -585,16 +656,17 @@ def merge_sink(
         cur["rows"] = (
             int(cur.get("rows", 0)) - n_updated + n_matched_keys + n_inserted
         )
-        history.append(
-            {
-                "v": next_v,
-                "files": adds,
-                "removes": touched,
-                "op": "merge",
-                "rows_total": cur["rows"],
-                "ts": _time.time(),
-            }
-        )
+        entry = {
+            "v": next_v,
+            "files": adds,
+            "removes": touched,
+            "op": "merge",
+            "rows_total": cur["rows"],
+            "ts": _time.time(),
+        }
+        if cdf_files:
+            entry["cdf_files"] = cdf_files
+        history.append(entry)
         cur["files"] = sorted(
             (set(cur["files"]) - set(touched)) | set(adds)
         )
@@ -631,6 +703,7 @@ def update_where(
     prune_column: str | None = None,
     prune_lo=None,
     prune_hi=None,
+    write_cdf: bool = False,
 ) -> dict:
     """UPDATE the manifest sink SET col = expr, ... WHERE predicate —
     the third DML verb, copy-on-write like ``delete_where(
@@ -697,9 +770,32 @@ def update_where(
         else F.col(c)
         for c in cols
     ]
-    rewritten = _scan_with_meta(spark, path, schema, touched, dv0).select(
-        *proj
-    )
+    upd_scan = _scan_with_meta(spark, path, schema, touched, dv0)
+    rewritten = upd_scan.select(*proj)
+    cdf_files: list[str] = []
+    if write_cdf:
+        # pre-image as deletes, post-image as inserts — the update's
+        # change representation, from one more bounded touched-scan
+        pre = upd_scan.filter(F.expr(predicate))
+        post_proj = [
+            F.expr(f"({assignments[c]})")
+            .cast(schema[c].dataType)
+            .alias(c)
+            if c in assignments
+            else F.col(c)
+            for c in cols
+        ]
+        cdf_files = _stage_cdf(
+            spark,
+            pre.select(*cols)
+            .withColumn("_change_type", F.lit("delete"))
+            .unionByName(
+                pre.select(*post_proj).withColumn(
+                    "_change_type", F.lit("insert")
+                )
+            ),
+            path,
+        )
     new_files = _stage_rewrite(spark, rewritten, path)
     new_stats = {
         f: s
@@ -714,7 +810,7 @@ def update_where(
             f for f in touched if dv.get(f, set()) != set(dv0.get(f, []))
         ]
         if missing or moved:
-            _discard(path, new_files)
+            _discard(path, new_files + cdf_files)
             raise ValueError(
                 f"update_where at {path}: conflict — touched part(s) "
                 f"{(missing or moved)[:3]} changed during the rewrite; "
@@ -727,18 +823,19 @@ def update_where(
         next_v = _next_version(history)
         import time as _time
 
-        history.append(
-            {
-                "v": next_v,
-                "files": new_files,
-                "removes": touched,
-                "op": "update",
-                "predicate": predicate,
-                "set_columns": sorted(assignments),
-                "rows_total": int(cur.get("rows", 0)),
-                "ts": _time.time(),
-            }
-        )
+        entry = {
+            "v": next_v,
+            "files": new_files,
+            "removes": touched,
+            "op": "update",
+            "predicate": predicate,
+            "set_columns": sorted(assignments),
+            "rows_total": int(cur.get("rows", 0)),
+            "ts": _time.time(),
+        }
+        if cdf_files:
+            entry["cdf_files"] = cdf_files
+        history.append(entry)
         cur["files"] = sorted(
             (set(cur["files"]) - set(touched)) | set(new_files)
         )

@@ -201,6 +201,31 @@ def _read_part_changes(
     ``positions`` (a merge-on-read delete's recorded row indexes) —
     commit-bounded IO either way. Each row/batch is tagged with
     (_change_type, _commit_version)."""
+    if kind == "cdf":
+        # a materialized sidecar: data columns + its own _change_type
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        avail = set(pq.ParquetFile(fullpath).schema_arrow.names)
+        resolved = _resolve_physical(avail, convs, aliases)
+        gone = [c for c, p, _ in resolved if p is None]
+        if gone:
+            raise ValueError(
+                f"change feed: sidecar {os.path.basename(fullpath)} "
+                f"carries no physical column for {gone} under any "
+                "alias — read this commit via the batch table_changes "
+                "API"
+            )
+        table = pq.read_table(
+            fullpath,
+            columns=[*[p for _, p, _ in resolved], "_change_type"],
+        ).rename_columns([*[c for c, _, _ in resolved], "_change_type"])
+        n = table.num_rows
+        table = table.append_column(
+            "_commit_version", pa.array([version] * n, pa.int64())
+        )
+        yield from table.to_batches()
+        return
     if kind == "insert":
         import pyarrow as pa
 
@@ -528,7 +553,22 @@ class ManifestTailReader(DataSourceStreamReader):
             op = e.get("op")
             if self._cdf:
                 v = e["v"]
-                if op in (None, "append"):
+                if e.get("cdf_files"):
+                    # the commit materialized its change rows — serve
+                    # the sidecars directly, rewrite-style or not
+                    out.extend(
+                        InputPartition(
+                            (
+                                os.path.join(self._path, f),
+                                (),
+                                "cdf",
+                                v,
+                                aliases,
+                            )
+                        )
+                        for f in e["cdf_files"]
+                    )
+                elif op in (None, "append"):
                     out.extend(
                         InputPartition(
                             (
@@ -559,11 +599,11 @@ class ManifestTailReader(DataSourceStreamReader):
                 else:
                     raise ValueError(
                         f"chbatch tail changefeed at {self._path}: "
-                        f"commit v{v} is a rewrite-style {op!r} — its "
-                        "change rows need a snapshot diff the stream "
-                        "cannot run; read it via the batch "
-                        "table_changes API (production materializes "
-                        "CDF files at commit time)"
+                        f"commit v{v} is a rewrite-style {op!r} "
+                        "WITHOUT materialized change rows — re-run "
+                        "the verb with write_cdf=True (commit-time "
+                        "sidecars), or read it via the batch "
+                        "table_changes API"
                     )
                 continue
             if op not in (None, "append"):

@@ -250,3 +250,69 @@ def test_stream_changefeed_schema_guard(spark):
             .start()
             .awaitTermination()
         )
+
+
+def test_sidecar_makes_rewrites_commit_bounded(spark):
+    """write_cdf=True on the rewrite verbs materializes change rows at
+    commit; the batch feed serves them without a snapshot diff and
+    the STREAM feed no longer refuses rewrite commits."""
+    from appsflyer_to_clickhouse_spark.sinks.mutations import (
+        update_where,
+    )
+
+    path = _sink(spark)
+    _append(spark, path, 0, 10)  # v0
+    delete_where(spark, path, SCHEMA, "id >= 8", write_cdf=True)  # v1
+    update_where(
+        spark, path, SCHEMA, "id = 3", {"v": "'U'"}, write_cdf=True
+    )  # v2
+    src = spark.createDataFrame([(0, "M"), (50, "N")], SCHEMA)
+    merge_sink(spark, path, SCHEMA, src, ["id"], write_cdf=True)  # v3
+
+    # batch feed
+    got = _changes(spark, path, 1)
+    by_v = {}
+    for cv, t, i, val in got:
+        by_v.setdefault(cv, []).append((t, i, val))
+    assert sorted(by_v[1]) == [("delete", 8, "a"), ("delete", 9, "a")]
+    assert sorted(by_v[2]) == [("delete", 3, "a"), ("insert", 3, "U")]
+    assert sorted(by_v[3]) == [
+        ("delete", 0, "a"),
+        ("insert", 0, "M"),
+        ("insert", 50, "N"),
+    ]
+    # stream feed serves the same rewrite commits end-to-end
+    tail = _tail_changes(spark, path, "cdf_sidecar_tail")
+    t_by_v = {}
+    for cv, t, i, val in tail:
+        t_by_v.setdefault(cv, []).append((t, i, val))
+    assert sorted(t_by_v[1]) == sorted(by_v[1])
+    assert sorted(t_by_v[2]) == sorted(by_v[2])
+    assert sorted(t_by_v[3]) == sorted(by_v[3])
+    # sidecars are invisible to table readers
+    assert read_committed_parquet(spark, path, SCHEMA).count() == 9
+
+
+def test_sidecars_vacuum_after_fold(spark):
+    import os
+
+    path = _sink(spark)
+    _append(spark, path, 0, 10)
+    delete_where(spark, path, SCHEMA, "id = 1", write_cdf=True)
+    sidecars = [
+        f for f in os.listdir(path) if f.startswith("cdf-")
+    ]
+    assert len(sidecars) >= 1
+    # referenced by the live history entry: vacuum spares them
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        vacuum_sink,
+    )
+
+    assert vacuum_sink(path) == []
+    _append(spark, path, 10, 12)
+    truncate_history(path, 1)  # the delete's entry folds away
+    removed = vacuum_sink(path)
+    assert any(f.startswith("cdf-") for f in removed)
+    assert not any(
+        f.startswith("cdf-") for f in os.listdir(path)
+    )
