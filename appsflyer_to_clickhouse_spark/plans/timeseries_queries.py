@@ -444,3 +444,96 @@ def q_timeseries_time_weighted_avg(spark, sf_dir):
         .filter(F.col("observed_s") > 0)
         .select("user_id", "observed_s", "time_weighted_avg", "n_segments")
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries_ewma — exponentially weighted moving average (recursive)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = "0.3"  # smoothing weight, literal so both engines parse one
+
+_EWMA_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT user_id AS uid,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(count(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2
+), seq AS (
+  SELECT uid, day, x,
+         row_number() OVER (PARTITION BY uid ORDER BY day) AS i
+  FROM daily
+), ew(uid, day, i, e) AS (
+  SELECT uid, day, i, x FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.uid, s.day, s.i,
+         {_EWMA_ALPHA} * s.x + (1 - {_EWMA_ALPHA}) * ew.e
+  FROM ew JOIN seq s ON s.uid = ew.uid AND s.i = ew.i + 1
+)
+SELECT uid, day, round(e, 6) AS ewma FROM ew
+"""
+
+
+@register("timeseries_ewma", _EWMA_ORACLE)
+def q_timeseries_ewma(spark, sf_dir):
+    """Exponentially weighted moving average over each user's daily
+    event-count series — the inherently RECURSIVE smoother
+    (e_i = αx_i + (1-α)e_{i-1}) that window functions cannot express.
+    Spark shape: the series collapses to per-user day buckets first
+    (one shuffle, state bounded by users × days), each user's ordered
+    series folds through ONE ``aggregate`` lambda (JVM higher-order
+    function — the recursion runs inside codegen over an array that
+    is bounded by the series length per key, never the table), and
+    the running outputs explode back to rows. At 100 TB the per-key
+    series stays calendar-bounded (days, not events), which is what
+    makes the collect safe — the same contract as the gapfill spine.
+    Float parity note: both engines evaluate the identical
+    α·x + (1-α)·e chain in the identical order, so the doubles agree
+    bit-for-bit before the display round; the oracle is a recursive
+    CTE stepping the same recurrence. A window-only approximation
+    (e.g. weighting a fixed lookback) would mismatch — the hash
+    covers every step of the recursion."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("user_id").alias("uid"),
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).agg(F.count("*").cast("double").alias("x"))
+    series = daily.groupBy("uid").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("s")
+    )
+    folded = series.select(
+        "uid",
+        F.expr(
+            f"""
+            aggregate(
+              s,
+              named_struct(
+                'acc',
+                cast(array() as array<struct<day: date, e: double>>),
+                'last', cast(null as double)
+              ),
+              (st, p) -> named_struct(
+                'acc',
+                st.acc || array(named_struct(
+                  'day', p.day,
+                  'e',
+                  CASE WHEN st.last IS NULL THEN p.x
+                       ELSE {_EWMA_ALPHA} * p.x
+                            + (1 - {_EWMA_ALPHA}) * st.last END
+                )),
+                'last',
+                CASE WHEN st.last IS NULL THEN p.x
+                     ELSE {_EWMA_ALPHA} * p.x
+                          + (1 - {_EWMA_ALPHA}) * st.last END
+              ),
+              st -> st.acc
+            )
+            """
+        ).alias("out"),
+    )
+    return folded.select(
+        "uid", F.explode("out").alias("p")
+    ).select(
+        "uid",
+        F.col("p.day").alias("day"),
+        F.round(F.col("p.e"), 6).alias("ewma"),
+    )
