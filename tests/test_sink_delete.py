@@ -549,3 +549,40 @@ def test_concurrent_dv_deletes_never_double_count(spark):
     assert dv_current(m) == dv_for_version(
         m, max(e["v"] for e in m["history"])
     )
+
+
+def test_optimize_vs_dv_delete_race_aborts_one_side(spark):
+    """A dv-delete that lands while OPTIMIZE is rewriting must abort
+    the compaction (its outputs were built WITHOUT the new vector —
+    publishing them would resurrect the deleted rows). Exercised live
+    via a monkeypatched rewrite window."""
+    from appsflyer_to_clickhouse_spark.sinks import datasource_sink as ds
+
+    path = _build(spark)
+    orig_stats = ds._parquet_footer_stats
+    fired = {"done": False}
+
+    def hook(fullpath):
+        # first footer read happens after the rewrite, before the
+        # lock: sneak a dv delete into the window exactly once
+        if not fired["done"]:
+            fired["done"] = True
+            delete_where(spark, path, SCHEMA, "id = 5", mode="dv")
+        return orig_stats(fullpath)
+
+    ds._parquet_footer_stats = hook
+    try:
+        with pytest.raises(ValueError, match="conflict"):
+            optimize_sink(spark, path, SCHEMA, target_rows_per_file=500)
+    finally:
+        ds._parquet_footer_stats = orig_stats
+    # the delete won; the aborted compaction left no orphan outputs
+    # visible and the table is exact
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 899
+    assert back.filter("id = 5").count() == 0
+    # a retry against the new snapshot succeeds and materializes
+    st = optimize_sink(spark, path, SCHEMA, target_rows_per_file=500)
+    assert st["replaced"] == 3
+    assert "dv" not in _manifest_read(path)
+    assert read_committed_parquet(spark, path, SCHEMA).count() == 899
