@@ -1924,8 +1924,8 @@ def table_changes(
                 )
             )
             frames.append(tag(hit, "delete", v))
-        elif op == "compact":
-            pass  # layout-only: no logical change, no IO
+        elif op in ("compact", "rename"):
+            pass  # layout/metadata-only: no logical change, no IO
         else:
             # CoW delete / merge / restore: exact multiset snapshot
             # diff between this version and the previous one

@@ -594,8 +594,8 @@ class ManifestTailReader(DataSourceStreamReader):
                         )
                         for f, idxs in sorted(e["dv_add"].items())
                     )
-                elif op == "compact":
-                    pass  # layout-only: no logical change
+                elif op in ("compact", "rename"):
+                    pass  # layout/metadata-only: no logical change
                 else:
                     raise ValueError(
                         f"chbatch tail changefeed at {self._path}: "

@@ -316,3 +316,61 @@ def test_sidecars_vacuum_after_fold(spark):
     assert not any(
         f.startswith("cdf-") for f in os.listdir(path)
     )
+
+
+def test_rename_commit_is_silent_in_both_feeds(spark):
+    """A rename commit is metadata-only: the batch feed emits nothing
+    for it (and never snapshot-diffs), and the STREAMING feed must not
+    treat it as a rewrite-style refusal."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        rename_column,
+    )
+
+    path = _sink(spark)
+    _append(spark, path, 0, 5)
+    rename_column(path, "v", "label")
+    ren_schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("label", T.StringType()),
+        ]
+    )
+    # the BATCH feed's fast paths are plain parquet reads: it refuses
+    # while renames are live (alias-aware reads are the Data Source's
+    # job) — same contract as the other plain readers
+    with pytest.raises(ValueError, match="renames are live"):
+        table_changes(spark, path, ren_schema, 0)
+    # the STREAMING feed is alias-aware and survives the rename commit
+    cdf_schema = T.StructType(
+        [
+            *ren_schema.fields,
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_cdfr_ck_")
+    q = (
+        spark.readStream.format("chbatch_arrow")
+        .schema(cdf_schema)
+        .option("path", path)
+        .option("changefeed", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cdf_rename_tail")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql("select * from cdf_rename_tail").collect()
+    assert len(out) == 5
+    assert {r["label"] for r in out} == {"a"}  # alias resolved
+    # after OPTIMIZE materializes the rename, the batch feed works
+    # again and the rename + compact commits both emit nothing
+    optimize_sink(spark, path, ren_schema, target_rows_per_file=1000)
+    got = table_changes(spark, path, ren_schema, 0)
+    rows = sorted(
+        (r["_commit_version"], r["_change_type"], r["id"])
+        for r in got.collect()
+    )
+    assert rows == [(0, "insert", i) for i in range(5)]
