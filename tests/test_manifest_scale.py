@@ -76,7 +76,8 @@ def test_log_operations_stay_metadata_speed_at_10k_commits():
     assert r.latestOffset() == {"version": N_COMMITS - 1}
     parts = r.partitions({"version": 8_899}, {"version": 8_999})
     assert len(parts) == 100
-    assert parts[0].value.endswith(files[8_900])
+    # tail partitions carry (fullpath, column_aliases) since renames
+    assert parts[0].value[0].endswith(files[8_900])
 
     # history fold: 9,900 commits collapse into one base; retained
     # tail still resolves exactly, fold base = net prefix
