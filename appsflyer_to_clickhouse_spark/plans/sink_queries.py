@@ -2029,3 +2029,116 @@ def q_sink_shallow_clone(spark, sf_dir):
     return read_committed_parquet(spark, dst, schema).withColumn(
         "n_foreign", F.lit(int(n_foreign)).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_changefeed_apply — the CDC loop WITH DELETES, end to end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_changefeed_apply",
+    """
+    SELECT event_id AS eid, user_id AS uid, event_type
+    FROM events
+    WHERE event_id % 8 IN (0, 4)
+      AND NOT event_id % 80 = 0
+      AND NOT user_id % 9 = 2
+    """,
+)
+def q_stream_changefeed_apply(spark, sf_dir):
+    """The CDC loop WITH DELETES, one commit protocol end to end: a
+    producer appends two commits, merge-on-read-deletes a sparse set
+    (deletion vectors), then copy-on-write-deletes a predicate WITH
+    ``write_cdf=True`` (commit-time sidecars); a downstream consumer
+    tails the CHANGE FEED as a stream and MATERIALIZES it — per key,
+    net = Σ(+insert/−delete), keys with net=1 survive with their
+    values — converging to exactly the upstream table state. This is
+    the consumer contract the batch tests pin
+    (test_cdf_materialization_reproduces_every_version), here run
+    through the streaming source against an oracle that states the
+    surviving rows independently: a feed that leaks compaction rows,
+    drops a dv position, misses the sidecar commit, or double-applies
+    a change breaks the net arithmetic and hash-mismatches.
+
+    Scale shape: the tail reads change rows commit-bounded (appends =
+    their own files, dv deletes = recorded positions, CoW = its
+    sidecars); the apply is ONE keyed aggregation whose state is
+    bounded by live keys — the same footprint as any streaming
+    upsert materialization."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from ..sinks.mutations import delete_where
+    from .streaming_queries import stream_shuffle_partitions
+
+    from ..sinks.datasource_sink import ClickHouseArrowDataSource
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_cfapply_") + "/staged"
+    for residue in (0, 4):
+        (
+            ev.filter(F.col("event_id") % 8 == residue)
+            .select(
+                F.col("event_id").alias("eid"),
+                F.col("user_id").alias("uid"),
+                "event_type",
+            )
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    r1 = delete_where(spark, path, schema, "eid % 80 = 0", mode="dv")
+    assert r1["deleted"] > 0 and r1["n_rewritten"] == 0, r1
+    r2 = delete_where(
+        spark, path, schema, "uid % 9 = 2", write_cdf=True
+    )
+    assert r2["n_rewritten"] > 0, r2
+
+    cdf_schema = T.StructType(
+        [
+            *schema.fields,
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+    name = f"cf_apply_{_uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_cfapply_ckpt_")
+    with stream_shuffle_partitions(spark):
+        q = (
+            spark.readStream.format("chbatch_arrow")
+            .schema(cdf_schema)
+            .option("path", path)
+            .option("changefeed", "true")
+            .load()
+            .groupBy("eid", "uid", "event_type")
+            .agg(
+                F.sum(
+                    F.when(F.col("_change_type") == "insert", 1)
+                    .otherwise(-1)
+                ).alias("net")
+            )
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.table(name)
+        .filter(F.col("net") == 1)
+        .select("eid", "uid", "event_type")
+    )
