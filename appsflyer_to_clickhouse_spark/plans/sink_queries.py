@@ -987,7 +987,11 @@ def q_stream_sink_tail_source(spark, sf_dir):
         (
             out.write.format("chbatch")
             .option("path", path)
-            .option("batchsize", "2000")
+            # flush size keeps parts-per-commit (= tail read tasks)
+            # small: the entry grades log-replay EXACTNESS; the
+            # many-small-flushes regime is timed by the datasource
+            # write entries
+            .option("batchsize", "20000")
             .mode("append")
             .save()
         )
