@@ -1073,3 +1073,58 @@ def q_similarity_ivfpq(spark, sf_dir):
         .limit(10)
         .select("vec_id", F.round("l2", 6).alias("l2_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_range_search — epsilon-ball (threshold) search
+# ---------------------------------------------------------------------------
+
+_RANGE_TAU = "0.2"
+
+
+@register(
+    "similarity_range_search",
+    f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = {_QUERY_ID}
+    )
+    SELECT vec_id, round({_COS_SQL}, 6) AS cosine
+    FROM e, q
+    WHERE {_COS_SQL} >= {_RANGE_TAU}
+    """,
+)
+def q_similarity_range_search(spark, sf_dir):
+    """RANGE (epsilon-ball) similarity search: EVERY vector with
+    cosine >= tau against the query — the retrieval mode top-k cannot
+    express (dedup candidate pulls, recall-bounded retrieval, radius
+    joins all want 'everything this similar', not 'the k best').
+    Exact form: broadcast 1-row query, map-side score, FILTER instead
+    of a top-k heap — one scan, zero shuffle, result size data-driven.
+    At 100 TB the same predicate runs over the IVF/LSH-blocked
+    layouts this family already implements (scan only the blocks
+    whose centroid radius can intersect the ball) — those tiers trade
+    recall and are graded separately; this entry is the exact
+    contract they are measured against. The threshold comparison is
+    safe cross-engine because both sides fold the identical
+    sequential dot product — bit-identical doubles BEFORE the
+    comparison, so no row can straddle the boundary differently."""
+    emb = _emb(spark, sf_dir)
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") == _QUERY_ID).select(
+            F.col("v").alias("qv")
+        )
+    )
+    scored = emb.crossJoin(q).select(
+        "vec_id",
+        cosine(
+            F.col("v"),
+            F.col("qv"),
+            dot(F.col("v"), F.col("v")),
+            dot(F.col("qv"), F.col("qv")),
+        ).alias("cos"),
+    )
+    return scored.filter(
+        F.col("cos") >= float(_RANGE_TAU)
+    ).select("vec_id", F.round("cos", 6).alias("cosine"))

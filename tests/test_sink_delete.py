@@ -586,3 +586,54 @@ def test_optimize_vs_dv_delete_race_aborts_one_side(spark):
     assert st["replaced"] == 3
     assert "dv" not in _manifest_read(path)
     assert read_committed_parquet(spark, path, SCHEMA).count() == 899
+
+
+def _fmt_plan(df) -> str:
+    spark = df.sparkSession
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_dv_mask_plan_is_broadcast_anti_join_no_shuffle(spark):
+    """The deletion-vector mask must be a BroadcastHashJoin LeftAnti
+    over the scan — the data side never exchanges (a shuffled mask
+    would move the whole table to drop a handful of rows)."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        mask_dv,
+    )
+
+    path = _build(spark)
+    delete_where(spark, path, SCHEMA, "id IN (1, 2)", mode="dv")
+    df = read_committed_parquet(spark, path, SCHEMA)
+    plan = _fmt_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "Exchange hashpartitioning" not in plan
+    # and with no vectors the read keeps its bare scan plan
+    path2 = _build(spark)
+    plan2 = _fmt_plan(read_committed_parquet(spark, path2, SCHEMA))
+    assert "Join" not in plan2
+
+
+def test_cow_survivor_plan_has_no_exchange(spark):
+    """The copy-on-write rewrite is a filter over the touched scan —
+    zero Exchange: rewrite IO is proportional to touched parts and
+    never reshuffles them."""
+    import os as _os
+
+    from appsflyer_to_clickhouse_spark.sinks.mutations import (
+        _scan_with_meta,
+    )
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        _manifest_read,
+    )
+
+    path = _build(spark)
+    files = sorted(_manifest_read(path)["files"])[:1]
+    survivors = (
+        _scan_with_meta(spark, path, SCHEMA, files, {})
+        .filter(~F.expr("id < 100"))
+        .select("id", "grp", "val")
+    )
+    plan = _fmt_plan(survivors)
+    assert "Exchange" not in plan
