@@ -1791,6 +1791,94 @@ def read_committed(
     return spark.read.schema(schema).json(files)
 
 
+def maintain_sink(
+    spark,
+    path: str,
+    schema,
+    *,
+    target_rows_per_file: int = 1_000_000,
+    fragmentation_ratio: float = 2.0,
+    dv_fraction: float = 0.05,
+    retain_history: int = 100,
+    vacuum_min_age_s: float = 86_400.0,
+    dry_run: bool = False,
+) -> dict:
+    """ONE maintenance pass with the standard policy — the cron job a
+    production deployment runs against every sink (Delta's
+    auto-compaction + retention loop, as an explicit verb):
+
+    1. OPTIMIZE when the layout needs it: file count above
+       ``fragmentation_ratio`` × the bin-pack ideal, live deletion
+       vectors above ``dv_fraction`` of the rows (merge-on-read debt
+       worth materializing), live column renames, or foreign
+       shallow-clone references (localization). Otherwise skipped —
+       compaction is the only data-sized step here.
+    2. ``truncate_history`` to the newest ``retain_history`` commits
+       (keeps the manifest metadata-sized on unbounded ingest).
+    3. ``vacuum_sink`` behind ``vacuum_min_age_s`` (parts the fold
+       just unreferenced get reclaimed; in-flight writers protected
+       by the age lag).
+
+    ``dry_run=True`` reports every decision without acting (the
+    VACUUM DRY RUN contract extended to the whole pass). Returns the
+    per-step report. Order is fixed: optimize BEFORE the fold so the
+    compaction's REPLACE commit is what survives retention, fold
+    BEFORE vacuum. Note the hand-off cadence: parts a compaction
+    replaces stay vacuum-protected while the RETAINED replace commit
+    can still time-travel to them — they reclaim on the NEXT pass,
+    once the retention window slides past the compaction (pinned in
+    tests/test_sink_maintenance.py)."""
+    manifest = _manifest_read(path)
+    n_files = len(manifest["files"])
+    n_rows = int(manifest.get("rows", 0))
+    ideal = max(1, -(-n_rows // target_rows_per_file))
+    dv_rows = sum(len(v) for v in (manifest.get("dv") or {}).values())
+    reasons = []
+    if n_files > fragmentation_ratio * ideal:
+        reasons.append(f"fragmented ({n_files} files vs ideal {ideal})")
+    if n_rows and dv_rows > dv_fraction * n_rows:
+        reasons.append(
+            f"dv debt ({dv_rows} deleted rows, "
+            f">{dv_fraction:.0%} of {n_rows})"
+        )
+    if manifest.get("column_aliases"):
+        reasons.append("live column renames")
+    if any(os.path.isabs(f) for f in manifest["files"]):
+        reasons.append("foreign shallow-clone references")
+    report: dict = {
+        "optimize": {"needed": bool(reasons), "reasons": reasons},
+        "dry_run": dry_run,
+    }
+    if dry_run:
+        report["truncate"] = {
+            "would_fold": max(
+                0, len(manifest.get("history") or ()) - retain_history
+            )
+        }
+        report["vacuum"] = {
+            "candidates": vacuum_sink(
+                path, min_age_s=vacuum_min_age_s, dry_run=True
+            )
+        }
+        return report
+    if reasons:
+        report["optimize"].update(
+            optimize_sink(
+                spark,
+                path,
+                schema,
+                target_rows_per_file=target_rows_per_file,
+            )
+        )
+    report["truncate"] = {
+        "folded": truncate_history(path, retain_last=retain_history)
+    }
+    report["vacuum"] = {
+        "removed": vacuum_sink(path, min_age_s=vacuum_min_age_s)
+    }
+    return report
+
+
 def table_changes(
     spark,
     path: str,

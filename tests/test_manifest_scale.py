@@ -100,3 +100,64 @@ def _schema():
     return T.StructType(
         [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
     )
+
+
+def test_dv_resolution_stays_metadata_speed_at_10k_entries():
+    """dv_for_version folds 10k mixed commits (append / dv-delete /
+    compact) in metadata time, and the current-cache invariant holds
+    at that scale — no per-version quadratic blowup in the fold."""
+    import json
+    import os
+    import tempfile
+    import time
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        MANIFEST,
+        dv_current,
+        dv_for_version,
+    )
+
+    N = 10_000
+    t0 = time.monotonic()
+    history, live, dv = [], [], {}
+    files = []
+    for v in range(N):
+        kind = v % 3
+        if kind == 0:  # append
+            f = f"part-{v:05d}.parquet"
+            files.append(f)
+            live.append(f)
+            history.append({"v": v, "files": [f]})
+        elif kind == 1:  # dv-delete two rows of the newest part
+            f = live[-1]
+            idxs = [v, v + 1]
+            dv.setdefault(f, []).extend(idxs)
+            history.append(
+                {"v": v, "files": [], "dv_add": {f: idxs}, "op": "delete"}
+            )
+        else:  # compact the two oldest into one (drops their dv)
+            victims = live[:2]
+            nf = f"part-c{v:05d}.parquet"
+            history.append(
+                {"v": v, "files": [nf], "removes": victims, "op": "compact"}
+            )
+            for x in victims:
+                dv.pop(x, None)
+            live = live[2:] + [nf]
+    tmpdir = tempfile.mkdtemp(prefix="dv_scale_")
+    manifest = {
+        "files": sorted(live),
+        "rows": 0,
+        "batches": 0,
+        "history": history,
+        "dv": {k: sorted(x) for k, x in dv.items() if x},
+    }
+    with open(os.path.join(tmpdir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    # full-latest fold equals the incrementally maintained cache
+    assert dv_current(manifest) == dv_for_version(manifest, N - 1)
+    # spot-resolve a spread of historical versions
+    for v in (10, 1_000, 5_001, 9_998):
+        got = dv_for_version(manifest, v)
+        assert isinstance(got, dict)
+    assert time.monotonic() - t0 < 30.0

@@ -419,3 +419,85 @@ def test_compact_sort_by_makes_footer_ranges_disjoint(spark, tmp_path):
         rows = spark.read.parquet(path)
         assert rows.count() == len(dates) * 90
         assert rows.select("appsflyer_id").distinct().count() == 90
+
+
+def test_maintain_sink_full_policy_pass(spark):
+    """maintain_sink runs the standard optimize→fold→vacuum policy:
+    a fragmented, dv-laden sink comes out compact, folded, vacuumed,
+    and dv-free; a healthy sink's pass is metadata-only."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        _manifest_read,
+        maintain_sink,
+        read_committed_parquet,
+    )
+    from appsflyer_to_clickhouse_spark.sinks.mutations import delete_where
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_maint_") + "/s"
+    for lo in range(0, 100, 10):  # 10 tiny parts
+        (
+            spark.range(lo, lo + 10)
+            .select(F.col("id"), (F.col("id") * 1.0).alias("val"))
+            .coalesce(1)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .mode("append")
+            .save()
+        )
+    delete_where(spark, path, schema, "id % 10 = 3", mode="dv")  # 10%
+
+    dry = maintain_sink(
+        spark, path, schema, retain_history=2, vacuum_min_age_s=0.0,
+        dry_run=True,
+    )
+    assert dry["optimize"]["needed"]
+    assert any("fragmented" in r for r in dry["optimize"]["reasons"])
+    assert any("dv debt" in r for r in dry["optimize"]["reasons"])
+    assert _manifest_read(path)["files"]  # dry run changed nothing
+    assert len(_manifest_read(path)["files"]) == 10
+
+    rep = maintain_sink(
+        spark, path, schema, retain_history=2, vacuum_min_age_s=0.0
+    )
+    assert rep["optimize"]["replaced"] == 10
+    assert rep["truncate"]["folded"] > 0
+    # the replaced originals stay vacuum-protected while the RETAINED
+    # replace commit still time-travels to them — reclamation is the
+    # NEXT pass's job, once the retention window slides past the
+    # compaction (the OPTIMIZE→retention→VACUUM hand-off)
+    assert rep["vacuum"]["removed"] == []
+    m = _manifest_read(path)
+    assert len(m["files"]) == 1 and "dv" not in m
+    back = read_committed_parquet(spark, path, schema)
+    assert back.count() == 90
+    assert back.filter("id % 10 = 3").count() == 0
+    # next pass after the window slides (one more commit, tighter
+    # retention): optimize skipped (healthy), the fold passes the
+    # compaction commit, and vacuum reclaims the 10 originals
+    (
+        spark.range(100, 101)
+        .select(F.col("id"), (F.col("id") * 1.0).alias("val"))
+        .coalesce(1)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    rep2 = maintain_sink(
+        spark, path, schema, retain_history=1, vacuum_min_age_s=0.0
+    )
+    assert not rep2["optimize"]["needed"]
+    assert len(rep2["vacuum"]["removed"]) == 10
+    assert read_committed_parquet(spark, path, schema).count() == 91
