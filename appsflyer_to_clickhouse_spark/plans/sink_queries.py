@@ -2146,3 +2146,85 @@ def q_stream_changefeed_apply(spark, sf_dir):
         .filter(F.col("net") == 1)
         .select("eid", "uid", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# sink_merge_tombstones — CDC apply with the WHEN MATCHED DELETE clause
+# ---------------------------------------------------------------------------
+
+_TOMB_ORACLE = """
+SELECT event_id AS eid, user_id AS uid, event_type
+FROM events WHERE event_id % 3 = 0 AND NOT event_id % 6 = 0
+UNION ALL
+SELECT event_id, user_id + 1000000, 'updated'
+FROM events WHERE event_id % 6 = 0 AND NOT event_id % 12 = 0
+UNION ALL
+SELECT event_id, user_id + 1000000, 'updated'
+FROM events WHERE event_id % 3 = 1 AND event_id % 5 = 0
+"""
+
+
+@register("sink_merge_tombstones", _TOMB_ORACLE)
+def q_sink_merge_tombstones(spark, sf_dir):
+    """CDC apply with TOMBSTONES (mutations.merge_sink's
+    delete_predicate — SQL MERGE's WHEN MATCHED AND pred THEN
+    DELETE): one batch carries an ``op`` column OUTSIDE the sink
+    schema — 'd' rows delete their matched target, 'u' rows update
+    or insert — applied as ONE snapshot-log commit. The predicate
+    evaluates on the full source frame (the op column never lands in
+    the table); unmatched tombstones are no-ops; the same broadcast
+    touch-detection bounds the rewrite to the parts that contain
+    matched keys. The oracle states the post-apply table
+    independently (surviving originals ∪ updates ∪ inserts), so an
+    apply that deletes the wrong rows, resurrects a tombstoned key,
+    or drops an update hash-mismatches. This is how a Debezium-style
+    upsert/delete stream lands in the table format — the verb
+    `stream_changefeed_apply` consumes from the other side."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+    )
+    from ..sinks.mutations import merge_sink
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    schema = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_tomb_") + "/staged"
+    (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .select(
+            F.col("event_id").alias("eid"),
+            F.col("user_id").alias("uid"),
+            "event_type",
+        )
+        .repartition(4)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    upserts = ev.filter(
+        (F.col("event_id") % 6 == 0)
+        | ((F.col("event_id") % 3 == 1) & (F.col("event_id") % 5 == 0))
+    ).select(
+        F.col("event_id").alias("eid"),
+        (F.col("user_id") + 1_000_000).alias("uid"),
+        F.lit("updated").alias("event_type"),
+        F.when(F.col("event_id") % 12 == 0, "d")
+        .otherwise("u")
+        .alias("op"),
+    )
+    r = merge_sink(
+        spark, path, schema, upserts, ["eid"], delete_predicate="op = 'd'"
+    )
+    assert r["deleted"] > 0 and r["updated"] > 0 and r["inserted"] > 0, r
+    return read_committed_parquet(spark, path, schema)

@@ -498,6 +498,7 @@ def merge_sink(
     *,
     broadcast_source: bool = True,
     write_cdf: bool = False,
+    delete_predicate: str | None = None,
 ) -> dict:
     """MERGE INTO the manifest sink: WHEN MATCHED UPDATE (the source
     row replaces the target row wholesale), WHEN NOT MATCHED INSERT —
@@ -532,6 +533,13 @@ def merge_sink(
     table, and a broadcast semi-join is the only plan where the big
     side never moves.
 
+    ``delete_predicate`` adds the TOMBSTONE clause (SQL MERGE's WHEN
+    MATCHED AND <pred> THEN DELETE): a source row where the predicate
+    is TRUE deletes its matched target instead of replacing it;
+    unmatched tombstones are no-ops (nothing to delete), and a NULL
+    predicate falls through to the update clause — exactly how a CDC
+    stream's op column ('u'/'d') applies in one MERGE.
+
     Returns ``{updated, inserted, n_rewritten, n_kept, version}``."""
     manifest = _manifest_read(path)
     _require_parquet_tier(manifest["files"], path, "merge_sink")
@@ -541,6 +549,17 @@ def merge_sink(
     missing_keys = [k for k in keys if k not in cols]
     if missing_keys:
         raise ValueError(f"merge_sink: keys {missing_keys} not in schema")
+    # the tombstone split evaluates on the FULL source frame, so a
+    # CDC op column outside the sink schema is usable in the
+    # predicate; only schema columns are ever written
+    if delete_predicate is not None:
+        _is_del = F.coalesce(
+            F.expr(delete_predicate), F.lit(False)
+        )
+        upd_source = source_df.filter(~_is_del)
+        del_source = source_df.filter(_is_del)
+    else:
+        upd_source, del_source = source_df, None
     src = source_df.select(*cols)
     dup = (
         src.groupBy(*keys)
@@ -586,18 +605,35 @@ def merge_sink(
     # broadcast semi-join of the source against the distinct matched
     # keys (bounded: matched keys <= source keys, and the source is
     # the small side by contract)
+    # tombstone split (computed above on the full source frame; a
+    # NULL predicate is NOT a tombstone — SQL MERGE clause
+    # fallthrough)
+    upd_src = upd_source.select(*cols)
+    del_src = (
+        del_source.select(*keys) if del_source is not None else None
+    )
+
     n_matched_keys = 0
+    n_tombstoned = 0
     if touched:
         matched_keys = matched_rows.select(*keys).distinct()
-        n_matched_keys = matched_keys.count()
-        upd = src.join(hint(matched_keys), keys, "left_semi")
-        ins = src.join(hint(matched_keys), keys, "left_anti")
+        upd_keys = upd_src.select(*keys).distinct()
+        n_matched_keys = upd_keys.join(
+            hint(matched_keys), keys, "left_semi"
+        ).count()
+        if del_src is not None:
+            # matched target rows claimed by tombstones: they vanish
+            n_tombstoned = matched_rows.join(
+                hint(del_src.distinct()), keys, "left_semi"
+            ).count()
+        upd = upd_src.join(hint(matched_keys), keys, "left_semi")
+        ins = upd_src.join(hint(matched_keys), keys, "left_anti")
         kept = _scan_with_meta(spark, path, schema, touched, dv0).join(
             hint(src_keys), keys, "left_anti"
         )
         rewrite_df = kept.select(*cols).unionByName(upd.select(*cols))
     else:
-        ins = src
+        ins = upd_src
         rewrite_df = None
 
     new_files = (
@@ -610,9 +646,10 @@ def merge_sink(
     adds = sorted(new_files + insert_files)
     cdf_files: list[str] = []
     if write_cdf:
-        # deletes = pre-image of matched target rows; inserts = the
-        # source rows that landed (updates' post-image + new keys)
-        changes = src.select(*cols).withColumn(
+        # deletes = pre-image of matched target rows (updated AND
+        # tombstoned); inserts = the update-rows that landed
+        # (post-image + new keys) — tombstones insert nothing
+        changes = upd_src.select(*cols).withColumn(
             "_change_type", F.lit("insert")
         )
         if touched:
@@ -650,9 +687,9 @@ def merge_sink(
         next_v = _next_version(history)
         import time as _time
 
-        # matched target rows are REPLACED by one source row per key:
-        # a target that (legally) held duplicate rows for a matched key
-        # shrinks to one, so the counter moves by the exact difference
+        # matched target rows are REPLACED by one update-row per key
+        # (tombstoned keys re-add nothing): counter moves by the
+        # exact difference, duplicate-key targets included
         cur["rows"] = (
             int(cur.get("rows", 0)) - n_updated + n_matched_keys + n_inserted
         )
@@ -685,7 +722,8 @@ def merge_sink(
             cur["stats"] = stats
         _publish(path, cur)
     return {
-        "updated": n_updated,
+        "updated": n_updated - n_tombstoned,
+        "deleted": n_tombstoned,
         "inserted": n_inserted,
         "n_rewritten": len(touched),
         "n_kept": len(files) - len(touched),

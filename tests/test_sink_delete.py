@@ -637,3 +637,76 @@ def test_cow_survivor_plan_has_no_exchange(spark):
     )
     plan = _fmt_plan(survivors)
     assert "Exchange" not in plan
+
+
+def test_merge_tombstone_null_predicate_falls_to_update(spark):
+    """A NULL delete-predicate result is NOT a tombstone: the row
+    falls through to the update clause (SQL MERGE semantics)."""
+    path = _build(spark)
+    batch = spark.createDataFrame(
+        [(0, None, 1.0)], SCHEMA  # grp NULL => predicate NULL
+    )
+    r = merge_sink(
+        spark, path, SCHEMA, batch, ["id"], delete_predicate="grp = 'D'"
+    )
+    assert r["deleted"] == 0 and r["updated"] == 1
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 900
+    assert back.filter("id = 0").collect()[0]["grp"] is None
+
+
+def test_merge_tombstones_full_semantics(spark):
+    """Tombstone semantics end-to-end with the op column available to
+    the predicate (source frame keeps extra columns; the merge writes
+    only schema columns)."""
+    path = _build(spark)
+    # source carries op in `grp` position trick is ugly — instead
+    # encode tombstones via val sentinel: val < 0 means delete
+    batch = spark.createDataFrame(
+        [
+            (0, "UPD", 1.0),      # update
+            (10, "X", -1.0),      # tombstone (val<0)
+            (5000, "X", -1.0),    # unmatched tombstone: no-op
+            (7777, "NEW", 2.0),   # insert
+        ],
+        SCHEMA,
+    )
+    r = merge_sink(
+        spark, path, SCHEMA, batch, ["id"], delete_predicate="val < 0"
+    )
+    assert r["updated"] == 1
+    assert r["deleted"] == 1
+    assert r["inserted"] == 1
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 900  # -1 tombstone +1 insert
+    assert back.filter("id = 10").count() == 0
+    assert back.filter("id = 0").collect()[0]["grp"] == "UPD"
+    assert back.filter("id = 7777").count() == 1
+    assert back.filter("id = 5000").count() == 0
+    m = _manifest_read(path)
+    assert m["rows"] == 900
+
+
+def test_merge_tombstone_predicate_sees_cdc_op_column(spark):
+    """The tombstone predicate evaluates on the FULL source frame:
+    a CDC op column outside the sink schema drives the clause."""
+    op_schema = T.StructType(
+        [*SCHEMA.fields, T.StructField("op", T.StringType())]
+    )
+    path = _build(spark)
+    batch = spark.createDataFrame(
+        [
+            (0, "UPD", 1.0, "u"),
+            (10, "X", 0.0, "d"),
+            (7777, "NEW", 2.0, "u"),
+        ],
+        op_schema,
+    )
+    r = merge_sink(
+        spark, path, SCHEMA, batch, ["id"], delete_predicate="op = 'd'"
+    )
+    assert (r["updated"], r["deleted"], r["inserted"]) == (1, 1, 1)
+    back = read_committed_parquet(spark, path, SCHEMA)
+    assert back.count() == 900
+    assert back.filter("id = 10").count() == 0
+    assert back.filter("id = 0").collect()[0]["grp"] == "UPD"
