@@ -1385,3 +1385,82 @@ def q_graph_shortest_paths(spark, sf_dir):
     return out.groupBy("node").agg(
         F.min("dist").cast("bigint").alias("dist")
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_gini_concentration — exact Gini coefficient per segment
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_totalprice * 100 AS BIGINT) AS cents,
+         o_orderkey AS k
+  FROM orders
+), r AS (
+  SELECT priority, cents,
+         row_number() OVER (
+           PARTITION BY priority ORDER BY cents, k
+         ) AS i
+  FROM o
+), g AS (
+  SELECT priority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(CAST(i AS DECIMAL(38,0)) * cents) AS DECIMAL(38,0))
+           AS si
+  FROM r GROUP BY priority
+)
+SELECT priority, n,
+       round(
+         (2.0 * CAST(si AS DOUBLE))
+           / (CAST(n AS DOUBLE) * CAST(s AS DOUBLE))
+           - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE),
+         6
+       ) AS gini
+FROM g
+"""
+
+
+@register("orders_gini_concentration", _GINI_ORACLE)
+def q_orders_gini_concentration(spark, sf_dir):
+    """Exact Gini coefficient of order-value concentration per
+    priority segment — the canonical inequality measure next to the
+    top-k share `orders_pareto_concentration` reports: gini =
+    2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the within-group value ranking.
+    Exactness recipe: amounts integerize to cents (both engines
+    truncate the IDENTICAL double product, so the integers agree),
+    the rank uses a total order (value, then key — ties can't
+    reorder), and both Σx and Σ(i·x) accumulate in DECIMAL(38,0) —
+    order-independent integer sums — before ONE double expression
+    evaluated identically on both sides. Plan shape: one window
+    shuffle keyed by segment (the same exchange the group aggregate
+    reuses — Spark plans both over one partitioning), aggregates are
+    segment-count-sized. At 100 TB the ranking is the only
+    data-sized step and it is exactly one sort within each
+    segment's partitions."""
+    from pyspark.sql import Window as W
+
+    orders = load(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        (F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.col("o_orderkey").alias("k"),
+    )
+    w = W.partitionBy("priority").orderBy("cents", "k")
+    r = o.withColumn("i", F.row_number().over(w))
+    g = r.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast(
+            "decimal(38,0)"
+        ).alias("s"),
+        F.sum(
+            F.col("i").cast("decimal(38,0)") * F.col("cents")
+        ).cast("decimal(38,0)").alias("si"),
+    )
+    gini = (
+        2.0 * F.col("si").cast("double")
+        / (F.col("n").cast("double") * F.col("s").cast("double"))
+        - (F.col("n").cast("double") + 1) / F.col("n").cast("double")
+    )
+    return g.select("priority", "n", F.round(gini, 6).alias("gini"))
