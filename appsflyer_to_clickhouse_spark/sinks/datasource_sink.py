@@ -1010,7 +1010,11 @@ def dv_for_version(manifest: dict, version: int | None) -> dict:
         if "dv_set" in e:
             dv = {k: set(v) for k, v in e["dv_set"].items()}
         for f in e.get("removes") or ():
+            # dv is keyed by basename; a clone-localizing compact
+            # logs its removes as ABSOLUTE foreign paths — pop both
+            # spellings or the materialized vector would resurrect
             dv.pop(f, None)
+            dv.pop(os.path.basename(f), None)
         for f, idx in (e.get("dv_add") or {}).items():
             dv.setdefault(f, set()).update(idx)
     return {k: sorted(v) for k, v in dv.items() if v}
@@ -1583,6 +1587,28 @@ def optimize_sink(
                 "changed during the rewrite; the rewrite was discarded "
                 "(its outputs carry stale logical names), re-run"
             )
+        if aliases0:
+            # the alias branch read via .load(), which re-resolves the
+            # manifest AT JOB EXECUTION — a part appended between our
+            # `old` capture and the job run had its rows compacted into
+            # the outputs AND stays listed as its own file (duplicated),
+            # and the missing/dv checks below can't see ADDED files
+            # (ADVICE r7). Any file in the current snapshot that is
+            # neither captured nor ours is that race: abort.
+            slipped = sorted(
+                set(cur["files"]) - set(old) - set(new_files)
+            )
+            if slipped:
+                for f in new_files:
+                    with contextlib.suppress(OSError):
+                        os.remove(os.path.join(path, f))
+                raise ValueError(
+                    f"optimize_sink at {path}: conflict — "
+                    f"{len(slipped)} part(s) were appended during the "
+                    f"alias-materializing rewrite (e.g. {slipped[:3]}) "
+                    "and may have been double-read; the rewrite was "
+                    "discarded, re-run against the new snapshot"
+                )
         if missing or dv_moved:
             for f in new_files:
                 with contextlib.suppress(OSError):
@@ -1740,7 +1766,12 @@ def read_committed_pruned(
     names = prune_files(path, column, lo, hi, version)
     df = _read_parts(spark, path, schema, names)
     dv = dv_for_version(_manifest_read(path), version)
-    df = mask_dv(df, {k: v for k, v in dv.items() if k in set(names)})
+    # dv is keyed by part BASENAME; a shallow clone's entries come
+    # back as ABSOLUTE foreign paths, so matching on the raw names
+    # would silently drop the mask and resurrect dv-deleted rows
+    # (ADVICE r7) — match on basenames like read_committed_parquet
+    present = {os.path.basename(n) for n in names}
+    df = mask_dv(df, {k: v for k, v in dv.items() if k in present})
     if lo is not None:
         df = df.filter(F.col(column) >= F.lit(lo))
     if hi is not None:

@@ -397,8 +397,15 @@ def delete_where(
     # any existing deletion vectors materialized away in the same pass
     # (a rewritten part must not resurrect dv-deleted rows). Filter
     # job over the touched scan — no repartition, no exchange.
+    # Null-safe negation (ADVICE r7): a row where the predicate
+    # evaluates to NULL is NOT deleted (matches uses filter(pred),
+    # which excludes it), so it must SURVIVE the rewrite — a bare
+    # ~pred would drop it from both sides and silently lose the row.
+    # SQL/Delta DELETE semantics: NULL-predicate rows are kept.
     touched_scan = _scan_with_meta(spark, path, schema, touched, dv0)
-    survivors = touched_scan.filter(~F.expr(predicate)).select(*cols)
+    survivors = touched_scan.filter(
+        ~F.coalesce(F.expr(predicate), F.lit(False))
+    ).select(*cols)
     cdf_files: list[str] = []
     if write_cdf:
         # the deleted rows are already in hand — one more bounded pass

@@ -467,6 +467,12 @@ class ManifestTailReader(DataSourceStreamReader):
         # instead (same protocol, earlier materialization); offline,
         # feed those commits from the batch table_changes API.
         self._cdf = options.get("changefeed", "false").lower() == "true"
+        # Delta's ignoreChanges: opt-in for the PLAIN tail to skip
+        # data-changing commits (merge/update/delete) instead of
+        # failing. Default false — see partitions() for the contract.
+        self._ignore_changes = (
+            options.get("ignorechanges", "false").lower() == "true"
+        )
         if self._cdf:
             names = [f.name for f in schema.fields]
             if names[-2:] != ["_change_type", "_commit_version"]:
@@ -606,10 +612,31 @@ class ManifestTailReader(DataSourceStreamReader):
                         "table_changes API"
                     )
                 continue
+            if op in ("merge", "update", "delete"):
+                # DATA-CHANGING commit on the plain tail: a merge's
+                # adds include genuinely NEW inserted rows and an
+                # update's files carry changed values — silently
+                # skipping them would lose data downstream (ADVICE
+                # r7), and forwarding them would re-emit the
+                # rewritten old rows. Fail loudly (Delta's readStream
+                # contract) unless the caller opted into
+                # ignoreChanges semantics.
+                if self._ignore_changes:
+                    continue
+                raise ValueError(
+                    f"chbatch tail at {self._path}: commit "
+                    f"v{e['v']} is a data-changing {op!r} — a plain "
+                    "tail cannot represent it (merge-inserted / "
+                    "updated rows would be lost or duplicated). Use "
+                    '.option("changefeed", "true") to consume change '
+                    'rows, or .option("ignorechanges", "true") to '
+                    "skip such commits knowingly."
+                )
             if op not in (None, "append"):
-                # non-append commit (compact rewrite, restore
-                # re-add): its files carry only rows the tail already
-                # emitted — forwarding them would duplicate downstream
+                # layout/metadata-only commit (compact rewrite,
+                # restore re-add, rename): its files carry only rows
+                # the tail already emitted — forwarding them would
+                # duplicate downstream
                 continue
             out.extend(
                 InputPartition((os.path.join(self._path, f), aliases))
