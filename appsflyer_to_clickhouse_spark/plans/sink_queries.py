@@ -2228,3 +2228,78 @@ def q_sink_merge_tombstones(spark, sf_dir):
     )
     assert r["deleted"] > 0 and r["updated"] > 0 and r["inserted"] > 0, r
     return read_committed_parquet(spark, path, schema)
+
+
+# ---------------------------------------------------------------------------
+# sink_commit_log — the table format on per-commit log records
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_commit_log",
+    """
+    SELECT event_id AS eid, user_id AS uid, event_type
+    FROM events
+    WHERE event_id % 4 IN (0, 1)
+      AND NOT event_id % 60 = 0
+      AND NOT user_id % 9 = 2
+    """,
+)
+def q_sink_commit_log(spark, sf_dir):
+    """The COMMIT-LOG storage mode end to end (sinks/commit_log.py —
+    VERDICT r7 task 1): a log-enabled sink takes two appends, a
+    merge-on-read (deletion-vector) delete, and a copy-on-write
+    delete, each published as ONE O(delta) record in ``_chlog/``
+    instead of an O(parts) manifest rewrite — the Delta
+    log-segments-plus-checkpoint design on the chbatch protocol, the
+    difference between a commit that writes a sub-KB delta and one
+    that rewrites a multi-hundred-MB document at ~10^6 parts.
+    ``checkpoint_interval=2`` forces a MID-SEQUENCE checkpoint roll,
+    so the graded read resolves checkpoint + pending records, not
+    just a pristine log. The oracle states the final logical state
+    independently from events: a fold that double-applies a record,
+    drops a deletion vector at the roll, or loses a commit's adds
+    hash-mismatches. Mode-equivalence over the full verb set and the
+    flat-commit-cost pin at 100k parts live in tests/test_commit_log.py
+    and tests/test_manifest_scale.py."""
+    from pyspark.sql import types as T
+
+    from ..sinks.commit_log import enable_commit_log
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+        sink_versions,
+    )
+    from ..sinks.mutations import delete_where
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        "event_type",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_clog_") + "/staged"
+    enable_commit_log(path, checkpoint_interval=2)
+    for residue in (0, 1):  # commits v0 (checkpoint), v1 (record)
+        (
+            ev.filter(F.col("eid") % 4 == residue)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    r_dv = delete_where(spark, path, schema, "eid % 60 = 0", mode="dv")
+    assert r_dv["n_rewritten"] == 0, r_dv
+    r_cow = delete_where(spark, path, schema, "uid % 9 = 2")
+    assert r_cow["n_rewritten"] > 0, r_cow
+    # the full version log survives the checkpoint rolls
+    assert [e["v"] for e in sink_versions(path)] == [0, 1, 2, 3]
+    return read_committed_parquet(spark, path, schema)

@@ -471,13 +471,15 @@ class _BatchWriter(DataSourceWriter):
         # an object-store deployment needs a CAS manifest service
         # instead (the standing limitation of file-listing commit
         # protocols that drove Delta/Iceberg's log design).
+        from . import commit_log
+
         mpath = os.path.join(self._path, MANIFEST)
         txn_app = getattr(self, "_txn_app", None)
         txn_version = getattr(self, "_txn_version", None)
         with _manifest_lock(self._path):
+            log_mode = commit_log.log_enabled(self._path)
             if not getattr(self, "_overwrite", True) and os.path.exists(mpath):
-                with open(mpath) as fh:
-                    prev = json.load(fh)
+                prev = _manifest_read(self._path)
                 if txn_app is not None:
                     last_txn = (prev.get("txns") or {}).get(txn_app)
                     if last_txn is not None and txn_version <= last_txn:
@@ -492,6 +494,30 @@ class _BatchWriter(DataSourceWriter):
                                 os.remove(os.path.join(self._path, f))
                         return
                 _enforce_constraints(prev, new_stats, new_files, self._path)
+                if log_mode:
+                    # commit-log mode: the append is ONE O(delta)
+                    # record — files, their stats, and the moved
+                    # scalars; table size never enters the write
+                    history = _extend_history(prev, new_files)
+                    entry = history[-1]
+                    entry["rows_total"] = prev["rows"] + manifest["rows"]
+                    record = {
+                        "entry": entry,
+                        "set": {
+                            "rows": entry["rows_total"],
+                            "batches": prev["batches"]
+                            + manifest["batches"],
+                        },
+                    }
+                    if new_stats:
+                        record["stats_add"] = new_stats
+                    if txn_app is not None:
+                        record["set"]["txns"] = {
+                            **(prev.get("txns") or {}),
+                            txn_app: txn_version,
+                        }
+                    commit_log.append_commit(self._path, record)
+                    return
                 merged_stats = {**(prev.get("stats") or {}), **new_stats}
                 history = _extend_history(prev, new_files)
                 manifest = {
@@ -514,10 +540,22 @@ class _BatchWriter(DataSourceWriter):
                     **(manifest.get("txns") or {}),
                     txn_app: txn_version,
                 }
+            if log_mode:
+                # fresh table or OVERWRITE in log mode: the full
+                # manifest IS the new checkpoint; stamp the record-seq
+                # high-water so stale pending records can never fold
+                # on top of it, then purge them
+                recs = commit_log._record_files(self._path)
+                if recs:
+                    manifest["applied_seq"] = recs[-1][0]
             tmp = mpath + ".tmp"
             with open(tmp, "w") as fh:
                 json.dump(manifest, fh)
             os.replace(tmp, mpath)  # atomic publish
+            if log_mode:
+                for _, full in commit_log._record_files(self._path):
+                    with contextlib.suppress(OSError):
+                        os.remove(full)
 
     def abort(self, messages: list[_PartCommit]) -> None:
         for m in messages:
@@ -550,6 +588,15 @@ def _extend_history(prev: dict, new_files: list[str]) -> list[dict]:
 
 
 def _manifest_read(path: str) -> dict:
+    """Current manifest state. Single-file mode: one JSON parse.
+    Commit-log mode (``_chlog/`` present — sinks/commit_log.py): the
+    checkpoint plus the bounded pending-record tail, folded — same
+    dict shape, so every verb and reader above this line is
+    storage-mode agnostic."""
+    from . import commit_log
+
+    if commit_log.log_enabled(path):
+        return commit_log.read_state(path)
     with open(os.path.join(path, MANIFEST)) as fh:
         return json.load(fh)
 
@@ -676,6 +723,9 @@ def add_constraint(
     if hi_k is not None:
         spec["max"] = hi_k
     with _manifest_lock(path):
+        from . import commit_log
+
+        commit_log.fold_pending_locked(path)
         manifest = _manifest_read(path)
         constraints = dict(manifest.get("constraints") or {})
         if name in constraints:
@@ -705,6 +755,9 @@ def add_constraint(
 
 def drop_constraint(path: str, name: str) -> None:
     with _manifest_lock(path):
+        from . import commit_log
+
+        commit_log.fold_pending_locked(path)
         manifest = _manifest_read(path)
         constraints = dict(manifest.get("constraints") or {})
         if name not in constraints:
@@ -814,6 +867,9 @@ def rename_column(path: str, old: str, new: str) -> dict:
     if old == new:
         raise ValueError("rename_column: old and new are identical")
     with _manifest_lock(path):
+        from . import commit_log
+
+        commit_log.fold_pending_locked(path)
         manifest = _manifest_read(path)
         aliases = {
             k: list(v)
@@ -1092,6 +1148,13 @@ def restore_sink(path: str, version: int) -> dict:
     epochs (they are still "committed" to that lineage); to replay
     them, rewind/replace the checkpoint together with the restore."""
     with _manifest_lock(path):
+        # commit-log mode: fold pending records first, then operate
+        # on the checkpoint — the rare metadata verbs stay
+        # storage-mode agnostic by running single-file logic on a
+        # freshly folded state (fold-then-run)
+        from . import commit_log
+
+        commit_log.fold_pending_locked(path)
         manifest = _manifest_read(path)
         # resolve inside the lock so a concurrent commit can't slide
         # between resolution and publish
@@ -1176,6 +1239,9 @@ def vacuum_sink(
     import time as _time
 
     with _manifest_lock(path):
+        from . import commit_log
+
+        commit_log.fold_pending_locked(path)
         manifest = _manifest_read(path)
         referenced = set(manifest["files"])
         for e in manifest.get("history") or ():
@@ -1229,6 +1295,9 @@ def truncate_history(path: str, retain_last: int) -> int:
     if retain_last < 1:
         raise ValueError("retain_last must be >= 1")
     with _manifest_lock(path):
+        from . import commit_log
+
+        commit_log.fold_pending_locked(path)
         mpath = os.path.join(path, MANIFEST)
         manifest = _manifest_read(path)
         history = sorted(
@@ -1665,10 +1734,23 @@ def optimize_sink(
             cur.pop("dv", None)
         if new_stats:
             cur["stats"] = {**(cur.get("stats") or {}), **new_stats}
-        tmp = mpath + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(cur, fh)
-        os.replace(tmp, mpath)
+        from . import commit_log
+
+        if commit_log.log_enabled(path):
+            # O(delta) REPLACE record: adds + removes + new stats;
+            # the fold drops replaced parts' vectors (by basename too)
+            # and the alias clear rides in `set`
+            record = {"entry": entry}
+            if new_stats:
+                record["stats_add"] = new_stats
+            if aliases0:
+                record["set"] = {"column_aliases": None}
+            commit_log.append_commit(path, record)
+        else:
+            tmp = mpath + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(cur, fh)
+            os.replace(tmp, mpath)
     return {
         "replaced": len(old),
         "written": len(new_files),
@@ -2248,13 +2330,16 @@ class _StreamBatchWriter(DataSourceStreamWriter):
         new_files = sorted(
             f for m in messages if m is not None for f in m.files
         )
+        from . import commit_log
+
         mpath = os.path.join(self._path, MANIFEST)
         os.makedirs(self._path, exist_ok=True)
         with _manifest_lock(self._path):
+            log_mode = commit_log.log_enabled(self._path)
+            fresh = not os.path.exists(mpath)
             prev = {"files": [], "rows": 0, "batches": 0, "last_batch_id": None}
-            if os.path.exists(mpath):
-                with open(mpath) as fh:
-                    prev = {**prev, **json.load(fh)}
+            if not fresh:
+                prev = {**prev, **_manifest_read(self._path)}
             last = prev.get("last_batch_id")
             prev_id = prev.get("stream_id")
             if self._stream_id is not None and prev_id is not None:
@@ -2343,6 +2428,34 @@ class _StreamBatchWriter(DataSourceStreamWriter):
             history[-1]["rows_total"] = prev["rows"] + sum(
                 m.rows for m in messages if m is not None
             )
+            if log_mode and not fresh:
+                # commit-log mode: each micro-batch publishes ONE
+                # O(delta) record — at streaming cadence this is the
+                # path where the single-file rewrite hurts most
+                entry = history[-1]
+                record = {
+                    "entry": entry,
+                    "set": {
+                        "rows": entry["rows_total"],
+                        "batches": prev["batches"]
+                        + sum(
+                            m.batches for m in messages if m is not None
+                        ),
+                        "last_batch_id": batchId,
+                    },
+                }
+                if pre_stats:
+                    record["stats_add"] = pre_stats
+                if self._stream_id is not None:
+                    record["set"]["stream_id"] = self._stream_id
+                elif prev.get("stream_id") is not None:
+                    # unknown lineage drops the recorded id (the v1
+                    # path rebuilds without it) — a later
+                    # lineage-aware run must see "unknown", not a
+                    # stale identity
+                    record["set"]["stream_id"] = None
+                commit_log.append_commit(self._path, record)
+                return
             manifest = {
                 "files": sorted(set(prev["files"]) | set(new_files)),
                 "rows": prev["rows"]

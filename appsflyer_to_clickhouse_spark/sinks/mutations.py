@@ -172,6 +172,32 @@ def _publish(path: str, manifest: dict) -> None:
     os.replace(tmp, mpath)
 
 
+def _publish_commit(
+    path: str,
+    cur: dict,
+    entry: dict,
+    stats_add: dict | None = None,
+    stats_drop: list[str] | None = None,
+) -> None:
+    """Publish a mutation commit under the already-held manifest
+    lock: single-file mode rewrites the full manifest (``cur`` was
+    hand-updated by the caller exactly as before); commit-log mode
+    writes ONE O(delta) record — the history entry plus the new
+    parts' stats and the dropped stats keys — so DML cost never
+    scales with table size (sinks/commit_log.py)."""
+    from . import commit_log
+
+    if commit_log.log_enabled(path):
+        record: dict = {"entry": entry}
+        if stats_add:
+            record["stats_add"] = stats_add
+        if stats_drop:
+            record["stats_drop"] = list(stats_drop)
+        commit_log.append_commit(path, record)
+    else:
+        _publish(path, cur)
+
+
 def _next_version(history: list[dict]) -> int:
     return (max(e["v"] for e in history) + 1) if history else 0
 
@@ -354,21 +380,20 @@ def delete_where(
             import time as _time
 
             cur["rows"] = int(cur.get("rows", 0)) - n_new
-            history.append(
-                {
-                    "v": next_v,
-                    "files": [],
-                    "dv_add": delta,
-                    "op": "delete",
-                    "mode": "dv",
-                    "predicate": predicate,
-                    "rows_total": cur["rows"],
-                    "ts": _time.time(),
-                }
-            )
+            entry = {
+                "v": next_v,
+                "files": [],
+                "dv_add": delta,
+                "op": "delete",
+                "mode": "dv",
+                "predicate": predicate,
+                "rows_total": cur["rows"],
+                "ts": _time.time(),
+            }
+            history.append(entry)
             cur["history"] = history
             cur["dv"] = {k: sorted(v) for k, v in dv.items() if v}
-            _publish(path, cur)
+            _publish_commit(path, cur, entry)
         return {
             "deleted": n_new,
             "n_rewritten": 0,
@@ -486,7 +511,7 @@ def delete_where(
             stats.pop(f, None)
         if stats:
             cur["stats"] = stats
-        _publish(path, cur)
+        _publish_commit(path, cur, entry, new_stats, touched)
     return {
         "deleted": n_deleted,
         "n_rewritten": len(touched),
@@ -727,7 +752,7 @@ def merge_sink(
             stats.pop(f, None)
         if stats:
             cur["stats"] = stats
-        _publish(path, cur)
+        _publish_commit(path, cur, entry, new_stats, touched)
     return {
         "updated": n_updated - n_tombstoned,
         "deleted": n_tombstoned,
@@ -896,7 +921,7 @@ def update_where(
             stats.pop(f, None)
         if stats:
             cur["stats"] = stats
-        _publish(path, cur)
+        _publish_commit(path, cur, entry, new_stats, touched)
     return {
         "updated": n_updated,
         "n_rewritten": len(touched),
