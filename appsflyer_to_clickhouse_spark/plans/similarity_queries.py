@@ -13,6 +13,8 @@ exactly reproducible across engines (no runtime RNG).
 
 from __future__ import annotations
 
+import tempfile
+
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
@@ -1128,3 +1130,84 @@ def q_similarity_range_search(spark, sf_dir):
     return scored.filter(
         F.col("cos") >= float(_RANGE_TAU)
     ).select("vec_id", F.round("cos", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# similarity_pq_stored — the PQ index as a PERSISTED manifest-sink table
+# ---------------------------------------------------------------------------
+
+
+def _pq_codes_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            *[
+                T.StructField(f"c{s}", T.IntegerType())
+                for s in range(M_SUB)
+            ],
+        ]
+    )
+
+
+@register("similarity_pq_stored", _pq_oracle())
+def q_similarity_pq_stored(spark, sf_dir):
+    """The PQ index PERSISTED through the manifest sink (VERDICT r7
+    task 5): a production ANN index is STORED, not a session cache —
+    encode once at index-build time, write the 4-byte codes as a
+    chbatch_arrow table (commit-logged, stats-carrying, vacuumable
+    like any other sink), and serve every later query from the stored
+    table with no re-encode. This entry grades the full round trip:
+    build codes (shared _pq_codes stage) -> WRITE the index table ->
+    READ it back manifest-resolved -> ADC scan + shortlist + exact
+    re-rank, against the same relational oracle as similarity_pq_adc
+    — a stored index that drops a row, retypes a code, or serves a
+    stale snapshot hash-mismatches. Scale shape: the served scan is
+    the 4-byte code table (64x smaller than the vectors); the
+    full-precision read stays shortlist-bounded; at 10 TB of codes
+    the index table is clustered by IVF cell at write time so the
+    probe prunes whole parts from manifest stats
+    (tests/test_pq_stored_index.py pins that layout's pruning).
+    Recall floors are unchanged — the stored codes are bit-identical
+    to the session-stage codes (same encoder), pinned in
+    tests/test_pq_recall.py."""
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    emb = _emb(spark, sf_dir)
+    codes = _pq_codes(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="spark_graft_pqidx_") + "/index"
+    (
+        codes.write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    stored = read_committed_parquet(spark, path, _pq_codes_schema())
+    adc = _pq_adc_frame(
+        spark, sf_dir, stored.filter(F.col("vec_id") != _QUERY_ID)
+    )
+    shortlist = (
+        adc.orderBy("adc", "vec_id").limit(_PQ_SHORTLIST).select("vec_id")
+    )
+    qv = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("v").alias("qv")
+    )
+    l2 = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("qv"))
+        + dot(F.col("qv"), F.col("qv"))
+    )
+    return (
+        emb.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", l2.alias("l2"))
+        .orderBy("l2", "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("l2", 6).alias("l2_dist"))
+    )

@@ -125,7 +125,7 @@ def _record_files(path: str) -> list[tuple[int, str]]:
     return out
 
 
-def apply_commit(state: dict, record: dict) -> dict:
+def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
     """Fold ONE commit record into a manifest-state dict, in place.
     The single definition of what a commit means — shared by the read
     path (fold pending records) and the checkpoint writer, and pinned
@@ -163,9 +163,14 @@ def apply_commit(state: dict, record: dict) -> dict:
         history.append(e)
         state["history"] = history
         stats = dict(state.get("stats") or {})
-        dv = {k: set(v) for k, v in (state.get("dv") or {}).items()}
+        # vectors are STORED FORMS (inline lists or sidecar refs —
+        # datasource_sink.dv_store); merging a dv_add onto an existing
+        # vector resolves both through `path`
+        from .datasource_sink import dv_len, dv_resolve_np
+
+        dv = dict(state.get("dv") or {})
         if "dv_set" in e:
-            dv = {k: set(v) for k, v in e["dv_set"].items()}
+            dv = dict(e["dv_set"])
         for f in removes:
             # vectors travel with their parts (the rewrite
             # materialized them); STATS are only dropped when the
@@ -175,7 +180,15 @@ def apply_commit(state: dict, record: dict) -> dict:
             dv.pop(f, None)
             dv.pop(os.path.basename(f), None)
         for f, idx in (e.get("dv_add") or {}).items():
-            dv.setdefault(f, set()).update(int(i) for i in idx)
+            old = dv.get(f)
+            if old is None:
+                dv[f] = idx
+            else:
+                import numpy as np
+
+                dv[f] = np.union1d(
+                    dv_resolve_np(path, old), dv_resolve_np(path, idx)
+                ).tolist()
         stats.update(record.get("stats_add") or {})
         for f in record.get("stats_drop") or ():
             stats.pop(f, None)
@@ -183,7 +196,7 @@ def apply_commit(state: dict, record: dict) -> dict:
             state["stats"] = stats
         else:
             state.pop("stats", None)
-        dv = {k: sorted(v) for k, v in dv.items() if v}
+        dv = {k: v for k, v in dv.items() if dv_len(v)}
         if dv:
             state["dv"] = dv
         else:
@@ -231,7 +244,7 @@ def read_state(path: str) -> dict:
         if seq <= applied:
             continue  # folded already; reaped at the next checkpoint
         with open(full) as fh:
-            apply_commit(state, json.load(fh))
+            apply_commit(state, json.load(fh), path)
         state["applied_seq"] = seq
     return state
 
@@ -279,6 +292,21 @@ def fold_pending_locked(path: str) -> int:
     if not recs:
         return 0
     state = read_state(path)  # folds in seq order, stamps applied_seq
+    # a fold that merged dv_adds may hold a large inline vector in
+    # memory — spill it to a sidecar so the checkpoint JSON stays
+    # metadata-sized (checkpointing is a write operation; reads never
+    # spill)
+    if state.get("dv"):
+        from .datasource_sink import dv_store
+
+        state["dv"] = {
+            k: (
+                dv_store(path, v)
+                if isinstance(v, list) and len(v) > 1024
+                else v
+            )
+            for k, v in state["dv"].items()
+        }
     mpath = os.path.join(path, MANIFEST)
     tmp = mpath + ".tmp"
     with open(tmp, "w") as fh:

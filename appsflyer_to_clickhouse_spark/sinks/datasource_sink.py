@@ -1034,17 +1034,93 @@ def _refuse_if_foreign(manifest: dict, path: str, what: str) -> None:
         )
 
 
-def dv_current(manifest: dict) -> dict[str, list[int]]:
-    """The CURRENT deletion-vector map: {part name: sorted deleted
-    row indexes} — merge-on-read DELETEs (``mutations.delete_where``
-    with mode='dv') record positions here instead of rewriting parts.
-    Maintained incrementally by every commit; equals
-    ``dv_for_version`` at the newest version (property-pinned in
-    tests/test_sink_delete.py)."""
-    return {k: list(v) for k, v in (manifest.get("dv") or {}).items()}
+def dv_current(manifest: dict) -> dict:
+    """The CURRENT deletion-vector map: {part name: vector} —
+    merge-on-read DELETEs (``mutations.delete_where`` with mode='dv')
+    record positions here instead of rewriting parts. Maintained
+    incrementally by every commit; equals ``dv_for_version`` at the
+    newest version (property-pinned in tests/test_sink_delete.py).
+
+    A vector is stored either INLINE (a sorted int list — small
+    deletes) or as a SIDECAR reference ``{"sidecar": "dv-....bin",
+    "n": N}`` pointing at a packed-int64 binary file in the sink
+    directory (VERDICT r7 task 2 — Delta's deletion-vector files).
+    Values are returned AS STORED; resolve with ``dv_resolve`` /
+    ``dv_resolved`` where concrete positions are needed."""
+    return {
+        k: (list(v) if isinstance(v, list) else dict(v))
+        for k, v in (manifest.get("dv") or {}).items()
+    }
 
 
-def dv_for_version(manifest: dict, version: int | None) -> dict:
+def dv_len(val) -> int:
+    """Deleted-row count of one stored vector (inline or sidecar)."""
+    return len(val) if isinstance(val, list) else int(val["n"])
+
+
+def dv_resolve_np(path: str, val):
+    """Concrete sorted positions of one stored vector as an int64
+    ndarray — the zero-copy-ish form every hot path uses. Sidecars
+    are packed little-endian int64 (``numpy.fromfile`` — one bounded
+    read of the named file, never a directory scan)."""
+    import numpy as np
+
+    if isinstance(val, list):
+        return np.asarray(val, dtype="<i8")
+    arr = np.fromfile(
+        os.path.join(path, val["sidecar"]), dtype="<i8"
+    )
+    if len(arr) != int(val["n"]):
+        raise ValueError(
+            f"dv sidecar {val['sidecar']} at {path}: expected "
+            f"{val['n']} positions, found {len(arr)} — the sidecar "
+            "was truncated or clobbered"
+        )
+    return arr
+
+
+def dv_resolve(path: str, val) -> list[int]:
+    """``dv_resolve_np`` as a plain int list (small-vector callers)."""
+    return [int(i) for i in dv_resolve_np(path, val)]
+
+
+def dv_resolved(path: str, dv: dict) -> dict[str, list[int]]:
+    """Resolve every stored vector in a dv map to concrete positions."""
+    return {k: dv_resolve(path, v) for k, v in dv.items()}
+
+
+def dv_store(path: str, positions, inline_max: int = 1024):
+    """Store a vector in its canonical form: inline when small,
+    sidecar past ``inline_max`` — the commit record stays O(1) however
+    large the delete. numpy end to end (a 10M-position vector never
+    becomes a Python set)."""
+    import numpy as np
+
+    arr = np.unique(np.asarray(positions, dtype="<i8"))
+    if len(arr) <= inline_max:
+        return [int(i) for i in arr]
+    name = f"dv-{uuid.uuid4().hex}.bin"
+    tmp = os.path.join(path, name + ".tmp")
+    arr.tofile(tmp)
+    os.replace(tmp, os.path.join(path, name))
+    return {"sidecar": name, "n": int(len(arr))}
+
+
+def _dv_same(a, b) -> bool:
+    """Conflict-detection equality of two STORED vectors without
+    resolving sidecars: inline lists compare by value, refs by
+    sidecar identity (a vector is never mutated in place — a change
+    always produces a new sidecar name or a new list)."""
+    if isinstance(a, list) != isinstance(b, list):
+        return False
+    if isinstance(a, list):
+        return sorted(a) == sorted(b)
+    return a.get("sidecar") == b.get("sidecar")
+
+
+def dv_for_version(
+    manifest: dict, version: int | None, path: str | None = None
+) -> dict:
     """Reconstruct the deletion-vector state AS OF ``version`` by
     folding the snapshot log — what makes time travel exact across
     merge-on-read deletes. Three entry effects, in version order:
@@ -1056,15 +1132,41 @@ def dv_for_version(manifest: dict, version: int | None) -> dict:
       the removed parts' vectors drop with them (their survivors were
       materialized into the new parts);
     - ``dv_add`` (merge-on-read deletes): per-file indexes unioned in.
-    """
+
+    Vectors may be sidecar references; merging one onto an existing
+    vector for the same file resolves both (``path`` required — every
+    production caller has it; the merged result stays in memory,
+    reads never write sidecars). Non-merging refs pass through
+    unresolved, so the common fold is metadata-speed at any vector
+    size."""
     if version is None:
         return dv_current(manifest)
-    dv: dict[str, set[int]] = {}
+
+    def _merge(f: str, old, idx):
+        if old is None:
+            return list(idx) if isinstance(idx, list) else dict(idx)
+        if path is None and not (
+            isinstance(old, list) and isinstance(idx, list)
+        ):
+            raise ValueError(
+                f"dv_for_version: merging sidecar vectors for {f} "
+                "requires the sink path (binary resolution)"
+            )
+        import numpy as np
+
+        return np.union1d(
+            dv_resolve_np(path, old), dv_resolve_np(path, idx)
+        ).tolist()
+
+    dv: dict = {}
     for e in sorted(manifest.get("history") or (), key=lambda e: e["v"]):
         if e["v"] > version:
             break
         if "dv_set" in e:
-            dv = {k: set(v) for k, v in e["dv_set"].items()}
+            dv = {
+                k: (list(v) if isinstance(v, list) else dict(v))
+                for k, v in e["dv_set"].items()
+            }
         for f in e.get("removes") or ():
             # dv is keyed by basename; a clone-localizing compact
             # logs its removes as ABSOLUTE foreign paths — pop both
@@ -1072,26 +1174,48 @@ def dv_for_version(manifest: dict, version: int | None) -> dict:
             dv.pop(f, None)
             dv.pop(os.path.basename(f), None)
         for f, idx in (e.get("dv_add") or {}).items():
-            dv.setdefault(f, set()).update(idx)
-    return {k: sorted(v) for k, v in dv.items() if v}
+            dv[f] = _merge(f, dv.get(f), idx)
+    return {k: v for k, v in dv.items() if dv_len(v)}
 
 
-def mask_dv(df, dv: dict):
+def _dv_pairs_df(spark, path: str | None, dv: dict):
+    """(file, position) pairs of a dv map as a DataFrame, built via
+    pandas/Arrow so a million-row sidecar vector transfers as one
+    columnar batch instead of a million Python tuples."""
+    import numpy as np
+    import pandas as pd
+
+    names, idxs = [], []
+    for f, val in sorted(dv.items()):
+        pos = dv_resolve_np(path, val)
+        names.append(np.repeat(np.array([f], dtype=object), len(pos)))
+        idxs.append(pos)
+    pdf = pd.DataFrame(
+        {
+            "_dv_file": np.concatenate(names) if names else [],
+            "_dv_idx": np.concatenate(idxs) if idxs else [],
+        }
+    )
+    return spark.createDataFrame(
+        pdf, "_dv_file string, _dv_idx long"
+    )
+
+
+def mask_dv(df, dv: dict, path: str | None = None):
     """Apply a deletion-vector map to a parquet-tier DataFrame: a
     broadcast anti-join on (_metadata.file_name, _metadata.row_index).
-    The DV side is KB-scale by the ``dv_max_rows`` contract on
-    ``delete_where``, so the join never shuffles the data side — each
-    task drops its own file's deleted positions against the broadcast
-    map. No-op (the unchanged plan, not even a projection) when the
-    map is empty — every pre-existing read keeps its exact plan."""
+    The DV side is bounded by the ``dv_max_rows`` contract on
+    ``delete_where`` (sidecar tier: tens of MB at the 10M cap), so
+    the join never shuffles the data side — each task drops its own
+    file's deleted positions against the broadcast map. Sidecar
+    references resolve through ``path``. No-op (the unchanged plan,
+    not even a projection) when the map is empty — every pre-existing
+    read keeps its exact plan."""
     from pyspark.sql import functions as F
 
     if not dv:
         return df
-    pairs = [(f, int(i)) for f, idxs in sorted(dv.items()) for i in idxs]
-    dvdf = df.sparkSession.createDataFrame(
-        pairs, "_dv_file string, _dv_idx long"
-    )
+    dvdf = _dv_pairs_df(df.sparkSession, path, dv)
     return (
         df.withColumn("_dv_f", F.col("_metadata.file_name"))
         .withColumn("_dv_r", F.col("_metadata.row_index"))
@@ -1168,7 +1292,7 @@ def restore_sink(path: str, version: int) -> dict:
         # "nothing to do" must compare the FULL snapshot state: a
         # dv-only delete changes no file list, so file-set equality
         # alone would wrongly no-op a restore across it
-        dv_target = dv_for_version(manifest, version)
+        dv_target = dv_for_version(manifest, version, path)
         if target == cur and dv_target == dv_current(manifest):
             return {"restored_to": version, "changed": False}
         adds = sorted(target - cur)
@@ -1244,16 +1368,28 @@ def vacuum_sink(
         commit_log.fold_pending_locked(path)
         manifest = _manifest_read(path)
         referenced = set(manifest["files"])
+        # dv SIDECARS are reference-protected like data parts: the
+        # current map plus every retained entry's dv_add/dv_set may
+        # name one, and time travel needs them until the log folds
+        # past (then they reap like replaced parts)
+        def _dv_refs(m: dict):
+            for val in (m or {}).values():
+                if isinstance(val, dict) and "sidecar" in val:
+                    yield val["sidecar"]
+
+        referenced.update(_dv_refs(manifest.get("dv")))
         for e in manifest.get("history") or ():
             referenced.update(e["files"])
             referenced.update(e.get("cdf_files") or ())
+            referenced.update(_dv_refs(e.get("dv_add")))
+            referenced.update(_dv_refs(e.get("dv_set")))
         now = _time.time()
         removed: list[str] = []
         for name in sorted(os.listdir(path)):
             if not (
                 name.startswith(("part-", "cdf-"))
                 and name.rsplit(".", 1)[-1] in ("jsonl", "parquet")
-            ):
+            ) and not (name.startswith("dv-") and name.endswith(".bin")):
                 continue  # manifest, lock, foreign files: never touched
             if name in referenced:
                 continue
@@ -1330,7 +1466,7 @@ def truncate_history(path: str, retain_last: int) -> int:
         # the fold base carries the ABSOLUTE deletion-vector state at
         # the fold point so dv_for_version stays exact for retained
         # versions (folded dv_add/dv_set entries are gone)
-        base_dv = dv_for_version(manifest, fold[-1]["v"])
+        base_dv = dv_for_version(manifest, fold[-1]["v"], path)
         if base_dv:
             base["dv_set"] = base_dv
         if "batch_id" in fold[-1]:
@@ -1579,6 +1715,7 @@ def optimize_sink(
                 *[os.path.join(path, f) for f in old]
             ),
             {k: v for k, v in dv0.items() if k in old_basenames},
+            path,
         )
     if zorder_by:
         # Morton clustering: range-partition and sort on the
@@ -1640,12 +1777,14 @@ def optimize_sink(
     with _manifest_lock(path):
         cur = _manifest_read(path)
         missing = sorted(set(old) - set(cur["files"]))
-        cur_dv = {k: set(v) for k, v in (cur.get("dv") or {}).items()}
+        cur_dv = dict(cur.get("dv") or {})
         dv_moved = [
             f
             for f in old
-            if cur_dv.get(os.path.basename(f), set())
-            != set(dv0.get(os.path.basename(f), []))
+            if not _dv_same(
+                cur_dv.get(os.path.basename(f), []),
+                dv0.get(os.path.basename(f), []),
+            )
         ]
         if column_aliases(cur) != aliases0:
             for f in new_files:
@@ -1729,7 +1868,7 @@ def optimize_sink(
         for f in old:
             cur_dv.pop(os.path.basename(f), None)
         if cur_dv:
-            cur["dv"] = {k: sorted(v) for k, v in cur_dv.items()}
+            cur["dv"] = cur_dv
         else:
             cur.pop("dv", None)
         if new_stats:
@@ -1847,13 +1986,13 @@ def read_committed_pruned(
     )
     names = prune_files(path, column, lo, hi, version)
     df = _read_parts(spark, path, schema, names)
-    dv = dv_for_version(_manifest_read(path), version)
+    dv = dv_for_version(_manifest_read(path), version, path)
     # dv is keyed by part BASENAME; a shallow clone's entries come
     # back as ABSOLUTE foreign paths, so matching on the raw names
     # would silently drop the mask and resurrect dv-deleted rows
     # (ADVICE r7) — match on basenames like read_committed_parquet
     present = {os.path.basename(n) for n in names}
-    df = mask_dv(df, {k: v for k, v in dv.items() if k in present})
+    df = mask_dv(df, {k: v for k, v in dv.items() if k in present}, path)
     if lo is not None:
         df = df.filter(F.col(column) >= F.lit(lo))
     if hi is not None:
@@ -1894,7 +2033,7 @@ def read_committed(
     files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)
-    dv = dv_for_version(_manifest_read(path), version)
+    dv = dv_for_version(_manifest_read(path), version, path)
     if any(os.path.basename(f) in dv for f in files):
         raise ValueError(
             f"sink at {path}: deletion vectors exist on this snapshot "
@@ -1945,7 +2084,7 @@ def maintain_sink(
     n_files = len(manifest["files"])
     n_rows = int(manifest.get("rows", 0))
     ideal = max(1, -(-n_rows // target_rows_per_file))
-    dv_rows = sum(len(v) for v in (manifest.get("dv") or {}).values())
+    dv_rows = sum(dv_len(v) for v in (manifest.get("dv") or {}).values())
     reasons = []
     if n_files > fragmentation_ratio * ideal:
         reasons.append(f"fragmented ({n_files} files vs ideal {ideal})")
@@ -2102,14 +2241,9 @@ def table_changes(
                     tag(_read_parts(spark, path, schema, e["files"]), "insert", v)
                 )
         elif op == "delete" and e.get("dv_add"):
-            pairs = [
-                (f, int(i))
-                for f, idxs in sorted(e["dv_add"].items())
-                for i in idxs
-            ]
-            dvdf = spark.createDataFrame(
-                pairs, "_dv_file string, _dv_idx long"
-            )
+            # dv_add values may be sidecar references — the pairs
+            # builder resolves them (Arrow-batched at sidecar sizes)
+            dvdf = _dv_pairs_df(spark, path, e["dv_add"])
             hit = (
                 spark.read.schema(schema)
                 .parquet(
@@ -2263,11 +2397,12 @@ def read_committed_parquet(
     files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)
-    dv = dv_for_version(_manifest_read(path), version)
+    dv = dv_for_version(_manifest_read(path), version, path)
     present = {os.path.basename(f) for f in files}
     return mask_dv(
         spark.read.schema(schema).parquet(*files),
         {k: v for k, v in dv.items() if k in present},
+        path,
     )
 
 

@@ -25,10 +25,12 @@ Two delete strategies, the same trade Delta/Iceberg v2 make:
   anti-join on (_metadata.file_name, _metadata.row_index);
   ``optimize_sink`` MATERIALIZES DVs (the compacted parts carry no
   deleted rows and the vectors are dropped), which is the Delta
-  `OPTIMIZE`-purges-DVs contract. Offline the vectors are JSON index
-  lists capped at ``dv_max_rows`` per delete (production swaps in
-  roaring-bitmap sidecar files; the protocol — manifest-referenced,
-  commit-logged, reader-applied — is identical).
+  `OPTIMIZE`-purges-DVs contract. Small vectors inline in the
+  manifest as sorted int lists; past ``dv_inline_max`` they land as
+  packed-int64 SIDECAR files (``dv-*.bin``, Delta's deletion-vector
+  files) referenced from the commit, capped at ``dv_max_rows=10M``
+  per delete — past that, deleting most of a table is cheaper to
+  rewrite than to mask.
 
 Scale shape, both verbs: ONE distributed match scan bounded by the
 stats-pruned candidate set (pass ``prune_column``/``prune_lo``/
@@ -52,6 +54,8 @@ from pyspark.sql import functions as F
 
 from .datasource_sink import (
     MANIFEST,
+    _dv_pairs_df,
+    _dv_same,
     _manifest_lock,
     _manifest_read,
     _parquet_footer_stats,
@@ -59,6 +63,9 @@ from .datasource_sink import (
     _refuse_if_renamed,
     dv_current,
     dv_for_version,
+    dv_len,
+    dv_resolve_np,
+    dv_store,
     prune_files,
 )
 
@@ -218,8 +225,9 @@ def _scan_with_meta(spark, path: str, schema, names: list[str], dv: dict):
     )
     dv = {k: v for k, v in dv.items() if k in set(names)}
     if dv:
-        pairs = [(f, int(i)) for f, idxs in sorted(dv.items()) for i in idxs]
-        dvdf = spark.createDataFrame(pairs, "_dv_file string, _dv_idx long")
+        # vectors may be sidecar refs — the pairs builder resolves
+        # them Arrow-batched (path-relative binary reads)
+        dvdf = _dv_pairs_df(spark, path, dv)
         df = df.join(
             F.broadcast(dvdf),
             (F.col("_mut_f") == F.col("_dv_file"))
@@ -255,8 +263,9 @@ def delete_where(
     prune_column: str | None = None,
     prune_lo=None,
     prune_hi=None,
-    dv_max_rows: int = 100_000,
-    write_cdf: bool = False,
+    dv_max_rows: int = 10_000_000,
+    dv_inline_max: int = 1024,
+    write_cdf: bool = True,
 ) -> dict:
     """DELETE FROM the manifest sink WHERE ``predicate`` (a SQL boolean
     expression over the sink schema), published as a snapshot-log
@@ -280,11 +289,16 @@ def delete_where(
     ``n_rewritten`` counts replaced parts (always 0 for dv) and
     ``n_kept`` the candidate parts the match scan proved clean.
 
-    ``write_cdf=True`` (copy-on-write mode only; dv commits are
-    already commit-bounded for the feed) additionally materializes
-    the deleted rows as cdf-* sidecar files recorded in the commit —
-    Delta's _change_data — so the change feed serves this commit
-    commit-bounded and the STREAMING feed no longer refuses it.
+    ``write_cdf`` (copy-on-write mode only; dv commits are already
+    commit-bounded for the feed) materializes the deleted rows as
+    cdf-* sidecar files recorded in the commit — Delta's
+    _change_data — so the change feed serves this commit
+    commit-bounded and the STREAMING feed never refuses it. DEFAULT
+    TRUE (VERDICT r7 task 3): the sidecar write is one more bounded
+    pass over rows the rewrite already holds, and it retires the
+    two-snapshot diff from every default path; pass False to trade
+    feed-bounded cost for a slightly cheaper commit on tables whose
+    changes are never consumed.
 
     Concurrency: the scan and rewrite run WITHOUT the manifest lock;
     the metadata commit re-reads under the lock and — like
@@ -315,25 +329,29 @@ def delete_where(
     matches = scan.filter(F.expr(predicate))
 
     if mode == "dv":
-        # bounded collect: (file, row_index) per matched LOGICAL row.
-        # limit()+count probe keeps the failure mode loud without ever
-        # materializing an unbounded list on the driver.
+        # bounded collect: (file, row_index) per matched LOGICAL row,
+        # transferred as ONE Arrow batch (toPandas) — at the sidecar-
+        # tier cap of 10M positions this is tens of MB, never a
+        # million Row objects. The limit()+length probe keeps the
+        # failure mode loud without materializing past the cap.
+        import numpy as np
+
         hits = (
             matches.select(
                 F.col("_mut_f").alias("f"), F.col("_mut_ri").alias("i")
             )
             .limit(dv_max_rows + 1)
-            .collect()
+            .toPandas()
         )
         if len(hits) > dv_max_rows:
             raise ValueError(
                 f"delete_where(mode='dv') at {path}: predicate matches "
                 f"more than dv_max_rows={dv_max_rows} rows — a vector "
                 "that large should be a copy-on-write delete "
-                "(mode='rewrite'); production deployments raise the cap "
-                "with roaring-bitmap sidecars"
+                "(mode='rewrite'); deleting most of the table is "
+                "cheaper to rewrite than to mask"
             )
-        if not hits:
+        if hits.empty:
             return {
                 "deleted": 0,
                 "n_rewritten": 0,
@@ -341,9 +359,10 @@ def delete_where(
                 "version": None,
                 "mode": mode,
             }
-        add: dict[str, set[int]] = {}
-        for r in hits:
-            add.setdefault(r["f"], set()).add(int(r["i"]))
+        add = {
+            f: np.unique(np.asarray(g["i"], dtype="<i8"))
+            for f, g in hits.groupby("f", sort=True)
+        }
         with _manifest_lock(path):
             cur = _manifest_read(path)
             missing = sorted(set(add) - set(cur["files"]))
@@ -354,16 +373,35 @@ def delete_where(
                     "the scan (concurrent compact/delete); re-run "
                     "against the new snapshot"
                 )
-            dv = {k: set(v) for k, v in (cur.get("dv") or {}).items()}
+            dv = dict(cur.get("dv") or {})
             # NET new indexes only: a concurrent dv-delete that already
-            # removed some of the same rows must not be double-counted
-            delta: dict[str, list[int]] = {}
+            # removed some of the same rows must not be double-counted.
+            # Vectors past dv_inline_max land as packed-int64 SIDECAR
+            # files (dv_store) so the commit stays O(1) metadata —
+            # Delta's deletion-vector files (VERDICT r7 task 2)
+            delta: dict = {}
             n_new = 0
             for f, idxs in add.items():
-                fresh = idxs - dv.get(f, set())
-                if fresh:
-                    delta[f] = sorted(fresh)
-                    dv.setdefault(f, set()).update(fresh)
+                existing = (
+                    dv_resolve_np(path, dv[f])
+                    if f in dv
+                    else np.array([], dtype="<i8")
+                )
+                fresh = np.setdiff1d(idxs, existing)
+                if len(fresh):
+                    delta[f] = dv_store(path, fresh, dv_inline_max)
+                    # first vector for this part: the commit's delta
+                    # IS the current vector — share the reference
+                    # (one sidecar, not two identical files)
+                    dv[f] = (
+                        delta[f]
+                        if len(existing) == 0
+                        else dv_store(
+                            path,
+                            np.union1d(existing, fresh),
+                            dv_inline_max,
+                        )
+                    )
                     n_new += len(fresh)
             if not n_new:
                 return {
@@ -392,7 +430,7 @@ def delete_where(
             }
             history.append(entry)
             cur["history"] = history
-            cur["dv"] = {k: sorted(v) for k, v in dv.items() if v}
+            cur["dv"] = {k: v for k, v in dv.items() if dv_len(v)}
             _publish_commit(path, cur, entry)
         return {
             "deleted": n_new,
@@ -459,13 +497,15 @@ def delete_where(
                 f"(e.g. {missing[:3]}); the rewrite was discarded, "
                 "re-run against the new snapshot"
             )
-        dv = {k: set(v) for k, v in (cur.get("dv") or {}).items()}
+        dv = dict(cur.get("dv") or {})
         # a touched part whose vector changed since our scan snapshot
         # was rewritten from stale survivors — abort, don't resurrect
+        # (stored-form compare: refs by sidecar identity, never
+        # resolved — a changed vector always has a new name)
         grew = [
             f
             for f in touched
-            if dv.get(f, set()) != set(dv0.get(f, []))
+            if not _dv_same(dv.get(f, []), dv0.get(f, []))
         ]
         if grew:
             _discard(path, new_files + cdf_files)
@@ -503,7 +543,7 @@ def delete_where(
         # materialized by the rewrite
         for f in touched:
             dv.pop(f, None)
-        cur["dv"] = {k: sorted(v) for k, v in dv.items() if v}
+        cur["dv"] = {k: v for k, v in dv.items() if dv_len(v)}
         if not cur["dv"]:
             cur.pop("dv", None)
         stats = {**(cur.get("stats") or {}), **new_stats}
@@ -529,7 +569,7 @@ def merge_sink(
     keys: list[str],
     *,
     broadcast_source: bool = True,
-    write_cdf: bool = False,
+    write_cdf: bool = True,
     delete_predicate: str | None = None,
 ) -> dict:
     """MERGE INTO the manifest sink: WHEN MATCHED UPDATE (the source
@@ -702,8 +742,9 @@ def merge_sink(
         changed_dv = [
             f
             for f in touched
-            if set((cur.get("dv") or {}).get(f, []))
-            != set(dv0.get(f, []))
+            if not _dv_same(
+                (cur.get("dv") or {}).get(f, []), dv0.get(f, [])
+            )
         ]
         if missing or changed_dv:
             _discard(path, adds + cdf_files)
@@ -740,11 +781,11 @@ def merge_sink(
             (set(cur["files"]) - set(touched)) | set(adds)
         )
         cur["history"] = history
-        dv = {k: set(v) for k, v in (cur.get("dv") or {}).items()}
+        dv = dict(cur.get("dv") or {})
         for f in touched:
             dv.pop(f, None)
         if dv:
-            cur["dv"] = {k: sorted(v) for k, v in dv.items()}
+            cur["dv"] = dv
         else:
             cur.pop("dv", None)
         stats = {**(cur.get("stats") or {}), **new_stats}
@@ -773,7 +814,7 @@ def update_where(
     prune_column: str | None = None,
     prune_lo=None,
     prune_hi=None,
-    write_cdf: bool = False,
+    write_cdf: bool = True,
 ) -> dict:
     """UPDATE the manifest sink SET col = expr, ... WHERE predicate —
     the third DML verb, copy-on-write like ``delete_where(
@@ -875,9 +916,11 @@ def update_where(
     with _manifest_lock(path):
         cur = _manifest_read(path)
         missing = sorted(set(touched) - set(cur["files"]))
-        dv = {k: set(v) for k, v in (cur.get("dv") or {}).items()}
+        dv = dict(cur.get("dv") or {})
         moved = [
-            f for f in touched if dv.get(f, set()) != set(dv0.get(f, []))
+            f
+            for f in touched
+            if not _dv_same(dv.get(f, []), dv0.get(f, []))
         ]
         if missing or moved:
             _discard(path, new_files + cdf_files)
@@ -913,7 +956,7 @@ def update_where(
         for f in touched:
             dv.pop(f, None)
         if dv:
-            cur["dv"] = {k: sorted(v) for k, v in dv.items()}
+            cur["dv"] = dv
         else:
             cur.pop("dv", None)
         stats = {**(cur.get("stats") or {}), **new_stats}

@@ -94,10 +94,37 @@ def _resolve_physical(
     return out
 
 
+def _dv_spec(path: str, val) -> tuple:
+    """Picklable per-part deletion spec for an InputPartition: inline
+    positions travel as a tuple; a SIDECAR vector travels as its
+    ('sidecar', fullpath, n) reference and is read executor-side
+    (the sidecar lives in the table directory = shared storage), so
+    a million-position vector never rides the task closure."""
+    if isinstance(val, list) or isinstance(val, tuple):
+        return tuple(int(i) for i in val)
+    return ("sidecar", os.path.join(path, val["sidecar"]), int(val["n"]))
+
+
+def _resolve_dv_spec(deleted):
+    """Executor-side: concrete positions from a deletion spec."""
+    if len(deleted) == 3 and deleted[0] == "sidecar":
+        import numpy as np
+
+        _, full, n = deleted
+        arr = np.fromfile(full, dtype="<i8")
+        if len(arr) != n:
+            raise ValueError(
+                f"dv sidecar {full}: expected {n} positions, found "
+                f"{len(arr)} — truncated or clobbered"
+            )
+        return arr
+    return deleted
+
+
 def _read_part(
     fullpath: str,
     convs: list[tuple[str, str]],
-    deleted: tuple[int, ...] = (),
+    deleted: tuple = (),
     aliases: tuple = (),
 ) -> Iterator:
     """Executor-side read of ONE committed part. Parts are
@@ -114,6 +141,7 @@ def _read_part(
     positionally with one vectorized boolean filter per RecordBatch —
     the Arrow zero-copy path is kept for clean parts and the masked
     path touches only the files a DV names."""
+    deleted = _resolve_dv_spec(deleted)
     if fullpath.endswith(".parquet"):
         import pyarrow.parquet as pq
 
@@ -129,7 +157,7 @@ def _read_part(
                 .rename_columns(want)
                 .to_batches()
             )
-            if not deleted:
+            if not len(deleted):
                 yield from batches
                 return
             import numpy as np
@@ -242,10 +270,12 @@ def _read_part_changes(
             else:
                 yield (*item, "insert", version)
         return
-    # delete: select exactly the recorded positions
+    # delete: select exactly the recorded positions (a sidecar spec
+    # resolves here, executor-side)
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    positions = _resolve_dv_spec(positions)
     want = [c for c, _ in convs]
     avail = set(pq.ParquetFile(fullpath).schema_arrow.names)
     resolved = _resolve_physical(avail, convs, aliases)
@@ -259,7 +289,7 @@ def _read_part_changes(
     table = pq.read_table(
         fullpath, columns=[p for _, p, _ in resolved]
     ).rename_columns(want)
-    idx = pa.array(sorted(positions), pa.int64())
+    idx = pa.array(sorted(int(i) for i in positions), pa.int64())
     hit = table.take(idx)
     n = hit.num_rows
     hit = hit.append_column(
@@ -414,10 +444,16 @@ class ManifestBatchReader(DataSourceReader):
         # INSIDE each part's InputPartition (bounded metadata), so
         # executors mask and name-resolve their own file with no
         # extra coordination
-        dv = dv_for_version(manifest, self._version)
+        dv = dv_for_version(manifest, self._version, self._path)
         return [
             InputPartition(
-                (p, tuple(dv.get(os.path.basename(p), ())), aliases)
+                (
+                    p,
+                    _dv_spec(
+                        self._path, dv.get(os.path.basename(p), ())
+                    ),
+                    aliases,
+                )
             )
             for p in fulls
         ]
@@ -592,7 +628,7 @@ class ManifestTailReader(DataSourceStreamReader):
                         InputPartition(
                             (
                                 os.path.join(self._path, f),
-                                tuple(idxs),
+                                _dv_spec(self._path, idxs),
                                 "delete",
                                 v,
                                 aliases,

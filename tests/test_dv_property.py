@@ -149,3 +149,77 @@ def test_fold_preserves_retained_dv_state(script, retain):
     for v in range(max(0, first_kept - 1), n):
         got = dv_for_version(m, v)
         assert got == _norm(dv_sets[v]), f"post-fold v{v}"
+
+
+def _sidecarify(tmpdir: str, history: list[dict]) -> None:
+    """Rewrite every dv_add / dv_set vector in the log as a SIDECAR
+    reference (inline_max=0 forces the binary form for any size), so
+    the same brute-force replay sweeps the sidecar tier."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        dv_store,
+    )
+
+    for e in history:
+        if e.get("dv_add"):
+            e["dv_add"] = {
+                f: dv_store(tmpdir, v, inline_max=0)
+                for f, v in e["dv_add"].items()
+            }
+        if e.get("dv_set"):
+            e["dv_set"] = {
+                f: dv_store(tmpdir, v, inline_max=0)
+                for f, v in e["dv_set"].items()
+            }
+
+
+@settings(max_examples=120, deadline=None)
+@given(script=st.lists(_STEP, min_size=1, max_size=10))
+def test_dv_resolution_matches_brute_force_over_sidecars(script):
+    """VERDICT r7 task 2's done-criterion: the replay sweep stays
+    green when every vector is a packed-int64 sidecar file instead of
+    an inline list — resolution, version folds, and merges all go
+    through the binary tier."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        dv_resolved,
+    )
+
+    tmpdir = tempfile.mkdtemp(prefix="dv_prop_sc_")
+    history, live_sets, dv_sets = _play(script)
+    _sidecarify(tmpdir, history)
+    _write_manifest(tmpdir, history, live_sets[-1], {})
+    with open(os.path.join(tmpdir, MANIFEST)) as fh:
+        manifest = json.load(fh)
+    # current map = fold at latest (stored forms), as the verbs keep it
+    cur = dv_for_version(manifest, len(script) - 1, tmpdir)
+    if cur:
+        manifest["dv"] = cur
+    for v, expect in enumerate(dv_sets):
+        got = dv_resolved(tmpdir, dv_for_version(manifest, v, tmpdir))
+        assert got == _norm(expect), f"v{v}: {got} != {_norm(expect)}"
+    assert dv_resolved(tmpdir, dv_current(manifest)) == dv_resolved(
+        tmpdir, dv_for_version(manifest, len(script) - 1, tmpdir)
+    )
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    script=st.lists(_STEP, min_size=2, max_size=10),
+    retain=st.integers(1, 4),
+)
+def test_fold_preserves_retained_dv_state_over_sidecars(script, retain):
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        dv_resolved,
+    )
+
+    tmpdir = tempfile.mkdtemp(prefix="dv_fold_sc_")
+    history, live_sets, dv_sets = _play(script)
+    _sidecarify(tmpdir, history)
+    _write_manifest(tmpdir, history, live_sets[-1], {})
+    truncate_history(tmpdir, retain_last=retain)
+    with open(os.path.join(tmpdir, MANIFEST)) as fh:
+        m = json.load(fh)
+    n = len(script)
+    first_kept = max(0, n - retain)
+    for v in range(max(0, first_kept - 1), n):
+        got = dv_resolved(tmpdir, dv_for_version(m, v, tmpdir))
+        assert got == _norm(dv_sets[v]), f"post-fold v{v}"

@@ -16,6 +16,7 @@ from pyspark.sql import types as T
 
 from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
     ClickHouseArrowDataSource,
+    _manifest_read,
     optimize_sink,
     read_committed_parquet,
     restore_sink,
@@ -26,6 +27,7 @@ from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
 from appsflyer_to_clickhouse_spark.sinks.mutations import (
     delete_where,
     merge_sink,
+    update_where,
 )
 
 SCHEMA = T.StructType(
@@ -212,7 +214,9 @@ def test_stream_changefeed_emits_inserts_and_dv_deletes(spark):
 def test_stream_changefeed_refuses_rewrite_commits(spark):
     path = _sink(spark)
     _append(spark, path, 0, 5)
-    delete_where(spark, path, SCHEMA, "id = 0")  # CoW rewrite
+    # the refusal path now requires OPTING OUT of commit-time
+    # sidecars (write_cdf defaults True — VERDICT r7 task 3)
+    delete_where(spark, path, SCHEMA, "id = 0", write_cdf=False)
     ckpt = tempfile.mkdtemp(prefix="spark_graft_cdft_ck2_")
     q = (
         spark.readStream.format("chbatch_arrow")
@@ -374,3 +378,66 @@ def test_rename_commit_is_silent_in_both_feeds(spark):
         for r in got.collect()
     )
     assert rows == [(0, "insert", i) for i in range(5)]
+
+
+def test_defaults_make_stream_changefeed_never_refuse(spark, tmp_path):
+    """VERDICT r7 task 3: write_cdf defaults to True on ALL THREE
+    rewrite verbs, so a default-flag verb sequence leaves no commit
+    the STREAMING change feed refuses — and the feed's output equals
+    the batch table_changes reconstruction over the same range."""
+    path = _sink(spark)
+    _append(spark, path, 0, 10)  # v0
+    # all three rewrite verbs, DEFAULT flags
+    delete_where(spark, path, SCHEMA, "id >= 8")  # v1 CoW
+    update_where(spark, path, SCHEMA, "id = 3", {"v": "'U'"})  # v2
+    src = spark.createDataFrame(
+        [(2, "M"), (100, "N")], "id long, v string"
+    )
+    merge_sink(spark, path, SCHEMA, src, ["id"])  # v3
+    m = _manifest_read(path)
+    rewrites = [
+        e
+        for e in m["history"]
+        if e.get("op") in ("delete", "update", "merge")
+    ]
+    assert rewrites and all(e.get("cdf_files") for e in rewrites)
+    cdf_schema = T.StructType(
+        [
+            *SCHEMA.fields,
+            T.StructField("_change_type", T.StringType()),
+            T.StructField("_commit_version", T.LongType()),
+        ]
+    )
+    out = str(tmp_path / "cdfdef_out")
+    q = (
+        spark.readStream.format("chbatch_arrow")
+        .schema(cdf_schema)
+        .option("path", path)
+        .option("changefeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "cdfdef_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()  # never raises: every commit is servable
+    got = spark.read.schema(cdf_schema).parquet(out)
+    batch = table_changes(spark, path, SCHEMA, 0, 3)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+
+
+def test_write_cdf_false_still_serves_via_snapshot_diff(spark):
+    """The opt-out keeps the exact two-snapshot diff reconstruction:
+    content-identical changes to a sidecar run of the same verbs."""
+    path = _sink(spark)
+    _append(spark, path, 0, 10)  # v0
+    delete_where(spark, path, SCHEMA, "id >= 8", write_cdf=False)
+    m = _manifest_read(path)
+    assert not m["history"][-1].get("cdf_files")
+    diff = table_changes(spark, path, SCHEMA, 1, 1)
+    rows = sorted(map(tuple, diff.collect()))
+    assert all(r[-2] == "delete" for r in rows)
+    assert [r[0] for r in rows] == [8, 9]

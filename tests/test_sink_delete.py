@@ -400,7 +400,11 @@ def test_vacuum_reclaims_cow_deleted_parts_after_fold(spark):
     merge_sink(spark, path, SCHEMA, src, ["id"])  # one more commit
     truncate_history(path, 1)  # now the delete itself folds
     removed = vacuum_sink(path)
-    assert len(removed) == 1  # the replaced original part
+    # the replaced original part AND the folded delete commit's cdf
+    # sidecar (write_cdf defaults True) both lose their references
+    assert len(removed) == 2
+    assert sum(x.startswith("part-") for x in removed) == 1
+    assert sum(x.startswith("cdf-") for x in removed) == 1
     assert read_committed_parquet(spark, path, SCHEMA).count() == 601
 
 
