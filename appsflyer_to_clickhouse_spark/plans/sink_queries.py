@@ -2303,3 +2303,77 @@ def q_sink_commit_log(spark, sf_dir):
     # the full version log survives the checkpoint rolls
     assert [e["v"] for e in sink_versions(path)] == [0, 1, 2, 3]
     return read_committed_parquet(spark, path, schema)
+
+
+# ---------------------------------------------------------------------------
+# sink_type_widening — int->long / float->double evolution at read time
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_type_widening",
+    """
+    SELECT CAST(event_id AS BIGINT) AS eid,
+           CAST(CAST(value AS REAL) AS DOUBLE) AS amt
+    FROM events WHERE event_id % 9 = 0
+    UNION ALL
+    SELECT CAST(event_id AS BIGINT) AS eid,
+           CAST(value AS DOUBLE) AS amt
+    FROM events WHERE event_id % 9 = 1
+    """,
+)
+def q_sink_type_widening(spark, sf_dir):
+    """TYPE-WIDENING schema evolution on the manifest reader (VERDICT
+    r7 task 6): part A lands physically NARROW (int32 eid, float32
+    amt — a table written before an ALTER COLUMN TYPE), part B lands
+    wide (int64/double); one read under the WIDE schema casts part A
+    per part on the Arrow path and passes part B through zero-copy —
+    history is never rewritten, the only affordable evolution at
+    100 TB (Delta's type widening table feature). The oracle states
+    both parts' values with the matching float32 round-trip
+    (CAST(REAL) for part A), so a reader that skips the cast, loses
+    precision differently, or silently narrows hash-mismatches.
+    Narrowing refusal and the per-part cast mechanics are pinned in
+    tests/test_manifest_source.py."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import ClickHouseArrowDataSource
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ev = load(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="spark_graft_widen_") + "/staged"
+    narrow = ev.filter(F.col("event_id") % 9 == 0).select(
+        F.col("event_id").cast("int").alias("eid"),
+        F.col("value").cast("float").alias("amt"),
+    )
+    (
+        narrow.write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    wide = ev.filter(F.col("event_id") % 9 == 1).select(
+        F.col("event_id").cast("long").alias("eid"),
+        F.col("value").cast("double").alias("amt"),
+    )
+    (
+        wide.write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    wide_schema = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("amt", T.DoubleType()),
+        ]
+    )
+    return (
+        spark.read.format("chbatch_arrow")
+        .schema(wide_schema)
+        .option("path", path)
+        .load()
+    )

@@ -60,23 +60,44 @@ def log_enabled(path: str) -> bool:
     return os.path.isdir(log_dir(path))
 
 
-def enable_commit_log(path: str, checkpoint_interval: int = 32) -> dict:
+def enable_commit_log(
+    path: str,
+    checkpoint_interval: int = 32,
+    checkpoint_format: str = "json",
+) -> dict:
     """Switch a sink (existing or about-to-be-created) to commit-log
-    mode. Idempotent on an already-enabled sink (the interval is NOT
-    silently changed — call with the same value or checkpoint first).
-    The current ``_MANIFEST.json``, if any, becomes the initial
-    checkpoint as-is: zero data movement, zero state change."""
+    mode. Idempotent on an already-enabled sink (the settings are NOT
+    silently changed — call with the same values or checkpoint
+    first). The current ``_MANIFEST.json``, if any, becomes the
+    initial checkpoint as-is: zero data movement, zero state change.
+
+    ``checkpoint_format="parquet"`` stores the O(parts) portion of
+    each checkpoint — the file list and per-part stats — as a
+    columnar ``_chlog/ckpt-*.parquet`` file referenced from a now
+    metadata-thin ``_MANIFEST.json`` (Delta's
+    ``N.checkpoint.parquet``): at ~10^6 parts that is tens of MB of
+    columnar data instead of hundreds of MB of JSON, parsed ~10x
+    faster and scannable by executors. The fold logic is identical;
+    only the serialization of the big maps moves."""
     if checkpoint_interval < 1:
         raise ValueError("checkpoint_interval must be >= 1")
+    if checkpoint_format not in ("json", "parquet"):
+        raise ValueError(
+            f"checkpoint_format must be json|parquet, got "
+            f"{checkpoint_format!r}"
+        )
     d = log_dir(path)
     meta_path = os.path.join(d, _META)
     if os.path.isdir(d):
         with open(meta_path) as fh:
             meta = json.load(fh)
-        if meta["checkpoint_interval"] != checkpoint_interval:
+        if meta["checkpoint_interval"] != checkpoint_interval or (
+            meta.get("checkpoint_format", "json") != checkpoint_format
+        ):
             raise ValueError(
                 f"commit log at {path}: already enabled with "
-                f"checkpoint_interval={meta['checkpoint_interval']}; "
+                f"checkpoint_interval={meta['checkpoint_interval']} "
+                f"format={meta.get('checkpoint_format', 'json')}; "
                 "refusing to silently change it"
             )
         return meta
@@ -101,7 +122,10 @@ def enable_commit_log(path: str, checkpoint_interval: int = 32) -> dict:
                     json.dump(state, fh)
                 os.replace(tmp, mpath)
         os.makedirs(d, exist_ok=True)
-        meta = {"checkpoint_interval": int(checkpoint_interval)}
+        meta = {
+            "checkpoint_interval": int(checkpoint_interval),
+            "checkpoint_format": checkpoint_format,
+        }
         tmp = meta_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(meta, fh)
@@ -236,9 +260,27 @@ def read_state(path: str) -> dict:
     """The sink's CURRENT manifest state: checkpoint + pending
     records folded in seq order. O(checkpoint parse + interval)
     per read — the checkpoint is parsed, never rewritten, and the
-    pending tail is bounded by the checkpoint interval."""
+    pending tail is bounded by the checkpoint interval. A parquet
+    checkpoint's columnar file/stats maps are materialized into the
+    same dict shape (and the pointer dropped, so a fold-then-run verb
+    that rewrites the JSON stays self-contained)."""
     with open(os.path.join(path, MANIFEST)) as fh:
         state = json.load(fh)
+    ckpt_pq = state.pop("ckpt_parquet", None)
+    if ckpt_pq is not None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(log_dir(path), ckpt_pq))
+        names = t.column("name").to_pylist()
+        live = t.column("live").to_pylist()
+        state["files"] = [n for n, lv in zip(names, live) if lv]
+        stats = {
+            n: json.loads(s)
+            for n, s in zip(names, t.column("stats").to_pylist())
+            if s is not None
+        }
+        if stats:
+            state["stats"] = stats
     applied = int(state.get("applied_seq", -1))
     for seq, full in _record_files(path):
         if seq <= applied:
@@ -307,6 +349,41 @@ def fold_pending_locked(path: str) -> int:
             )
             for k, v in state["dv"].items()
         }
+    if _meta(path).get("checkpoint_format") == "parquet":
+        # the O(parts) maps go COLUMNAR (Delta's checkpoint.parquet):
+        # write the parquet first, then the thin JSON pointing at it —
+        # a crash between the two leaves an orphan parquet that the
+        # next fold reaps
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        stats = state.pop("stats", {}) or {}
+        files = state.pop("files", [])
+        # rows = current files ∪ stats-only names (replaced parts keep
+        # their stats for old-version pruning — the `live` flag says
+        # which rows are in the current snapshot)
+        fset = set(files)
+        names = [*files, *sorted(k for k in stats if k not in fset)]
+        name = f"ckpt-{int(state.get('applied_seq', 0)):020d}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "name": pa.array(names, pa.string()),
+                    "live": pa.array(
+                        [n in fset for n in names], pa.bool_()
+                    ),
+                    "stats": pa.array(
+                        [
+                            json.dumps(stats[f]) if f in stats else None
+                            for f in names
+                        ],
+                        pa.string(),
+                    ),
+                }
+            ),
+            os.path.join(log_dir(path), name),
+        )
+        state["ckpt_parquet"] = name
     mpath = os.path.join(path, MANIFEST)
     tmp = mpath + ".tmp"
     with open(tmp, "w") as fh:
@@ -314,7 +391,7 @@ def fold_pending_locked(path: str) -> int:
     os.replace(tmp, mpath)
     # deletion after publish: a crash here leaves stale records that
     # the applied_seq guard skips on read and this function reaps on
-    # the next fold
+    # the next fold; superseded/orphaned parquet checkpoints likewise
     n = 0
     applied = int(state.get("applied_seq", -1))
     for seq, full in recs:
@@ -322,4 +399,13 @@ def fold_pending_locked(path: str) -> int:
             with contextlib.suppress(OSError):
                 os.remove(full)
             n += 1
+    live_ckpt = state.get("ckpt_parquet")
+    for fname in os.listdir(log_dir(path)):
+        if (
+            fname.startswith("ckpt-")
+            and fname.endswith(".parquet")
+            and fname != live_ckpt
+        ):
+            with contextlib.suppress(OSError):
+                os.remove(os.path.join(log_dir(path), fname))
     return n

@@ -105,6 +105,80 @@ def _dv_spec(path: str, val) -> tuple:
     return ("sidecar", os.path.join(path, val["sidecar"]), int(val["n"]))
 
 
+# Spark typeName -> pyarrow type's str() name (note arrow prints
+# float32/float64 as "float"/"double")
+_ARROW_OF = {
+    "byte": "int8",
+    "short": "int16",
+    "integer": "int32",
+    "long": "int64",
+    "float": "float",
+    "double": "double",
+}
+_INT_ORDER = ["int8", "int16", "int32", "int64"]
+_FLOAT_ORDER = ["float", "double"]
+_ARROW_CTOR = {
+    "int8": "int8",
+    "int16": "int16",
+    "int32": "int32",
+    "int64": "int64",
+    "float": "float32",
+    "double": "float64",
+}
+
+
+def _widen_table(table, convs, fullpath: str):
+    """TYPE-WIDENING schema evolution at read time (the only
+    affordable evolution at 100 TB, like the additive NULL-fill
+    above): a part written before a column was widened carries the
+    narrower physical type — int8/16/32 under a long column,
+    float32 under a double — and is CAST per part on the Arrow path
+    (zero-copy for clean parts is unaffected; only mismatched columns
+    pay). NARROWING is refused loudly: silently truncating an int64
+    part under an int32 reader is data corruption, not evolution."""
+    import pyarrow as pa
+
+    target_fields = []
+    changed = False
+    for i, (name, kind) in enumerate(convs):
+        cur = table.schema.field(i).type
+        want_name = _ARROW_OF.get(kind)
+        if want_name is None or str(cur) == want_name:
+            target_fields.append(table.schema.field(i))
+            continue
+        cur_name = str(cur)
+        fam = (
+            _INT_ORDER
+            if want_name in _INT_ORDER
+            else _FLOAT_ORDER
+            if want_name in _FLOAT_ORDER
+            else None
+        )
+        if fam and cur_name in fam:
+            if fam.index(cur_name) < fam.index(want_name):
+                target_fields.append(
+                    pa.field(name, getattr(pa, _ARROW_CTOR[want_name])())
+                )
+                changed = True
+                continue
+            raise ValueError(
+                f"sink part {os.path.basename(fullpath)}: column "
+                f"{name!r} is physically {cur_name} but the reader "
+                f"asks for {want_name} — NARROWING is refused (it "
+                "would silently truncate); widen the reader schema "
+                "or rewrite the part"
+            )
+        raise ValueError(
+            f"sink part {os.path.basename(fullpath)}: column "
+            f"{name!r} is physically {cur_name}, incompatible with "
+            f"the reader's {kind} — only int->wider-int and "
+            "float->double widen at read time"
+        )
+    if not changed:
+        return table
+    return table.cast(pa.schema(target_fields))
+
+
 def _resolve_dv_spec(deleted):
     """Executor-side: concrete positions from a deletion spec."""
     if len(deleted) == 3 and deleted[0] == "sidecar":
@@ -150,13 +224,13 @@ def _read_part(
         resolved = _resolve_physical(avail, convs, aliases)
         want = [c for c, _ in convs]
         if all(phys is not None for _, phys, _ in resolved):
-            batches = (
+            batches = _widen_table(
                 pq.read_table(
                     fullpath, columns=[p for _, p, _ in resolved]
-                )
-                .rename_columns(want)
-                .to_batches()
-            )
+                ).rename_columns(want),
+                convs,
+                fullpath,
+            ).to_batches()
             if not len(deleted):
                 yield from batches
                 return
@@ -177,15 +251,22 @@ def _read_part(
                 offset += n
             return
         # pre-evolution part: NULL-fill the missing columns (row path —
-        # the rare case; complete parts stay on the Arrow fast path)
+        # the rare case; complete parts stay on the Arrow fast path).
+        # The same widen/refuse rules apply to the columns present
+        # (python scalars widen naturally once the check passes)
         present = [
             (c, phys) for c, phys, _ in resolved if phys is not None
         ]
         table = pq.read_table(
             fullpath, columns=[p for _, p in present]
+        ).rename_columns([c for c, _ in present])
+        table = _widen_table(
+            table,
+            [(c, k) for c, phys, k in resolved if phys is not None],
+            fullpath,
         )
         cols = {
-            c: table.column(p).to_pylist() for c, p in present
+            c: table.column(c).to_pylist() for c, _ in present
         }
         dead = set(deleted)
         for i in range(table.num_rows):
@@ -244,10 +325,16 @@ def _read_part_changes(
                 "alias — read this commit via the batch table_changes "
                 "API"
             )
-        table = pq.read_table(
+        table = _widen_table(
+            pq.read_table(
+                fullpath,
+                columns=[*[p for _, p, _ in resolved], "_change_type"],
+            ).rename_columns(
+                [*[c for c, _, _ in resolved], "_change_type"]
+            ),
+            [*convs, ("_change_type", "string")],
             fullpath,
-            columns=[*[p for _, p, _ in resolved], "_change_type"],
-        ).rename_columns([*[c for c, _, _ in resolved], "_change_type"])
+        )
         n = table.num_rows
         table = table.append_column(
             "_commit_version", pa.array([version] * n, pa.int64())
@@ -286,9 +373,13 @@ def _read_part_changes(
             f"no physical column for {gone} under any alias — emit "
             "this commit via the batch table_changes API"
         )
-    table = pq.read_table(
-        fullpath, columns=[p for _, p, _ in resolved]
-    ).rename_columns(want)
+    table = _widen_table(
+        pq.read_table(
+            fullpath, columns=[p for _, p, _ in resolved]
+        ).rename_columns(want),
+        convs,
+        fullpath,
+    )
     idx = pa.array(sorted(int(i) for i in positions), pa.int64())
     hit = table.take(idx)
     n = hit.num_rows

@@ -284,3 +284,112 @@ def test_enable_is_idempotent_and_guards_interval(spark, tmp_path):
     cl.enable_commit_log(path, checkpoint_interval=8)  # idempotent
     with pytest.raises(ValueError, match="refusing"):
         cl.enable_commit_log(path, checkpoint_interval=16)
+
+
+def test_parquet_checkpoint_round_trip(spark):
+    """checkpoint_format='parquet': the O(parts) maps live in a
+    columnar _chlog/ckpt-*.parquet (Delta's checkpoint.parquet) and
+    _MANIFEST.json stays metadata-thin — state identical to JSON
+    checkpoints, superseded checkpoint files reaped at the next
+    fold, and stats of replaced (non-live) parts survive."""
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    path = tempfile.mkdtemp(prefix="spark_graft_cl_pq_") + "/s"
+    cl.enable_commit_log(
+        path, checkpoint_interval=2, checkpoint_format="parquet"
+    )
+    for i in range(5):
+        _append(spark, path, i * 10, (i + 1) * 10)
+    optimize_sink(spark, path, SCHEMA, target_rows_per_file=1000)
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        _manifest_lock,
+        prune_files,
+    )
+
+    with _manifest_lock(path):
+        cl.fold_pending_locked(path)
+    d = os.path.join(path, cl.LOG_DIR)
+    ckpts = [n for n in os.listdir(d) if n.startswith("ckpt-")]
+    assert len(ckpts) == 1  # superseded checkpoints reaped
+    raw = json.load(open(os.path.join(path, MANIFEST)))
+    assert "files" not in raw and "stats" not in raw
+    assert raw["ckpt_parquet"] == ckpts[0]
+    state = _manifest_read(path)
+    assert state["rows"] == 50
+    assert len(state["files"]) == 1  # compacted
+    # replaced parts' stats survived the columnar round trip (the
+    # old-version pruning affordance optimize preserves)
+    assert len(state["stats"]) > 1
+    assert read_committed_parquet(spark, path, SCHEMA).count() == 50
+    # stats pruning works off the parquet checkpoint
+    assert prune_files(path, "id", 0, 49)
+    # further commits append records on top of the parquet checkpoint
+    _append(spark, path, 100, 110)
+    assert _manifest_read(path)["rows"] == 60
+    # time travel across the whole log still exact
+    assert (
+        read_committed_parquet(spark, path, SCHEMA, version=2).count()
+        == 30
+    )
+
+
+def test_parquet_checkpoint_faster_and_smaller_at_scale():
+    """Growth evidence for the columnar checkpoint: at 100k parts the
+    parquet checkpoint is several times smaller than the JSON
+    equivalent and read_state parses it at least as fast."""
+    import time
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        _manifest_lock,
+    )
+
+    def build(fmt: str) -> str:
+        tmpdir = tempfile.mkdtemp(prefix=f"clpq_{fmt}_")
+        files, stats, history = [], {}, []
+        for i in range(100_000):
+            name = f"part-{i:07d}.parquet"
+            files.append(name)
+            stats[name] = {
+                "v": {"min": 10 * i, "max": 10 * i + 9, "nulls": 0}
+            }
+            history.append({"v": i, "files": [name]})
+        manifest = {
+            "files": files,
+            "rows": 10 * len(files),
+            "batches": len(files),
+            "history": history,
+            "stats": stats,
+        }
+        with open(os.path.join(tmpdir, MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        cl.enable_commit_log(
+            tmpdir, checkpoint_interval=1, checkpoint_format=fmt
+        )
+        # one commit -> one fold -> checkpoint in the chosen format
+        with _manifest_lock(tmpdir):
+            cl.append_commit(
+                tmpdir,
+                {
+                    "entry": {"v": 100_000, "files": ["part-x.parquet"]},
+                    "set": {"rows": 10 * len(files) + 1},
+                },
+            )
+        return tmpdir
+
+    pq_dir = build("parquet")
+    js_dir = build("json")
+    pq_bytes = sum(
+        os.path.getsize(os.path.join(pq_dir, cl.LOG_DIR, n))
+        for n in os.listdir(os.path.join(pq_dir, cl.LOG_DIR))
+        if n.startswith("ckpt-")
+    ) + os.path.getsize(os.path.join(pq_dir, MANIFEST))
+    js_bytes = os.path.getsize(os.path.join(js_dir, MANIFEST))
+    assert pq_bytes < js_bytes / 2, (pq_bytes, js_bytes)
+    t0 = time.monotonic()
+    s1 = cl.read_state(pq_dir)
+    t_pq = time.monotonic() - t0
+    t0 = time.monotonic()
+    s2 = cl.read_state(js_dir)
+    t_js = time.monotonic() - t0
+    assert s1["files"] == s2["files"]
+    assert s1["stats"] == s2["stats"]
+    assert t_pq < max(2 * t_js, 3.0), (t_pq, t_js)

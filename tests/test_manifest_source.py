@@ -354,3 +354,112 @@ def test_tail_starting_version(spark):
     )
     with _pytest.raises(ValueError, match="integer or 'latest'"):
         bad.initialOffset()
+
+
+def test_type_widening_int_and_float_parts(spark):
+    """VERDICT r7 task 6: parts written with NARROWER physical types
+    (int32 under a long reader, float32 under a double reader) widen
+    with a per-part Arrow cast at read time — no rewrite of history."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    path = tempfile.mkdtemp(prefix="mwide_") + "/s"
+    wide = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    # part A: written through the sink with the WIDE schema
+    (
+        spark.createDataFrame([(1, 1.5), (2, 2.5)], wide)
+        .coalesce(1)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    # part B: a pre-widening part — physically int32 / float32 —
+    # spliced in as a manual append commit (what a table written
+    # before an ALTER COLUMN TYPE carries)
+    import json as _json
+    import os as _os
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        MANIFEST,
+        _manifest_lock,
+        _manifest_read,
+    )
+
+    narrow = pa.table(
+        {
+            "k": pa.array([3, 4], pa.int32()),
+            "x": pa.array([3.5, 4.5], pa.float32()),
+        }
+    )
+    pq.write_table(narrow, _os.path.join(path, "part-narrow.parquet"))
+    with _manifest_lock(path):
+        m = _manifest_read(path)
+        m["files"] = sorted([*m["files"], "part-narrow.parquet"])
+        m["rows"] += 2
+        m["history"].append(
+            {"v": 1, "files": ["part-narrow.parquet"], "rows_total": 4}
+        )
+        with open(_os.path.join(path, MANIFEST), "w") as fh:
+            _json.dump(m, fh)
+    got = (
+        spark.read.format("chbatch_arrow")
+        .schema(wide)
+        .option("path", path)
+        .load()
+    )
+    rows = sorted(map(tuple, got.collect()))
+    assert rows == [(1, 1.5), (2, 2.5), (3, 3.5), (4, 4.5)]
+    assert [f.dataType.simpleString() for f in got.schema.fields] == [
+        "bigint",
+        "double",
+    ]
+
+
+def test_type_narrowing_refused_loudly(spark):
+    import pytest as _pytest
+
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    path = tempfile.mkdtemp(prefix="mnarrow_") + "/s"
+    wide = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    (
+        spark.createDataFrame([(1, 1.5)], wide)
+        .coalesce(1)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .mode("append")
+        .save()
+    )
+    narrow_reader = T.StructType(
+        [
+            T.StructField("k", T.IntegerType()),
+            T.StructField("x", T.DoubleType()),
+        ]
+    )
+    df = (
+        spark.read.format("chbatch_arrow")
+        .schema(narrow_reader)
+        .option("path", path)
+        .load()
+    )
+    with _pytest.raises(Exception, match="NARROWING"):
+        df.collect()
