@@ -2377,3 +2377,143 @@ def q_sink_type_widening(spark, sf_dir):
         .option("path", path)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_sink_commit_log — streaming micro-batches as O(delta) records
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_sink_commit_log",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type
+    FROM events WHERE event_id % 7 = 2
+    """,
+)
+def q_stream_sink_commit_log(spark, sf_dir):
+    """The STREAMING tier writing into a commit-log table
+    (sinks/commit_log.py): each micro-batch commit is one O(delta)
+    record instead of an O(parts) manifest rewrite — at streaming
+    cadence (a one-minute trigger = ~500k commits/year) this is
+    exactly where the single-file rewrite hurts first, and
+    checkpoint_interval bounds both the read tail and the write
+    amplification. checkpoint_interval=2 forces mid-stream folds;
+    the exactly-once batchId guard and lineage tracking ride the
+    record's `set` fields through the fold unchanged (pinned in
+    tests/test_commit_log.py). Oracle = the filtered events slice: a
+    fold that drops a micro-batch's adds or double-applies a record
+    hash-mismatches."""
+    import uuid as _uuid
+
+    from pyspark.sql import types as T
+
+    from ..sinks.commit_log import enable_commit_log
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events")
+    src_dir = tempfile.mkdtemp(prefix="spark_graft_sclog_src_") + "/src"
+    out = ev.filter(F.col("event_id") % 7 == 2).select(
+        F.col("event_id").cast("string").alias("appsflyer_id"),
+        F.col("user_id").alias("uid"),
+        "event_type",
+    )
+    # 4 source files -> maxFilesPerTrigger=1 yields 4 micro-batches,
+    # so the log takes multiple records AND rolls a checkpoint
+    out.repartition(4).write.parquet(src_dir)
+    schema = T.StructType(
+        [
+            T.StructField("appsflyer_id", T.StringType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_sclog_") + "/staged"
+    enable_commit_log(path, checkpoint_interval=2)
+    ckpt = tempfile.mkdtemp(prefix="spark_graft_sclog_ckpt_")
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .writeStream.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_committed_parquet(spark, path, schema)
+
+
+# ---------------------------------------------------------------------------
+# sink_commit_log_parquet — columnar checkpoints under the graded read
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_commit_log_parquet",
+    """
+    SELECT event_id AS eid, user_id AS uid, event_type
+    FROM events
+    WHERE event_id % 5 IN (3, 4)
+      AND NOT user_id % 11 = 6
+    """,
+)
+def q_sink_commit_log_parquet(spark, sf_dir):
+    """The commit log with PARQUET checkpoints
+    (``checkpoint_format="parquet"`` — Delta's checkpoint.parquet):
+    the O(parts) file/stats maps live in a columnar
+    ``_chlog/ckpt-*.parquet`` while ``_MANIFEST.json`` stays
+    metadata-thin, measured >2x smaller at 100k parts
+    (tests/test_commit_log.py). Two appends, a mid-sequence
+    checkpoint roll (interval=2), and a copy-on-write delete WHOSE
+    TOUCHED-STATS DROP must round-trip through the columnar
+    checkpoint — then the graded read resolves checkpoint + records.
+    A live-flag mix-up (serving a replaced part), a stats row lost in
+    the split, or a fold that misses the pointer hash-mismatches
+    against the oracle's independent statement of the final state."""
+    from pyspark.sql import types as T
+
+    from ..sinks.commit_log import enable_commit_log
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+    )
+    from ..sinks.mutations import delete_where
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    ev = load(spark, sf_dir, "events").select(
+        F.col("event_id").alias("eid"),
+        F.col("user_id").alias("uid"),
+        "event_type",
+    )
+    schema = T.StructType(
+        [
+            T.StructField("eid", T.LongType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+        ]
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_clpq_") + "/staged"
+    enable_commit_log(
+        path, checkpoint_interval=2, checkpoint_format="parquet"
+    )
+    for residue in (3, 4):
+        (
+            ev.filter(F.col("eid") % 5 == residue)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("batchsize", "1000000")
+            .mode("append")
+            .save()
+        )
+    r = delete_where(spark, path, schema, "uid % 11 = 6")
+    assert r["n_rewritten"] > 0, r
+    return read_committed_parquet(spark, path, schema)

@@ -393,3 +393,40 @@ def test_parquet_checkpoint_faster_and_smaller_at_scale():
     assert s1["files"] == s2["files"]
     assert s1["stats"] == s2["stats"]
     assert t_pq < max(2 * t_js, 3.0), (t_pq, t_js)
+
+
+def test_maintain_sink_in_log_mode(spark):
+    """The one-pass maintenance policy (optimize -> truncate ->
+    vacuum) composes over a commit-log table: the optimize lands as a
+    record, the fold-then-run verbs checkpoint first, and the final
+    state reads exactly."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        maintain_sink,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    path = tempfile.mkdtemp(prefix="spark_graft_cl_maint_") + "/s"
+    cl.enable_commit_log(path, checkpoint_interval=4)
+    for i in range(6):
+        _append(spark, path, i * 10, (i + 1) * 10)
+    delete_where(spark, path, SCHEMA, "id % 10 = 3", mode="dv")
+    report = maintain_sink(
+        spark,
+        path,
+        SCHEMA,
+        target_rows_per_file=1000,
+        retain_history=3,
+        vacuum_min_age_s=0.0,
+        dv_fraction=0.01,
+    )
+    assert report["optimize"]["needed"]
+    assert report["truncate"]["folded"] >= 1
+    got = read_committed_parquet(spark, path, SCHEMA)
+    assert got.count() == 54
+    assert got.filter("id % 10 = 3").count() == 0
+    # a second pass is a near-no-op and the table still reads
+    maintain_sink(
+        spark, path, SCHEMA, target_rows_per_file=1000,
+        retain_history=3, vacuum_min_age_s=0.0,
+    )
+    assert read_committed_parquet(spark, path, SCHEMA).count() == 54
