@@ -175,3 +175,65 @@ def sink_table_ddl(
         partition_by=partition_by,
         settings={"index_granularity": 8192},
     )
+
+
+def alter_widen_ddl(
+    old_schema: T.StructType, new_schema: T.StructType, table: str
+) -> list[str]:
+    """ALTER TABLE statements taking a live ClickHouse table from
+    ``old_schema`` to ``new_schema`` — the server-side counterpart of
+    the manifest reader's type-widening evolution: ADD COLUMN for new
+    fields, MODIFY COLUMN for int->wider-int / float->double widens.
+    NARROWING and type-family changes raise (same refusal as the
+    reader); dropped columns raise too — a sink table never silently
+    loses a column (emit an explicit DROP yourself if you mean it)."""
+    _WIDTH = {
+        "Int8": 8, "Int16": 16, "Int32": 32, "Int64": 64,
+        "Float32": 32, "Float64": 64,
+    }
+
+    def base(t: str) -> str:
+        return t[9:-1] if t.startswith("Nullable(") else t
+
+    old = {f.name: f for f in old_schema.fields}
+    new = {f.name: f for f in new_schema.fields}
+    gone = [n for n in old if n not in new]
+    if gone:
+        raise ValueError(
+            f"alter_widen_ddl: columns {gone} missing from the new "
+            "schema — widening never drops columns"
+        )
+    out: list[str] = []
+    for f in new_schema.fields:
+        t_new = ch_type(f.dataType, nullable=f.nullable)
+        if f.name not in old:
+            out.append(
+                f"ALTER TABLE {table} ADD COLUMN `{f.name}` {t_new}"
+            )
+            continue
+        t_old = ch_type(
+            old[f.name].dataType, nullable=old[f.name].nullable
+        )
+        if t_old == t_new:
+            continue
+        b_old, b_new = base(t_old), base(t_new)
+        same_family = (
+            b_old.startswith("Int") == b_new.startswith("Int")
+            and b_old.startswith("Float") == b_new.startswith("Float")
+        )
+        if (
+            b_old in _WIDTH
+            and b_new in _WIDTH
+            and same_family
+            and _WIDTH[b_old] < _WIDTH[b_new]
+        ):
+            out.append(
+                f"ALTER TABLE {table} MODIFY COLUMN `{f.name}` {t_new}"
+            )
+            continue
+        raise ValueError(
+            f"alter_widen_ddl: column {f.name!r} {t_old} -> {t_new} "
+            "is not a widening (narrowing/family changes are refused "
+            "— they silently corrupt on a live table)"
+        )
+    return out

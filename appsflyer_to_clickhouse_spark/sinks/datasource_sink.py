@@ -348,6 +348,21 @@ class ClickHouseBatchDataSource(DataSource):
         return ManifestTailReader(self.options, schema)
 
 
+def _parse_commitlog(options) -> int | None:
+    """``.option("commitlog", N)`` on either writer tier: ensure the
+    target table is in commit-log mode with checkpoint interval N
+    ("true" = the default 32) before the first commit — tables can be
+    BORN log-mode through the pure writer API. An existing log-mode
+    table with a DIFFERENT interval fails loudly (enable_commit_log's
+    refusal) rather than silently diverging."""
+    v = options.get("commitlog")
+    if v is None:
+        return None
+    if str(v).strip().lower() == "true":
+        return 32
+    return int(v)
+
+
 def _parse_txn(options) -> tuple[str | None, int | None]:
     """(txnAppId, txnVersion) from writer options — both or neither;
     a lone value would silently disable replay protection, so it
@@ -395,6 +410,7 @@ class _BatchWriter(DataSourceWriter):
         # re-run backfill from at-least-once to exactly-once effect
         # without the streaming tier's checkpoint machinery.
         self._txn_app, self._txn_version = _parse_txn(options)
+        self._commitlog = _parse_commitlog(options)
 
     # -- executor side ----------------------------------------------------
     def write(self, rows: Iterator) -> _PartCommit:
@@ -474,6 +490,9 @@ class _BatchWriter(DataSourceWriter):
         from . import commit_log
 
         mpath = os.path.join(self._path, MANIFEST)
+        interval = getattr(self, "_commitlog", None)
+        if interval is not None:
+            commit_log.ensure_enabled(self._path, interval)
         txn_app = getattr(self, "_txn_app", None)
         txn_version = getattr(self, "_txn_version", None)
         with _manifest_lock(self._path):
@@ -2332,6 +2351,7 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
         self._batch = int(options.get("batchsize", "10000"))
         self._overwrite = overwrite
         self._txn_app, self._txn_version = _parse_txn(options)
+        self._commitlog = _parse_commitlog(options)
 
     def write(self, batches) -> _PartCommit:
         import pyarrow as pa
@@ -2455,6 +2475,7 @@ class _StreamBatchWriter(DataSourceStreamWriter):
         # lineage tracking requires an explicit
         # ``.option("checkpointLocation", ...)`` on the writer.
         self._stream_id = options.get("checkpointlocation")
+        self._commitlog = _parse_commitlog(options)
 
     # -- executor side: identical flush cadence to the batch tier ---------
     def write(self, rows: Iterator) -> _PartCommit:
@@ -2469,6 +2490,9 @@ class _StreamBatchWriter(DataSourceStreamWriter):
 
         mpath = os.path.join(self._path, MANIFEST)
         os.makedirs(self._path, exist_ok=True)
+        interval = getattr(self, "_commitlog", None)
+        if interval is not None:
+            commit_log.ensure_enabled(self._path, interval)
         with _manifest_lock(self._path):
             log_mode = commit_log.log_enabled(self._path)
             fresh = not os.path.exists(mpath)
@@ -2644,6 +2668,7 @@ class _StreamArrowBatchWriter(DataSourceStreamArrowWriter):
         # means unknown, and commit() falls back to the conservative
         # batchId guard
         self._stream_id = options.get("checkpointlocation")
+        self._commitlog = _parse_commitlog(options)
 
     def write(self, iterator) -> _PartCommit:
         return _ArrowBatchWriter.write(self, iterator)

@@ -117,3 +117,54 @@ def test_order_by_validation_and_custom_engines():
     assert "`k` Int64 DEFAULT 0" in ddl
     assert "`v` Nullable(String)" in ddl
     assert ddl.rstrip().endswith("ORDER BY (`k`)")
+
+
+def test_alter_widen_ddl_golden():
+    import pytest
+
+    from appsflyer_to_clickhouse_spark.sinks.clickhouse_ddl import (
+        alter_widen_ddl,
+    )
+
+    old = T.StructType(
+        [
+            T.StructField("k", T.IntegerType(), True),
+            T.StructField("x", T.FloatType(), True),
+            T.StructField("s", T.StringType(), True),
+        ]
+    )
+    new = T.StructType(
+        [
+            T.StructField("k", T.LongType(), True),
+            T.StructField("x", T.DoubleType(), True),
+            T.StructField("s", T.StringType(), True),
+            T.StructField("extra", T.StringType(), True),
+        ]
+    )
+    got = alter_widen_ddl(old, new, "db.t")
+    assert got == [
+        "ALTER TABLE db.t MODIFY COLUMN `k` Nullable(Int64)",
+        "ALTER TABLE db.t MODIFY COLUMN `x` Nullable(Float64)",
+        "ALTER TABLE db.t ADD COLUMN `extra` Nullable(String)",
+    ]
+    # narrowing refused
+    with pytest.raises(ValueError, match="not a widening"):
+        alter_widen_ddl(
+            T.StructType([T.StructField("k", T.LongType(), True)]),
+            T.StructType([T.StructField("k", T.IntegerType(), True)]),
+            "db.t",
+        )
+    # int -> float family change refused
+    with pytest.raises(ValueError, match="not a widening"):
+        alter_widen_ddl(
+            T.StructType([T.StructField("k", T.IntegerType(), True)]),
+            T.StructType([T.StructField("k", T.DoubleType(), True)]),
+            "db.t",
+        )
+    # dropped column refused
+    with pytest.raises(ValueError, match="never drops"):
+        alter_widen_ddl(
+            T.StructType([T.StructField("k", T.IntegerType(), True)]),
+            T.StructType([T.StructField("j", T.IntegerType(), True)]),
+            "db.t",
+        )

@@ -430,3 +430,68 @@ def test_maintain_sink_in_log_mode(spark):
         retain_history=3, vacuum_min_age_s=0.0,
     )
     assert read_committed_parquet(spark, path, SCHEMA).count() == 54
+
+
+def test_writer_option_creates_log_mode_table(spark, tmp_path):
+    """`.option("commitlog", N)`: a table born in log mode through
+    the pure writer API — no helper call — for both batch tiers and
+    the streaming tier."""
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    path = str(tmp_path / "opt_batch")
+    for lo, hi in ((0, 50), (50, 100), (100, 150)):
+        (
+            spark.range(lo, hi)
+            .select(
+                F.col("id"),
+                (F.col("id") % 7).cast("string").alias("grp"),
+                (F.col("id") * 1.5).alias("val"),
+            )
+            .coalesce(1)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("commitlog", "2")
+            .mode("append")
+            .save()
+        )
+    assert cl.log_enabled(path)
+    assert cl._meta(path)["checkpoint_interval"] == 2
+    state = _manifest_read(path)
+    assert state["rows"] == 150
+    assert [e["v"] for e in state["history"]] == [0, 1, 2]
+    assert read_committed_parquet(spark, path, SCHEMA).count() == 150
+    # streaming tier
+    src = str(tmp_path / "opt_src")
+    spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 7).cast("string").alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+    ).write.parquet(src)
+    spath = str(tmp_path / "opt_stream")
+    q = (
+        spark.readStream.schema(SCHEMA)
+        .parquet(src)
+        .writeStream.format("chbatch_arrow")
+        .option("path", spath)
+        .option("commitlog", "true")
+        .option("checkpointLocation", str(tmp_path / "opt_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert cl.log_enabled(spath)
+    assert read_committed_parquet(spark, spath, SCHEMA).count() == 100
+    # interval mismatch on an existing log table fails loudly
+    with pytest.raises(Exception, match="refusing"):
+        (
+            spark.range(150, 160)
+            .select(
+                F.col("id"),
+                (F.col("id") % 7).cast("string").alias("grp"),
+                (F.col("id") * 1.5).alias("val"),
+            )
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("commitlog", "9")
+            .mode("append")
+            .save()
+        )
