@@ -121,9 +121,12 @@ def test_growth_tail_planning_linear_in_window_not_log():
         times.append(time.monotonic() - t0)
         assert len(parts) == 50
     # the window is constant, so planning time may grow only with the
-    # LOG SCAN (linear, cheap) — 16x commits must stay well under a
-    # quadratic's 256x; generous 30x envelope over the smallest
-    assert times[-1] < 30 * times[0] + 0.05, times
+    # LOG SCAN (linear, cheap). Anchor on the MID size (the smallest
+    # sample is sub-10ms and noise-dominated on a loaded machine):
+    # 4x commits from mid to large predicts ~4x linear vs ~16x
+    # quadratic — a 10x envelope plus an absolute floor separates
+    # them while absorbing shared-JVM load spikes
+    assert times[-1] < 10 * times[1] + 0.1, times
 
 
 def test_growth_cdf_planning_bounded_by_requested_range():
