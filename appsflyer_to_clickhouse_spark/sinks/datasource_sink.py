@@ -348,19 +348,48 @@ class ClickHouseBatchDataSource(DataSource):
         return ManifestTailReader(self.options, schema)
 
 
-def _parse_commitlog(options) -> int | None:
+def _parse_commitlog(options) -> tuple[int, str] | None:
     """``.option("commitlog", N)`` on either writer tier: ensure the
     target table is in commit-log mode with checkpoint interval N
-    ("true" = the default 32) before the first commit — tables can be
-    BORN log-mode through the pure writer API. An existing log-mode
-    table with a DIFFERENT interval fails loudly (enable_commit_log's
-    refusal) rather than silently diverging."""
+    ("true" = the default 32; "false" = a no-op, same as absent)
+    before the first commit — tables can be BORN log-mode through the
+    pure writer API. ``.option("commitlogformat", "parquet")`` picks
+    the checkpoint serialization (columnar ckpt-*.parquet for the
+    10⁶-part shape; implies commitlog=true when given alone). An
+    existing log-mode table with DIFFERENT settings fails loudly
+    (enable_commit_log's refusal) rather than silently diverging.
+    Both options are validated HERE, at writer construction — a
+    malformed value must not surface at commit time, after executor
+    writes (ADVICE r8)."""
     v = options.get("commitlog")
+    fmt = options.get("commitlogformat")
+    if fmt is not None:
+        fmt = str(fmt).strip().lower()
+        if fmt not in ("json", "parquet"):
+            raise ValueError(
+                f'.option("commitlogformat", {fmt!r}): must be '
+                '"json" or "parquet"'
+            )
     if v is None:
+        return (32, fmt) if fmt is not None else None
+    s = str(v).strip().lower()
+    if s == "false":
+        if fmt is not None:
+            raise ValueError(
+                '.option("commitlogformat") conflicts with '
+                '.option("commitlog", "false")'
+            )
         return None
-    if str(v).strip().lower() == "true":
-        return 32
-    return int(v)
+    if s == "true":
+        return 32, fmt or "json"
+    try:
+        interval = int(s)
+    except ValueError:
+        raise ValueError(
+            f'.option("commitlog", {v!r}): expected "true", "false" '
+            "or a checkpoint-interval integer"
+        ) from None
+    return interval, fmt or "json"
 
 
 def _parse_txn(options) -> tuple[str | None, int | None]:
@@ -490,9 +519,9 @@ class _BatchWriter(DataSourceWriter):
         from . import commit_log
 
         mpath = os.path.join(self._path, MANIFEST)
-        interval = getattr(self, "_commitlog", None)
-        if interval is not None:
-            commit_log.ensure_enabled(self._path, interval)
+        clog = getattr(self, "_commitlog", None)
+        if clog is not None:
+            commit_log.ensure_enabled(self._path, clog[0], clog[1])
         txn_app = getattr(self, "_txn_app", None)
         txn_version = getattr(self, "_txn_version", None)
         with _manifest_lock(self._path):
@@ -1026,6 +1055,22 @@ def clone_sink(src: str, dst: str) -> dict:
         if src_manifest.get(carry):
             manifest[carry] = src_manifest[carry]
     if manifest.get("dv"):
+        # sidecar VALUES are bare filenames resolved against the
+        # READING table's directory (dv_resolve_np / _dv_spec do
+        # os.path.join(path, name)) — absolutize them against the
+        # source, exactly as the data files above, or every read of a
+        # clone with a >inline-cap delete would FileNotFoundError
+        # (ADVICE r9 high). os.path.join passes absolute names
+        # through, so readers need no change; _refuse_if_foreign
+        # already fences mutations until optimize localizes.
+        manifest["dv"] = {
+            k: (
+                v
+                if isinstance(v, list) or os.path.isabs(v["sidecar"])
+                else {**v, "sidecar": os.path.join(src_abs, v["sidecar"])}
+            )
+            for k, v in manifest["dv"].items()
+        }
         manifest["history"][0]["dv_set"] = manifest["dv"]
     with _manifest_lock(dst):
         mpath = os.path.join(dst, MANIFEST)
@@ -2490,9 +2535,9 @@ class _StreamBatchWriter(DataSourceStreamWriter):
 
         mpath = os.path.join(self._path, MANIFEST)
         os.makedirs(self._path, exist_ok=True)
-        interval = getattr(self, "_commitlog", None)
-        if interval is not None:
-            commit_log.ensure_enabled(self._path, interval)
+        clog = getattr(self, "_commitlog", None)
+        if clog is not None:
+            commit_log.ensure_enabled(self._path, clog[0], clog[1])
         with _manifest_lock(self._path):
             log_mode = commit_log.log_enabled(self._path)
             fresh = not os.path.exists(mpath)
