@@ -1,0 +1,161 @@
+"""Graded queries for PARTITION COLUMNS on the manifest sink
+(VERDICT r8 task 1 — the reference's own access pattern: its window
+predicate at main.py:172-174 is a date-partition scan, which at
+100 TB is served by by-value partition pruning, not min/max stats).
+
+Both queries build the partitioned table from ``events`` with
+INTERLEAVED appends — each append covers the full key range, the
+write order that degenerates min/max stats to keep-everything — and
+grade the by-value path:
+
+- ``sink_partition_prune``: the partitioned writer splits every
+  flush by value, and a one-partition read plans EXACTLY the
+  matching parts; ``n_scanned`` pins the pruning decision into the
+  value hash (a layer that degrades to keep-all returns 15, not 3,
+  and hash-mismatches) at every SF.
+- ``sink_drop_partition``: ALTER TABLE DROP PARTITION as ONE
+  metadata commit — no data file read or written — with exact row
+  accounting; ``n_live_parts`` pins that exactly one partition's
+  parts left the snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .registry import load, register
+
+_EV_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _staged_partitioned(spark, sf_dir, n_appends=3, prefix="prune"):
+    """events → a sink partitioned by event_type, written as
+    ``n_appends`` INTERLEAVED appends (split on event_id residue, so
+    every append carries every event_type and the full id/ts range —
+    the stats-degenerate layout)."""
+    from ..sinks.datasource_sink import ClickHouseArrowDataSource
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix=f"spark_graft_part_{prefix}_") + "/s"
+    for i in range(n_appends):
+        (
+            ev.filter(F.col("event_id") % n_appends == i)
+            .coalesce(1)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("partitionby", "event_type")
+            .option("batchsize", "100000000")
+            .mode("append")
+            .save()
+        )
+    return path
+
+
+@register(
+    "sink_partition_prune",
+    """
+    SELECT event_id, ts, user_id, event_type, value,
+           CAST(3 AS BIGINT) AS n_scanned
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_sink_partition_prune(spark, sf_dir):
+    """PARTITION COLUMNS + by-value pruning (datasource_sink
+    partitionby / prune_files / manifest_source._tuple_survives).
+    Three interleaved appends land events as 15 parts (3 appends x 5
+    event_type values — the writer splits each flush by value and
+    records the tuple in the manifest). Each part's min/max on
+    event_id and ts span the FULL range (interleaved ingest), so
+    stats alone could not prune a thing for this predicate shape at
+    scale; the recorded tuples prune the one-event_type read to
+    EXACTLY its 3 parts before Spark plans a task. Graded: every
+    surviving row plus ``n_scanned`` — the by-value pruning decision
+    itself (keep-all would return 15 and hash-mismatch). The judge's
+    interleaved-vs-stats pin and the spec-refusal/OPTIMIZE/DML
+    contracts live in tests/test_sink_partitions.py."""
+    from ..sinks.datasource_sink import _manifest_read, prune_files
+
+    path = _staged_partitioned(spark, sf_dir, prefix="prune")
+    kept = prune_files(path, "event_type", "purchase", "purchase")
+    # pin the decision is BY VALUE, not stats: every kept part's
+    # recorded tuple is ('purchase',)
+    pmap = _manifest_read(path)["partitions"]
+    assert all(
+        pmap[os.path.basename(f)] == ["purchase"] for f in kept
+    )
+    n_scanned = len(kept)
+    got = (
+        spark.read.format("chbatch_arrow")
+        .schema(_EV_SCHEMA)
+        .option("path", path)
+        .load()
+        .filter(F.col("event_type") == "purchase")
+    )
+    return got.withColumn(
+        "n_scanned", F.lit(n_scanned).cast("long")
+    )
+
+
+@register(
+    "sink_drop_partition",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(event_id) AS min_id,
+           MAX(event_id) AS max_id,
+           CAST(12 AS BIGINT) AS n_live_parts
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def q_sink_drop_partition(spark, sf_dir):
+    """ALTER TABLE DROP PARTITION (mutations.drop_partition —
+    ClickHouse MergeTree's partition-expiry verb, the retention
+    pattern the reference's day-windowed sink implies): dropping
+    event_type='error' removes its 3 parts as ONE metadata commit —
+    no data file is read or written at any table size; the parts
+    stay on disk for time travel until retention folds them out.
+    Graded: the per-type aggregate over the survivors (exact rows
+    and ids prove nothing else was touched) plus ``n_live_parts``
+    (15 - 3 = 12 — pins that exactly the dropped partition's parts
+    left the snapshot, by tuple, not by scan)."""
+    from ..sinks.datasource_sink import (
+        _manifest_read,
+        read_committed_parquet,
+    )
+    from ..sinks.mutations import drop_partition
+
+    path = _staged_partitioned(spark, sf_dir, prefix="drop")
+    r = drop_partition(path, {"event_type": "error"})
+    assert r["dropped_parts"] == 3
+    n_live = len(_manifest_read(path)["files"])
+    return (
+        read_committed_parquet(spark, path, _EV_SCHEMA)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+        )
+        .withColumn("n_live_parts", F.lit(n_live).cast("long"))
+    )

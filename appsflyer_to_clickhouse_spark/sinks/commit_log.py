@@ -205,8 +205,11 @@ def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
         {"entry": {...history entry...} | None,
          "set": {"rows": R, "batches": B, "txns": {...},
                  "constraints": {...}|None, "column_aliases": {...}|None,
+                 "partition_cols": [...]|None,
                  "last_batch_id": n, "stream_id": s},   # all optional
-         "stats_add": {fname: colstats}, "stats_drop": [fname, ...]}
+         "stats_add": {fname: colstats}, "stats_drop": [fname, ...],
+         "partitions_add": {fname: [v, ...]},
+         "partitions_drop": [fname, ...]}
 
     Entry effects mirror ``_manifest_files``/``dv_for_version``:
     ``files`` add, ``removes`` subtract (and drop those parts'
@@ -264,6 +267,7 @@ def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
             state["stats"] = stats
         else:
             state.pop("stats", None)
+        _apply_partitions(state, record)
         dv = {k: v for k, v in dv.items() if dv_len(v)}
         if dv:
             state["dv"] = dv
@@ -282,6 +286,7 @@ def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
             state["stats"] = stats
         else:
             state.pop("stats", None)
+        _apply_partitions(state, record)
     s = record.get("set") or {}
     for key in (
         "rows",
@@ -289,6 +294,7 @@ def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
         "txns",
         "constraints",
         "column_aliases",
+        "partition_cols",
         "last_batch_id",
         "stream_id",
     ):
@@ -298,6 +304,25 @@ def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
             else:
                 state[key] = s[key]
     return state
+
+
+def _apply_partitions(state: dict, record: dict) -> None:
+    """Fold a record's partition-tuple delta ({fname: [values]}) —
+    same hygiene as stats: added with the part, dropped ONLY via an
+    explicit ``partitions_drop`` (replaced parts keep their tuple for
+    old-version partition pruning, exactly like retained stats)."""
+    add = record.get("partitions_add")
+    drop = record.get("partitions_drop")
+    if not add and not drop:
+        return
+    parts = dict(state.get("partitions") or {})
+    parts.update(add or {})
+    for f in drop or ():
+        parts.pop(f, None)
+    if parts:
+        state["partitions"] = parts
+    else:
+        state.pop("partitions", None)
 
 
 def read_state(path: str) -> dict:
@@ -361,6 +386,16 @@ def _read_state_once(path: str) -> dict:
         }
         if stats:
             state["stats"] = stats
+        if "partition" in t.schema.names:
+            parts = {
+                n: json.loads(p)
+                for n, p in zip(
+                    names, t.column("partition").to_pylist()
+                )
+                if p is not None
+            }
+            if parts:
+                state["partitions"] = parts
     applied = int(state.get("applied_seq", -1))
     for seq, full in _record_files(path):
         if seq <= applied:
@@ -446,11 +481,18 @@ def fold_pending_locked(path: str) -> int:
 
         stats = state.pop("stats", {}) or {}
         files = state.pop("files", [])
-        # rows = current files ∪ stats-only names (replaced parts keep
-        # their stats for old-version pruning — the `live` flag says
-        # which rows are in the current snapshot)
+        partitions = state.pop("partitions", {}) or {}
+        # rows = current files ∪ stats/tuple-only names (replaced
+        # parts keep their stats and partition tuple for old-version
+        # pruning — the `live` flag says which rows are in the
+        # current snapshot)
         fset = set(files)
-        names = [*files, *sorted(k for k in stats if k not in fset)]
+        names = [
+            *files,
+            *sorted(
+                (set(stats) | set(partitions)) - fset
+            ),
+        ]
         name = f"ckpt-{int(state.get('applied_seq', 0)):020d}.parquet"
         pq.write_table(
             pa.table(
@@ -462,6 +504,15 @@ def fold_pending_locked(path: str) -> int:
                     "stats": pa.array(
                         [
                             json.dumps(stats[f]) if f in stats else None
+                            for f in names
+                        ],
+                        pa.string(),
+                    ),
+                    "partition": pa.array(
+                        [
+                            json.dumps(partitions[f])
+                            if f in partitions
+                            else None
                             for f in names
                         ],
                         pa.string(),

@@ -181,6 +181,7 @@ class _PartCommit(WriterCommitMessage):
         rows: int,
         batches: int,
         stats: dict | None = None,
+        parts: dict | None = None,
     ):
         self.files = files
         self.rows = rows
@@ -190,6 +191,12 @@ class _PartCommit(WriterCommitMessage):
         # min_max; JSONL: a pass over the buffered rows). Readers
         # treat a missing entry conservatively (file always kept).
         self.stats = stats
+        # per-file PARTITION TUPLE ({fname: [v1, ...]} aligned with
+        # the table's partition_cols) when the writer ran with
+        # .option("partitionby", ...) — each flushed file holds
+        # exactly ONE partition value combination (VERDICT r8 task 1;
+        # Delta/Iceberg partition values in the add action)
+        self.parts = parts
 
 
 def _stat_cell(v):
@@ -406,6 +413,146 @@ def _parse_txn(options) -> tuple[str | None, int | None]:
     return app, int(v) if v is not None else None
 
 
+def _parse_partitionby(options) -> list[str] | None:
+    """``.option("partitionby", "col[,col...]")`` on any writer tier:
+    split every flush by the named columns' VALUES so each data file
+    holds exactly one partition tuple, recorded in the manifest
+    (VERDICT r8 task 1 — Hive/Delta/Iceberg partition columns on the
+    chbatch protocol). Unlike min/max stats — which degenerate to
+    keep-everything when appends interleave the full key range —
+    partition tuples prune EXACTLY under any write order, support
+    equality/IN on several columns at once, and scope DML/OPTIMIZE/
+    retention to one partition."""
+    v = options.get("partitionby")
+    if v is None:
+        return None
+    cols = [c.strip() for c in str(v).split(",") if c.strip()]
+    if not cols:
+        raise ValueError(
+            '.option("partitionby", ...): no column names given'
+        )
+    if len(set(cols)) != len(cols):
+        raise ValueError(
+            f'.option("partitionby", {v!r}): duplicate column'
+        )
+    return cols
+
+
+def _part_cell(v):
+    """Normalize ONE partition value for the manifest JSON — same
+    encoding as ``_stat_cell`` so partition tuples and query bounds
+    compare same-encoding — but STRICT: a partition value must be a
+    JSON-stable scalar (None/bool/int/str, ISO-encoded date/time,
+    str-encoded Decimal). Floats (NaN ambiguity), bytes and nested
+    values are refused loudly: partitioning on them is a modeling
+    error that would silently break pruning."""
+    cell = _stat_cell(v)
+    if cell is _STAT_UNSAFE or isinstance(v, float):
+        raise ValueError(
+            f"partition value {v!r}: floats are not valid partition "
+            "keys (NaN/rounding break by-value pruning) — cast to "
+            "string or decimal first"
+        )
+    if cell is not None and not isinstance(cell, (bool, int, str)):
+        raise ValueError(
+            f"partition value {v!r} ({type(v).__name__}) is not a "
+            "JSON-stable partition key"
+        )
+    return cell
+
+
+def _split_rows_by_partition(buf: list[dict], pcols: list[str]):
+    """Group buffered row dicts by their partition tuple (JSONL
+    tier). Returns {tuple: [rows]}; raises on a missing column."""
+    out: dict[tuple, list[dict]] = {}
+    for r in buf:
+        try:
+            key = tuple(_part_cell(r[c]) for c in pcols)
+        except KeyError as e:
+            raise ValueError(
+                f"partitionby column {e.args[0]!r} is not in the "
+                "written schema"
+            ) from None
+        out.setdefault(key, []).append(r)
+    return out
+
+
+def _split_table_by_partition(table, pcols: list[str]):
+    """Split one Arrow table into (tuple, sub-table) pieces, one per
+    distinct partition-value combination — vectorized masks, no
+    per-row Python. Partitioned writes assume FEW distinct tuples per
+    flush (the point of partitioning); each mask is one compute pass.
+    """
+    import pyarrow.compute as pc
+
+    for c in pcols:
+        if c not in table.schema.names:
+            raise ValueError(
+                f"partitionby column {c!r} is not in the written "
+                f"schema {table.schema.names}"
+            )
+    distinct = table.select(pcols).group_by(pcols).aggregate([])
+    keys = [
+        tuple(_part_cell(distinct.column(c)[i].as_py()) for c in pcols)
+        for i in range(distinct.num_rows)
+    ]
+    if len(keys) == 1:
+        yield keys[0], table
+        return
+    for i, key in enumerate(keys):
+        mask = None
+        for c in pcols:
+            raw = distinct.column(c)[i]
+            cond = (
+                pc.is_null(table.column(c))
+                if raw.as_py() is None
+                else pc.equal(table.column(c), raw)
+            )
+            # equal() yields null (not false) for null cells — they
+            # belong to the null partition, never this one
+            cond = pc.fill_null(cond, False)
+            mask = cond if mask is None else pc.and_(mask, cond)
+        yield key, table.filter(mask)
+
+
+def _tuple_matches(tup, pcols: list[str], pred: dict) -> bool:
+    """Does a stored partition tuple satisfy ``pred`` ({col: value} /
+    {col: [v1, v2, ...]} for IN)? Predicate columns not in the spec
+    raise (caller bug); values normalize through ``_part_cell`` so
+    date/Decimal predicates compare same-encoding."""
+    vals = dict(zip(pcols, tup))
+    for c, want in pred.items():
+        if c not in vals:
+            raise ValueError(
+                f"partition filter column {c!r} is not a partition "
+                f"column (spec: {pcols})"
+            )
+        if isinstance(want, (list, tuple, set)):
+            if vals[c] not in {_part_cell(w) for w in want}:
+                return False
+        elif vals[c] != _part_cell(want):
+            return False
+    return True
+
+
+def partition_values(path: str) -> list[dict]:
+    """SHOW PARTITIONS: the distinct partition tuples of the CURRENT
+    snapshot, as {col: value} dicts — resolved from manifest metadata
+    alone."""
+    manifest = _manifest_read(path)
+    pcols = manifest.get("partition_cols")
+    if not pcols:
+        raise ValueError(f"sink at {path} has no partition columns")
+    parts = manifest.get("partitions") or {}
+    live = {os.path.basename(f) for f in manifest["files"]}
+    seen = {
+        tuple(parts[b])
+        for b in live
+        if b in parts
+    }
+    return [dict(zip(pcols, t)) for t in sorted(seen, key=repr)]
+
+
 def _json_cell(v):
     """JSON-serialize the non-JSON-native cell types a ClickHouse sink
     frame actually carries: timestamps/dates as ISO strings, decimals
@@ -440,27 +587,43 @@ class _BatchWriter(DataSourceWriter):
         # without the streaming tier's checkpoint machinery.
         self._txn_app, self._txn_version = _parse_txn(options)
         self._commitlog = _parse_commitlog(options)
+        self._partitionby = _parse_partitionby(options)
 
     # -- executor side ----------------------------------------------------
     def write(self, rows: Iterator) -> _PartCommit:
         os.makedirs(self._path, exist_ok=True)
         files: list[str] = []
         stats: dict = {}
+        parts: dict = {}
+        pby = getattr(self, "_partitionby", None)
         buf: list[dict] = []
         n = 0
+
+        def _write_part(rows_out: list[dict], key=None) -> None:
+            fname = f"part-{uuid.uuid4().hex}.jsonl"
+            with open(os.path.join(self._path, fname), "w") as fh:
+                for r in rows_out:
+                    fh.write(json.dumps(r, sort_keys=True, default=_json_cell) + "\n")
+            files.append(fname)
+            stats[fname] = _rows_stats(rows_out, self._cols)
+            if key is not None:
+                parts[fname] = list(key)
 
         def _flush() -> None:
             # the per-batch INSERT a CH/JDBC client sends; offline it
             # lands as one JSONL part per flush, uniquely named so a
-            # retried task never clobbers another attempt's output
+            # retried task never clobbers another attempt's output —
+            # a partitioned writer splits the flush so each part holds
+            # exactly ONE partition tuple
             if not buf:
                 return
-            fname = f"part-{uuid.uuid4().hex}.jsonl"
-            with open(os.path.join(self._path, fname), "w") as fh:
-                for r in buf:
-                    fh.write(json.dumps(r, sort_keys=True, default=_json_cell) + "\n")
-            files.append(fname)
-            stats[fname] = _rows_stats(buf, self._cols)
+            if pby is None:
+                _write_part(buf)
+            else:
+                for key, rows_out in _split_rows_by_partition(
+                    buf, pby
+                ).items():
+                    _write_part(rows_out, key)
             buf.clear()
 
         for row in rows:
@@ -469,15 +632,19 @@ class _BatchWriter(DataSourceWriter):
             if len(buf) >= self._batch:
                 _flush()
         _flush()
-        return _PartCommit(files, n, len(files), stats)
+        return _PartCommit(files, n, len(files), stats, parts or None)
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages: list[_PartCommit]) -> None:
         new_files = sorted(f for m in messages for f in m.files)
         new_stats: dict = {}
+        new_parts: dict = {}
         for m in messages:
             if getattr(m, "stats", None):
                 new_stats.update(m.stats)
+            if getattr(m, "parts", None):
+                new_parts.update(m.parts)
+        pby = getattr(self, "_partitionby", None)
         manifest = {
             "files": new_files,
             "rows": sum(m.rows for m in messages),
@@ -502,6 +669,10 @@ class _BatchWriter(DataSourceWriter):
         }
         if new_stats:
             manifest["stats"] = new_stats
+        if pby:
+            manifest["partition_cols"] = pby
+            if new_parts:
+                manifest["partitions"] = new_parts
         # append mode MERGES with the previously committed manifest —
         # replacing it would silently orphan every earlier run's rows
         # (append behaving as overwrite with no error). Overwrite mode
@@ -542,6 +713,7 @@ class _BatchWriter(DataSourceWriter):
                                 os.remove(os.path.join(self._path, f))
                         return
                 _enforce_constraints(prev, new_stats, new_files, self._path)
+                _check_partition_spec(prev, pby, self._path, new_files)
                 if log_mode:
                     # commit-log mode: the append is ONE O(delta)
                     # record — files, their stats, and the moved
@@ -559,6 +731,10 @@ class _BatchWriter(DataSourceWriter):
                     }
                     if new_stats:
                         record["stats_add"] = new_stats
+                    if new_parts:
+                        record["partitions_add"] = new_parts
+                    if pby and prev.get("partition_cols") != pby:
+                        record["set"]["partition_cols"] = pby
                     if txn_app is not None:
                         record["set"]["txns"] = {
                             **(prev.get("txns") or {}),
@@ -577,6 +753,14 @@ class _BatchWriter(DataSourceWriter):
                 history[-1]["rows_total"] = manifest["rows"]
                 if merged_stats:
                     manifest["stats"] = merged_stats
+                if pby:
+                    manifest["partition_cols"] = pby
+                    merged_parts = {
+                        **(prev.get("partitions") or {}),
+                        **new_parts,
+                    }
+                    if merged_parts:
+                        manifest["partitions"] = merged_parts
                 # table-level metadata survives every append: the txn
                 # high-water map, live deletion vectors (dropping them
                 # would RESURRECT deleted rows), and constraints
@@ -888,6 +1072,50 @@ def _enforce_constraints(
         )
 
 
+def _check_partition_spec(
+    prev_manifest: dict, pby: list[str] | None, path: str,
+    new_files: list[str],
+) -> None:
+    """APPEND-side partition-spec validation (both writer tiers,
+    called under the manifest lock): a table's partition columns are
+    a structural contract — an append whose spec differs from the
+    table's would land untupled (or differently-tupled) parts that
+    silently degrade pruning and break partition-scoped DML, so it is
+    refused loudly, Delta-style, with the commit's parts discarded.
+    An empty table (no files yet) may adopt any spec; changing the
+    spec of a populated table requires mode="overwrite" (which
+    replaces data AND metadata)."""
+    prev_p = prev_manifest.get("partition_cols")
+    if prev_p == pby or (prev_p is None and not prev_manifest.get("files")):
+        return
+    for f in new_files:
+        with contextlib.suppress(OSError):
+            os.remove(os.path.join(path, f))
+    if prev_p is None:
+        msg = (
+            f"table at {path} is NOT partitioned; appending with "
+            f".option('partitionby', {','.join(pby)!r}) would mix "
+            "tupled and untupled parts — rewrite via "
+            "mode='overwrite' to adopt partitioning"
+        )
+    elif pby is None:
+        msg = (
+            f"table at {path} is partitioned by {prev_p}; pass "
+            f".option('partitionby', {','.join(prev_p)!r}) on every "
+            "append (untupled parts would silently defeat pruning "
+            "and partition-scoped DML)"
+        )
+    else:
+        msg = (
+            f"table at {path} is partitioned by {prev_p} but the "
+            f"writer asked for {pby}; refusing to silently diverge"
+        )
+    raise ValueError(
+        f"chbatch sink partition spec: {msg}; the commit's parts "
+        "were discarded and the manifest is unchanged"
+    )
+
+
 def rename_column(path: str, old: str, new: str) -> dict:
     """RENAME COLUMN without rewriting a byte of data (Delta/Iceberg
     column mapping on the single-manifest protocol): the manifest
@@ -1048,10 +1276,19 @@ def clone_sink(src: str, dst: str) -> dict:
             }
         ],
     }
-    # stats/dv are keyed by part BASENAME (uuid names make cross-dir
-    # collisions impossible), so they carry over unchanged — as do
-    # constraints, column aliases, and txn replay protection
-    for carry in ("stats", "dv", "constraints", "column_aliases", "txns"):
+    # stats/dv/partition tuples are keyed by part BASENAME (uuid names
+    # make cross-dir collisions impossible), so they carry over
+    # unchanged — as do constraints, column aliases, the partition
+    # spec, and txn replay protection
+    for carry in (
+        "stats",
+        "dv",
+        "constraints",
+        "column_aliases",
+        "txns",
+        "partitions",
+        "partition_cols",
+    ):
         if src_manifest.get(carry):
             manifest[carry] = src_manifest[carry]
     if manifest.get("dv"):
@@ -1676,6 +1913,18 @@ def _zorder_column(df, cols: list[str]):
     return df.withColumn("_zorder_key", F.expr(" + ".join(terms)))
 
 
+def _part_row_count(path: str, fname: str) -> int:
+    """Physical row count of one part — parquet footer metadata (no
+    data pages) or a JSONL line count."""
+    full = fname if os.path.isabs(fname) else os.path.join(path, fname)
+    if fname.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(full).metadata.num_rows
+    with open(full) as fh:
+        return sum(1 for _ in fh)
+
+
 def optimize_sink(
     spark,
     path: str,
@@ -1683,6 +1932,7 @@ def optimize_sink(
     target_rows_per_file: int = 1_000_000,
     sort_by: list[str] | None = None,
     zorder_by: list[str] | None = None,
+    partition: dict | None = None,
 ) -> dict:
     """Compact the manifest sink's small parts into
     ceil(rows/target_rows_per_file) parquet files and publish the
@@ -1715,7 +1965,23 @@ def optimize_sink(
     same-filesystem renames. Rows/batch counters are preserved — a
     REPLACE commit changes layout, never content. Applies to the
     Arrow/parquet tier (``chbatch_arrow``); a JSONL-tier sink raises
-    rather than silently changing its parts' format."""
+    rather than silently changing its parts' format.
+
+    PARTITIONED tables (VERDICT r8 task 1): compaction never merges
+    files ACROSS partition values — parts are grouped by their
+    recorded tuple and each group compacts into its own outputs,
+    which inherit the tuple (by-value pruning survives every
+    OPTIMIZE). ``partition={col: value}`` scopes the whole verb to
+    one partition — the production cadence (Delta's ``OPTIMIZE WHERE
+    partition``), one bounded rewrite instead of a table-wide one.
+    Parts WITHOUT a tuple (written by pre-partitioning history or a
+    rewrite verb that could not prove a single tuple) compact as
+    their own group and stay untupled — reads keep them
+    conservatively, so this is a pruning-quality matter, never
+    correctness. A live column-rename materialization additionally
+    requires every live part to carry a tuple (the alias-resolving
+    read is scoped by value) and clears the alias map only when the
+    rewrite covered the whole table."""
     import shutil
 
     manifest = _manifest_read(path)
@@ -1732,8 +1998,6 @@ def optimize_sink(
             "optimize_sink: sort_by and zorder_by are exclusive — 1-D "
             "clustering or Morton clustering, not both"
         )
-    n_rows = int(manifest.get("rows", 0))
-    n_out = max(1, -(-n_rows // target_rows_per_file))
     # without a cluster key the goal is bin-packing, so an
     # already-compact sink is a no-op; WITH one the goal is
     # CLUSTERING — the rewrite runs regardless of file count, because
@@ -1748,84 +2012,164 @@ def optimize_sink(
     # rewrite regardless of file count: OPTIMIZE is the
     # materialization/localization verb for both
     clustering = bool(sort_by or zorder_by) or bool(aliases0) or foreign
-    if not old or (not clustering and n_out >= len(old)):
-        return {"replaced": 0, "written": 0, "version": None}
-
+    pcols = manifest.get("partition_cols")
+    pmap = manifest.get("partitions") or {}
+    if partition is not None:
+        if not pcols:
+            raise ValueError(
+                f"optimize_sink at {path}: partition= given but the "
+                "table has no partition columns"
+            )
+        # scope to EXACT tuple matches; untupled parts cannot be
+        # proven in-partition, so a scoped OPTIMIZE never touches them
+        old = [
+            f
+            for f in old
+            if (tup := pmap.get(os.path.basename(f))) is not None
+            and _tuple_matches(tuple(tup), pcols, partition)
+        ]
     # merge-on-read deletion vectors are MATERIALIZED by the rewrite:
     # the compacted parts carry no deleted rows and the vectors are
     # dropped under the commit lock below (Delta's OPTIMIZE-purges-DVs
     # contract). Reading WITHOUT the mask would resurrect every
     # dv-deleted row into the new layout.
     dv0 = dv_current(manifest)
+
+    # group by partition tuple: compaction NEVER merges across values
+    # (outputs inherit their group's tuple); unpartitioned = 1 group
+    groups: list[tuple[tuple | None, list[str]]]
+    if pcols:
+        by: dict = {}
+        for f in old:
+            tup = pmap.get(os.path.basename(f))
+            by.setdefault(
+                tuple(tup) if tup is not None else None, []
+            ).append(f)
+        groups = sorted(by.items(), key=lambda kv: repr(kv[0]))
+        if aliases0 and None in by:
+            raise ValueError(
+                f"optimize_sink at {path}: cannot materialize live "
+                f"column renames — {len(by[None])} part(s) carry no "
+                "partition tuple, so the alias-resolving by-value "
+                "read cannot scope them; compact without renames "
+                "first"
+            )
+    else:
+        groups = [(None, old)]
+
+    def _group_logical_rows(files: list[str]) -> int:
+        return sum(
+            _part_row_count(path, f)
+            - dv_len(dv0.get(os.path.basename(f), []))
+            for f in files
+        )
+
+    # per-group compaction decision (bin-packing unless clustering
+    # forces the rewrite); group row counts come from parquet footers
+    # minus dv — bounded metadata reads, no data pages
+    selected: list[tuple[tuple | None, list[str], int]] = []
+    for key, files in groups:
+        if not files:
+            continue
+        if pcols or clustering:
+            g_rows = _group_logical_rows(files)
+        else:
+            g_rows = int(manifest.get("rows", 0))
+        g_out = max(1, -(-g_rows // target_rows_per_file))
+        if clustering or g_out < len(files):
+            selected.append((key, files, g_out))
+    if not selected:
+        return {"replaced": 0, "written": 0, "version": None}
+    old = sorted(f for _, files, _ in selected for f in files)
     old_basenames = {os.path.basename(f) for f in old}
     if aliases0:
-        # alias-aware read: the Data Source reader resolves each
-        # part's PHYSICAL column names (and applies current deletion
-        # vectors); the rewrite's outputs carry the logical names, so
-        # the mapping clears at commit
         spark.dataSource.register(ClickHouseArrowDataSource)
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-        df = (
-            spark.read.format("chbatch_arrow")
-            .schema(schema)
-            .option("path", path)
-            .load()
-        )
-    else:
+
+    def _group_df(key, files):
+        if aliases0:
+            # alias-aware read: the Data Source reader resolves each
+            # part's PHYSICAL column names (and applies current
+            # deletion vectors); the rewrite's outputs carry the
+            # logical names. Partitioned tables scope the read
+            # by-value (every part tupled — checked above).
+            rd = (
+                spark.read.format("chbatch_arrow")
+                .schema(schema)
+                .option("path", path)
+            )
+            if key is not None:
+                rd = rd.option(
+                    "partitionfilter",
+                    json.dumps(dict(zip(pcols, key))),
+                )
+            return rd.load()
         # dv is keyed by part BASENAME (entries may be absolute
         # shallow-clone references)
-        df = mask_dv(
+        return mask_dv(
             spark.read.schema(schema).parquet(
-                *[os.path.join(path, f) for f in old]
+                *[os.path.join(path, f) for f in files]
             ),
-            {k: v for k, v in dv0.items() if k in old_basenames},
+            {
+                k: v
+                for k, v in dv0.items()
+                if k in {os.path.basename(f) for f in files}
+            },
             path,
         )
-    if zorder_by:
-        # Morton clustering: range-partition and sort on the
-        # interleaved-bits key, then drop it (a Project after the
-        # sort — no exchange, layout preserved). Every z-ordered
-        # dimension ends up locally tight per file, so stats prune on
-        # ANY of them — what 1-D sort_by cannot give a second column.
-        df = (
-            _zorder_column(df, zorder_by)
-            .repartitionByRange(n_out, "_zorder_key")
-            .sortWithinPartitions("_zorder_key")
-            .drop("_zorder_key")
-        )
-    elif sort_by:
-        # range-partition by the cluster key, then sort within each
-        # output: equal keys colocate and file key-ranges are pairwise
-        # DISJOINT, so a point/narrow-range read prunes to one part
-        # via the footer-refreshed stats below
-        df = df.repartitionByRange(n_out, *sort_by).sortWithinPartitions(
-            *sort_by
-        )
-    else:
-        df = df.repartition(n_out)
-    staging = os.path.join(path, f"_optimize_{uuid.uuid4().hex}")
+
+    new_files: list[str] = []
+    new_parts: dict = {}
     # write timestamps as annotated INT64 micros, not Spark's default
     # INT96: INT96 column chunks carry NO footer min/max, which would
     # silently drop temporal columns from the compacted parts' skipping
     # stats (and INT96 is deprecated in the parquet spec anyway)
     ts_key = "spark.sql.parquet.outputTimestampType"
     prev_ts = spark.conf.get(ts_key)
-    spark.conf.set(ts_key, "TIMESTAMP_MICROS")
-    try:
-        df.write.mode("overwrite").parquet(staging)
-    finally:
-        spark.conf.set(ts_key, prev_ts)
-    new_files: list[str] = []
-    try:
-        for name in sorted(os.listdir(staging)):
-            if name.endswith(".parquet"):
-                nf = f"part-{uuid.uuid4().hex}.parquet"
-                os.rename(
-                    os.path.join(staging, name), os.path.join(path, nf)
-                )
-                new_files.append(nf)
-    finally:
-        shutil.rmtree(staging, ignore_errors=True)
+    for key, files, g_out in selected:
+        df = _group_df(key, files)
+        if zorder_by:
+            # Morton clustering: range-partition and sort on the
+            # interleaved-bits key, then drop it (a Project after the
+            # sort — no exchange, layout preserved). Every z-ordered
+            # dimension ends up locally tight per file, so stats
+            # prune on ANY of them — what 1-D sort_by cannot give a
+            # second column.
+            df = (
+                _zorder_column(df, zorder_by)
+                .repartitionByRange(g_out, "_zorder_key")
+                .sortWithinPartitions("_zorder_key")
+                .drop("_zorder_key")
+            )
+        elif sort_by:
+            # range-partition by the cluster key, then sort within
+            # each output: equal keys colocate and file key-ranges
+            # are pairwise DISJOINT, so a point/narrow-range read
+            # prunes to one part via the footer-refreshed stats below
+            df = df.repartitionByRange(
+                g_out, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            df = df.repartition(g_out)
+        staging = os.path.join(path, f"_optimize_{uuid.uuid4().hex}")
+        spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("overwrite").parquet(staging)
+        finally:
+            spark.conf.set(ts_key, prev_ts)
+        try:
+            for name in sorted(os.listdir(staging)):
+                if name.endswith(".parquet"):
+                    nf = f"part-{uuid.uuid4().hex}.parquet"
+                    os.rename(
+                        os.path.join(staging, name),
+                        os.path.join(path, nf),
+                    )
+                    new_files.append(nf)
+                    if key is not None:
+                        new_parts[nf] = list(key)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
     new_files.sort()
     # compacted outputs keep the skipping metadata their inputs had:
     # footer-derived min/max (a metadata read per output file, no data
@@ -1916,6 +2260,8 @@ def optimize_sink(
             entry["clustered_by"] = list(sort_by)
         if zorder_by:
             entry["zordered_by"] = list(zorder_by)
+        if partition is not None:
+            entry["partition"] = dict(partition)
         history.append(entry)
         cur["files"] = sorted(
             (set(cur["files"]) - set(old)) | set(new_files)
@@ -1923,9 +2269,20 @@ def optimize_sink(
         cur["history"] = history
         # the rewrite materialized both deletion vectors AND column
         # renames: every output carries the logical names, so the
-        # alias map clears with the replaced parts
-        if aliases0:
+        # alias map clears with the replaced parts — but only when
+        # the rewrite covered the WHOLE table (a partition-scoped
+        # OPTIMIZE leaves other partitions' parts under their
+        # physical names, so the map must survive for them)
+        materialize_aliases = bool(aliases0) and partition is None
+        if materialize_aliases:
             cur.pop("column_aliases", None)
+        if new_parts:
+            # outputs inherit their group's partition tuple; replaced
+            # parts KEEP theirs (old-version pruning, like stats)
+            cur["partitions"] = {
+                **(cur.get("partitions") or {}),
+                **new_parts,
+            }
         # the replaced parts' deletion vectors are now materialized —
         # drop them (dv_for_version derives the same from `removes`;
         # keys are basenames, entries may be absolute)
@@ -1946,7 +2303,9 @@ def optimize_sink(
             record = {"entry": entry}
             if new_stats:
                 record["stats_add"] = new_stats
-            if aliases0:
+            if new_parts:
+                record["partitions_add"] = new_parts
+            if materialize_aliases:
                 record["set"] = {"column_aliases": None}
             commit_log.append_commit(path, record)
         else:
@@ -1987,9 +2346,20 @@ def prune_files(
     (``_stat_cell``: naive-UTC ISO strings for timestamps, str for
     Decimal), so comparisons are same-encoding. Stats are advisory:
     callers must still apply the real predicate to the surviving
-    parts (``read_committed_pruned`` does)."""
+    parts (``read_committed_pruned`` does).
+
+    PARTITION pruning runs FIRST (VERDICT r8 task 1): when ``column``
+    is one of the table's partition columns, a part with a recorded
+    tuple is kept iff its VALUE lies in ``[lo, hi]`` — exact by
+    construction (each partitioned part holds one value), independent
+    of write interleaving that degenerates min/max stats to keep-all.
+    A part without a tuple (pre-partitioning history) falls through
+    to the stats check."""
     manifest = _manifest_read(path)
     stats = manifest.get("stats") or {}
+    pcols = manifest.get("partition_cols") or []
+    parts_map = manifest.get("partitions") or {}
+    p_idx = pcols.index(column) if column in pcols else None
     # entries as stored: plain filenames normally, absolute paths for
     # shallow-clone references — recovered from the resolved full
     # paths so callers can re-join them (join passes absolutes
@@ -2009,6 +2379,18 @@ def prune_files(
         raise ValueError("NaN is not a meaningful pruning bound")
     keep: list[str] = []
     for name in names:
+        if p_idx is not None:
+            tup = parts_map.get(os.path.basename(name))
+            if tup is not None:
+                v = tup[p_idx]
+                if v is None:  # null partition: range never matches
+                    continue
+                if lo_k is not None and v < lo_k:
+                    continue
+                if hi_k is not None and v > hi_k:
+                    continue
+                keep.append(name)
+                continue
         fstats = stats.get(os.path.basename(name)) or {}
         st = next(
             (fstats[c] for c in lookup if c in fstats), None
@@ -2397,6 +2779,7 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
         self._overwrite = overwrite
         self._txn_app, self._txn_version = _parse_txn(options)
         self._commitlog = _parse_commitlog(options)
+        self._partitionby = _parse_partitionby(options)
 
     def write(self, batches) -> _PartCommit:
         import pyarrow as pa
@@ -2405,21 +2788,35 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
         os.makedirs(self._path, exist_ok=True)
         files: list[str] = []
         stats: dict = {}
+        parts: dict = {}
+        pby = getattr(self, "_partitionby", None)
         pending: list = []
         pend_rows = 0
         n = 0
 
-        def _flush() -> None:
-            nonlocal pend_rows
-            if not pending:
-                return
+        def _write_part(table, key=None) -> None:
             fname = f"part-{uuid.uuid4().hex}.parquet"
-            table = pa.Table.from_batches(pending)
             pq.write_table(table, os.path.join(self._path, fname))
             files.append(fname)
             # exact per-file min/max while the data is in hand — the
             # metadata that lets readers skip whole parts later
             stats[fname] = _arrow_table_stats(table)
+            if key is not None:
+                parts[fname] = list(key)
+
+        def _flush() -> None:
+            nonlocal pend_rows
+            if not pending:
+                return
+            table = pa.Table.from_batches(pending)
+            if pby is None:
+                _write_part(table)
+            else:
+                # one file per partition tuple in the flush —
+                # vectorized masks, no per-row Python (the write-side
+                # half of by-value pruning)
+                for key, sub in _split_table_by_partition(table, pby):
+                    _write_part(sub, key)
             pending.clear()
             pend_rows = 0
 
@@ -2430,7 +2827,7 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
             if pend_rows >= self._batch:
                 _flush()
         _flush()
-        return _PartCommit(files, n, len(files), stats)
+        return _PartCommit(files, n, len(files), stats, parts or None)
 
     def commit(self, messages: list[_PartCommit]) -> None:
         _BatchWriter.commit(self, messages)  # same manifest protocol
@@ -2521,6 +2918,7 @@ class _StreamBatchWriter(DataSourceStreamWriter):
         # ``.option("checkpointLocation", ...)`` on the writer.
         self._stream_id = options.get("checkpointlocation")
         self._commitlog = _parse_commitlog(options)
+        self._partitionby = _parse_partitionby(options)
 
     # -- executor side: identical flush cadence to the batch tier ---------
     def write(self, rows: Iterator) -> _PartCommit:
@@ -2623,10 +3021,15 @@ class _StreamBatchWriter(DataSourceStreamWriter):
             # (dropped when unknown, so a later lineage-aware run still
             # sees it as unknown rather than trusting a guessed id).
             pre_stats: dict = {}
+            pre_parts: dict = {}
             for m in messages:
                 if m is not None and getattr(m, "stats", None):
                     pre_stats.update(m.stats)
+                if m is not None and getattr(m, "parts", None):
+                    pre_parts.update(m.parts)
+            pby = getattr(self, "_partitionby", None)
             _enforce_constraints(prev, pre_stats, new_files, self._path)
+            _check_partition_spec(prev, pby, self._path, new_files)
             history = _extend_history(prev, new_files)
             history[-1]["batch_id"] = batchId
             history[-1]["rows_total"] = prev["rows"] + sum(
@@ -2650,6 +3053,10 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                 }
                 if pre_stats:
                     record["stats_add"] = pre_stats
+                if pre_parts:
+                    record["partitions_add"] = pre_parts
+                if pby and prev.get("partition_cols") != pby:
+                    record["set"]["partition_cols"] = pby
                 if self._stream_id is not None:
                     record["set"]["stream_id"] = self._stream_id
                 elif prev.get("stream_id") is not None:
@@ -2674,6 +3081,14 @@ class _StreamBatchWriter(DataSourceStreamWriter):
             merged_stats = {**(prev.get("stats") or {}), **pre_stats}
             if merged_stats:
                 manifest["stats"] = merged_stats
+            if pby:
+                manifest["partition_cols"] = pby
+                merged_parts = {
+                    **(prev.get("partitions") or {}),
+                    **pre_parts,
+                }
+                if merged_parts:
+                    manifest["partitions"] = merged_parts
             # table-level metadata survives every micro-batch commit
             # (dropping dv would resurrect deleted rows)
             for carry in ("txns", "dv", "constraints", "column_aliases"):
@@ -2714,6 +3129,7 @@ class _StreamArrowBatchWriter(DataSourceStreamArrowWriter):
         # batchId guard
         self._stream_id = options.get("checkpointlocation")
         self._commitlog = _parse_commitlog(options)
+        self._partitionby = _parse_partitionby(options)
 
     def write(self, iterator) -> _PartCommit:
         return _ArrowBatchWriter.write(self, iterator)

@@ -59,8 +59,10 @@ from .datasource_sink import (
     _manifest_lock,
     _manifest_read,
     _parquet_footer_stats,
+    _part_row_count,
     _refuse_if_foreign,
     _refuse_if_renamed,
+    _tuple_matches,
     dv_current,
     dv_for_version,
     dv_len,
@@ -73,6 +75,7 @@ __all__ = [
     "delete_where",
     "update_where",
     "merge_sink",
+    "drop_partition",
     "dv_current",
     "dv_for_version",
 ]
@@ -185,13 +188,15 @@ def _publish_commit(
     entry: dict,
     stats_add: dict | None = None,
     stats_drop: list[str] | None = None,
+    partitions_add: dict | None = None,
+    partitions_drop: list[str] | None = None,
 ) -> None:
     """Publish a mutation commit under the already-held manifest
     lock: single-file mode rewrites the full manifest (``cur`` was
     hand-updated by the caller exactly as before); commit-log mode
     writes ONE O(delta) record — the history entry plus the new
-    parts' stats and the dropped stats keys — so DML cost never
-    scales with table size (sinks/commit_log.py)."""
+    parts' stats/partition tuples and the dropped keys — so DML cost
+    never scales with table size (sinks/commit_log.py)."""
     from . import commit_log
 
     if commit_log.log_enabled(path):
@@ -200,6 +205,10 @@ def _publish_commit(
             record["stats_add"] = stats_add
         if stats_drop:
             record["stats_drop"] = list(stats_drop)
+        if partitions_add:
+            record["partitions_add"] = partitions_add
+        if partitions_drop:
+            record["partitions_drop"] = list(partitions_drop)
         commit_log.append_commit(path, record)
     else:
         _publish(path, cur)
@@ -253,6 +262,67 @@ def _candidates(
     return sorted(prune_files(path, prune_column, prune_lo, prune_hi))
 
 
+def _partition_scope(
+    manifest: dict, path: str, partition: dict, verb: str
+):
+    """(part-name filter, residual row predicate) for a {col: value}
+    partition scope on a mutation verb (VERDICT r8 task 1). Parts
+    whose recorded tuple mismatches are EXCLUDED from the match scan
+    (IO bound = one partition); parts WITHOUT a tuple are kept —
+    rows of the partition could hide in them — and the residual
+    equality filter keeps the semantics exact either way."""
+    pcols = manifest.get("partition_cols")
+    if not pcols:
+        raise ValueError(
+            f"{verb} at {path}: partition= given but the table has "
+            "no partition columns"
+        )
+    pmap = manifest.get("partitions") or {}
+
+    def keep(f: str) -> bool:
+        tup = pmap.get(os.path.basename(f))
+        return tup is None or _tuple_matches(
+            tuple(tup), pcols, partition
+        )
+
+    residual = None
+    for c, v in partition.items():
+        if c not in pcols:
+            raise ValueError(
+                f"{verb} at {path}: partition filter column {c!r} is "
+                f"not a partition column (spec: {pcols})"
+            )
+        if isinstance(v, (list, tuple, set)):
+            cond = F.col(c).isin(*[x for x in v])
+        elif v is None:
+            cond = F.col(c).isNull()
+        else:
+            cond = F.col(c) == F.lit(v)
+        residual = cond if residual is None else (residual & cond)
+    return keep, residual
+
+
+def _inherited_tuple(manifest: dict, touched: list[str]):
+    """The single partition tuple a rewrite's outputs inherit, or
+    None. A filter-rewrite preserves no per-file boundaries (several
+    small inputs can pack into one scan split), so outputs can only
+    carry a tuple when EVERY touched input provably shares one —
+    exactly the partition-scoped production case. Otherwise outputs
+    land untupled: reads keep them conservatively (pruning quality,
+    never correctness), and OPTIMIZE re-tuples the partition."""
+    if not manifest.get("partition_cols"):
+        return None
+    pmap = manifest.get("partitions") or {}
+    tups = {
+        tuple(t) if (t := pmap.get(os.path.basename(f))) is not None
+        else None
+        for f in touched
+    }
+    if len(tups) == 1 and (one := next(iter(tups))) is not None:
+        return list(one)
+    return None
+
+
 def delete_where(
     spark,
     path: str,
@@ -263,6 +333,7 @@ def delete_where(
     prune_column: str | None = None,
     prune_lo=None,
     prune_hi=None,
+    partition: dict | None = None,
     dv_max_rows: int = 10_000_000,
     dv_inline_max: int = 1024,
     write_cdf: bool = True,
@@ -315,6 +386,15 @@ def delete_where(
     _refuse_if_renamed(manifest, path, "delete_where")
     _refuse_if_foreign(manifest, path, "delete_where")
     cand = _candidates(manifest, path, prune_column, prune_lo, prune_hi)
+    pred_residual = None
+    if partition is not None:
+        # partition-scoped DELETE: tuple-mismatched parts never enter
+        # the match scan; the residual equality keeps semantics exact
+        # for untupled parts
+        keep, pred_residual = _partition_scope(
+            manifest, path, partition, "delete_where"
+        )
+        cand = [f for f in cand if keep(f)]
     if not cand:
         return {
             "deleted": 0,
@@ -325,8 +405,13 @@ def delete_where(
         }
     dv0 = dv_current(manifest)
     cols = [f.name for f in schema.fields]
+
+    def _pred():
+        p = F.expr(predicate)
+        return p if pred_residual is None else (p & pred_residual)
+
     scan = _scan_with_meta(spark, path, schema, cand, dv0)
-    matches = scan.filter(F.expr(predicate))
+    matches = scan.filter(_pred())
 
     if mode == "dv":
         # bounded collect: (file, row_index) per matched LOGICAL row,
@@ -467,7 +552,7 @@ def delete_where(
     # SQL/Delta DELETE semantics: NULL-predicate rows are kept.
     touched_scan = _scan_with_meta(spark, path, schema, touched, dv0)
     survivors = touched_scan.filter(
-        ~F.coalesce(F.expr(predicate), F.lit(False))
+        ~F.coalesce(_pred(), F.lit(False))
     ).select(*cols)
     cdf_files: list[str] = []
     if write_cdf:
@@ -475,7 +560,7 @@ def delete_where(
         # over the touched parts materializes the commit's change set
         cdf_files = _stage_cdf(
             spark,
-            touched_scan.filter(F.expr(predicate))
+            touched_scan.filter(_pred())
             .select(*cols)
             .withColumn("_change_type", F.lit("delete")),
             path,
@@ -532,6 +617,8 @@ def delete_where(
             "rows_total": cur["rows"],
             "ts": _time.time(),
         }
+        if partition is not None:
+            entry["partition"] = dict(partition)
         if cdf_files:
             entry["cdf_files"] = cdf_files
         history.append(entry)
@@ -551,7 +638,24 @@ def delete_where(
             stats.pop(f, None)
         if stats:
             cur["stats"] = stats
-        _publish_commit(path, cur, entry, new_stats, touched)
+        # rewritten outputs inherit a partition tuple only when every
+        # touched input shared one (the partition-scoped case)
+        inherit = _inherited_tuple(cur, touched)
+        new_parts = (
+            {f: list(inherit) for f in new_files} if inherit else None
+        )
+        if cur.get("partitions"):
+            pmap2 = dict(cur["partitions"])
+            for f in touched:
+                pmap2.pop(f, None)
+            pmap2.update(new_parts or {})
+            if pmap2:
+                cur["partitions"] = pmap2
+            else:
+                cur.pop("partitions", None)
+        _publish_commit(
+            path, cur, entry, new_stats, touched, new_parts, touched
+        )
     return {
         "deleted": n_deleted,
         "n_rewritten": len(touched),
@@ -969,5 +1073,184 @@ def update_where(
         "updated": n_updated,
         "n_rewritten": len(touched),
         "n_kept": len(cand) - len(touched),
+        "version": next_v,
+    }
+
+
+def drop_partition(
+    path: str,
+    partition: dict,
+    *,
+    spark=None,
+    schema=None,
+    write_cdf: bool = False,
+) -> dict:
+    """ALTER TABLE DROP PARTITION — the retention verb partitioning
+    exists for (VERDICT r8 task 1; ClickHouse MergeTree's DROP
+    PARTITION, Hive's drop-partition, the reference's natural
+    day-expiry): remove every part whose recorded tuple matches
+    ``partition`` ({col: value} or {col: [v1, v2, ...]} for several
+    values at once) as ONE metadata commit — no data file is read or
+    written, at any table size. The parts stay on disk for time
+    travel until the history folds past them (the same
+    retention→truncate_history→vacuum hand-off as OPTIMIZE).
+
+    Exactness contract: a part with NO recorded tuple could hide rows
+    of the dropped partition, so the verb REFUSES when untupled live
+    parts exist (run OPTIMIZE on the partition first to re-tuple, or
+    use ``delete_where(partition=...)`` which scans conservatively).
+    Dropped parts' deletion vectors are netted out of the row count
+    (footer metadata reads only — no data pages).
+
+    The commit is ``op="delete"``: a plain streaming tail fails
+    loudly on it (or skips with ignorechanges), exactly like any
+    other data-changing commit. ``write_cdf=True`` (requires
+    ``spark`` + ``schema``) materializes the dropped rows as cdf-*
+    sidecars so change-feed consumers stay commit-bounded — that
+    opt-in IS a bounded read of the dropped partition."""
+    manifest = _manifest_read(path)
+    pcols = manifest.get("partition_cols")
+    if not pcols:
+        raise ValueError(
+            f"drop_partition at {path}: the table has no partition "
+            "columns"
+        )
+    pmap = manifest.get("partitions") or {}
+    untupled = [
+        f
+        for f in manifest["files"]
+        if os.path.basename(f) not in pmap
+    ]
+    if untupled:
+        raise ValueError(
+            f"drop_partition at {path}: {len(untupled)} live part(s) "
+            f"carry no partition tuple (e.g. {untupled[:3]}) — rows "
+            "of the dropped partition could hide in them. OPTIMIZE "
+            "the partition to re-tuple, or use "
+            "delete_where(partition=...) which scans conservatively"
+        )
+    matching0 = sorted(
+        f
+        for f in manifest["files"]
+        if _tuple_matches(
+            tuple(pmap[os.path.basename(f)]), pcols, partition
+        )
+    )
+    if not matching0:
+        return {"dropped_parts": 0, "dropped_rows": 0, "version": None}
+    if write_cdf and (spark is None or schema is None):
+        raise ValueError(
+            "drop_partition: write_cdf=True needs spark= and schema= "
+            "(materializing change rows reads the dropped parts)"
+        )
+    cdf_files: list[str] = []
+    if write_cdf:
+        dv0 = dv_current(manifest)
+        df = _scan_with_meta(spark, path, schema, matching0, dv0)
+        cdf_files = _stage_cdf(
+            spark,
+            df.select(*[f.name for f in schema.fields]).withColumn(
+                "_change_type", F.lit("delete")
+            ),
+            path,
+        )
+    with _manifest_lock(path):
+        cur = _manifest_read(path)
+        # optimistic re-check under the lock: drop exactly the
+        # matching parts still in the snapshot (a concurrent OPTIMIZE
+        # replacing them means its outputs carry the tuple — re-match
+        # rather than conflict; the verb is value-addressed, not
+        # name-addressed)
+        pmap = cur.get("partitions") or {}
+        missing_tuple = [
+            f
+            for f in cur["files"]
+            if os.path.basename(f) not in pmap
+        ]
+        if missing_tuple:
+            _discard(path, cdf_files)
+            raise ValueError(
+                f"drop_partition at {path}: untupled part(s) appeared "
+                f"during the commit (e.g. {missing_tuple[:3]}); re-run"
+            )
+        matching = sorted(
+            f
+            for f in cur["files"]
+            if _tuple_matches(
+                tuple(pmap[os.path.basename(f)]), pcols, partition
+            )
+        )
+        if write_cdf and set(matching) != set(matching0):
+            _discard(path, cdf_files)
+            raise ValueError(
+                f"drop_partition at {path}: the partition's parts "
+                "changed while materializing change rows; re-run"
+            )
+        if not matching:
+            _discard(path, cdf_files)
+            return {
+                "dropped_parts": 0,
+                "dropped_rows": 0,
+                "version": None,
+            }
+        dv = dict(cur.get("dv") or {})
+        dropped_rows = sum(
+            _part_row_count(path, f)
+            - dv_len(dv.get(os.path.basename(f), []))
+            for f in matching
+        )
+        history = list(cur.get("history") or ())
+        if not history and cur.get("files"):
+            history = [{"v": 0, "files": sorted(cur["files"])}]
+        next_v = _next_version(history)
+        import time as _time
+
+        cur["rows"] = int(cur.get("rows", 0)) - dropped_rows
+        entry = {
+            "v": next_v,
+            "files": [],
+            "removes": matching,
+            "op": "delete",
+            "mode": "drop_partition",
+            "partition": {
+                k: (list(v) if isinstance(v, (list, tuple, set)) else v)
+                for k, v in partition.items()
+            },
+            "rows_total": cur["rows"],
+            "ts": _time.time(),
+        }
+        if cdf_files:
+            entry["cdf_files"] = cdf_files
+        history.append(entry)
+        cur["files"] = sorted(set(cur["files"]) - set(matching))
+        cur["history"] = history
+        basenames = [os.path.basename(f) for f in matching]
+        for b in basenames:
+            dv.pop(b, None)
+        if dv:
+            cur["dv"] = dv
+        else:
+            cur.pop("dv", None)
+        stats = dict(cur.get("stats") or {})
+        for b in basenames:
+            stats.pop(b, None)
+        if stats:
+            cur["stats"] = stats
+        else:
+            cur.pop("stats", None)
+        pmap2 = dict(pmap)
+        for b in basenames:
+            pmap2.pop(b, None)
+        if pmap2:
+            cur["partitions"] = pmap2
+        else:
+            cur.pop("partitions", None)
+        _publish_commit(
+            path, cur, entry,
+            stats_drop=basenames, partitions_drop=basenames,
+        )
+    return {
+        "dropped_parts": len(matching),
+        "dropped_rows": dropped_rows,
         "version": next_v,
     }

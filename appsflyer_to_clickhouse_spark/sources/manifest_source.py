@@ -31,6 +31,7 @@ schema-driven converters (the exact inverse of the writer's
 
 from __future__ import annotations
 
+import json
 import os
 from collections.abc import Iterator, Sequence
 
@@ -423,16 +424,60 @@ def _file_survives(st: dict | None, flt) -> bool:
     return True
 
 
+def _tuple_survives(v, flt) -> bool:
+    """Exact filter evaluation against a stored partition VALUE — the
+    by-value tier that runs ahead of min/max stats (VERDICT r8 task
+    1). Unlike stats this is not conservative: the part holds exactly
+    one value for the column, so equality/range decide outright."""
+    if isinstance(flt, IsNull):
+        return v is None
+    if isinstance(flt, IsNotNull):
+        return v is not None
+    if v is None:
+        return False  # range/equality never match NULL
+    from ..sinks.datasource_sink import _STAT_UNSAFE, _stat_cell
+
+    b = _stat_cell(flt.value)
+    if b is None or b is _STAT_UNSAFE:
+        return True  # NULL/NaN literal: leave it to Spark
+    if isinstance(flt, EqualTo):
+        return v == b
+    if isinstance(flt, GreaterThan):
+        return v > b
+    if isinstance(flt, GreaterThanOrEqual):
+        return v >= b
+    if isinstance(flt, LessThan):
+        return v < b
+    if isinstance(flt, LessThanOrEqual):
+        return v <= b
+    return True
+
+
 def _prune_names(
-    names: list[str], stats: dict, filters: list, aliases: tuple = ()
+    names: list[str],
+    stats: dict,
+    filters: list,
+    aliases: tuple = (),
+    pcols: tuple = (),
+    partitions: dict | None = None,
 ) -> list[str]:
     amap = dict(aliases or ())
+    partitions = partitions or {}
     keep = []
     for name in names:
         fstats = stats.get(name) or {}
+        tup = partitions.get(name)
         ok = True
         for flt in filters:
             col = flt.attribute[0]
+            # partition tuple first: exact by-value decision,
+            # independent of stats degeneration under interleaved
+            # appends; untupled parts fall through to stats
+            if tup is not None and col in pcols:
+                if not _tuple_survives(tup[pcols.index(col)], flt):
+                    ok = False
+                    break
+                continue
             # a pre-rename part's stats live under its physical name
             st = fstats.get(col)
             if st is None:
@@ -493,6 +538,13 @@ class ManifestBatchReader(DataSourceReader):
             self._version = int(v) if v is not None else None
         self._convs = _part_converters(schema)
         self._filters: list = []
+        # explicit by-value partition subscription:
+        # .option("partitionfilter", '{"col": value}') — complements
+        # pushFilters (exact, works for IN-lists via a JSON array,
+        # and is the only pruning channel the STREAM tail has, since
+        # Python streaming readers get no pushed filters)
+        pf = options.get("partitionfilter")
+        self._partition_filter = json.loads(pf) if pf else None
 
     def pushFilters(self, filters):
         for flt in filters:
@@ -520,6 +572,22 @@ class ManifestBatchReader(DataSourceReader):
                 (manifest.get("column_aliases") or {}).items()
             )
         )
+        pcols = tuple(manifest.get("partition_cols") or ())
+        partitions = manifest.get("partitions") or {}
+        if self._partition_filter:
+            # by-value subscription: keep exact tuple matches; parts
+            # with NO tuple are kept conservatively (the residual
+            # row filter is still the caller's job, as with stats)
+            from ..sinks.datasource_sink import _tuple_matches
+
+            fulls = [
+                p
+                for p in fulls
+                if (tup := partitions.get(os.path.basename(p))) is None
+                or _tuple_matches(
+                    tuple(tup), list(pcols), self._partition_filter
+                )
+            ]
         if self._filters:
             stats = manifest.get("stats") or {}
             keep = set(
@@ -528,6 +596,8 @@ class ManifestBatchReader(DataSourceReader):
                     stats,
                     self._filters,
                     aliases,
+                    pcols,
+                    partitions,
                 )
             )
             fulls = [p for p in fulls if os.path.basename(p) in keep]
@@ -600,6 +670,15 @@ class ManifestTailReader(DataSourceStreamReader):
         self._ignore_changes = (
             options.get("ignorechanges", "false").lower() == "true"
         )
+        # by-value PARTITION subscription for the tail (VERDICT r8
+        # task 1): .option("partitionfilter", '{"col": value}') keeps
+        # only appended parts whose recorded tuple matches — the
+        # streaming twin of batch partition pruning (Python stream
+        # readers get no pushed filters, so this option is the tail's
+        # only pruning channel). Untupled parts are kept
+        # conservatively; cdf/dv change rows always pass through.
+        pf = options.get("partitionfilter")
+        self._partition_filter = json.loads(pf) if pf else None
         if self._cdf:
             names = [f.name for f in schema.fields]
             if names[-2:] != ["_change_type", "_commit_version"]:
@@ -662,15 +741,36 @@ class ManifestTailReader(DataSourceStreamReader):
         from ..sinks.datasource_sink import _manifest_read as _mr
 
         aliases: tuple = ()
+        pcols: list = []
+        pmap: dict = {}
         if os.path.exists(os.path.join(self._path, _M)):
+            m = _mr(self._path)
             aliases = tuple(
                 (k, tuple(v))
                 for k, v in sorted(
-                    (
-                        _mr(self._path).get("column_aliases") or {}
-                    ).items()
+                    (m.get("column_aliases") or {}).items()
                 )
             )
+            if self._partition_filter:
+                pcols = m.get("partition_cols") or []
+                pmap = m.get("partitions") or {}
+
+        def _pfiles(files):
+            """Appended part names surviving the tail's by-value
+            partition subscription (no filter / untupled: keep)."""
+            if not self._partition_filter:
+                return files
+            from ..sinks.datasource_sink import _tuple_matches
+
+            return [
+                f
+                for f in files
+                if (tup := pmap.get(os.path.basename(f))) is None
+                or _tuple_matches(
+                    tuple(tup), pcols, self._partition_filter
+                )
+            ]
+
         for e in self._history():
             if not (lo < e["v"] <= hi):
                 continue
@@ -712,7 +812,7 @@ class ManifestTailReader(DataSourceStreamReader):
                                 aliases,
                             )
                         )
-                        for f in e["files"]
+                        for f in _pfiles(e["files"])
                     )
                 elif op == "delete" and e.get("dv_add"):
                     out.extend(
@@ -767,7 +867,7 @@ class ManifestTailReader(DataSourceStreamReader):
                 continue
             out.extend(
                 InputPartition((os.path.join(self._path, f), aliases))
-                for f in e["files"]
+                for f in _pfiles(e["files"])
             )
         return out
 

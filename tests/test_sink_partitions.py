@@ -1,0 +1,479 @@
+"""PARTITION COLUMNS on the manifest sink (VERDICT r8 task 1 —
+Hive/Delta/Iceberg partitioning on the chbatch protocol).
+
+Pins:
+- a partitioned write splits every flush by value (one file per
+  tuple), records the spec + per-part tuples in the manifest, and
+  both read tiers prune by VALUE ahead of stats;
+- the headline scale pin: under interleaved full-range appends —
+  where min/max stats degenerate to keep-everything — partition
+  pruning still selects exactly the matching parts (this is the
+  layout the reference's own date-window scan, main.py:172-174,
+  assumes at 100 TB);
+- the spec is a structural contract: divergent/missing partitionby
+  on append is refused loudly with the commit's parts discarded;
+- OPTIMIZE never merges across partition values, outputs inherit
+  tuples, and partition= scopes the rewrite to one partition;
+- delete_where(partition=...) scopes the match scan by tuple and
+  stays exact (residual filter) for untupled parts;
+- drop_partition is a metadata-only retention commit: no data IO,
+  exact row accounting net of deletion vectors, loud refusal when
+  untupled parts could hide partition rows, time travel intact;
+- commit-log mode (incl. parquet checkpoints), clone, and the
+  streaming tail all carry/honor partition metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from appsflyer_to_clickhouse_spark.sinks import commit_log
+from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+    ClickHouseArrowDataSource,
+    _manifest_read,
+    clone_sink,
+    optimize_sink,
+    partition_values,
+    prune_files,
+    read_committed_parquet,
+    vacuum_sink,
+)
+from appsflyer_to_clickhouse_spark.sinks.mutations import (
+    delete_where,
+    drop_partition,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("grp", T.StringType()),
+        T.StructField("val", T.DoubleType()),
+    ]
+)
+
+
+def _df(spark, n=6000, mod=4):
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % mod).cast("string").alias("grp"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+
+
+def _write(df, path, partitionby="grp", mode="append", **opts):
+    w = (
+        df.coalesce(1)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "10000000")
+    )
+    if partitionby is not None:
+        w = w.option("partitionby", partitionby)
+    for k, v in opts.items():
+        w = w.option(k, v)
+    w.mode(mode).save()
+
+
+@pytest.fixture(scope="module")
+def reg(spark):
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    return spark
+
+
+def _tmp():
+    return tempfile.mkdtemp(prefix="spark_graft_part_") + "/s"
+
+
+# -- write path -----------------------------------------------------------
+
+
+def test_partitioned_write_records_spec_and_tuples(reg):
+    path = _tmp()
+    df = _df(reg)
+    for i in range(3):  # interleaved: every append covers every grp
+        _write(df.filter(F.col("id") % 3 == i), path)
+    m = _manifest_read(path)
+    assert m["partition_cols"] == ["grp"]
+    live = {os.path.basename(f) for f in m["files"]}
+    assert set(m["partitions"]) == live  # every part tupled
+    assert len(live) == 12  # 3 appends x 4 values: one file per tuple
+    # each file's tuple is truthful: stats min == max == tuple value
+    for b, tup in m["partitions"].items():
+        st = m["stats"][b]["grp"]
+        assert st["min"] == st["max"] == tup[0]
+    assert read_committed_parquet(reg, path, SCHEMA).count() == 6000
+    assert partition_values(path) == [
+        {"grp": "0"},
+        {"grp": "1"},
+        {"grp": "2"},
+        {"grp": "3"},
+    ]
+
+
+def test_partition_pruning_beats_degenerate_stats(reg):
+    """THE scale pin: same data, interleaved full-range appends.
+    The unpartitioned control's per-part min/max on id span the full
+    range — stats keep ALL parts. The partitioned table prunes to
+    exactly the matching parts by VALUE."""
+    ctrl, part = _tmp(), _tmp()
+    df = _df(reg)
+    for i in range(3):
+        sl = df.filter(F.col("id") % 3 == i)  # id range: full, per append
+        _write(sl, ctrl, partitionby=None)
+        _write(sl, part)
+    # control: a grp='2' read can prune NOTHING (each part holds all
+    # grps, so min='0', max='3' — the degenerate keep-all case)
+    kept_ctrl = prune_files(ctrl, "grp", "2", "2")
+    assert len(kept_ctrl) == len(_manifest_read(ctrl)["files"]) == 3
+    # partitioned: exactly the three grp='2' parts survive
+    kept = prune_files(part, "grp", "2", "2")
+    assert len(kept) == 3 < len(_manifest_read(part)["files"]) == 12
+    pm = _manifest_read(part)["partitions"]
+    assert all(pm[os.path.basename(f)] == ["2"] for f in kept)
+    # and the Data Source reader plans exactly those parts from the
+    # pushed EqualTo — row-exact against the in-memory frame
+    got = (
+        reg.read.format("chbatch_arrow")
+        .schema(SCHEMA)
+        .option("path", part)
+        .load()
+        .filter(F.col("grp") == "2")
+    )
+    assert got.count() == df.filter(F.col("grp") == "2").count()
+
+
+def test_partitionfilter_reader_option(reg):
+    path = _tmp()
+    df = _df(reg)
+    _write(df, path)
+    got = (
+        reg.read.format("chbatch_arrow")
+        .schema(SCHEMA)
+        .option("path", path)
+        .option("partitionfilter", json.dumps({"grp": "1"}))
+        .load()
+    )
+    assert got.count() == df.filter(F.col("grp") == "1").count()
+    # IN-list form
+    got2 = (
+        reg.read.format("chbatch_arrow")
+        .schema(SCHEMA)
+        .option("path", path)
+        .option("partitionfilter", json.dumps({"grp": ["1", "3"]}))
+        .load()
+    )
+    assert got2.count() == df.filter(F.col("grp").isin("1", "3")).count()
+
+
+def test_null_partition_value(reg):
+    path = _tmp()
+    df = reg.range(100).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, F.lit(None)).otherwise(
+            F.lit("a")
+        ).alias("grp"),
+        F.col("id").cast("double").alias("val"),
+    )
+    _write(df, path)
+    m = _manifest_read(path)
+    tuples = {tuple(v) for v in m["partitions"].values()}
+    assert tuples == {(None,), ("a",)}
+    got = (
+        reg.read.format("chbatch_arrow")
+        .schema(SCHEMA)
+        .option("path", path)
+        .load()
+        .filter(F.col("grp").isNull())
+    )
+    assert got.count() == 50
+
+
+# -- spec contract ----------------------------------------------------------
+
+
+def test_partition_spec_refusals(reg):
+    path = _tmp()
+    df = _df(reg, n=500)
+    _write(df, path)
+    # different spec (valid key type, so the COMMIT-side check fires)
+    with pytest.raises(Exception, match="refusing to silently diverge"):
+        _write(df.limit(8), path, partitionby="id")
+    # missing spec
+    with pytest.raises(Exception, match="pass .option"):
+        _write(df, path, partitionby=None)
+    # adopting a spec on a populated unpartitioned table
+    plain = _tmp()
+    _write(df, plain, partitionby=None)
+    with pytest.raises(Exception, match="mode='overwrite'"):
+        _write(df, plain)
+    # refused commits discarded their parts: manifest + reads intact
+    m = _manifest_read(path)
+    assert len(m["files"]) == len(
+        [f for f in os.listdir(path) if f.startswith("part-")]
+    )
+    assert read_committed_parquet(reg, path, SCHEMA).count() == 500
+    # floats are refused as partition keys, loudly (executor-side,
+    # before any file lands)
+    with pytest.raises(Exception, match="not valid partition keys"):
+        _write(df.limit(8), _tmp(), partitionby="val")
+    # overwrite adopts the new spec
+    _write(df, plain, mode="overwrite")
+    assert _manifest_read(plain)["partition_cols"] == ["grp"]
+
+
+# -- OPTIMIZE -----------------------------------------------------------------
+
+
+def test_optimize_never_merges_across_partitions(reg):
+    path = _tmp()
+    df = _df(reg)
+    for i in range(3):
+        _write(df.filter(F.col("id") % 3 == i), path)
+    r = optimize_sink(reg, path, SCHEMA, target_rows_per_file=10_000)
+    assert r["replaced"] == 12 and r["written"] == 4  # one per value
+    m = _manifest_read(path)
+    assert len(m["files"]) == 4
+    # outputs inherited their group's tuple
+    assert {
+        tuple(m["partitions"][os.path.basename(f)]) for f in m["files"]
+    } == {("0",), ("1",), ("2",), ("3",)}
+    assert read_committed_parquet(reg, path, SCHEMA).count() == 6000
+    # pruning still exact post-compaction
+    assert len(prune_files(path, "grp", "1", "1")) == 1
+
+
+def test_optimize_partition_scoped(reg):
+    path = _tmp()
+    df = _df(reg)
+    for i in range(3):
+        _write(df.filter(F.col("id") % 3 == i), path)
+    r = optimize_sink(
+        reg, path, SCHEMA, target_rows_per_file=10_000,
+        partition={"grp": "2"},
+    )
+    assert r["replaced"] == 3 and r["written"] == 1
+    m = _manifest_read(path)
+    # only grp=2 changed: 9 original parts + 1 compacted
+    assert len(m["files"]) == 10
+    assert read_committed_parquet(reg, path, SCHEMA).count() == 6000
+    # scoping to a partition on an unpartitioned table is a caller bug
+    plain = _tmp()
+    _write(_df(reg, 100), plain, partitionby=None)
+    with pytest.raises(ValueError, match="no partition columns"):
+        optimize_sink(reg, plain, SCHEMA, partition={"grp": "1"})
+
+
+# -- partition-scoped DELETE -------------------------------------------------
+
+
+def test_delete_where_partition_scoped(reg):
+    path = _tmp()
+    df = _df(reg)
+    _write(df, path)
+    r = delete_where(
+        reg, path, SCHEMA, "val > 100", partition={"grp": "1"}
+    )
+    # the match scan read ONLY the grp=1 part (n_kept counts scanned
+    # candidates that stayed clean — scoping kept the rest out)
+    assert r["n_rewritten"] == 1 and r["n_kept"] == 0
+    exp = df.filter(
+        ~((F.col("grp") == "1") & (F.col("val") > 100))
+    ).count()
+    assert read_committed_parquet(reg, path, SCHEMA).count() == exp
+    # rewrite outputs inherited the scoped tuple: pruning stays exact
+    m = _manifest_read(path)
+    live = {os.path.basename(f) for f in m["files"]}
+    assert set(m["partitions"]) >= live
+    assert len(prune_files(path, "grp", "1", "1")) == 1
+
+
+# -- drop_partition ------------------------------------------------------------
+
+
+def test_drop_partition_metadata_only(reg):
+    path = _tmp()
+    df = _df(reg)
+    _write(df.filter(F.col("id") < 3000), path)
+    _write(df.filter(F.col("id") >= 3000), path)
+    # a dv delete inside the doomed partition: accounting must net it
+    rdel = delete_where(
+        reg, path, SCHEMA, "grp = '3' and id < 100", mode="dv"
+    )
+    assert rdel["deleted"] > 0
+    before = {
+        f for f in os.listdir(path) if f.startswith("part-")
+    }
+    r = drop_partition(path, {"grp": "3"})
+    assert r["dropped_parts"] == 2
+    n3 = df.filter(F.col("grp") == "3").count() - rdel["deleted"]
+    assert r["dropped_rows"] == n3
+    m = _manifest_read(path)
+    assert int(m["rows"]) == 6000 - df.filter(F.col("grp") == "3").count()
+    got = read_committed_parquet(reg, path, SCHEMA)
+    assert got.filter(F.col("grp") == "3").count() == 0
+    assert got.count() == 6000 - df.filter(F.col("grp") == "3").count()
+    # METADATA-ONLY: no data file was created or removed by the drop
+    after = {f for f in os.listdir(path) if f.startswith("part-")}
+    assert after == before
+    # time travel still sees the dropped partition
+    asof = read_committed_parquet(
+        reg, path, SCHEMA, version=r["version"] - 1
+    )
+    assert asof.filter(F.col("grp") == "3").count() == n3
+    # multi-value drop + SHOW PARTITIONS
+    r2 = drop_partition(path, {"grp": ["0", "2"]})
+    assert r2["dropped_parts"] == 4
+    assert partition_values(path) == [{"grp": "1"}]
+    # idempotent re-drop is a no-op
+    assert drop_partition(path, {"grp": "3"})["dropped_parts"] == 0
+
+
+def test_drop_partition_refuses_untupled(reg):
+    path = _tmp()
+    _write(_df(reg, 500), path, partitionby=None)
+    with pytest.raises(ValueError, match="no partition columns"):
+        drop_partition(path, {"grp": "1"})
+    # hand-inject a partitioned table with one untupled part (the
+    # state a pre-partitioning history or rewrite verb can leave)
+    path2 = _tmp()
+    _write(_df(reg, 500), path2)
+    m = _manifest_read(path2)
+    b = os.path.basename(m["files"][0])
+    m["partitions"].pop(b)
+    with open(os.path.join(path2, "_MANIFEST.json"), "w") as fh:
+        json.dump(m, fh)
+    with pytest.raises(ValueError, match="carry no partition tuple"):
+        drop_partition(path2, {"grp": "1"})
+
+
+def test_drop_partition_then_vacuum_reaps(reg):
+    """The full retention hand-off: DROP PARTITION (metadata-only) →
+    a later commit → truncate_history folds the drop into the base →
+    the dropped parts lose their last reference → vacuum reclaims the
+    bytes."""
+    path = _tmp()
+    _write(_df(reg, 1000), path)
+    r = drop_partition(path, {"grp": "0"})
+    assert r["dropped_parts"] == 1
+    dropped = set(r_f for r_f in _manifest_read(path)["history"][-1]["removes"])
+    _write(_df(reg, 1000).filter("grp <> '0'"), path)  # later commit
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        truncate_history,
+    )
+
+    truncate_history(path, retain_last=1)
+    removed = vacuum_sink(path, min_age_s=0.0)
+    assert dropped <= set(removed)
+    got = read_committed_parquet(reg, path, SCHEMA)
+    assert got.count() == 1500 and got.filter("grp = '0'").count() == 0
+
+
+# -- commit-log / clone / streaming interop ---------------------------------
+
+
+def test_partitions_survive_commit_log_and_parquet_checkpoint(reg):
+    path = _tmp()
+    df = _df(reg)
+    commit_log.enable_commit_log(
+        path, checkpoint_interval=2, checkpoint_format="parquet"
+    )
+    for i in range(3):
+        _write(df.filter(F.col("id") % 3 == i), path)
+    # 3 commits with interval 2: at least one checkpoint roll crossed
+    m = _manifest_read(path)
+    assert m["partition_cols"] == ["grp"]
+    assert set(m["partitions"]) == {
+        os.path.basename(f) for f in m["files"]
+    }
+    assert len(prune_files(path, "grp", "0", "0")) == 3
+    # force a fold and re-read through the columnar checkpoint
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        _manifest_lock,
+    )
+
+    with _manifest_lock(path):
+        commit_log.fold_pending_locked(path)
+    m2 = _manifest_read(path)
+    assert m2["partitions"] == m["partitions"]
+    assert m2["partition_cols"] == ["grp"]
+    # drop_partition works in log mode (O(delta) record)
+    r = drop_partition(path, {"grp": "2"})
+    assert r["dropped_parts"] == 3
+    assert read_committed_parquet(reg, path, SCHEMA).count() == 4500
+
+
+def test_clone_carries_partitions(reg):
+    src = _tmp()
+    _write(_df(reg, 1000), src)
+    dst = _tmp()
+    clone_sink(src, dst)
+    m = _manifest_read(dst)
+    assert m["partition_cols"] == ["grp"]
+    assert len(prune_files(dst, "grp", "1", "1")) == 1
+    assert partition_values(dst) == partition_values(src)
+
+
+def test_streaming_tail_partitionfilter(reg):
+    import time
+
+    path = _tmp()
+    df = _df(reg, 1000)
+    for i in range(2):
+        _write(df.filter(F.col("id") % 2 == i), path)
+    out = tempfile.mkdtemp(prefix="spark_graft_part_") + "/out"
+    ck = tempfile.mkdtemp(prefix="spark_graft_part_") + "/ck"
+    q = (
+        reg.readStream.format("chbatch_arrow")
+        .schema(SCHEMA)
+        .option("path", path)
+        .option("startingVersion", "0")
+        .option("partitionfilter", json.dumps({"grp": "1"}))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    got = reg.read.schema(SCHEMA).parquet(out)
+    assert got.count() == df.filter(F.col("grp") == "1").count()
+    assert got.filter(F.col("grp") != "1").count() == 0
+
+
+def test_partitioned_streaming_write(reg):
+    """The stream tier splits micro-batches by value too and records
+    tuples through its O(delta) commit path."""
+    import time
+
+    src_rows = _df(reg, 600)
+    src_dir = tempfile.mkdtemp(prefix="spark_graft_part_") + "/in"
+    src_rows.coalesce(1).write.parquet(src_dir)
+    sink = _tmp()
+    ck = tempfile.mkdtemp(prefix="spark_graft_part_") + "/ck"
+    q = (
+        reg.readStream.schema(SCHEMA)
+        .parquet(src_dir)
+        .writeStream.format("chbatch_arrow")
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .option("partitionby", "grp")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    time.sleep(0.2)
+    m = _manifest_read(sink)
+    assert m["partition_cols"] == ["grp"]
+    assert set(m["partitions"]) == {
+        os.path.basename(f) for f in m["files"]
+    }
+    assert read_committed_parquet(reg, sink, SCHEMA).count() == 600
