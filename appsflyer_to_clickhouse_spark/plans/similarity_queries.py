@@ -1211,3 +1211,286 @@ def q_similarity_pq_stored(spark, sf_dir):
         .limit(10)
         .select("vec_id", F.round("l2", 6).alias("l2_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# similarity_pq_refresh — stored-index MAINTENANCE under base-table DML
+# ---------------------------------------------------------------------------
+
+_REFRESH_DEL = "vec_id % 17 = 3 AND vec_id > 120"
+_REFRESH_INS = "vec_id % 23 = 1 AND vec_id > 120"
+_REFRESH_OFF = 1_000_000
+_IDX_TXN = "pq-index"
+
+
+def _base_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("label", T.LongType()),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+
+def _base_version(path: str) -> int:
+    from ..sinks.datasource_sink import _manifest_read
+
+    return max(e["v"] for e in _manifest_read(path)["history"])
+
+
+def read_pq_index_fresh(spark, index_path: str, base_path: str):
+    """Staleness-guarded read of a stored PQ index (VERDICT r8 task
+    2): the index manifest records the base-table version it reflects
+    (the txn high-water under app id ``pq-index`` — replay-protected
+    by the same mechanism), and a read against a base that has moved
+    past it FAILS LOUDLY instead of silently serving vectors that
+    were deleted or missing ones that were inserted."""
+    from ..sinks.datasource_sink import (
+        _manifest_read,
+        read_committed_parquet,
+    )
+
+    iv = (_manifest_read(index_path).get("txns") or {}).get(_IDX_TXN)
+    bv = _base_version(base_path)
+    if iv is None or int(iv) < bv:
+        raise ValueError(
+            f"pq index at {index_path} is STALE: built for base "
+            f"version {iv}, base {base_path} is at v{bv} — run the "
+            "incremental refresh (change feed since v"
+            f"{(int(iv) + 1) if iv is not None else 0}) or rebuild"
+        )
+    return read_committed_parquet(spark, index_path, _pq_codes_schema())
+
+
+def refresh_pq_index(spark, index_path: str, base_path: str, seeds):
+    """Incremental stored-index refresh from the base table's CHANGE
+    FEED (VERDICT r8 task 2 — the machinery that closes r8's
+    'silently stale index' hole):
+
+    1. read ``table_changes`` from the version the index last
+       reflected (its manifest txn high-water) to the base's current
+       version — commit-bounded, never a snapshot diff;
+    2. reduce to the LATEST state per vec_id (an update's
+       delete+insert pair collapses to the insert; bounded by the
+       changed-row count, never the corpus);
+    3. apply tombstones to the index via MERGE (WHEN MATCHED AND
+       tombstone THEN DELETE — the CDC-apply verb, broadcast source
+       vs stored codes, the code table never shuffles);
+    4. RE-ENCODE ONLY the inserted/updated rows with the FROZEN
+       codebook (index metadata — a production index persists it;
+       here the exemplar derivation is replay-stable because DML
+       never touches exemplar rows) and append them through the
+       writer with ``txnAppId=pq-index / txnVersion=<base version>``
+       — which both RECORDS the new freshness watermark and makes a
+       replayed refresh a no-op (exactly-once effect).
+
+    Crash safety: the watermark moves only with the final append, so
+    a refresh that dies half-way leaves the index still marked stale
+    and the re-run converges (tombstone re-merge is a no-op on
+    already-deleted keys)."""
+    from ..operators.pq import pq_code_udf
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        _manifest_read,
+        table_changes,
+    )
+    from ..sinks.mutations import merge_sink
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    iv = (_manifest_read(index_path).get("txns") or {}).get(_IDX_TXN)
+    bv = _base_version(base_path)
+    if iv is not None and int(iv) >= bv:
+        return {"applied": 0, "base_version": bv}
+    changes = table_changes(
+        spark, base_path, _base_schema(),
+        from_version=(int(iv) + 1) if iv is not None else 0,
+        to_version=bv,
+    )
+    from pyspark.sql import Window as W
+
+    latest = (
+        changes.withColumn(
+            "_rn",
+            F.row_number().over(
+                W.partitionBy("vec_id").orderBy(
+                    F.col("_commit_version").desc(),
+                    # within one commit an update is delete(old) +
+                    # insert(new): the insert is the surviving state
+                    F.when(
+                        F.col("_change_type") == "insert", 0
+                    ).otherwise(1),
+                )
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    dels = latest.filter(F.col("_change_type") == "delete")
+    ins = latest.filter(F.col("_change_type") == "insert")
+    # tombstones first: MERGE with a delete clause over the stored
+    # codes (NULL code columns — only the key matters for a delete)
+    tomb = dels.select(
+        "vec_id",
+        *[
+            F.lit(None).cast("int").alias(f"c{s}")
+            for s in range(M_SUB)
+        ],
+        F.lit(True).alias("_tomb"),
+    )
+    n_del = tomb.count()
+    if n_del:
+        merge_sink(
+            spark,
+            index_path,
+            _pq_codes_schema(),
+            tomb,
+            keys=["vec_id"],
+            delete_predicate="_tomb",
+        )
+    # re-encode ONLY the inserted/updated rows with the frozen book
+    kernel = pq_code_udf([seeds[f"c{k}v"] for k in range(K_CENT)])
+    coded = ins.select("vec_id", kernel("v").alias("c")).select(
+        "vec_id",
+        *[F.col("c")[s].alias(f"c{s}") for s in range(M_SUB)],
+    )
+    (
+        coded.write.format("chbatch_arrow")
+        .option("path", index_path)
+        .option("batchsize", "1000000")
+        .option("txnappid", _IDX_TXN)
+        .option("txnversion", str(bv))
+        .mode("append")
+        .save()
+    )
+    return {"applied": n_del + coded.count(), "base_version": bv}
+
+
+def _pq_refresh_oracle() -> str:
+    return f"""
+    WITH e0 AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    e AS (
+      SELECT * FROM e0 WHERE NOT ({_REFRESH_DEL})
+      UNION ALL
+      SELECT vec_id + {_REFRESH_OFF} AS vec_id, label, v
+      FROM e0 WHERE {_REFRESH_INS}
+    ),
+    {_pq_seeds_book_sql()},
+    {_pq_stages_sql("e", f"WHERE c.vec_id != {_QUERY_ID}", _PQ_SHORTLIST)}
+    """
+
+
+@register("similarity_pq_refresh", _pq_refresh_oracle())
+def q_similarity_pq_refresh(spark, sf_dir):
+    """STORED-INDEX MAINTENANCE UNDER DML (VERDICT r8 task 2): the
+    r8 ``similarity_pq_stored`` entry proved the index persists; this
+    entry proves it stays CORRECT when the base table changes.
+
+    Flow, all through the table format's own verbs: embeddings land
+    as a chbatch_arrow BASE table; the PQ index is built and stamped
+    with the base version it reflects; the base then takes a
+    merge-on-read DELETE and an APPEND of new vectors; the
+    staleness guard refuses to serve the index (asserted); the
+    incremental refresh applies exactly the change feed — tombstone
+    MERGE + re-encode of ONLY the new rows with the frozen codebook
+    — and re-stamps the watermark; the served ANN answer
+    (ADC -> shortlist -> exact re-rank against the CURRENT base) is
+    graded against the from-scratch oracle over the post-DML corpus:
+    a refresh that misses a delete, skips an insert, re-encodes with
+    a drifted codebook, or serves stale codes hash-mismatches.
+    Cost shape at 100 TB: the refresh reads changed rows only
+    (commit-bounded CDF), the tombstone merge broadcasts against the
+    4-byte code table, and the watermark append is one O(delta)
+    commit — a nightly rebuild re-encodes the corpus; this re-encodes
+    the day's changes."""
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        read_committed_parquet,
+    )
+    from ..sinks.mutations import delete_where
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    emb = _emb(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="spark_graft_pqref_")
+    base, idx = root + "/base", root + "/index"
+    (
+        emb.write.format("chbatch_arrow")
+        .option("path", base)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    # index build @ base v0, watermark recorded through the txn map
+    codes = _pq_codes(spark, sf_dir)
+    (
+        codes.write.format("chbatch_arrow")
+        .option("path", idx)
+        .option("batchsize", "1000000")
+        .option("txnappid", _IDX_TXN)
+        .option("txnversion", "0")
+        .mode("append")
+        .save()
+    )
+    # base-table DML: a dv delete + an append of new vectors (ids
+    # offset past the corpus; exemplar rows and the query vector are
+    # untouched by construction, so the frozen codebook stays the
+    # from-scratch codebook and the differential grades the refresh,
+    # not codebook drift)
+    delete_where(
+        spark, base, _base_schema(), _REFRESH_DEL, mode="dv"
+    )
+    (
+        emb.filter(_REFRESH_INS)
+        .select(
+            (F.col("vec_id") + _REFRESH_OFF).alias("vec_id"),
+            "label",
+            "v",
+        )
+        .write.format("chbatch_arrow")
+        .option("path", base)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    # the guard must refuse the stale index BEFORE the refresh
+    try:
+        read_pq_index_fresh(spark, idx, base)
+        raise AssertionError(
+            "stale pq index was served without refresh"
+        )
+    except ValueError:
+        pass
+    seeds, _ = _pq_meta(spark, sf_dir)
+    refresh_pq_index(spark, idx, base, seeds)
+    stored = read_pq_index_fresh(spark, idx, base)  # fresh now
+    # serve: ADC over stored codes -> shortlist -> exact re-rank
+    # against the CURRENT base table (deleted rows gone, appended
+    # rows present)
+    cur = read_committed_parquet(spark, base, _base_schema())
+    adc = _pq_adc_frame(
+        spark, sf_dir, stored.filter(F.col("vec_id") != _QUERY_ID)
+    )
+    shortlist = (
+        adc.orderBy("adc", "vec_id").limit(_PQ_SHORTLIST).select("vec_id")
+    )
+    qv = cur.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("v").alias("qv")
+    )
+    l2 = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("qv"))
+        + dot(F.col("qv"), F.col("qv"))
+    )
+    return (
+        cur.join(F.broadcast(shortlist), "vec_id")
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", l2.alias("l2"))
+        .orderBy("l2", "vec_id")
+        .limit(10)
+        .select("vec_id", F.round("l2", 6).alias("l2_dist"))
+    )
