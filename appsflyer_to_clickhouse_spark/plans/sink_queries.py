@@ -2517,3 +2517,91 @@ def q_sink_commit_log_parquet(spark, sf_dir):
     r = delete_where(spark, path, schema, "uid % 11 = 6")
     assert r["n_rewritten"] > 0, r
     return read_committed_parquet(spark, path, schema)
+
+
+# ---------------------------------------------------------------------------
+# sink_drop_column — DROP COLUMN via column mapping (zero rewrite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sink_drop_column",
+    """
+    SELECT event_id, event_type, CAST(NULL AS DOUBLE) AS value,
+           CAST(0 AS BIGINT) AS generation
+    FROM events
+    UNION ALL
+    SELECT event_id + 10000000 AS event_id, event_type,
+           value * 2 AS value, CAST(1 AS BIGINT) AS generation
+    FROM events
+    """,
+)
+def q_sink_drop_column(spark, sf_dir):
+    """DROP COLUMN via column mapping (datasource_sink.drop_column —
+    VERDICT r8 task 3, the third zero-rewrite evolution verb beside
+    RENAME and type-WIDEN): the manifest tombstones the dead physical
+    name per part; no data file is touched. The HARD case is graded:
+    after the drop, a SAME-NAMED column is re-added by a plain append
+    — the re-added ``value`` must be NULL for every pre-drop row
+    (the dead bytes never leak into the new identity) and real for
+    every post-re-add row, exactly Delta's fresh-field-id semantics
+    expressed through name mapping. The pre-drop bytes stay on disk
+    for time travel (pinned in tests/test_drop_column.py, along with
+    the plain-path version-aware refusal and OPTIMIZE
+    materialization + clearing). ``generation`` separates the two
+    populations in the hash, so a reader that NULLs too much or too
+    little mismatches either way."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        drop_column,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_dropcol_") + "/s"
+    (
+        ev.write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    drop_column(path, "value")
+    # re-add the NAME with a new identity: a plain append whose rows
+    # carry values derived from the originals (oracle-expressible)
+    (
+        ev.select(
+            (F.col("event_id") + 10_000_000).alias("event_id"),
+            "event_type",
+            (F.col("value") * 2).alias("value"),
+        )
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "1000000")
+        .mode("append")
+        .save()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    got = (
+        spark.read.format("chbatch_arrow")
+        .schema(schema)
+        .option("path", path)
+        .load()
+    )
+    return got.withColumn(
+        "generation",
+        F.when(F.col("event_id") >= 10_000_000, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )

@@ -237,3 +237,15 @@ def alter_widen_ddl(
             "— they silently corrupt on a live table)"
         )
     return out
+
+
+def drop_column_ddl(table: str, name: str) -> str:
+    """The explicit server-side DROP (VERDICT r8 task 3's DDL
+    counterpart): ``alter_widen_ddl`` refuses to emit drops as a
+    side effect of schema diffing — losing a column must be a
+    deliberate statement, mirroring ``mutations-free``
+    ``drop_column`` on the manifest sink (whose dead bytes likewise
+    survive until OPTIMIZE + retention erase them; ClickHouse's DROP
+    COLUMN is similarly a lazy metadata mutation applied at merge
+    time)."""
+    return f"ALTER TABLE {table} DROP COLUMN `{name}`"

@@ -294,6 +294,7 @@ def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
         "txns",
         "constraints",
         "column_aliases",
+        "column_drops",
         "partition_cols",
         "last_batch_id",
         "stream_id",
@@ -375,27 +376,73 @@ def _read_state_once(path: str) -> dict:
     if ckpt_pq is not None:
         import pyarrow.parquet as pq
 
+        import pyarrow.compute as pc
+
         t = pq.read_table(os.path.join(log_dir(path), ckpt_pq))
-        names = t.column("name").to_pylist()
-        live = t.column("live").to_pylist()
-        state["files"] = [n for n, lv in zip(names, live) if lv]
+        # split main (part metadata) from spilled-history rows
+        # ARROW-SIDE: each side materializes only the columns it
+        # needs — at 10^6 parts every avoided to_pylist is seconds
+        if "hist_v" in t.schema.names:
+            is_hist = pc.is_valid(t.column("hist_v"))
+            t_hist = t.filter(is_hist).select(
+                ["name", "hist_v", "hist_kind"]
+            )
+            t_main = t.filter(pc.invert(is_hist))
+        else:
+            t_hist = None
+            t_main = t
+        names = t_main.column("name").to_pylist()
+        state["files"] = t_main.filter(
+            t_main.column("live")
+        ).column("name").to_pylist()
+        stats_col = t_main.column("stats").to_pylist()
+        part_col = (
+            t_main.column("partition").to_pylist()
+            if "partition" in t_main.schema.names
+            else None
+        )
+        # per-row json.loads is the hot cost at 10^6 parts (~2M
+        # interpreter round trips); ONE loads over a joined blob is
+        # the same values parsed in a single C pass
+        stats_vals = json.loads(
+            "[" + ",".join(s or "null" for s in stats_col) + "]"
+        )
         stats = {
-            n: json.loads(s)
-            for n, s in zip(names, t.column("stats").to_pylist())
-            if s is not None
+            nm: sv
+            for nm, sv in zip(names, stats_vals)
+            if sv is not None
         }
         if stats:
             state["stats"] = stats
-        if "partition" in t.schema.names:
+        if part_col is not None:
+            part_vals = json.loads(
+                "[" + ",".join(p or "null" for p in part_col) + "]"
+            )
             parts = {
-                n: json.loads(p)
-                for n, p in zip(
-                    names, t.column("partition").to_pylist()
-                )
-                if p is not None
+                nm: pv
+                for nm, pv in zip(names, part_vals)
+                if pv is not None
             }
             if parts:
                 state["partitions"] = parts
+        if t_hist is not None and t_hist.num_rows:
+            # restore the spilled O(parts) history lists onto their
+            # slimmed entries (lists_ckpt marker)
+            by_v: dict[int, tuple[list, list]] = {}
+            for nm, hv, kd in zip(
+                t_hist.column("name").to_pylist(),
+                t_hist.column("hist_v").to_pylist(),
+                t_hist.column("hist_kind").to_pylist(),
+            ):
+                adds, rems = by_v.setdefault(int(hv), ([], []))
+                (adds if kd == "add" else rems).append(nm)
+            for e in state.get("history") or ():
+                if e.get("lists_ckpt"):
+                    adds, rems = by_v.get(int(e["v"]), ([], []))
+                    e["files"] = adds
+                    if rems:
+                        e["removes"] = rems
+                    e.pop("lists_ckpt", None)
     applied = int(state.get("applied_seq", -1))
     for seq, full in _record_files(path):
         if seq <= applied:
@@ -493,19 +540,58 @@ def fold_pending_locked(path: str) -> int:
                 (set(stats) | set(partitions)) - fset
             ),
         ]
+        # HISTORY entries whose file lists are part-scale (a
+        # truncate_history fold base names every live part) spill
+        # into the same parquet as (name, hist_v, hist_kind) rows —
+        # at 10^6 parts the thin JSON must stay KB-sized, never carry
+        # an O(parts) array anywhere
+        hist_names: list[str] = []
+        hist_vs: list[int] = []
+        hist_kinds: list[str] = []
+        slim_history = []
+        for e in state.get("history") or ():
+            n_list = len(e.get("files") or ()) + len(
+                e.get("removes") or ()
+            )
+            if n_list <= 64:
+                slim_history.append(e)
+                continue
+            e2 = {
+                k: v
+                for k, v in e.items()
+                if k not in ("files", "removes")
+            }
+            e2["files"] = []
+            e2["lists_ckpt"] = True
+            slim_history.append(e2)
+            for f in e.get("files") or ():
+                hist_names.append(f)
+                hist_vs.append(int(e["v"]))
+                hist_kinds.append("add")
+            for f in e.get("removes") or ():
+                hist_names.append(f)
+                hist_vs.append(int(e["v"]))
+                hist_kinds.append("remove")
+        state["history"] = slim_history
         name = f"ckpt-{int(state.get('applied_seq', 0)):020d}.parquet"
+        n_main = len(names)
         pq.write_table(
             pa.table(
                 {
-                    "name": pa.array(names, pa.string()),
+                    "name": pa.array(
+                        [*names, *hist_names], pa.string()
+                    ),
                     "live": pa.array(
-                        [n in fset for n in names], pa.bool_()
+                        [n in fset for n in names]
+                        + [None] * len(hist_names),
+                        pa.bool_(),
                     ),
                     "stats": pa.array(
                         [
                             json.dumps(stats[f]) if f in stats else None
                             for f in names
-                        ],
+                        ]
+                        + [None] * len(hist_names),
                         pa.string(),
                     ),
                     "partition": pa.array(
@@ -514,8 +600,15 @@ def fold_pending_locked(path: str) -> int:
                             if f in partitions
                             else None
                             for f in names
-                        ],
+                        ]
+                        + [None] * len(hist_names),
                         pa.string(),
+                    ),
+                    "hist_v": pa.array(
+                        [None] * n_main + hist_vs, pa.int64()
+                    ),
+                    "hist_kind": pa.array(
+                        [None] * n_main + hist_kinds, pa.string()
                     ),
                 }
             ),

@@ -764,7 +764,13 @@ class _BatchWriter(DataSourceWriter):
                 # table-level metadata survives every append: the txn
                 # high-water map, live deletion vectors (dropping them
                 # would RESURRECT deleted rows), and constraints
-                for carry in ("txns", "dv", "constraints", "column_aliases"):
+                for carry in (
+                    "txns",
+                    "dv",
+                    "constraints",
+                    "column_aliases",
+                    "column_drops",
+                ):
                     if prev.get(carry):
                         manifest[carry] = prev[carry]
             if txn_app is not None:
@@ -1215,6 +1221,160 @@ def _refuse_if_renamed(manifest: dict, path: str, what: str) -> None:
         )
 
 
+def drop_column(path: str, name: str) -> dict:
+    """DROP COLUMN without rewriting a byte of data (VERDICT r8 task
+    3 — the third zero-rewrite evolution verb beside RENAME and
+    type-WIDEN): the manifest records the drop as ``column_drops``
+    entries — {name, commit version, the parts that carry the dead
+    physical column (+ its alias trail)} — and readers PROJECT THE
+    DEAD PHYSICAL NAMES AWAY per part at read time. Re-adding a
+    same-named column later is just an append: the new parts are not
+    in the drop's part list, so the name resolves there and
+    NULL-fills everywhere else — a fresh physical identity without
+    Delta's parquet field IDs, by the same name-mapping approach as
+    ``rename_column``.
+
+    Contracts:
+    - the dropped column's BYTES survive on disk: time travel to a
+      pre-drop version still reads them (plain path included — the
+      refusal below is version-aware), and only OPTIMIZE (the
+      materialization verb, which rewrites under the current logical
+      schema and clears the drop records) followed by retention +
+      vacuum actually erases them — the GDPR path is explicit, never
+      a side effect;
+    - current reads can NEVER see the dead values: the Data Source
+      reader masks per part; the plain parquet paths and mutation
+      verbs REFUSE (``_refuse_if_dropped``) only when their requested
+      schema names a dropped column at a version where the drop is
+      live — a drop-without-re-add table keeps every path usable;
+    - partition columns and constraint-bearing columns refuse to drop
+      (drop the constraint / repartition first — structural metadata
+      must not dangle).
+
+    Storage note: the per-drop part list is O(live parts at drop
+    time) — the same order as the stats map, cleared by OPTIMIZE;
+    Delta avoids it with per-column physical IDs stamped into every
+    file, which plain parquet names cannot carry."""
+    with _manifest_lock(path):
+        from . import commit_log
+
+        commit_log.fold_pending_locked(path)
+        manifest = _manifest_read(path)
+        if name in (manifest.get("partition_cols") or ()):
+            raise ValueError(
+                f"drop_column at {path}: {name!r} is a partition "
+                "column — the partition spec is structural; rewrite "
+                "via overwrite to change it"
+            )
+        for cname, spec in (manifest.get("constraints") or {}).items():
+            if spec["column"] == name:
+                raise ValueError(
+                    f"drop_column at {path}: constraint {cname!r} "
+                    f"references {name!r}; drop_constraint first"
+                )
+        aliases = {
+            k: list(v)
+            for k, v in (manifest.get("column_aliases") or {}).items()
+        }
+        trail = aliases.pop(name, [])
+        history = sorted(
+            manifest.get("history") or (), key=lambda e: e["v"]
+        )
+        if not history and manifest.get("files"):
+            history = [{"v": 0, "files": sorted(manifest["files"])}]
+        next_v = (max(e["v"] for e in history) + 1) if history else 0
+        import time as _time
+
+        drops = [
+            dict(d) for d in (manifest.get("column_drops") or ())
+        ]
+        drops.append(
+            {
+                "name": name,
+                "v": next_v,
+                "parts": sorted(
+                    os.path.basename(f) for f in manifest["files"]
+                ),
+                "physical": [name, *trail],
+            }
+        )
+        history.append(
+            {
+                "v": next_v,
+                "files": [],
+                "op": "drop_column",
+                "column": name,
+                "rows_total": int(manifest.get("rows", 0)),
+                "ts": _time.time(),
+            }
+        )
+        manifest["history"] = history
+        manifest["column_drops"] = drops
+        if aliases:
+            manifest["column_aliases"] = aliases
+        else:
+            manifest.pop("column_aliases", None)
+        mpath = os.path.join(path, MANIFEST)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mpath)
+    return {"dropped": name, "version": next_v}
+
+
+def dead_columns_for_part(
+    manifest: dict, basename: str, version: int | None
+) -> tuple:
+    """The physical column names DEAD in one part for a read at
+    ``version`` (None = current): names covered by a drop whose
+    commit is at or before the read version and whose part list
+    names this part. A part written after the drop (re-add) is never
+    listed, so the name resolves there — fresh identity."""
+    drops = manifest.get("column_drops")
+    if not drops:
+        return ()
+    dead = []
+    for d in drops:
+        if version is not None and d["v"] > version:
+            continue  # time travel to before the drop: column lives
+        if basename in d["parts"]:
+            dead.extend(d["physical"])
+    return tuple(dead)
+
+
+def _refuse_if_dropped(
+    manifest: dict,
+    path: str,
+    what: str,
+    schema_names,
+    version: int | None = None,
+) -> None:
+    """Version-aware guard for the plain parquet paths and mutation
+    verbs: a read whose schema names a DROPPED column would serve the
+    dead physical bytes as if they were the (re-added) live column —
+    refuse loudly. Reads that never mention a dropped name, and time
+    travel to versions before the drop, pass untouched."""
+    drops = manifest.get("column_drops")
+    if not drops:
+        return
+    wanted = set(schema_names)
+    live = [
+        d["name"]
+        for d in drops
+        if d["name"] in wanted
+        and (version is None or d["v"] <= version)
+    ]
+    if live:
+        raise ValueError(
+            f"{what} at {path}: column(s) {sorted(set(live))} were "
+            "DROPPED (column mapping); read through "
+            'spark.read.format("chbatch_arrow") (drop-aware), or '
+            "materialize with optimize_sink — the plain parquet path "
+            "would leak the dead physical bytes into the re-added "
+            "column"
+        )
+
+
 def clone_sink(src: str, dst: str) -> dict:
     """SHALLOW CLONE (Delta's CLONE ... SHALLOW): create a NEW sink at
     ``dst`` whose manifest references the source's current parts BY
@@ -1285,6 +1445,7 @@ def clone_sink(src: str, dst: str) -> dict:
         "dv",
         "constraints",
         "column_aliases",
+        "column_drops",
         "txns",
         "partitions",
         "partition_cols",
@@ -2007,11 +2168,19 @@ def optimize_sink(
     # rename-MATERIALIZATION verb (every part lands under the logical
     # names and the alias map clears).
     aliases0 = column_aliases(manifest)
+    drops0 = manifest.get("column_drops")
     foreign = any(os.path.isabs(f) for f in old)
-    # live renames AND foreign shallow-clone references force the
-    # rewrite regardless of file count: OPTIMIZE is the
-    # materialization/localization verb for both
-    clustering = bool(sort_by or zorder_by) or bool(aliases0) or foreign
+    # live renames, live DROP COLUMN tombstones, AND foreign
+    # shallow-clone references force the rewrite regardless of file
+    # count: OPTIMIZE is the materialization/localization verb for all
+    # three (outputs carry the current logical schema only — dead
+    # bytes are gone, the drop records clear on a whole-table rewrite)
+    clustering = (
+        bool(sort_by or zorder_by)
+        or bool(aliases0)
+        or bool(drops0)
+        or foreign
+    )
     pcols = manifest.get("partition_cols")
     pmap = manifest.get("partitions") or {}
     if partition is not None:
@@ -2046,7 +2215,7 @@ def optimize_sink(
                 tuple(tup) if tup is not None else None, []
             ).append(f)
         groups = sorted(by.items(), key=lambda kv: repr(kv[0]))
-        if aliases0 and None in by:
+        if (aliases0 or drops0) and None in by:
             raise ValueError(
                 f"optimize_sink at {path}: cannot materialize live "
                 f"column renames — {len(by[None])} part(s) carry no "
@@ -2082,12 +2251,13 @@ def optimize_sink(
         return {"replaced": 0, "written": 0, "version": None}
     old = sorted(f for _, files, _ in selected for f in files)
     old_basenames = {os.path.basename(f) for f in old}
-    if aliases0:
+    ds_read = bool(aliases0) or bool(drops0)
+    if ds_read:
         spark.dataSource.register(ClickHouseArrowDataSource)
         spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
 
     def _group_df(key, files):
-        if aliases0:
+        if ds_read:
             # alias-aware read: the Data Source reader resolves each
             # part's PHYSICAL column names (and applies current
             # deletion vectors); the rewrite's outputs carry the
@@ -2203,7 +2373,17 @@ def optimize_sink(
                 "changed during the rewrite; the rewrite was discarded "
                 "(its outputs carry stale logical names), re-run"
             )
-        if aliases0:
+        if cur.get("column_drops") != drops0:
+            for f in new_files:
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(path, f))
+            raise ValueError(
+                f"optimize_sink at {path}: conflict — column drops "
+                "changed during the rewrite; the rewrite was "
+                "discarded (its outputs reflect a stale schema), "
+                "re-run"
+            )
+        if ds_read:
             # the alias branch read via .load(), which re-resolves the
             # manifest AT JOB EXECUTION — a part appended between our
             # `old` capture and the job run had its rows compacted into
@@ -2276,6 +2456,12 @@ def optimize_sink(
         materialize_aliases = bool(aliases0) and partition is None
         if materialize_aliases:
             cur.pop("column_aliases", None)
+        materialize_drops = bool(drops0) and partition is None
+        if materialize_drops:
+            # outputs carry only current logical values; the dead
+            # physical bytes are finally unreferenced and follow the
+            # replaced parts through retention -> vacuum (GDPR path)
+            cur.pop("column_drops", None)
         if new_parts:
             # outputs inherit their group's partition tuple; replaced
             # parts KEEP theirs (old-version pruning, like stats)
@@ -2305,8 +2491,13 @@ def optimize_sink(
                 record["stats_add"] = new_stats
             if new_parts:
                 record["partitions_add"] = new_parts
+            sets = {}
             if materialize_aliases:
-                record["set"] = {"column_aliases": None}
+                sets["column_aliases"] = None
+            if materialize_drops:
+                sets["column_drops"] = None
+            if sets:
+                record["set"] = sets
             commit_log.append_commit(path, record)
         else:
             tmp = mpath + ".tmp"
@@ -2427,8 +2618,11 @@ def read_committed_pruned(
     Spark plans a single task."""
     from pyspark.sql import functions as F
 
-    _refuse_if_renamed(
-        _manifest_read(path), path, "read_committed_pruned"
+    _m = _manifest_read(path)
+    _refuse_if_renamed(_m, path, "read_committed_pruned")
+    _refuse_if_dropped(
+        _m, path, "read_committed_pruned",
+        [f.name for f in schema.fields], version,
     )
     names = prune_files(path, column, lo, hi, version)
     df = _read_parts(spark, path, schema, names)
@@ -2475,7 +2669,12 @@ def read_committed(
     ``timestamp`` (epoch / datetime / ISO string) resolves to the
     newest commit at or before that wall-clock instant."""
     version = _resolve_as_of(path, version, timestamp)
-    _refuse_if_renamed(_manifest_read(path), path, "read_committed")
+    _m = _manifest_read(path)
+    _refuse_if_renamed(_m, path, "read_committed")
+    _refuse_if_dropped(
+        _m, path, "read_committed",
+        [f.name for f in schema.fields], version,
+    )
     files = _manifest_files(path, version)
     if not files:
         return spark.createDataFrame([], schema)
@@ -2620,6 +2819,10 @@ def table_changes(
 
     manifest = _manifest_read(path)
     _refuse_if_renamed(manifest, path, "table_changes")
+    _refuse_if_dropped(
+        manifest, path, "table_changes",
+        [f.name for f in schema.fields],
+    )
     history = sorted(
         manifest.get("history") or (), key=lambda e: e["v"]
     )
@@ -2853,8 +3056,11 @@ def read_committed_parquet(
     resolved version — a broadcast anti-join that is a strict no-op
     when no vectors exist."""
     version = _resolve_as_of(path, version, timestamp)
-    _refuse_if_renamed(
-        _manifest_read(path), path, "read_committed_parquet"
+    _m = _manifest_read(path)
+    _refuse_if_renamed(_m, path, "read_committed_parquet")
+    _refuse_if_dropped(
+        _m, path, "read_committed_parquet",
+        [f.name for f in schema.fields], version,
     )
     files = _manifest_files(path, version)
     if not files:
@@ -3091,7 +3297,13 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                     manifest["partitions"] = merged_parts
             # table-level metadata survives every micro-batch commit
             # (dropping dv would resurrect deleted rows)
-            for carry in ("txns", "dv", "constraints", "column_aliases"):
+            for carry in (
+                "txns",
+                "dv",
+                "constraints",
+                "column_aliases",
+                "column_drops",
+            ):
                 if prev.get(carry):
                     manifest[carry] = prev[carry]
             tmp = mpath + ".tmp"

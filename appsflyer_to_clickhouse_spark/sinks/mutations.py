@@ -61,6 +61,7 @@ from .datasource_sink import (
     _parquet_footer_stats,
     _part_row_count,
     _refuse_if_foreign,
+    _refuse_if_dropped,
     _refuse_if_renamed,
     _tuple_matches,
     dv_current,
@@ -384,6 +385,10 @@ def delete_where(
     manifest = _manifest_read(path)
     _require_parquet_tier(manifest["files"], path, "delete_where")
     _refuse_if_renamed(manifest, path, "delete_where")
+    _refuse_if_dropped(
+        manifest, path, "delete_where",
+        [f.name for f in schema.fields],
+    )
     _refuse_if_foreign(manifest, path, "delete_where")
     cand = _candidates(manifest, path, prune_column, prune_lo, prune_hi)
     pred_residual = None
@@ -414,29 +419,30 @@ def delete_where(
     matches = scan.filter(_pred())
 
     if mode == "dv":
-        # bounded collect: (file, row_index) per matched LOGICAL row,
-        # transferred as ONE Arrow batch (toPandas) — at the sidecar-
-        # tier cap of 10M positions this is tens of MB, never a
-        # million Row objects. The limit()+length probe keeps the
-        # failure mode loud without materializing past the cap.
+        # bounded collect, PER-FILE POSITION ARRAYS (ADVICE r8 /
+        # VERDICT r8 task 5): the hits are aggregated executor-side
+        # into one int64 array per touched file, so the driver
+        # receives each file name ONCE plus packed positions — at the
+        # 10M-position sidecar cap that is ~80 MB of numpy, where the
+        # previous per-row frame held ten million Python string
+        # objects for the `f` column (hundreds of MB of RSS). The cap
+        # is enforced by a count BEFORE anything is collected — one
+        # extra aggregation over the same pruned scan, no transfer —
+        # so an over-cap predicate can never materialize on the
+        # driver at all (the representation is pinned in
+        # tests/test_dv_sidecar.py).
         import numpy as np
 
-        hits = (
-            matches.select(
-                F.col("_mut_f").alias("f"), F.col("_mut_ri").alias("i")
-            )
-            .limit(dv_max_rows + 1)
-            .toPandas()
-        )
-        if len(hits) > dv_max_rows:
+        n_hits = matches.count()
+        if n_hits > dv_max_rows:
             raise ValueError(
                 f"delete_where(mode='dv') at {path}: predicate matches "
-                f"more than dv_max_rows={dv_max_rows} rows — a vector "
-                "that large should be a copy-on-write delete "
+                f"{n_hits} rows, more than dv_max_rows={dv_max_rows} — "
+                "a vector that large should be a copy-on-write delete "
                 "(mode='rewrite'); deleting most of the table is "
                 "cheaper to rewrite than to mask"
             )
-        if hits.empty:
+        if n_hits == 0:
             return {
                 "deleted": 0,
                 "n_rewritten": 0,
@@ -444,9 +450,14 @@ def delete_where(
                 "version": None,
                 "mode": mode,
             }
+        hits = (
+            matches.groupBy(F.col("_mut_f").alias("f"))
+            .agg(F.collect_list("_mut_ri").alias("idx"))
+            .toPandas()
+        )
         add = {
-            f: np.unique(np.asarray(g["i"], dtype="<i8"))
-            for f, g in hits.groupby("f", sort=True)
+            r.f: np.unique(np.asarray(r.idx, dtype="<i8"))
+            for r in hits.itertuples()
         }
         with _manifest_lock(path):
             cur = _manifest_read(path)
@@ -720,6 +731,10 @@ def merge_sink(
     manifest = _manifest_read(path)
     _require_parquet_tier(manifest["files"], path, "merge_sink")
     _refuse_if_renamed(manifest, path, "merge_sink")
+    _refuse_if_dropped(
+        manifest, path, "merge_sink",
+        [f.name for f in schema.fields],
+    )
     _refuse_if_foreign(manifest, path, "merge_sink")
     cols = [f.name for f in schema.fields]
     missing_keys = [k for k in keys if k not in cols]
@@ -942,6 +957,10 @@ def update_where(
     manifest = _manifest_read(path)
     _require_parquet_tier(manifest["files"], path, "update_where")
     _refuse_if_renamed(manifest, path, "update_where")
+    _refuse_if_dropped(
+        manifest, path, "update_where",
+        [f.name for f in schema.fields],
+    )
     _refuse_if_foreign(manifest, path, "update_where")
     cols = [f.name for f in schema.fields]
     unknown = [c for c in assignments if c not in cols]

@@ -78,13 +78,18 @@ def _from_json_cell(kind: str, v):
 
 
 def _resolve_physical(
-    avail: set, convs: list[tuple[str, str]], aliases
+    avail: set, convs: list[tuple[str, str]], aliases, dead=()
 ) -> list[tuple[str, str | None, str]]:
     """(logical, physical-or-None, typeName) per wanted column: the
     physical name is the logical name when the part carries it, else
     the newest alias present (a part written before a RENAME carries
     an older name), else None (a part written before the column
-    existed — NULL-fill)."""
+    existed — NULL-fill). ``dead`` lists physical names a DROP COLUMN
+    tombstoned for this part (column mapping): they are removed from
+    the available set BEFORE resolution, so a re-added same-named
+    column NULL-fills here instead of leaking the dead bytes."""
+    if dead:
+        avail = avail - set(dead)
     amap = dict(aliases or ())
     out = []
     for c, kind in convs:
@@ -201,6 +206,7 @@ def _read_part(
     convs: list[tuple[str, str]],
     deleted: tuple = (),
     aliases: tuple = (),
+    dead: tuple = (),
 ) -> Iterator:
     """Executor-side read of ONE committed part. Parts are
     self-describing (parquet footer / JSONL keys), so ADDITIVE schema
@@ -222,7 +228,7 @@ def _read_part(
 
         pf = pq.ParquetFile(fullpath)
         avail = set(pf.schema_arrow.names)
-        resolved = _resolve_physical(avail, convs, aliases)
+        resolved = _resolve_physical(avail, convs, aliases, dead)
         want = [c for c, _ in convs]
         if all(phys is not None for _, phys, _ in resolved):
             batches = _widen_table(
@@ -280,12 +286,13 @@ def _read_part(
     import json as _json
 
     amap = dict(aliases or ())
+    deadset = set(dead or ())
 
     def _cell(rec, c, k):
-        v = rec.get(c)
-        if v is None and c not in rec:
+        v = rec.get(c) if c not in deadset else None
+        if v is None and (c not in rec or c in deadset):
             for a in amap.get(c, ()):
-                if a in rec:
+                if a in rec and a not in deadset:
                     v = rec[a]
                     break
         return _from_json_cell(k, v)
@@ -305,6 +312,7 @@ def _read_part_changes(
     kind: str,
     version: int,
     aliases: tuple = (),
+    dead: tuple = (),
 ) -> Iterator:
     """Change-feed read of one part: 'insert' emits every row
     (an append commit's own file), 'delete' emits ONLY the rows at
@@ -317,7 +325,7 @@ def _read_part_changes(
         import pyarrow.parquet as pq
 
         avail = set(pq.ParquetFile(fullpath).schema_arrow.names)
-        resolved = _resolve_physical(avail, convs, aliases)
+        resolved = _resolve_physical(avail, convs, aliases, dead)
         gone = [c for c, p, _ in resolved if p is None]
         if gone:
             raise ValueError(
@@ -345,7 +353,9 @@ def _read_part_changes(
     if kind == "insert":
         import pyarrow as pa
 
-        for item in _read_part(fullpath, convs, aliases=aliases):
+        for item in _read_part(
+            fullpath, convs, aliases=aliases, dead=dead
+        ):
             if isinstance(item, pa.RecordBatch):
                 n = item.num_rows
                 item = item.append_column(
@@ -366,7 +376,7 @@ def _read_part_changes(
     positions = _resolve_dv_spec(positions)
     want = [c for c, _ in convs]
     avail = set(pq.ParquetFile(fullpath).schema_arrow.names)
-    resolved = _resolve_physical(avail, convs, aliases)
+    resolved = _resolve_physical(avail, convs, aliases, dead)
     gone = [c for c, p, _ in resolved if p is None]
     if gone:
         raise ValueError(
@@ -601,11 +611,24 @@ class ManifestBatchReader(DataSourceReader):
                 )
             )
             fulls = [p for p in fulls if os.path.basename(p) in keep]
-        # merge-on-read deletion vectors and the column-alias map ride
-        # INSIDE each part's InputPartition (bounded metadata), so
-        # executors mask and name-resolve their own file with no
-        # extra coordination
+        # merge-on-read deletion vectors, the column-alias map, and
+        # any DROP COLUMN tombstones ride INSIDE each part's
+        # InputPartition (bounded metadata), so executors mask and
+        # name-resolve their own file with no extra coordination
         dv = dv_for_version(manifest, self._version, self._path)
+        dsets = [
+            (set(d["parts"]), tuple(d["physical"]))
+            for d in (manifest.get("column_drops") or ())
+            if self._version is None or d["v"] <= self._version
+        ]
+
+        def dead_for(b: str) -> tuple:
+            if not dsets:
+                return ()
+            return tuple(
+                n for s, ph in dsets if b in s for n in ph
+            )
+
         return [
             InputPartition(
                 (
@@ -614,6 +637,7 @@ class ManifestBatchReader(DataSourceReader):
                         self._path, dv.get(os.path.basename(p), ())
                     ),
                     aliases,
+                    dead_for(os.path.basename(p)),
                 )
             )
             for p in fulls
@@ -622,8 +646,10 @@ class ManifestBatchReader(DataSourceReader):
     def read(self, partition: InputPartition) -> Iterator:
         if partition is None:  # Spark's stand-in when partitions()==[]
             return
-        fullpath, deleted, aliases = partition.value
-        yield from _read_part(fullpath, self._convs, deleted, aliases)
+        fullpath, deleted, aliases, dead = partition.value
+        yield from _read_part(
+            fullpath, self._convs, deleted, aliases, dead
+        )
 
 
 class ManifestTailReader(DataSourceStreamReader):
@@ -743,6 +769,7 @@ class ManifestTailReader(DataSourceStreamReader):
         aliases: tuple = ()
         pcols: list = []
         pmap: dict = {}
+        dsets: list = []
         if os.path.exists(os.path.join(self._path, _M)):
             m = _mr(self._path)
             aliases = tuple(
@@ -754,6 +781,24 @@ class ManifestTailReader(DataSourceStreamReader):
             if self._partition_filter:
                 pcols = m.get("partition_cols") or []
                 pmap = m.get("partitions") or {}
+            # DROP COLUMN tombstones, applied as-of each served
+            # commit's version: a part that predates a drop must not
+            # leak the dead physical bytes into a re-added column
+            dsets = [
+                (d["v"], set(d["parts"]), tuple(d["physical"]))
+                for d in (m.get("column_drops") or ())
+            ]
+
+        def _dead_for(f: str, v: int) -> tuple:
+            if not dsets:
+                return ()
+            b = os.path.basename(f)
+            return tuple(
+                n
+                for dv_, s, ph in dsets
+                if dv_ <= v and b in s
+                for n in ph
+            )
 
         def _pfiles(files):
             """Appended part names surviving the tail's by-value
@@ -797,6 +842,7 @@ class ManifestTailReader(DataSourceStreamReader):
                                 "cdf",
                                 v,
                                 aliases,
+                                (),  # sidecars are commit-fresh
                             )
                         )
                         for f in e["cdf_files"]
@@ -810,6 +856,7 @@ class ManifestTailReader(DataSourceStreamReader):
                                 "insert",
                                 v,
                                 aliases,
+                                _dead_for(f, v),
                             )
                         )
                         for f in _pfiles(e["files"])
@@ -823,6 +870,7 @@ class ManifestTailReader(DataSourceStreamReader):
                                 "delete",
                                 v,
                                 aliases,
+                                _dead_for(f, v),
                             )
                         )
                         for f, idxs in sorted(e["dv_add"].items())
@@ -866,7 +914,13 @@ class ManifestTailReader(DataSourceStreamReader):
                 # duplicate downstream
                 continue
             out.extend(
-                InputPartition((os.path.join(self._path, f), aliases))
+                InputPartition(
+                    (
+                        os.path.join(self._path, f),
+                        aliases,
+                        _dead_for(f, e["v"]),
+                    )
+                )
                 for f in _pfiles(e["files"])
             )
         return out
@@ -875,14 +929,14 @@ class ManifestTailReader(DataSourceStreamReader):
         if partition is None:  # Spark's stand-in when partitions()==[]
             return
         if self._cdf:
-            fullpath, positions, kind, v, aliases = partition.value
+            fullpath, positions, kind, v, aliases, dead = partition.value
             yield from _read_part_changes(
-                fullpath, self._convs, positions, kind, v, aliases
+                fullpath, self._convs, positions, kind, v, aliases, dead
             )
             return
-        fullpath, aliases = partition.value
+        fullpath, aliases, dead = partition.value
         yield from _read_part(
-            fullpath, self._convs, aliases=aliases
+            fullpath, self._convs, aliases=aliases, dead=dead
         )
 
     def commit(self, end: dict) -> None:

@@ -242,3 +242,37 @@ def test_commit_log_checkpoint_spills_merged_vector(spark):
     assert isinstance(val, dict) and val["n"] == 40_000
     assert len(json.dumps(ckpt)) < 64_000
     assert read_committed_parquet(spark, path, SCHEMA).count() == 10_000
+
+
+def test_dv_hit_collection_is_per_file_arrays(spark):
+    """ADVICE r8 / VERDICT r8 task 5 pin: the dv match collection
+    transfers ONE row per touched file (name + packed positions),
+    never one Python Row per deleted position — at the 10M cap that
+    is ~80 MB of numpy instead of hundreds of MB of per-row string
+    objects. Pinned structurally: the committed vectors are exactly
+    the per-file position sets, and an over-cap predicate refuses
+    BEFORE collecting (the count guard runs executor-side)."""
+    import pytest
+
+    n = 300_000
+    path = _build(spark, n, n_parts=3)
+    with pytest.raises(ValueError, match="matches 2[0-9]{5} rows"):
+        delete_where(
+            spark,
+            path,
+            SCHEMA,
+            "id % 3 != 0",
+            mode="dv",
+            dv_max_rows=100_000,
+        )
+    # nothing was committed by the refused attempt
+    assert not _manifest_read(path).get("dv")
+    r = delete_where(
+        spark, path, SCHEMA, "id % 3 != 0", mode="dv",
+        dv_max_rows=250_000,
+    )
+    assert r["deleted"] == n - n // 3
+    m = _manifest_read(path)
+    assert sum(dv_len(v) for v in m["dv"].values()) == r["deleted"]
+    got = read_committed_parquet(spark, path, SCHEMA)
+    assert got.count() == n // 3

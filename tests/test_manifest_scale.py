@@ -243,3 +243,116 @@ def test_commit_log_cost_flat_at_100k_parts():
     t0 = time.monotonic()
     _manifest_read(build(100_000))
     assert time.monotonic() - t0 < 5.0
+
+
+def test_commit_log_cost_flat_at_1m_parts_parquet_checkpoint():
+    """VERDICT r8 task 4's done-criterion: the module's own stated
+    deployment shape — 10^6 parts with checkpoint_format='parquet' —
+    keeps BOTH costs flat: commit latency is one sub-KB record
+    (independent of part count, pinned vs the same protocol at 10k
+    parts), and read planning is one columnar checkpoint scan + the
+    bounded pending tail (pinned absolutely, and the thin
+    _MANIFEST.json stays KB-sized because the O(parts) maps live in
+    ckpt-*.parquet). The fold that WRITES the 1M-part checkpoint is
+    the amortized cost and is bounded too."""
+    import statistics
+
+    from appsflyer_to_clickhouse_spark.sinks import commit_log as cl
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        _manifest_lock,
+        _manifest_read,
+    )
+
+    def build(n_parts: int) -> str:
+        tmpdir = tempfile.mkdtemp(prefix=f"clscale_pq_{n_parts}_")
+        files, stats, parts = [], {}, {}
+        for i in range(n_parts):
+            name = f"part-{i:07d}.parquet"
+            files.append(name)
+            stats[name] = {
+                "v": {"min": 100 * i, "max": 100 * i + 99, "nulls": 0}
+            }
+            parts[name] = [str(i % 365)]
+        manifest = {
+            "files": files,
+            "rows": 100 * n_parts,
+            "batches": n_parts,
+            "history": [
+                {"v": 0, "files": files, "rows_total": 100 * n_parts}
+            ],
+            "stats": stats,
+            "partitions": parts,
+            "partition_cols": ["day"],
+        }
+        with open(os.path.join(tmpdir, MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
+        cl.enable_commit_log(
+            tmpdir,
+            checkpoint_interval=1_000_000,
+            checkpoint_format="parquet",
+        )
+        # roll the columnar checkpoint once so every later read goes
+        # through ckpt-*.parquet (the deployment steady state)
+        with _manifest_lock(tmpdir):
+            cl.append_commit(
+                tmpdir,
+                {"entry": {"v": 1, "files": [], "rows_total": 100 * n_parts}},
+            )
+            cl.fold_pending_locked(tmpdir)
+        return tmpdir
+
+    def commit_times(path: str, start_v: int, n: int = 12) -> list[float]:
+        out = []
+        state = _manifest_read(path)
+        rows = state["rows"]
+        v = start_v
+        for i in range(n):
+            v += 1
+            rows += 100
+            name = f"part-new-{i:04d}.parquet"
+            rec = {
+                "entry": {"v": v, "files": [name], "rows_total": rows},
+                "set": {"rows": rows},
+                "stats_add": {
+                    name: {"v": {"min": 0, "max": 99, "nulls": 0}}
+                },
+                "partitions_add": {name: ["7"]},
+            }
+            t0 = time.monotonic()
+            with _manifest_lock(path):
+                cl.append_commit(path, rec)
+            out.append(time.monotonic() - t0)
+        return out
+
+    t_build0 = time.monotonic()
+    small = build(10_000)
+    m_small = statistics.median(commit_times(small, 1))
+
+    big = build(1_000_000)
+    fold_cost = time.monotonic() - t_build0  # incl. the 1M fold
+    # the thin JSON stays metadata-sized: the 1M-part maps are columnar
+    thin = os.path.getsize(os.path.join(big, MANIFEST))
+    assert thin < 64 * 1024, thin
+    ckpts = [
+        f
+        for f in os.listdir(cl.log_dir(big))
+        if f.startswith("ckpt-") and f.endswith(".parquet")
+    ]
+    assert len(ckpts) == 1
+    m_big = statistics.median(commit_times(big, 1))
+    # FLAT commit: absolute sub-25ms bound + growth bound vs 10k parts
+    # (the O(parts) alternative would be ~100x)
+    assert m_big < 0.025, (m_big, m_small)
+    assert m_big < 20 * m_small + 0.005, (m_big, m_small)
+    # READ planning at 1M parts: columnar checkpoint + pending tail —
+    # a generous absolute bound (machine-load tolerant) that still
+    # proves ~10 µs/part, nowhere near the multi-hundred-MB JSON
+    # parse the single-file mode would pay
+    t0 = time.monotonic()
+    state = _manifest_read(big)
+    t_read = time.monotonic() - t0
+    assert len(state["files"]) == 1_000_012
+    assert len(state["partitions"]) >= 1_000_000
+    assert t_read < 30.0, t_read
+    # amortized fold cost for the 1M-part checkpoint is bounded too
+    assert fold_cost < 120.0, fold_cost
