@@ -413,9 +413,30 @@ def connected_components_star(
     npart = graph_partitions(n_edges)
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(npart))
+    # one-pass convergence PROBE per round: cardinality + an
+    # order-independent exact-sum of xxhash64(u, v) (decimal — ANSI
+    # long-sum would overflow-error). Two canonical-distinct edge
+    # sets with equal count and equal hash-sum are almost surely
+    # equal; the EXACT exceptAll confirmation then runs only on the
+    # (usually single) round whose probe matches — replacing a full
+    # anti-join shuffle per round with one cheap aggregate. This is
+    # the bench-tail fix (VERDICT r8 task 7): the per-round work is
+    # one fewer shuffle and the loop's wall spread stops tracking the
+    # exceptAll JVM-pause lottery, while convergence stays exact (a
+    # probe collision without true equality just costs one harmless
+    # extra confirmation).
+    def _probe(df):
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.xxhash64("u", "v").cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), row["h"]
+
     try:
         edges = edges.repartition(npart, "u").localCheckpoint()
-        n_cur = edges.count()
+        n_cur, h_cur = _probe(edges)
         rounds = 0
         for _ in range(max_iter):
             rounds += 1
@@ -455,9 +476,13 @@ def connected_components_star(
                 .localCheckpoint()
             )
             # ---- exact fixpoint test over canonical distinct sets
-            n_new = small.count()
-            converged = n_new == n_cur and small.exceptAll(edges).isEmpty()
-            edges, n_cur = small, n_new
+            n_new, h_new = _probe(small)
+            converged = (
+                n_new == n_cur
+                and h_new == h_cur
+                and small.exceptAll(edges).isEmpty()
+            )
+            edges, n_cur, h_cur = small, n_new, h_new
             if converged:
                 break
         else:

@@ -74,6 +74,32 @@ from pyspark.sql.datasource import (
 MANIFEST = "_MANIFEST.json"
 
 
+class CommitConflict(ValueError):
+    """Optimistic-concurrency abort: the snapshot moved under a
+    rewrite verb between its (lock-free) data phase and its metadata
+    commit, in a way that touches the verb's own part set. The verb
+    discarded its outputs; the table is unchanged. Retryable by
+    construction — a re-run reads the NEW snapshot and recomputes —
+    which is what the verbs' bounded ``retries`` loop does (VERDICT
+    r8 task 6: two writers on disjoint work both commit without
+    caller-level re-runs)."""
+
+
+def _conflict_retry(attempt_fn, retries: int):
+    """Run ``attempt_fn`` until it commits or ``retries`` refreshed
+    re-attempts are exhausted. Safe for every rewrite verb: each
+    attempt is a complete fresh run (scan + rewrite + conflict-checked
+    commit) against the then-current snapshot, and an aborted attempt
+    deletes its own outputs first."""
+    for left in range(retries, -1, -1):
+        try:
+            return attempt_fn()
+        except CommitConflict:
+            if left == 0:
+                raise
+    raise AssertionError("unreachable")
+
+
 @contextlib.contextmanager
 def _manifest_lock(path: str, timeout_s: float = 30.0):
     """Serialize manifest commits via an O_EXCL lock file whose body
@@ -2086,7 +2112,7 @@ def _part_row_count(path: str, fname: str) -> int:
         return sum(1 for _ in fh)
 
 
-def optimize_sink(
+def _optimize_sink_once(
     spark,
     path: str,
     schema,
@@ -2368,7 +2394,7 @@ def optimize_sink(
             for f in new_files:
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(path, f))
-            raise ValueError(
+            raise CommitConflict(
                 f"optimize_sink at {path}: conflict — column renames "
                 "changed during the rewrite; the rewrite was discarded "
                 "(its outputs carry stale logical names), re-run"
@@ -2377,7 +2403,7 @@ def optimize_sink(
             for f in new_files:
                 with contextlib.suppress(OSError):
                     os.remove(os.path.join(path, f))
-            raise ValueError(
+            raise CommitConflict(
                 f"optimize_sink at {path}: conflict — column drops "
                 "changed during the rewrite; the rewrite was "
                 "discarded (its outputs reflect a stale schema), "
@@ -2398,7 +2424,7 @@ def optimize_sink(
                 for f in new_files:
                     with contextlib.suppress(OSError):
                         os.remove(os.path.join(path, f))
-                raise ValueError(
+                raise CommitConflict(
                     f"optimize_sink at {path}: conflict — "
                     f"{len(slipped)} part(s) were appended during the "
                     f"alias-materializing rewrite (e.g. {slipped[:3]}) "
@@ -2415,7 +2441,7 @@ def optimize_sink(
                 if missing
                 else f"deletion vectors changed on {dv_moved[:3]}"
             )
-            raise ValueError(
+            raise CommitConflict(
                 f"optimize_sink at {path}: conflict — {what} during "
                 "the rewrite (concurrent overwrite, compaction, or "
                 "delete); the rewrite was discarded, re-run against "
@@ -2509,6 +2535,37 @@ def optimize_sink(
         "written": len(new_files),
         "version": next_v,
     }
+
+
+
+def optimize_sink(
+    spark,
+    path: str,
+    schema,
+    target_rows_per_file: int = 1_000_000,
+    sort_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    partition: dict | None = None,
+    retries: int = 2,
+) -> dict:
+    """See ``_optimize_sink_once`` for full semantics; this wrapper
+    adds the bounded conflict retry (VERDICT r8 task 6): an OPTIMIZE
+    racing a disjoint DELETE/append no longer surfaces its
+    optimistic-concurrency abort to the caller — it re-runs against
+    the refreshed snapshot, bounded, and only a persistently
+    contended table still raises ``CommitConflict``."""
+    return _conflict_retry(
+        lambda: _optimize_sink_once(
+            spark,
+            path,
+            schema,
+            target_rows_per_file=target_rows_per_file,
+            sort_by=sort_by,
+            zorder_by=zorder_by,
+            partition=partition,
+        ),
+        retries,
+    )
 
 
 def prune_files(

@@ -54,6 +54,8 @@ from pyspark.sql import functions as F
 
 from .datasource_sink import (
     MANIFEST,
+    CommitConflict,
+    _conflict_retry,
     _dv_pairs_df,
     _dv_same,
     _manifest_lock,
@@ -324,7 +326,7 @@ def _inherited_tuple(manifest: dict, touched: list[str]):
     return None
 
 
-def delete_where(
+def _delete_where_once(
     spark,
     path: str,
     schema,
@@ -463,7 +465,7 @@ def delete_where(
             cur = _manifest_read(path)
             missing = sorted(set(add) - set(cur["files"]))
             if missing:
-                raise ValueError(
+                raise CommitConflict(
                     f"delete_where at {path}: conflict — matched "
                     f"part(s) {missing[:3]} left the snapshot during "
                     "the scan (concurrent compact/delete); re-run "
@@ -587,7 +589,7 @@ def delete_where(
         missing = sorted(set(touched) - set(cur["files"]))
         if missing:
             _discard(path, new_files + cdf_files)
-            raise ValueError(
+            raise CommitConflict(
                 f"delete_where at {path}: conflict — {len(missing)} "
                 f"touched part(s) left the snapshot during the rewrite "
                 f"(e.g. {missing[:3]}); the rewrite was discarded, "
@@ -605,7 +607,7 @@ def delete_where(
         ]
         if grew:
             _discard(path, new_files + cdf_files)
-            raise ValueError(
+            raise CommitConflict(
                 f"delete_where at {path}: conflict — deletion vectors "
                 f"on touched part(s) {grew[:3]} changed during the "
                 "rewrite; the rewrite was discarded, re-run against "
@@ -676,7 +678,7 @@ def delete_where(
     }
 
 
-def merge_sink(
+def _merge_sink_once(
     spark,
     path: str,
     schema,
@@ -867,7 +869,7 @@ def merge_sink(
         ]
         if missing or changed_dv:
             _discard(path, adds + cdf_files)
-            raise ValueError(
+            raise CommitConflict(
                 f"merge_sink at {path}: conflict — touched part(s) "
                 f"{(missing or changed_dv)[:3]} changed during the "
                 "rewrite; the merge was discarded, re-run against the "
@@ -923,7 +925,7 @@ def merge_sink(
     }
 
 
-def update_where(
+def _update_where_once(
     spark,
     path: str,
     schema,
@@ -1047,7 +1049,7 @@ def update_where(
         ]
         if missing or moved:
             _discard(path, new_files + cdf_files)
-            raise ValueError(
+            raise CommitConflict(
                 f"update_where at {path}: conflict — touched part(s) "
                 f"{(missing or moved)[:3]} changed during the rewrite; "
                 "the update was discarded, re-run against the new "
@@ -1273,3 +1275,116 @@ def drop_partition(
         "dropped_rows": dropped_rows,
         "version": next_v,
     }
+
+
+# -- public verbs: bounded conflict retry (VERDICT r8 task 6) -------------
+# Each *_once implementation is a complete optimistic-concurrency
+# attempt (scan + rewrite OUTSIDE the lock, conflict-checked metadata
+# commit under it, outputs discarded on abort). The public verbs
+# re-run a refreshed attempt on CommitConflict up to ``retries``
+# times, so two writers whose work is disjoint (a DELETE on one
+# partition racing an OPTIMIZE, say) BOTH commit without caller-level
+# re-runs — and genuinely contended writers converge on the loser's
+# fresh snapshot instead of burning the caller. A retry is always
+# semantically safe: the predicate/source is re-evaluated against the
+# NEW snapshot, which is exactly what running the verb after the
+# winner would have meant.
+
+
+def delete_where(
+    spark,
+    path: str,
+    schema,
+    predicate: str,
+    *,
+    mode: str = "rewrite",
+    prune_column: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+    partition: dict | None = None,
+    dv_max_rows: int = 10_000_000,
+    dv_inline_max: int = 1024,
+    write_cdf: bool = True,
+    retries: int = 2,
+) -> dict:
+    """See ``_delete_where_once`` for full semantics; this wrapper
+    adds the bounded conflict retry."""
+    return _conflict_retry(
+        lambda: _delete_where_once(
+            spark,
+            path,
+            schema,
+            predicate,
+            mode=mode,
+            prune_column=prune_column,
+            prune_lo=prune_lo,
+            prune_hi=prune_hi,
+            partition=partition,
+            dv_max_rows=dv_max_rows,
+            dv_inline_max=dv_inline_max,
+            write_cdf=write_cdf,
+        ),
+        retries,
+    )
+
+
+def merge_sink(
+    spark,
+    path: str,
+    schema,
+    source_df,
+    keys: list[str],
+    *,
+    broadcast_source: bool = True,
+    write_cdf: bool = True,
+    delete_predicate: str | None = None,
+    retries: int = 2,
+) -> dict:
+    """See ``_merge_sink_once`` for full semantics; this wrapper adds
+    the bounded conflict retry. NOTE: each retry re-evaluates
+    ``source_df`` — keep CDC sources deterministic (they are: a
+    change-feed frame or a staged batch)."""
+    return _conflict_retry(
+        lambda: _merge_sink_once(
+            spark,
+            path,
+            schema,
+            source_df,
+            keys,
+            broadcast_source=broadcast_source,
+            write_cdf=write_cdf,
+            delete_predicate=delete_predicate,
+        ),
+        retries,
+    )
+
+
+def update_where(
+    spark,
+    path: str,
+    schema,
+    predicate: str,
+    assignments: dict[str, str],
+    *,
+    prune_column: str | None = None,
+    prune_lo=None,
+    prune_hi=None,
+    write_cdf: bool = True,
+    retries: int = 2,
+) -> dict:
+    """See ``_update_where_once`` for full semantics; this wrapper
+    adds the bounded conflict retry."""
+    return _conflict_retry(
+        lambda: _update_where_once(
+            spark,
+            path,
+            schema,
+            predicate,
+            assignments,
+            prune_column=prune_column,
+            prune_lo=prune_lo,
+            prune_hi=prune_hi,
+            write_cdf=write_cdf,
+        ),
+        retries,
+    )

@@ -576,8 +576,12 @@ def test_optimize_vs_dv_delete_race_aborts_one_side(spark):
 
     ds._parquet_footer_stats = hook
     try:
+        # retries=0 pins the single-attempt abort mechanics (the
+        # public default retries and would absorb this conflict)
         with pytest.raises(ValueError, match="conflict"):
-            optimize_sink(spark, path, SCHEMA, target_rows_per_file=500)
+            optimize_sink(
+                spark, path, SCHEMA, target_rows_per_file=500, retries=0
+            )
     finally:
         ds._parquet_footer_stats = orig_stats
     # the delete won; the aborted compaction left no orphan outputs

@@ -179,8 +179,12 @@ def test_conflicting_snapshot_change_aborts_and_discards_rewrite(spark):
     }
     ds._manifest_read = tampering_read
     try:
+        # retries=0 pins the single-attempt abort mechanics (the
+        # public default retries and would absorb this conflict)
         with pytest.raises(ValueError, match="conflict"):
-            optimize_sink(spark, path, _SCHEMA, target_rows_per_file=1000)
+            optimize_sink(
+                spark, path, _SCHEMA, target_rows_per_file=1000, retries=0
+            )
     finally:
         ds._manifest_read = real_read
     # the aborted rewrite's outputs were deleted — no orphan accretion
