@@ -192,8 +192,11 @@ def test_optimize_alias_branch_aborts_on_concurrent_append(spark):
             return real_lock(p, *a, **k)
 
         with mock.patch.object(ds, "_manifest_lock", lock_then_fire):
+            # retries=0 pins the single-attempt abort mechanics (the
+            # public default retries and the injected slip persists,
+            # which is not a retryable real-world state)
             with pytest.raises(ValueError, match="appended during"):
-                optimize_sink(spark, path, schema2)
+                optimize_sink(spark, path, schema2, retries=0)
     finally:
         ds._manifest_read = real_read
     # the aborted rewrite discarded its outputs: current snapshot reads
