@@ -435,28 +435,40 @@ def _delete_where_once(
         # tests/test_dv_sidecar.py).
         import numpy as np
 
-        n_hits = matches.count()
-        if n_hits > dv_max_rows:
-            raise ValueError(
-                f"delete_where(mode='dv') at {path}: predicate matches "
-                f"{n_hits} rows, more than dv_max_rows={dv_max_rows} — "
-                "a vector that large should be a copy-on-write delete "
-                "(mode='rewrite'); deleting most of the table is "
-                "cheaper to rewrite than to mask"
+        # one scan: the matched (file, position) pairs persist
+        # executor-side (bounded: <=16 bytes/row past the cap check,
+        # ~160 MB at the 10M cap spread over executors), the cap
+        # count reads the cache, and only then does the grouped
+        # collect transfer anything to the driver
+        pairs_df = matches.select(
+            F.col("_mut_f").alias("f"), F.col("_mut_ri").alias("i")
+        ).persist()
+        try:
+            n_hits = pairs_df.count()
+            if n_hits > dv_max_rows:
+                raise ValueError(
+                    f"delete_where(mode='dv') at {path}: predicate "
+                    f"matches {n_hits} rows, more than dv_max_rows="
+                    f"{dv_max_rows} — a vector that large should be a "
+                    "copy-on-write delete (mode='rewrite'); deleting "
+                    "most of the table is cheaper to rewrite than to "
+                    "mask"
+                )
+            if n_hits == 0:
+                return {
+                    "deleted": 0,
+                    "n_rewritten": 0,
+                    "n_kept": len(cand),
+                    "version": None,
+                    "mode": mode,
+                }
+            hits = (
+                pairs_df.groupBy("f")
+                .agg(F.collect_list("i").alias("idx"))
+                .toPandas()
             )
-        if n_hits == 0:
-            return {
-                "deleted": 0,
-                "n_rewritten": 0,
-                "n_kept": len(cand),
-                "version": None,
-                "mode": mode,
-            }
-        hits = (
-            matches.groupBy(F.col("_mut_f").alias("f"))
-            .agg(F.collect_list("_mut_ri").alias("idx"))
-            .toPandas()
-        )
+        finally:
+            pairs_df.unpersist()
         add = {
             r.f: np.unique(np.asarray(r.idx, dtype="<i8"))
             for r in hits.itertuples()
