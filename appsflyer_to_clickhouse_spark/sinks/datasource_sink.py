@@ -500,15 +500,39 @@ def _split_rows_by_partition(buf: list[dict], pcols: list[str]):
                 "written schema"
             ) from None
         out.setdefault(key, []).append(r)
+    _check_partition_cardinality(len(out), len(buf), pcols)
     return out
+
+
+PARTITION_MAX_TUPLES_PER_FLUSH = 1024
+
+
+def _check_partition_cardinality(n_tuples: int, n_rows: int, pcols):
+    """Over-partitioning guard: a flush that fans out into thousands
+    of distinct tuples writes thousands of TINY files per task — the
+    classic high-cardinality partition-key mistake that turns a
+    100 TB table into a small-files swamp and its manifest into a
+    per-row index. Refuse loudly (Delta/Hive guard the same hazard
+    with maxRecordsPerFile-style limits and docs that say 'don't
+    partition by user_id'); the fix is a coarser key (a date, a
+    bucket expression) — not a bigger limit."""
+    if n_tuples > PARTITION_MAX_TUPLES_PER_FLUSH:
+        raise ValueError(
+            f"partitioned write: one flush spans {n_tuples} distinct "
+            f"partition tuples over {n_rows} rows (cap "
+            f"{PARTITION_MAX_TUPLES_PER_FLUSH}) — {pcols} is too "
+            "high-cardinality a partition key; partition by a coarser "
+            "value (date, tenant, bucket) and cluster/sort WITHIN "
+            "partitions instead"
+        )
 
 
 def _split_table_by_partition(table, pcols: list[str]):
     """Split one Arrow table into (tuple, sub-table) pieces, one per
     distinct partition-value combination — vectorized masks, no
     per-row Python. Partitioned writes assume FEW distinct tuples per
-    flush (the point of partitioning); each mask is one compute pass.
-    """
+    flush (the point of partitioning; the cardinality guard refuses
+    otherwise); each mask is one compute pass."""
     import pyarrow.compute as pc
 
     for c in pcols:
@@ -518,6 +542,9 @@ def _split_table_by_partition(table, pcols: list[str]):
                 f"schema {table.schema.names}"
             )
     distinct = table.select(pcols).group_by(pcols).aggregate([])
+    _check_partition_cardinality(
+        distinct.num_rows, table.num_rows, pcols
+    )
     keys = [
         tuple(_part_cell(distinct.column(c)[i].as_py()) for c in pcols)
         for i in range(distinct.num_rows)

@@ -305,6 +305,35 @@ def _partition_scope(
     return keep, residual
 
 
+def _sql_lit(v) -> str:
+    """One partition value as a SQL literal (the update verb composes
+    its scope into the predicate STRING, which feeds CASE WHEN
+    projections)."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return str(v)
+
+
+def _partition_sql(partition: dict) -> str:
+    """{col: value | [values]} as a SQL conjunction — the residual
+    row filter for string-predicate verbs (exact for untupled parts,
+    same contract as _partition_scope's Column residual)."""
+    terms = []
+    for c, v in partition.items():
+        if isinstance(v, (list, tuple, set)):
+            vals = ", ".join(_sql_lit(x) for x in v)
+            terms.append(f"{c} IN ({vals})")
+        elif v is None:
+            terms.append(f"{c} IS NULL")
+        else:
+            terms.append(f"{c} = {_sql_lit(v)}")
+    return " AND ".join(terms)
+
+
 def _inherited_tuple(manifest: dict, touched: list[str]):
     """The single partition tuple a rewrite's outputs inherit, or
     None. A filter-rewrite preserves no per-file boundaries (several
@@ -947,6 +976,7 @@ def _update_where_once(
     prune_column: str | None = None,
     prune_lo=None,
     prune_hi=None,
+    partition: dict | None = None,
     write_cdf: bool = True,
 ) -> dict:
     """UPDATE the manifest sink SET col = expr, ... WHERE predicate —
@@ -985,6 +1015,17 @@ def _update_where_once(
     if not assignments:
         raise ValueError("update_where: no assignments")
     cand = _candidates(manifest, path, prune_column, prune_lo, prune_hi)
+    if partition is not None:
+        # partition-scoped UPDATE: tuple-mismatched parts never enter
+        # the match scan; the residual equality folds into the
+        # predicate STRING so the CASE WHEN projection, the match
+        # filter and the CDF pre-image all see one definition
+        keep, _ = _partition_scope(
+            manifest, path, partition, "update_where"
+        )
+        cand = [f for f in cand if keep(f)]
+        predicate = f"({predicate}) AND ({_partition_sql(partition)})"
+
     if not cand:
         return {"updated": 0, "n_rewritten": 0, "n_kept": 0, "version": None}
     dv0 = dv_current(manifest)
@@ -1101,7 +1142,24 @@ def _update_where_once(
             stats.pop(f, None)
         if stats:
             cur["stats"] = stats
-        _publish_commit(path, cur, entry, new_stats, touched)
+        # rewritten outputs inherit a partition tuple only when every
+        # touched input shared one (the partition-scoped case)
+        inherit = _inherited_tuple(cur, touched)
+        new_parts = (
+            {f: list(inherit) for f in new_files} if inherit else None
+        )
+        if cur.get("partitions"):
+            pmap2 = dict(cur["partitions"])
+            for f in touched:
+                pmap2.pop(f, None)
+            pmap2.update(new_parts or {})
+            if pmap2:
+                cur["partitions"] = pmap2
+            else:
+                cur.pop("partitions", None)
+        _publish_commit(
+            path, cur, entry, new_stats, touched, new_parts, touched
+        )
     return {
         "updated": n_updated,
         "n_rewritten": len(touched),
@@ -1381,6 +1439,7 @@ def update_where(
     prune_column: str | None = None,
     prune_lo=None,
     prune_hi=None,
+    partition: dict | None = None,
     write_cdf: bool = True,
     retries: int = 2,
 ) -> dict:
@@ -1396,6 +1455,7 @@ def update_where(
             prune_column=prune_column,
             prune_lo=prune_lo,
             prune_hi=prune_hi,
+            partition=partition,
             write_cdf=write_cdf,
         ),
         retries,

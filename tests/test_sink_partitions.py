@@ -477,3 +477,63 @@ def test_partitioned_streaming_write(reg):
         os.path.basename(f) for f in m["files"]
     }
     assert read_committed_parquet(reg, sink, SCHEMA).count() == 600
+
+
+def test_high_cardinality_partition_key_refused(reg):
+    """Over-partitioning guard: a flush spanning more distinct tuples
+    than PARTITION_MAX_TUPLES_PER_FLUSH refuses loudly (per-row
+    partition keys turn a table into a small-files swamp) — on BOTH
+    writer tiers, before any file lands."""
+    df = reg.range(2000).select(
+        F.col("id"),
+        F.col("id").cast("string").alias("grp"),  # unique per row
+        F.col("id").cast("double").alias("val"),
+    )
+    with pytest.raises(Exception, match="too .*high-cardinality|high-cardinality"):
+        _write(df, _tmp())
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseBatchDataSource,
+    )
+
+    reg.dataSource.register(ClickHouseBatchDataSource)
+    with pytest.raises(Exception, match="high-cardinality"):
+        (
+            df.coalesce(1)
+            .write.format("chbatch")
+            .option("path", _tmp())
+            .option("partitionby", "grp")
+            .option("batchsize", "10000000")
+            .mode("append")
+            .save()
+        )
+
+
+def test_update_where_partition_scoped(reg):
+    from appsflyer_to_clickhouse_spark.sinks.mutations import (
+        update_where,
+    )
+
+    path = _tmp()
+    df = _df(reg)
+    _write(df, path)
+    r = update_where(
+        reg,
+        path,
+        SCHEMA,
+        "id % 5 = 0",
+        {"val": "val + 1000000"},
+        partition={"grp": "2"},
+    )
+    # only the grp=2 part entered the match scan
+    assert r["n_rewritten"] == 1 and r["n_kept"] == 0
+    got = read_committed_parquet(reg, path, SCHEMA)
+    bumped = got.filter("val >= 1000000")
+    exp = df.filter("grp = '2' and id % 5 = 0").count()
+    assert bumped.count() == exp
+    assert bumped.filter("grp <> '2'").count() == 0
+    # rewrite outputs inherited the scoped tuple
+    m = _manifest_read(path)
+    assert set(m["partitions"]) >= {
+        os.path.basename(f) for f in m["files"]
+    }
+    assert len(prune_files(path, "grp", "2", "2")) == 1
