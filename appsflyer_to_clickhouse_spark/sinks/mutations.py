@@ -729,6 +729,7 @@ def _merge_sink_once(
     broadcast_source: bool = True,
     write_cdf: bool = True,
     delete_predicate: str | None = None,
+    partition: dict | None = None,
 ) -> dict:
     """MERGE INTO the manifest sink: WHEN MATCHED UPDATE (the source
     row replaces the target row wholesale), WHEN NOT MATCHED INSERT —
@@ -810,6 +811,32 @@ def _merge_sink_once(
             "same); de-duplicate the source first"
         )
     files = sorted(manifest["files"])
+    if partition is not None:
+        # partition-scoped MERGE (tenant/date-scoped CDC): the target
+        # match scan reads ONLY the partition's parts (+ untupled
+        # parts, conservatively). The CONTRACT this buys its IO bound
+        # with: every source row must belong to the partition — an
+        # out-of-partition source row would silently land as an
+        # INSERT while its real target lives elsewhere, so it is
+        # refused loudly up front (one bounded scan of the small
+        # side).
+        keep, residual = _partition_scope(
+            manifest, path, partition, "merge_sink"
+        )
+        stray = (
+            source_df.filter(~F.coalesce(residual, F.lit(False)))
+            .limit(1)
+            .collect()
+        )
+        if stray:
+            raise ValueError(
+                f"merge_sink at {path}: partition={partition} but the "
+                "source contains out-of-partition rows (e.g. "
+                f"{ {k: stray[0][k] for k in partition} }) — a scoped "
+                "merge would mis-insert them; fix the source or drop "
+                "the partition scope"
+            )
+        files = [f for f in files if keep(f)]
     dv0 = dv_current(manifest)
     target = (
         _scan_with_meta(spark, path, schema, files, dv0)
@@ -922,6 +949,29 @@ def _merge_sink_once(
         next_v = _next_version(history)
         import time as _time
 
+        # adds (rewrites AND inserts) inherit the scoped tuple —
+        # every row in them provably belongs to the partition (the
+        # stray-source check above + touched-part scoping)
+        merge_parts = None
+        if partition is not None and cur.get("partition_cols"):
+            pcols_m = cur["partition_cols"]
+            if all(c in partition for c in pcols_m) and all(
+                not isinstance(partition[c], (list, tuple, set))
+                for c in pcols_m
+            ):
+                from .datasource_sink import _part_cell
+
+                tup = [_part_cell(partition[c]) for c in pcols_m]
+                merge_parts = {f: list(tup) for f in adds}
+        if cur.get("partitions") is not None or merge_parts:
+            pmap2 = dict(cur.get("partitions") or {})
+            for f in touched:
+                pmap2.pop(f, None)
+            pmap2.update(merge_parts or {})
+            if pmap2:
+                cur["partitions"] = pmap2
+            else:
+                cur.pop("partitions", None)
         # matched target rows are REPLACED by one update-row per key
         # (tombstoned keys re-add nothing): counter moves by the
         # exact difference, duplicate-key targets included
@@ -955,7 +1005,10 @@ def _merge_sink_once(
             stats.pop(f, None)
         if stats:
             cur["stats"] = stats
-        _publish_commit(path, cur, entry, new_stats, touched)
+        _publish_commit(
+            path, cur, entry, new_stats, touched,
+            merge_parts, touched,
+        )
     return {
         "updated": n_updated - n_tombstoned,
         "deleted": n_tombstoned,
@@ -1408,6 +1461,7 @@ def merge_sink(
     broadcast_source: bool = True,
     write_cdf: bool = True,
     delete_predicate: str | None = None,
+    partition: dict | None = None,
     retries: int = 2,
 ) -> dict:
     """See ``_merge_sink_once`` for full semantics; this wrapper adds
@@ -1424,6 +1478,7 @@ def merge_sink(
             broadcast_source=broadcast_source,
             write_cdf=write_cdf,
             delete_predicate=delete_predicate,
+            partition=partition,
         ),
         retries,
     )

@@ -356,3 +356,33 @@ def test_commit_log_cost_flat_at_1m_parts_parquet_checkpoint():
     assert t_read < 30.0, t_read
     # amortized fold cost for the 1M-part checkpoint is bounded too
     assert fold_cost < 120.0, fold_cost
+
+
+def test_partition_prune_metadata_speed_at_200k_parts():
+    """By-value partition pruning stays METADATA-SPEED at a 200k-part
+    table (the 100 TB shape: ~500 MB parts): prune_files resolves a
+    one-partition read from manifest tuples alone in well under a
+    second of Python — no file IO, no Spark job — and the selected
+    set is exactly the partition's parts."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        prune_files,
+    )
+
+    tmpdir = tempfile.mkdtemp(prefix="ppscale_")
+    n = 200_000
+    files = [f"part-{i:07d}.parquet" for i in range(n)]
+    manifest = {
+        "files": files,
+        "rows": 0,
+        "batches": n,
+        "history": [{"v": 0, "files": files}],
+        "partition_cols": ["day"],
+        "partitions": {f: [str(i % 365)] for i, f in enumerate(files)},
+    }
+    with open(os.path.join(tmpdir, MANIFEST), "w") as fh:
+        json.dump(manifest, fh)
+    t0 = time.monotonic()
+    kept = prune_files(tmpdir, "day", "17", "17")
+    dt = time.monotonic() - t0  # excludes the one-time manifest parse
+    assert len(kept) == len([i for i in range(n) if i % 365 == 17])
+    assert dt < 2.0, dt

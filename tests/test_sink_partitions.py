@@ -537,3 +537,37 @@ def test_update_where_partition_scoped(reg):
         os.path.basename(f) for f in m["files"]
     }
     assert len(prune_files(path, "grp", "2", "2")) == 1
+
+
+def test_merge_sink_partition_scoped(reg):
+    from appsflyer_to_clickhouse_spark.sinks.mutations import merge_sink
+
+    path = _tmp()
+    df = _df(reg)
+    _write(df, path)
+    # CDC batch scoped to grp=3: one update (existing key) + one insert
+    src = reg.createDataFrame(
+        [(3, "3", 111.0), (999_999, "3", 222.0)], schema=SCHEMA
+    )
+    r = merge_sink(
+        reg, path, SCHEMA, src, keys=["id"], partition={"grp": "3"}
+    )
+    assert r["updated"] == 1 and r["inserted"] == 1
+    # only the grp=3 part entered the match scan
+    assert r["n_rewritten"] == 1
+    got = read_committed_parquet(reg, path, SCHEMA)
+    assert got.count() == 6001
+    assert got.filter("id = 3").first()["val"] == 111.0
+    assert got.filter("id = 999999").first()["val"] == 222.0
+    # adds inherited the scoped tuple: pruning stays exact
+    m = _manifest_read(path)
+    assert set(m["partitions"]) >= {
+        os.path.basename(f) for f in m["files"]
+    }
+    assert len(prune_files(path, "grp", "0", "0")) == 1
+    # out-of-partition source rows refuse loudly
+    bad = reg.createDataFrame([(7, "2", 5.0)], schema=SCHEMA)
+    with pytest.raises(ValueError, match="out-of-partition"):
+        merge_sink(
+            reg, path, SCHEMA, bad, keys=["id"], partition={"grp": "3"}
+        )
