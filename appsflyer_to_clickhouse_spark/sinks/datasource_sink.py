@@ -1225,6 +1225,17 @@ def rename_column(path: str, old: str, new: str) -> dict:
         for spec in (manifest.get("constraints") or {}).values():
             if spec["column"] == old:
                 spec["column"] = new
+        # the partition SPEC follows the rename atomically (it names
+        # the LOGICAL column): tuples are value-addressed so they
+        # carry unchanged, pruning resolves under the new name, and
+        # appends must now pass .option('partitionby', '<new>') —
+        # leaving the old name in the spec would desync every
+        # partition path at once
+        if old in (manifest.get("partition_cols") or ()):
+            manifest["partition_cols"] = [
+                new if c == old else c
+                for c in manifest["partition_cols"]
+            ]
         history = sorted(
             manifest.get("history") or (), key=lambda e: e["v"]
         )

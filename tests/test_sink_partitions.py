@@ -571,3 +571,56 @@ def test_merge_sink_partition_scoped(reg):
         merge_sink(
             reg, path, SCHEMA, bad, keys=["id"], partition={"grp": "3"}
         )
+
+
+def test_rename_partition_column_renames_spec(reg):
+    """RENAME on a partition column moves the SPEC atomically: tuples
+    are value-addressed so they carry unchanged; pruning, appends and
+    partition-scoped DML all speak the new logical name; the old name
+    is refused on append (spec mismatch, as for any divergence)."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        rename_column,
+    )
+
+    path = _tmp()
+    df = _df(reg, 1000)
+    _write(df, path)
+    rename_column(path, "grp", "bucket")
+    m = _manifest_read(path)
+    assert m["partition_cols"] == ["bucket"]
+    # pruning under the new name is exact
+    assert len(prune_files(path, "bucket", "1", "1")) == 1
+    # appends under the new spec work; the old name refuses
+    sc = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("bucket", T.StringType()),
+            T.StructField("val", T.DoubleType()),
+        ]
+    )
+    df2 = reg.range(1000, 1100).select(
+        F.col("id"),
+        (F.col("id") % 4).cast("string").alias("bucket"),
+        (F.col("id") * 1.5).alias("val"),
+    )
+    (
+        df2.coalesce(1)
+        .write.format("chbatch_arrow")
+        .option("path", path)
+        .option("partitionby", "bucket")
+        .option("batchsize", "10000000")
+        .mode("append")
+        .save()
+    )
+    with pytest.raises(Exception, match="refusing to silently diverge"):
+        _write(df, path)  # partitionby="grp": stale spec name
+    got = (
+        reg.read.format("chbatch_arrow")
+        .schema(sc)
+        .option("path", path)
+        .load()
+    )
+    assert got.count() == 1100
+    # drop_partition under the new name hits BOTH generations
+    r = drop_partition(path, {"bucket": "0"})
+    assert r["dropped_parts"] == 2
