@@ -624,3 +624,39 @@ def test_rename_partition_column_renames_spec(reg):
     # drop_partition under the new name hits BOTH generations
     r = drop_partition(path, {"bucket": "0"})
     assert r["dropped_parts"] == 2
+
+
+def test_jsonl_tier_partitioned_write(reg):
+    """The JSONL (chbatch) tier splits flushes by value and records
+    tuples through the same commit path as the Arrow tier."""
+    from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
+        ClickHouseBatchDataSource,
+    )
+
+    reg.dataSource.register(ClickHouseBatchDataSource)
+    path = _tmp()
+    df = _df(reg, 400)
+    (
+        df.coalesce(1)
+        .write.format("chbatch")
+        .option("path", path)
+        .option("partitionby", "grp")
+        .option("batchsize", "10000000")
+        .mode("append")
+        .save()
+    )
+    m = _manifest_read(path)
+    assert m["partition_cols"] == ["grp"]
+    assert len(m["files"]) == 4
+    assert set(m["partitions"]) == {
+        os.path.basename(f) for f in m["files"]
+    }
+    assert len(prune_files(path, "grp", "2", "2")) == 1
+    got = (
+        reg.read.format("chbatch")
+        .schema(SCHEMA)
+        .option("path", path)
+        .load()
+        .filter(F.col("grp") == "2")
+    )
+    assert got.count() == 100
