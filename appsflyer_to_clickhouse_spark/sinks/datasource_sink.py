@@ -2199,11 +2199,13 @@ def _optimize_sink_once(
     OPTIMIZE). ``partition={col: value}`` scopes the whole verb to
     one partition — the production cadence (Delta's ``OPTIMIZE WHERE
     partition``), one bounded rewrite instead of a table-wide one.
-    Parts WITHOUT a tuple (written by pre-partitioning history or a
-    rewrite verb that could not prove a single tuple) compact as
-    their own group and stay untupled — reads keep them
-    conservatively, so this is a pruning-quality matter, never
-    correctness. A live column-rename materialization additionally
+    Parts WITHOUT a tuple (written by a rewrite verb that could not
+    prove a single tuple) are RE-TUPLED: their rows split by value
+    during the rewrite, so OPTIMIZE is the repair verb that restores
+    the by-value layout after mutations degrade it (untupled groups
+    are always selected for exactly this reason — after which
+    drop_partition and exact pruning work again). A live
+    column-rename materialization additionally
     requires every live part to carry a tuple (the alias-resolving
     read is scoped by value) and clears the alias map only when the
     rewrite covered the whole table."""
@@ -2279,14 +2281,32 @@ def _optimize_sink_once(
                 tuple(tup) if tup is not None else None, []
             ).append(f)
         groups = sorted(by.items(), key=lambda kv: repr(kv[0]))
-        if (aliases0 or drops0) and None in by:
-            raise ValueError(
-                f"optimize_sink at {path}: cannot materialize live "
-                f"column renames — {len(by[None])} part(s) carry no "
-                "partition tuple, so the alias-resolving by-value "
-                "read cannot scope them; compact without renames "
-                "first"
-            )
+        if aliases0 or drops0:
+            # the mapping-aware (alias/drop-resolving) group read is
+            # the Data Source with a by-value partitionfilter, which
+            # keeps UNTUPLED parts conservatively — so ANY untupled
+            # live part would be read into some group's outputs while
+            # staying live in the manifest (row duplication). This
+            # must check ALL live parts, not just the selected set: a
+            # partition-SCOPED optimize excludes untupled parts from
+            # its replace set but the scoped read would still sweep
+            # their rows in. Refuse loudly.
+            untupled_live = [
+                f
+                for f in manifest["files"]
+                if os.path.basename(f) not in pmap
+            ]
+            if untupled_live:
+                raise ValueError(
+                    f"optimize_sink at {path}: cannot materialize "
+                    f"live column renames/drops — "
+                    f"{len(untupled_live)} live part(s) carry no "
+                    "partition tuple, so the mapping-resolving "
+                    "by-value read cannot scope them (e.g. "
+                    f"{untupled_live[:2]}); compact without "
+                    "renames/drops first to re-tuple, then "
+                    "materialize"
+                )
     else:
         groups = [(None, old)]
 
@@ -2309,7 +2329,10 @@ def _optimize_sink_once(
         else:
             g_rows = int(manifest.get("rows", 0))
         g_out = max(1, -(-g_rows // target_rows_per_file))
-        if clustering or g_out < len(files):
+        # untupled groups on a partitioned table are ALWAYS selected:
+        # the rewrite is what RE-TUPLES them (see _subjobs), which is
+        # a layout goal in itself even when no bin-packing is due
+        if clustering or g_out < len(files) or (pcols and key is None):
             selected.append((key, files, g_out))
     if not selected:
         return {"replaced": 0, "written": 0, "version": None}
@@ -2360,8 +2383,47 @@ def _optimize_sink_once(
     # stats (and INT96 is deprecated in the parquet spec anyway)
     ts_key = "spark.sql.parquet.outputTimestampType"
     prev_ts = spark.conf.get(ts_key)
-    for key, files, g_out in selected:
-        df = _group_df(key, files)
+
+    def _subjobs(key, files, g_out):
+        """(tuple-or-None, frame, n_out) write jobs for one selected
+        group. An UNTUPLED group on a partitioned table (parts a
+        rewrite verb could not prove a single tuple for) is the one
+        place OPTIMIZE must do real per-value work: its rows are
+        SPLIT BY VALUE — one bounded distinct-count, then one filter
+        job per value — so every output lands with a tuple. This
+        makes OPTIMIZE the RE-TUPLE verb: mutations may untuple,
+        OPTIMIZE restores the by-value layout, drop_partition works
+        again. Cardinality is bounded by the same guard as the
+        writer's."""
+        from pyspark.sql import functions as F
+
+        if key is not None or not pcols:
+            return [(key, _group_df(key, files), g_out)]
+        base = _group_df(None, files)
+        counts = base.groupBy(*pcols).count().collect()
+        _check_partition_cardinality(
+            len(counts), sum(int(r["count"]) for r in counts), pcols
+        )
+        out = []
+        for r in counts:
+            raw = [r[c] for c in pcols]
+            key2 = tuple(_part_cell(v) for v in raw)
+            cond = None
+            for c, v in zip(pcols, raw):
+                cc = (
+                    F.col(c).isNull()
+                    if v is None
+                    else F.col(c) == F.lit(v)
+                )
+                cond = cc if cond is None else cond & cc
+            g2 = max(
+                1, -(-int(r["count"]) // target_rows_per_file)
+            )
+            out.append((key2, base.filter(cond), g2))
+        return out
+
+    for sel_key, sel_files, sel_out in selected:
+      for key, df, g_out in _subjobs(sel_key, sel_files, sel_out):
         if zorder_by:
             # Morton clustering: range-partition and sort on the
             # interleaved-bits key, then drop it (a Project after the

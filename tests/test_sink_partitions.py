@@ -660,3 +660,35 @@ def test_jsonl_tier_partitioned_write(reg):
         .filter(F.col("grp") == "2")
     )
     assert got.count() == 100
+
+
+def test_optimize_retuples_untupled_parts(reg):
+    """OPTIMIZE is the RE-TUPLE verb: an unscoped CoW delete spanning
+    several partitions leaves untupled survivor parts (no single
+    provable tuple); OPTIMIZE splits their rows by value during the
+    rewrite, after which every live part carries a tuple, pruning is
+    exact again, and drop_partition stops refusing."""
+    path = _tmp()
+    df = _df(reg)
+    _write(df, path)
+    # unscoped delete touches every partition -> untupled outputs
+    r = delete_where(reg, path, SCHEMA, "id % 3 = 0")
+    assert r["n_rewritten"] == 4
+    m = _manifest_read(path)
+    live = {os.path.basename(f) for f in m["files"]}
+    untupled = live - set(m.get("partitions") or {})
+    assert untupled, "precondition: the delete must have untupled parts"
+    with pytest.raises(ValueError, match="carry no partition tuple"):
+        drop_partition(path, {"grp": "1"})
+    ro = optimize_sink(reg, path, SCHEMA, target_rows_per_file=1_000_000)
+    assert ro["written"] >= 4
+    m2 = _manifest_read(path)
+    live2 = {os.path.basename(f) for f in m2["files"]}
+    assert live2 <= set(m2["partitions"])  # every live part tupled
+    exp = df.filter("id % 3 <> 0")
+    got = read_committed_parquet(reg, path, SCHEMA)
+    assert got.count() == exp.count()
+    assert len(prune_files(path, "grp", "1", "1")) == 1
+    rd = drop_partition(path, {"grp": "1"})
+    assert rd["dropped_parts"] == 1
+    assert rd["dropped_rows"] == exp.filter("grp = '1'").count()
