@@ -26,6 +26,7 @@ from . import profile_queries  # noqa: E402,F401
 from . import analytics_queries  # noqa: E402,F401
 from . import feature_queries  # noqa: E402,F401
 from . import partition_queries  # noqa: E402,F401
+from . import skipping_queries  # noqa: E402,F401
 
 # Registration ORDER is load-bearing: external correctness sweeps check
 # the FIRST 50 registered queries, so the graded surface — SURVEY.md §2

@@ -209,7 +209,9 @@ def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
                  "last_batch_id": n, "stream_id": s},   # all optional
          "stats_add": {fname: colstats}, "stats_drop": [fname, ...],
          "partitions_add": {fname: [v, ...]},
-         "partitions_drop": [fname, ...]}
+         "partitions_drop": [fname, ...],
+         "blooms_add": {fname: {col: ref}},
+         "blooms_drop": [fname, ...]}
 
     Entry effects mirror ``_manifest_files``/``dv_for_version``:
     ``files`` add, ``removes`` subtract (and drop those parts'
@@ -268,6 +270,7 @@ def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
         else:
             state.pop("stats", None)
         _apply_partitions(state, record)
+        _apply_blooms(state, record)
         dv = {k: v for k, v in dv.items() if dv_len(v)}
         if dv:
             state["dv"] = dv
@@ -287,6 +290,7 @@ def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
         else:
             state.pop("stats", None)
         _apply_partitions(state, record)
+        _apply_blooms(state, record)
     s = record.get("set") or {}
     for key in (
         "rows",
@@ -324,6 +328,24 @@ def _apply_partitions(state: dict, record: dict) -> None:
         state["partitions"] = parts
     else:
         state.pop("partitions", None)
+
+
+def _apply_blooms(state: dict, record: dict) -> None:
+    """Fold a record's bloom-index delta ({fname: {col: ref}}) — same
+    hygiene as stats/partition tuples: added with the part, dropped
+    only via an explicit ``blooms_drop``."""
+    add = record.get("blooms_add")
+    drop = record.get("blooms_drop")
+    if not add and not drop:
+        return
+    blooms = dict(state.get("blooms") or {})
+    blooms.update(add or {})
+    for f in drop or ():
+        blooms.pop(f, None)
+    if blooms:
+        state["blooms"] = blooms
+    else:
+        state.pop("blooms", None)
 
 
 def read_state(path: str) -> dict:
@@ -425,6 +447,22 @@ def _read_state_once(path: str) -> dict:
             }
             if parts:
                 state["partitions"] = parts
+        if "bloom" in t_main.schema.names:
+            bloom_vals = json.loads(
+                "["
+                + ",".join(
+                    b or "null"
+                    for b in t_main.column("bloom").to_pylist()
+                )
+                + "]"
+            )
+            bmap = {
+                nm: bv
+                for nm, bv in zip(names, bloom_vals)
+                if bv is not None
+            }
+            if bmap:
+                state["blooms"] = bmap
         if t_hist is not None and t_hist.num_rows:
             # restore the spilled O(parts) history lists onto their
             # slimmed entries (lists_ckpt marker)
@@ -529,6 +567,7 @@ def fold_pending_locked(path: str) -> int:
         stats = state.pop("stats", {}) or {}
         files = state.pop("files", [])
         partitions = state.pop("partitions", {}) or {}
+        blooms = state.pop("blooms", {}) or {}
         # rows = current files ∪ stats/tuple-only names (replaced
         # parts keep their stats and partition tuple for old-version
         # pruning — the `live` flag says which rows are in the
@@ -537,7 +576,7 @@ def fold_pending_locked(path: str) -> int:
         names = [
             *files,
             *sorted(
-                (set(stats) | set(partitions)) - fset
+                (set(stats) | set(partitions) | set(blooms)) - fset
             ),
         ]
         # HISTORY entries whose file lists are part-scale (a
@@ -598,6 +637,16 @@ def fold_pending_locked(path: str) -> int:
                         [
                             json.dumps(partitions[f])
                             if f in partitions
+                            else None
+                            for f in names
+                        ]
+                        + [None] * len(hist_names),
+                        pa.string(),
+                    ),
+                    "bloom": pa.array(
+                        [
+                            json.dumps(blooms[f])
+                            if f in blooms
                             else None
                             for f in names
                         ]

@@ -208,6 +208,7 @@ class _PartCommit(WriterCommitMessage):
         batches: int,
         stats: dict | None = None,
         parts: dict | None = None,
+        blooms: dict | None = None,
     ):
         self.files = files
         self.rows = rows
@@ -223,6 +224,11 @@ class _PartCommit(WriterCommitMessage):
         # exactly ONE partition value combination (VERDICT r8 task 1;
         # Delta/Iceberg partition values in the add action)
         self.parts = parts
+        # per-file bloom-index refs ({fname: {col: sidecar ref}}) when
+        # the writer ran with .option("bloomfilter", ...) — the
+        # point-lookup skipping tier (VERDICT r9 task 1;
+        # sinks/bloom_index.py)
+        self.blooms = blooms
 
 
 def _stat_cell(v):
@@ -641,6 +647,9 @@ class _BatchWriter(DataSourceWriter):
         self._txn_app, self._txn_version = _parse_txn(options)
         self._commitlog = _parse_commitlog(options)
         self._partitionby = _parse_partitionby(options)
+        from .bloom_index import parse_bloom_options
+
+        self._bloom = parse_bloom_options(options)
 
     # -- executor side ----------------------------------------------------
     def write(self, rows: Iterator) -> _PartCommit:
@@ -648,7 +657,9 @@ class _BatchWriter(DataSourceWriter):
         files: list[str] = []
         stats: dict = {}
         parts: dict = {}
+        blooms: dict = {}
         pby = getattr(self, "_partitionby", None)
+        bloom_cfg = getattr(self, "_bloom", None)
         buf: list[dict] = []
         n = 0
 
@@ -661,6 +672,14 @@ class _BatchWriter(DataSourceWriter):
             stats[fname] = _rows_stats(rows_out, self._cols)
             if key is not None:
                 parts[fname] = list(key)
+            if bloom_cfg is not None:
+                from .bloom_index import blooms_for_rows
+
+                refs = blooms_for_rows(
+                    self._path, rows_out, bloom_cfg[0], bloom_cfg[1]
+                )
+                if refs:
+                    blooms[fname] = refs
 
         def _flush() -> None:
             # the per-batch INSERT a CH/JDBC client sends; offline it
@@ -685,18 +704,23 @@ class _BatchWriter(DataSourceWriter):
             if len(buf) >= self._batch:
                 _flush()
         _flush()
-        return _PartCommit(files, n, len(files), stats, parts or None)
+        return _PartCommit(
+            files, n, len(files), stats, parts or None, blooms or None
+        )
 
     # -- driver side -------------------------------------------------------
     def commit(self, messages: list[_PartCommit]) -> None:
         new_files = sorted(f for m in messages for f in m.files)
         new_stats: dict = {}
         new_parts: dict = {}
+        new_blooms: dict = {}
         for m in messages:
             if getattr(m, "stats", None):
                 new_stats.update(m.stats)
             if getattr(m, "parts", None):
                 new_parts.update(m.parts)
+            if getattr(m, "blooms", None):
+                new_blooms.update(m.blooms)
         pby = getattr(self, "_partitionby", None)
         manifest = {
             "files": new_files,
@@ -722,6 +746,8 @@ class _BatchWriter(DataSourceWriter):
         }
         if new_stats:
             manifest["stats"] = new_stats
+        if new_blooms:
+            manifest["blooms"] = new_blooms
         if pby:
             manifest["partition_cols"] = pby
             if new_parts:
@@ -764,6 +790,14 @@ class _BatchWriter(DataSourceWriter):
                         for f in new_files:
                             with contextlib.suppress(OSError):
                                 os.remove(os.path.join(self._path, f))
+                        for refs in new_blooms.values():
+                            for r in refs.values():
+                                with contextlib.suppress(OSError):
+                                    os.remove(
+                                        os.path.join(
+                                            self._path, r["sidecar"]
+                                        )
+                                    )
                         return
                 _enforce_constraints(prev, new_stats, new_files, self._path)
                 _check_partition_spec(prev, pby, self._path, new_files)
@@ -786,6 +820,8 @@ class _BatchWriter(DataSourceWriter):
                         record["stats_add"] = new_stats
                     if new_parts:
                         record["partitions_add"] = new_parts
+                    if new_blooms:
+                        record["blooms_add"] = new_blooms
                     if pby and prev.get("partition_cols") != pby:
                         record["set"]["partition_cols"] = pby
                     if txn_app is not None:
@@ -814,6 +850,14 @@ class _BatchWriter(DataSourceWriter):
                     }
                     if merged_parts:
                         manifest["partitions"] = merged_parts
+                # bloom refs merge like stats: earlier parts keep
+                # theirs even when this writer ran without the option
+                merged_blooms = {
+                    **(prev.get("blooms") or {}),
+                    **new_blooms,
+                }
+                if merged_blooms:
+                    manifest["blooms"] = merged_blooms
                 # table-level metadata survives every append: the txn
                 # high-water map, live deletion vectors (dropping them
                 # would RESURRECT deleted rows), and constraints
@@ -855,6 +899,12 @@ class _BatchWriter(DataSourceWriter):
                     os.remove(os.path.join(self._path, f))
                 except OSError:
                     pass
+            for refs in (getattr(m, "blooms", None) or {}).values():
+                for r in refs.values():
+                    with contextlib.suppress(OSError):
+                        os.remove(
+                            os.path.join(self._path, r["sidecar"])
+                        )
 
 
 def _extend_history(prev: dict, new_files: list[str]) -> list[dict]:
@@ -1513,9 +1563,30 @@ def clone_sink(src: str, dst: str) -> dict:
         "txns",
         "partitions",
         "partition_cols",
+        "blooms",
     ):
         if src_manifest.get(carry):
             manifest[carry] = src_manifest[carry]
+    if manifest.get("blooms"):
+        # bloom sidecar names resolve against the READING table's
+        # directory exactly like dv sidecars — absolutize against the
+        # source or every cloned point-lookup probe would miss the
+        # bitmap (conservative keep, silent skipping loss) or read a
+        # wrong same-named local file
+        manifest["blooms"] = {
+            part: {
+                col: (
+                    r
+                    if os.path.isabs(r["sidecar"])
+                    else {
+                        **r,
+                        "sidecar": os.path.join(src_abs, r["sidecar"]),
+                    }
+                )
+                for col, r in refs.items()
+            }
+            for part, refs in manifest["blooms"].items()
+        }
     if manifest.get("dv"):
         # sidecar VALUES are bare filenames resolved against the
         # READING table's directory (dv_resolve_np / _dv_spec do
@@ -1904,6 +1975,12 @@ def vacuum_sink(
                     yield val["sidecar"]
 
         referenced.update(_dv_refs(manifest.get("dv")))
+        # bloom sidecars are referenced while their (live or replaced)
+        # part still has a manifest entry — the entry drops with the
+        # part's stats, after which the .bin reaps here like any orphan
+        for refs in (manifest.get("blooms") or {}).values():
+            for r in refs.values():
+                referenced.add(r["sidecar"])
         for e in manifest.get("history") or ():
             referenced.update(e["files"])
             referenced.update(e.get("cdf_files") or ())
@@ -1915,7 +1992,10 @@ def vacuum_sink(
             if not (
                 name.startswith(("part-", "cdf-"))
                 and name.rsplit(".", 1)[-1] in ("jsonl", "parquet")
-            ) and not (name.startswith("dv-") and name.endswith(".bin")):
+            ) and not (
+                name.startswith(("dv-", "bloom-"))
+                and name.endswith(".bin")
+            ):
                 continue  # manifest, lock, foreign files: never touched
             if name in referenced:
                 continue
@@ -1930,13 +2010,31 @@ def vacuum_sink(
                 pass  # already gone (concurrent abort): that's the goal
         if dry_run:
             return removed
-        # a vacuumed part's stats are dead metadata — drop them so the
-        # manifest doesn't accrete entries for files that no longer
-        # exist (the lock is already held)
+        # a vacuumed part's stats/bloom refs are dead metadata — drop
+        # them so the manifest doesn't accrete entries for files that
+        # no longer exist (the lock is already held). A dropped bloom
+        # entry's sidecar goes in the SAME sweep (it just lost its
+        # last reference).
         stats = manifest.get("stats")
+        blooms = manifest.get("blooms")
+        dirty = False
         if stats and any(n in stats for n in removed):
             for n in removed:
                 stats.pop(n, None)
+            dirty = True
+        if blooms and any(n in blooms for n in removed):
+            for n in removed:
+                refs = blooms.pop(n, None)
+                for r in (refs or {}).values():
+                    side = r["sidecar"]
+                    if not os.path.isabs(side):
+                        with contextlib.suppress(OSError):
+                            os.remove(os.path.join(path, side))
+                        removed.append(side)
+            if not blooms:
+                manifest.pop("blooms", None)
+            dirty = True
+        if dirty:
             mpath = os.path.join(path, MANIFEST)
             tmp = mpath + ".tmp"
             with open(tmp, "w") as fh:
@@ -2702,7 +2800,16 @@ def prune_files(
     construction (each partitioned part holds one value), independent
     of write interleaving that degenerates min/max stats to keep-all.
     A part without a tuple (pre-partitioning history) falls through
-    to the stats check."""
+    to the stats check.
+
+    BLOOM pruning runs on POINT LOOKUPS (``lo == hi``, VERDICT r9
+    task 1): a part that survived the range layers but carries a
+    bloom ref for ``column`` (written via ``.option("bloomfilter",
+    ...)``; sinks/bloom_index.py) is additionally membership-probed —
+    a bloom miss is a proof of absence, so the part prunes exactly
+    where min/max degenerate (high-cardinality keys whose every part
+    spans the full range: the reference's own dedup probe shape,
+    main.py:172-180). Parts without a ref are kept; a hit keeps."""
     manifest = _manifest_read(path)
     stats = manifest.get("stats") or {}
     pcols = manifest.get("partition_cols") or []
@@ -2725,6 +2832,20 @@ def prune_files(
     lo_k, hi_k = _stat_cell(lo), _stat_cell(hi)
     if lo_k is _STAT_UNSAFE or hi_k is _STAT_UNSAFE:
         raise ValueError("NaN is not a meaningful pruning bound")
+    blooms = manifest.get("blooms") or {}
+    point = lo is not None and lo_k == hi_k
+
+    def _bloom_keeps(name: str) -> bool:
+        if not point or not blooms:
+            return True
+        refs = blooms.get(os.path.basename(name)) or {}
+        ref = next((refs[c] for c in lookup if c in refs), None)
+        if ref is None:
+            return True
+        from .bloom_index import might_contain
+
+        return might_contain(path, ref, lo)
+
     keep: list[str] = []
     for name in names:
         if p_idx is not None:
@@ -2744,7 +2865,8 @@ def prune_files(
             (fstats[c] for c in lookup if c in fstats), None
         )
         if st is None:
-            keep.append(name)  # unknown: conservative
+            if _bloom_keeps(name):
+                keep.append(name)  # unknown stats: conservative
             continue
         mn, mx = st["min"], st["max"]
         if mn is None:  # stats known AND all-null: range can't match
@@ -2753,7 +2875,8 @@ def prune_files(
             continue
         if hi_k is not None and mn > hi_k:
             continue
-        keep.append(name)
+        if _bloom_keeps(name):
+            keep.append(name)
     return keep
 
 
@@ -3140,6 +3263,9 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
         self._txn_app, self._txn_version = _parse_txn(options)
         self._commitlog = _parse_commitlog(options)
         self._partitionby = _parse_partitionby(options)
+        from .bloom_index import parse_bloom_options
+
+        self._bloom = parse_bloom_options(options)
 
     def write(self, batches) -> _PartCommit:
         import pyarrow as pa
@@ -3149,7 +3275,9 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
         files: list[str] = []
         stats: dict = {}
         parts: dict = {}
+        blooms: dict = {}
         pby = getattr(self, "_partitionby", None)
+        bloom_cfg = getattr(self, "_bloom", None)
         pending: list = []
         pend_rows = 0
         n = 0
@@ -3163,6 +3291,14 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
             stats[fname] = _arrow_table_stats(table)
             if key is not None:
                 parts[fname] = list(key)
+            if bloom_cfg is not None:
+                from .bloom_index import blooms_for_table
+
+                refs = blooms_for_table(
+                    self._path, table, bloom_cfg[0], bloom_cfg[1]
+                )
+                if refs:
+                    blooms[fname] = refs
 
         def _flush() -> None:
             nonlocal pend_rows
@@ -3187,7 +3323,9 @@ class _ArrowBatchWriter(DataSourceArrowWriter):
             if pend_rows >= self._batch:
                 _flush()
         _flush()
-        return _PartCommit(files, n, len(files), stats, parts or None)
+        return _PartCommit(
+            files, n, len(files), stats, parts or None, blooms or None
+        )
 
     def commit(self, messages: list[_PartCommit]) -> None:
         _BatchWriter.commit(self, messages)  # same manifest protocol
@@ -3237,6 +3375,17 @@ from pyspark.sql.datasource import (  # noqa: E402
 )
 
 
+def _drop_message_blooms(path: str, messages: list) -> None:
+    """Remove the bloom sidecars a dropped (replayed/regressed) commit
+    wrote — they were never published, so leaving them would accrete
+    permanent orphans exactly like the parts themselves."""
+    for m in messages:
+        for refs in (getattr(m, "blooms", None) or {}).values():
+            for r in refs.values():
+                with contextlib.suppress(OSError):
+                    os.remove(os.path.join(path, r["sidecar"]))
+
+
 class _StreamBatchWriter(DataSourceStreamWriter):
     """STREAMING tier of the batched-INSERT sink —
     ``df.writeStream.format("chbatch")`` routes each micro-batch
@@ -3282,6 +3431,9 @@ class _StreamBatchWriter(DataSourceStreamWriter):
         self._stream_id = options.get("checkpointlocation")
         self._commitlog = _parse_commitlog(options)
         self._partitionby = _parse_partitionby(options)
+        from .bloom_index import parse_bloom_options
+
+        self._bloom = parse_bloom_options(options)
 
     # -- executor side: identical flush cadence to the batch tier ---------
     def write(self, rows: Iterator) -> _PartCommit:
@@ -3340,6 +3492,7 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                             os.remove(os.path.join(self._path, f))
                         except OSError:
                             pass
+                    _drop_message_blooms(self._path, messages)
                     raise ValueError(
                         f"chbatch stream sink at {self._path}: batchId "
                         f"{batchId} regressed below committed "
@@ -3356,6 +3509,7 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                         os.remove(os.path.join(self._path, f))
                     except OSError:
                         pass
+                _drop_message_blooms(self._path, messages)
                 if self._stream_id is None or prev_id is None:
                     # UNKNOWN lineage: this drop is the conservative
                     # guess (a dirty-restart replay is far likelier
@@ -3385,11 +3539,14 @@ class _StreamBatchWriter(DataSourceStreamWriter):
             # sees it as unknown rather than trusting a guessed id).
             pre_stats: dict = {}
             pre_parts: dict = {}
+            pre_blooms: dict = {}
             for m in messages:
                 if m is not None and getattr(m, "stats", None):
                     pre_stats.update(m.stats)
                 if m is not None and getattr(m, "parts", None):
                     pre_parts.update(m.parts)
+                if m is not None and getattr(m, "blooms", None):
+                    pre_blooms.update(m.blooms)
             pby = getattr(self, "_partitionby", None)
             _enforce_constraints(prev, pre_stats, new_files, self._path)
             _check_partition_spec(prev, pby, self._path, new_files)
@@ -3418,6 +3575,8 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                     record["stats_add"] = pre_stats
                 if pre_parts:
                     record["partitions_add"] = pre_parts
+                if pre_blooms:
+                    record["blooms_add"] = pre_blooms
                 if pby and prev.get("partition_cols") != pby:
                     record["set"]["partition_cols"] = pby
                 if self._stream_id is not None:
@@ -3452,6 +3611,12 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                 }
                 if merged_parts:
                     manifest["partitions"] = merged_parts
+            merged_blooms = {
+                **(prev.get("blooms") or {}),
+                **pre_blooms,
+            }
+            if merged_blooms:
+                manifest["blooms"] = merged_blooms
             # table-level metadata survives every micro-batch commit
             # (dropping dv would resurrect deleted rows)
             for carry in (
@@ -3477,6 +3642,7 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                     os.remove(os.path.join(self._path, f))
                 except OSError:
                     pass
+        _drop_message_blooms(self._path, messages)
 
 
 class _StreamArrowBatchWriter(DataSourceStreamArrowWriter):
@@ -3499,6 +3665,9 @@ class _StreamArrowBatchWriter(DataSourceStreamArrowWriter):
         self._stream_id = options.get("checkpointlocation")
         self._commitlog = _parse_commitlog(options)
         self._partitionby = _parse_partitionby(options)
+        from .bloom_index import parse_bloom_options
+
+        self._bloom = parse_bloom_options(options)
 
     def write(self, iterator) -> _PartCommit:
         return _ArrowBatchWriter.write(self, iterator)

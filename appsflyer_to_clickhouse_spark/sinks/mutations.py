@@ -199,15 +199,32 @@ def _publish_commit(
     hand-updated by the caller exactly as before); commit-log mode
     writes ONE O(delta) record — the history entry plus the new
     parts' stats/partition tuples and the dropped keys — so DML cost
-    never scales with table size (sinks/commit_log.py)."""
+    never scales with table size (sinks/commit_log.py).
+
+    Bloom-index hygiene rides ``stats_drop``: a rewritten/dropped
+    part's bitmap describes bytes that left the snapshot, and the
+    rewrite verbs never recompute filters (the writer tiers own
+    that), so the ref drops with the stats — uniformly here rather
+    than at every verb."""
     from . import commit_log
 
+    if stats_drop and cur.get("blooms"):
+        bmap = dict(cur["blooms"])
+        for b in stats_drop:
+            bmap.pop(os.path.basename(b), None)
+        if bmap:
+            cur["blooms"] = bmap
+        else:
+            cur.pop("blooms", None)
     if commit_log.log_enabled(path):
         record: dict = {"entry": entry}
         if stats_add:
             record["stats_add"] = stats_add
         if stats_drop:
             record["stats_drop"] = list(stats_drop)
+            record["blooms_drop"] = [
+                os.path.basename(b) for b in stats_drop
+            ]
         if partitions_add:
             record["partitions_add"] = partitions_add
         if partitions_drop:

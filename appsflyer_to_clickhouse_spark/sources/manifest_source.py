@@ -41,6 +41,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     IsNotNull,
     IsNull,
@@ -418,6 +419,14 @@ def _file_survives(st: dict | None, flt) -> bool:
         return False
     from ..sinks.datasource_sink import _STAT_UNSAFE, _stat_cell
 
+    if isinstance(flt, In):
+        vs = [_stat_cell(v) for v in flt.value]
+        if any(v is _STAT_UNSAFE for v in vs):
+            return True  # NaN literal: leave it to Spark
+        # the file survives iff ANY listed value could be inside
+        return any(
+            v is not None and mn <= v <= mx for v in vs
+        ) or all(v is None for v in vs)
     v = _stat_cell(flt.value)
     if v is None or v is _STAT_UNSAFE:
         return True  # NULL/NaN literal: leave it to Spark
@@ -447,6 +456,11 @@ def _tuple_survives(v, flt) -> bool:
         return False  # range/equality never match NULL
     from ..sinks.datasource_sink import _STAT_UNSAFE, _stat_cell
 
+    if isinstance(flt, In):
+        vs = [_stat_cell(b) for b in flt.value]
+        if any(b is _STAT_UNSAFE for b in vs):
+            return True  # NaN literal: leave it to Spark
+        return v in vs
     b = _stat_cell(flt.value)
     if b is None or b is _STAT_UNSAFE:
         return True  # NULL/NaN literal: leave it to Spark
@@ -470,13 +484,17 @@ def _prune_names(
     aliases: tuple = (),
     pcols: tuple = (),
     partitions: dict | None = None,
+    blooms: dict | None = None,
+    path: str | None = None,
 ) -> list[str]:
     amap = dict(aliases or ())
     partitions = partitions or {}
+    blooms = blooms or {}
     keep = []
     for name in names:
         fstats = stats.get(name) or {}
         tup = partitions.get(name)
+        brefs = blooms.get(name) or {}
         ok = True
         for flt in filters:
             col = flt.attribute[0]
@@ -502,6 +520,36 @@ def _prune_names(
             if not _file_survives(st, flt):
                 ok = False
                 break
+            # bloom tier (VERDICT r9 task 1): equality/IN probes
+            # against the part's stored bitmap prune exactly where
+            # min/max keep everything (high-cardinality point
+            # lookups). Runs AFTER the free checks so sidecar IO is
+            # paid only for parts the range layers kept.
+            if brefs and path is not None and isinstance(
+                flt, (EqualTo, In)
+            ):
+                ref = brefs.get(col) or next(
+                    (
+                        brefs[a]
+                        for a in amap.get(col, ())
+                        if a in brefs
+                    ),
+                    None,
+                )
+                if ref is not None:
+                    from ..sinks.bloom_index import (
+                        might_contain,
+                        might_contain_any,
+                    )
+
+                    hit = (
+                        might_contain_any(path, ref, flt.value)
+                        if isinstance(flt, In)
+                        else might_contain(path, ref, flt.value)
+                    )
+                    if not hit:
+                        ok = False
+                        break
         if ok:
             keep.append(name)
     return keep
@@ -513,6 +561,7 @@ _PUSHABLE = (
     GreaterThanOrEqual,
     LessThan,
     LessThanOrEqual,
+    In,
     IsNull,
     IsNotNull,
 )
@@ -608,6 +657,8 @@ class ManifestBatchReader(DataSourceReader):
                     aliases,
                     pcols,
                     partitions,
+                    manifest.get("blooms"),
+                    self._path,
                 )
             )
             fulls = [p for p in fulls if os.path.basename(p) in keep]
