@@ -2418,7 +2418,7 @@ def _optimize_sink_once(
     # per-group compaction decision (bin-packing unless clustering
     # forces the rewrite); group row counts come from parquet footers
     # minus dv — bounded metadata reads, no data pages
-    selected: list[tuple[tuple | None, list[str], int]] = []
+    selected: list[tuple[tuple | None, list[str], int, int]] = []
     for key, files in groups:
         if not files:
             continue
@@ -2428,13 +2428,13 @@ def _optimize_sink_once(
             g_rows = int(manifest.get("rows", 0))
         g_out = max(1, -(-g_rows // target_rows_per_file))
         # untupled groups on a partitioned table are ALWAYS selected:
-        # the rewrite is what RE-TUPLES them (see _subjobs), which is
+        # the rewrite is what RE-TUPLES them (see _retuple_group),
         # a layout goal in itself even when no bin-packing is due
         if clustering or g_out < len(files) or (pcols and key is None):
-            selected.append((key, files, g_out))
+            selected.append((key, files, g_out, g_rows))
     if not selected:
         return {"replaced": 0, "written": 0, "version": None}
-    old = sorted(f for _, files, _ in selected for f in files)
+    old = sorted(f for _, files, _, _ in selected for f in files)
     old_basenames = {os.path.basename(f) for f in old}
     ds_read = bool(aliases0) or bool(drops0)
     if ds_read:
@@ -2482,46 +2482,93 @@ def _optimize_sink_once(
     ts_key = "spark.sql.parquet.outputTimestampType"
     prev_ts = spark.conf.get(ts_key)
 
-    def _subjobs(key, files, g_out):
-        """(tuple-or-None, frame, n_out) write jobs for one selected
-        group. An UNTUPLED group on a partitioned table (parts a
-        rewrite verb could not prove a single tuple for) is the one
-        place OPTIMIZE must do real per-value work: its rows are
-        SPLIT BY VALUE — one bounded distinct-count, then one filter
-        job per value — so every output lands with a tuple. This
-        makes OPTIMIZE the RE-TUPLE verb: mutations may untuple,
-        OPTIMIZE restores the by-value layout, drop_partition works
-        again. Cardinality is bounded by the same guard as the
-        writer's."""
+    def _retuple_group(files, g_rows) -> None:
+        """ONE shuffle-by-value write for an UNTUPLED group on a
+        partitioned table (parts a rewrite verb could not prove a
+        single tuple for): the rows are SPLIT BY VALUE so every
+        output lands with a tuple — OPTIMIZE is the RE-TUPLE verb
+        (mutations may untuple, OPTIMIZE restores the by-value
+        layout, drop_partition works again).
+
+        Shape (VERDICT r9 task 4): exactly TWO jobs regardless of
+        value cardinality — one bounded distinct-count (the same
+        over-partitioning guard as the writer tiers, refused BEFORE
+        the rewrite) and one shuffle-by-value write where
+        ``partitionBy`` on shadow columns makes each output file
+        value-pure and ``maxRecordsPerFile`` rolls big values at the
+        target — replacing the one-filter-job-per-value loop (up to
+        1,024 jobs over the same group). Each staged file's tuple is
+        recovered from its own first rows (a bounded column-chunk
+        read per output; footer min/max can't be used — string stats
+        may be truncated), so the recorded tuples are exact at any
+        partition type."""
         from pyspark.sql import functions as F
 
-        if key is not None or not pcols:
-            return [(key, _group_df(key, files), g_out)]
         base = _group_df(None, files)
-        counts = base.groupBy(*pcols).count().collect()
-        _check_partition_cardinality(
-            len(counts), sum(int(r["count"]) for r in counts), pcols
-        )
-        out = []
-        for r in counts:
-            raw = [r[c] for c in pcols]
-            key2 = tuple(_part_cell(v) for v in raw)
-            cond = None
-            for c, v in zip(pcols, raw):
-                cc = (
-                    F.col(c).isNull()
-                    if v is None
-                    else F.col(c) == F.lit(v)
+        n_tuples = base.select(*pcols).distinct().count()
+        _check_partition_cardinality(n_tuples, g_rows, pcols)
+        work = base
+        sort_cols: list[str] = []
+        if zorder_by:
+            work = _zorder_column(work, zorder_by)
+            sort_cols = ["_zorder_key"]
+        elif sort_by:
+            sort_cols = list(sort_by)
+        # hash-shuffle by the partition tuple: every value's rows land
+        # in one task (no per-task fan-out into per-value small files)
+        work = work.repartition(*[F.col(c) for c in pcols])
+        if sort_cols:
+            work = work.sortWithinPartitions(*pcols, *sort_cols)
+        if zorder_by:
+            work = work.drop("_zorder_key")
+        # partitionBy would strip its key columns from the data files,
+        # and the manifest protocol stores partition values IN the
+        # rows — split on shadow copies instead
+        tmp_cols = [f"_retuple_{c}" for c in pcols]
+        for c, tc in zip(pcols, tmp_cols):
+            work = work.withColumn(tc, F.col(c))
+        staging = os.path.join(path, f"_optimize_{uuid.uuid4().hex}")
+        spark.conf.set(ts_key, "TIMESTAMP_MICROS")
+        try:
+            (
+                work.write.mode("overwrite")
+                .option(
+                    "maxRecordsPerFile", str(target_rows_per_file)
                 )
-                cond = cc if cond is None else cond & cc
-            g2 = max(
-                1, -(-int(r["count"]) // target_rows_per_file)
+                .partitionBy(*tmp_cols)
+                .parquet(staging)
             )
-            out.append((key2, base.filter(cond), g2))
-        return out
+        finally:
+            spark.conf.set(ts_key, prev_ts)
+        import pyarrow.parquet as _pq
 
-    for sel_key, sel_files, sel_out in selected:
-      for key, df, g_out in _subjobs(sel_key, sel_files, sel_out):
+        try:
+            for root, _dirs, names in os.walk(staging):
+                for name in sorted(names):
+                    if not name.endswith(".parquet"):
+                        continue
+                    full = os.path.join(root, name)
+                    pf = _pq.ParquetFile(full)
+                    if pf.metadata.num_rows == 0:
+                        continue
+                    first = pf.read_row_group(0, columns=list(pcols))
+                    key2 = tuple(
+                        _part_cell(first.column(c)[0].as_py())
+                        for c in pcols
+                    )
+                    nf = f"part-{uuid.uuid4().hex}.parquet"
+                    os.rename(full, os.path.join(path, nf))
+                    new_files.append(nf)
+                    new_parts[nf] = list(key2)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    for sel_key, sel_files, g_out, sel_rows in selected:
+        if sel_key is None and pcols:
+            _retuple_group(sel_files, sel_rows)
+            continue
+        key = sel_key
+        df = _group_df(key, sel_files)
         if zorder_by:
             # Morton clustering: range-partition and sort on the
             # interleaved-bits key, then drop it (a Project after the

@@ -692,3 +692,41 @@ def test_optimize_retuples_untupled_parts(reg):
     rd = drop_partition(path, {"grp": "1"})
     assert rd["dropped_parts"] == 1
     assert rd["dropped_rows"] == exp.filter("grp = '1'").count()
+
+
+def test_retuple_is_constant_job_count(reg):
+    """The re-tuple rewrite is ONE shuffle-by-value write, not a
+    filter job per value (VERDICT r9 task 4): a 100-value untupled
+    group re-tuples in a CONSTANT number of Spark jobs — the bounded
+    cardinality-guard count plus the partitionBy write (AQE splits
+    each into a couple of scheduler jobs; the pre-r10 shape was ~101
+    jobs here and scaled with the value count). Exactness of the
+    re-tupled layout is pinned alongside."""
+    path = _tmp()
+    _write(_df(reg, n=10_000, mod=100), path)
+    # unscoped CoW delete across all 100 values -> untupled outputs
+    delete_where(reg, path, SCHEMA, "id % 7 = 0", write_cdf=False)
+    m = _manifest_read(path)
+    untupled = {os.path.basename(f) for f in m["files"]} - set(
+        m.get("partitions") or {}
+    )
+    assert untupled, "precondition: the delete must untuple parts"
+    sc = reg.sparkContext
+    sc.setJobGroup("retuple-jobcount", "pin")
+    try:
+        r = optimize_sink(reg, path, SCHEMA, target_rows_per_file=10**6)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("retuple-jobcount")
+    assert len(jobs) <= 6, (
+        f"re-tuple of a 100-value group ran {len(jobs)} jobs — the "
+        "one-pass shape regressed toward per-value jobs"
+    )
+    assert r["written"] == 100
+    m2 = _manifest_read(path)
+    live = {os.path.basename(f) for f in m2["files"]}
+    assert live <= set(m2["partitions"])  # every live part tupled
+    assert len(prune_files(path, "grp", "42", "42")) == 1
+    got = read_committed_parquet(reg, path, SCHEMA)
+    assert got.count() == 10_000 - len(range(0, 10_000, 7))
+    assert got.filter("grp = '42'").count() == 100 - 15
