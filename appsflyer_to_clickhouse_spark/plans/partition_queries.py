@@ -234,3 +234,135 @@ def q_stream_partition_tail(spark, sf_dir):
     )
     q.awaitTermination()
     return spark.read.schema(schema).parquet(out_dir)
+
+
+@register(
+    "sink_partition_evolve",
+    """
+    SELECT event_id, user_id, event_type, CAST(ts AS DATE) AS day,
+           CAST(2 AS BIGINT) AS n_old_kept,
+           CAST(2 AS BIGINT) AS n_new_kept,
+           (SELECT COUNT(*) FROM events WHERE event_id % 4 < 2)
+             AS n_rows_v1
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+)
+def q_sink_partition_evolve(spark, sf_dir):
+    """PARTITION SPEC EVOLUTION (datasource_sink.evolve_partition_spec
+    — Iceberg's evolve-spec as one metadata commit, VERDICT r9 task
+    2): two appends land partitioned by event_type (gen A), the spec
+    evolves to day with ZERO data files touched, two more appends
+    land by day (gen B). Graded, all in the value hash:
+
+    - every purchase row across BOTH generations through the Data
+      Source reader (a reader that loses either generation, or
+      double-reads re-keyed tuples, hash-mismatches);
+    - ``n_old_kept`` — a point probe on the OLD key still prunes the
+      gen-A parts to exactly its 2 matching parts (their re-keyed
+      dict tuples decide by name; a layer that degrades them to
+      untupled returns 10);
+    - ``n_new_kept`` — the NEW key prunes gen B to exactly its 2
+      parts while gen A is kept conservatively (undecidable, never
+      wrongly pruned);
+    - ``n_rows_v1`` — time travel to the pre-evolution snapshot
+      still resolves exactly the gen-A rows.
+
+    Migration (OPTIMIZE re-tuples gen A under the new spec),
+    refusals, de-partitioning, and commit-log/clone carry are pinned
+    in tests/test_spec_evolution.py."""
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        _manifest_read,
+        evolve_partition_spec,
+        prune_files,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ev = (
+        load(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type", "ts")
+        .withColumn("day", F.to_date("ts"))
+        .drop("ts")
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_pevolve_") + "/s"
+
+    def _append(i, pby):
+        (
+            ev.filter(F.col("event_id") % 4 == i)
+            .coalesce(1)
+            .write.format("chbatch_arrow")
+            .option("path", path)
+            .option("partitionby", pby)
+            .option("batchsize", "100000000")
+            .mode("append")
+            .save()
+        )
+
+    for i in (0, 1):
+        _append(i, "event_type")
+    gen_a = set(_manifest_read(path)["files"])
+    evolve_partition_spec(path, ["day"])
+    for i in (2, 3):
+        _append(i, "day")
+    m = _manifest_read(path)
+    gen_b = set(m["files"]) - gen_a
+    # OLD key: gen-A parts prune by their re-keyed dict tuples
+    kept_old = set(
+        prune_files(path, "event_type", "purchase", "purchase")
+    )
+    n_old_kept = len(kept_old & gen_a)
+    # gen-B parts are undecidable on the OLD key (their tuples name
+    # only `day`) and fall through to exact per-part string stats —
+    # which may legitimately prune sparse days; no assertion there
+    # NEW key: a day present in BOTH gen-B appends (deterministic:
+    # the smallest such day), so exactly 2 gen-B parts match
+    days_b = sorted(
+        set.intersection(
+            *[
+                {
+                    r["day"]
+                    for r in ev.filter(F.col("event_id") % 4 == i)
+                    .select("day")
+                    .distinct()
+                    .collect()
+                }
+                for i in (2, 3)
+            ]
+        )
+    )
+    probe_day = days_b[0]
+    kept_new = set(prune_files(path, "day", probe_day, probe_day))
+    n_new_kept = len(kept_new & gen_b)
+    # gen-A parts fall through to exact per-part day stats (their
+    # tuples name only event_type) — sparse types may prune; the
+    # value hash is the exactness check either way
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("day", T.DateType()),
+        ]
+    )
+    n_rows_v1 = (
+        spark.read.format("chbatch_arrow")
+        .schema(schema)
+        .option("path", path)
+        .option("version", "1")
+        .load()
+        .count()
+    )
+    got = (
+        spark.read.format("chbatch_arrow")
+        .schema(schema)
+        .option("path", path)
+        .load()
+        .filter(F.col("event_type") == "purchase")
+    )
+    return (
+        got.withColumn("n_old_kept", F.lit(n_old_kept).cast("long"))
+        .withColumn("n_new_kept", F.lit(n_new_kept).cast("long"))
+        .withColumn("n_rows_v1", F.lit(n_rows_v1).cast("long"))
+    )

@@ -100,3 +100,82 @@ def q_sink_key_lookup_bloom(spark, sf_dir):
     return got.withColumn(
         "n_stats_kept", F.lit(n_stats_kept).cast("long")
     ).withColumn("n_scanned", F.lit(n_scanned).cast("long"))
+
+
+@register(
+    "sink_add_column",
+    """
+    SELECT CAST(event_id AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           CAST(NULL AS VARCHAR) AS campaign,
+           CAST(1 AS BIGINT) AS v_added
+    FROM events WHERE event_id % 10 = 0
+    UNION ALL
+    SELECT CAST(event_id AS VARCHAR) AS appsflyer_id,
+           user_id AS uid,
+           event_type AS campaign,
+           CAST(1 AS BIGINT) AS v_added
+    FROM events WHERE event_id % 10 = 1
+    """,
+)
+def q_sink_add_column(spark, sf_dir):
+    """ADD COLUMN as a manifest metadata commit (VERDICT r9 task 5 —
+    datasource_sink.add_column + the vectorized typed-NULL backfill
+    in manifest_source._read_part): batch v1 lands, the column is
+    ADDED as one zero-rewrite commit (``v_added`` pins its version
+    into the value hash), batch v2 lands WITH it, and the Data
+    Source reader reconciles per part with NO ``mergeSchema``
+    footer pass — pre-add parts surface typed NULLs on the Arrow
+    batch path, so read planning stays O(manifest) at any part
+    count. The oracle is the explicit UNION with a NULL column, so
+    the backfill is value-checked. Audit/refusal/carry pins live in
+    tests/test_add_column.py."""
+    from pyspark.sql import types as T
+
+    from ..sinks.datasource_sink import (
+        ClickHouseArrowDataSource,
+        add_column,
+    )
+
+    spark.dataSource.register(ClickHouseArrowDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    ev = load(spark, sf_dir, "events")
+    v1 = ev.filter(F.col("event_id") % 10 == 0).select(
+        F.col("event_id").cast("string").alias("appsflyer_id"),
+        F.col("user_id").alias("uid"),
+    )
+    v2 = ev.filter(F.col("event_id") % 10 == 1).select(
+        F.col("event_id").cast("string").alias("appsflyer_id"),
+        F.col("user_id").alias("uid"),
+        F.col("event_type").alias("campaign"),
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_addcol_") + "/s"
+    (
+        v1.write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "100000000")
+        .mode("append")
+        .save()
+    )
+    r = add_column(path, "campaign", "string")
+    (
+        v2.write.format("chbatch_arrow")
+        .option("path", path)
+        .option("batchsize", "100000000")
+        .mode("append")
+        .save()
+    )
+    schema = T.StructType(
+        [
+            T.StructField("appsflyer_id", T.StringType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("campaign", T.StringType()),
+        ]
+    )
+    return (
+        spark.read.format("chbatch_arrow")
+        .schema(schema)
+        .option("path", path)
+        .load()
+        .withColumn("v_added", F.lit(r["version"]).cast("long"))
+    )

@@ -299,6 +299,7 @@ def apply_commit(state: dict, record: dict, path: str | None = None) -> dict:
         "constraints",
         "column_aliases",
         "column_drops",
+        "column_adds",
         "partition_cols",
         "last_batch_id",
         "stream_id",

@@ -574,42 +574,188 @@ def _split_table_by_partition(table, pcols: list[str]):
         yield key, table.filter(mask)
 
 
-def _tuple_matches(tup, pcols: list[str], pred: dict) -> bool:
+_NO_VALUE = object()
+
+
+def _tuple_vals(tup, pcols) -> dict:
+    """A stored tuple as {col: value}. LIST form is positional
+    against the CURRENT spec (the evolve verb re-keys every stored
+    list before swapping the spec, so that alignment is an
+    invariant); DICT form is self-describing — written by
+    ``evolve_partition_spec`` for pre-evolution parts, valid under
+    any later spec."""
+    return dict(tup) if isinstance(tup, dict) else dict(zip(pcols, tup))
+
+
+def _part_value(tup, pcols, col):
+    """The stored partition value of ``col`` in one tuple, or
+    ``_NO_VALUE`` when the tuple was recorded under a spec that
+    lacks the column (pruning then falls through to stats — a tuple
+    is never a guess)."""
+    vals = _tuple_vals(tup, pcols or ())
+    return vals[col] if col in vals else _NO_VALUE
+
+
+def _tuple_as_current(tup, pcols) -> tuple | None:
+    """Normalize a stored tuple to positional form under the CURRENT
+    spec — None when it can't be expressed there (old-spec dict, or
+    no tuple at all): those parts are 'untupled as far as the
+    current spec is concerned', which is exactly what OPTIMIZE's
+    re-tuple selection and a rewrite's tuple inheritance need."""
+    if tup is None or not pcols:
+        return None
+    if isinstance(tup, dict):
+        if set(tup) != set(pcols):
+            return None
+        return tuple(tup[c] for c in pcols)
+    return tuple(tup)
+
+
+def _tuple_matches(tup, pcols: list[str], pred: dict) -> bool | None:
     """Does a stored partition tuple satisfy ``pred`` ({col: value} /
-    {col: [v1, v2, ...]} for IN)? Predicate columns not in the spec
-    raise (caller bug); values normalize through ``_part_cell`` so
-    date/Decimal predicates compare same-encoding."""
-    vals = dict(zip(pcols, tup))
+    {col: [v1, v2, ...]} for IN)? Tri-state: True / False / None
+    (UNDECIDABLE — the tuple was recorded under an earlier partition
+    spec that lacks a predicate column, so the part may or may not
+    hold matching rows; conservative callers treat None like an
+    untupled part). For a LIST tuple — always aligned with the
+    current spec — a predicate column outside the spec raises
+    (caller bug, unchanged). Values normalize through ``_part_cell``
+    so date/Decimal predicates compare same-encoding."""
+    vals = _tuple_vals(tup, pcols)
+    undecided = False
     for c, want in pred.items():
         if c not in vals:
-            raise ValueError(
-                f"partition filter column {c!r} is not a partition "
-                f"column (spec: {pcols})"
-            )
+            if not isinstance(tup, dict):
+                raise ValueError(
+                    f"partition filter column {c!r} is not a "
+                    f"partition column (spec: {pcols})"
+                )
+            undecided = True
+            continue
         if isinstance(want, (list, tuple, set)):
             if vals[c] not in {_part_cell(w) for w in want}:
                 return False
         elif vals[c] != _part_cell(want):
             return False
-    return True
+    return None if undecided else True
 
 
 def partition_values(path: str) -> list[dict]:
     """SHOW PARTITIONS: the distinct partition tuples of the CURRENT
     snapshot, as {col: value} dicts — resolved from manifest metadata
-    alone."""
+    alone. After a spec evolution the listing spans GENERATIONS:
+    pre-evolution parts report their own (old-spec) columns, exactly
+    what they still prune on."""
     manifest = _manifest_read(path)
     pcols = manifest.get("partition_cols")
-    if not pcols:
-        raise ValueError(f"sink at {path} has no partition columns")
     parts = manifest.get("partitions") or {}
+    if not pcols and not parts:
+        raise ValueError(f"sink at {path} has no partition columns")
     live = {os.path.basename(f) for f in manifest["files"]}
     seen = {
-        tuple(parts[b])
+        tuple(sorted(_tuple_vals(parts[b], pcols or ()).items()))
         for b in live
         if b in parts
     }
-    return [dict(zip(pcols, t)) for t in sorted(seen, key=repr)]
+    return [dict(t) for t in sorted(seen, key=repr)]
+
+
+def evolve_partition_spec(path: str, new_cols: list[str] | None) -> dict:
+    """PARTITION SPEC EVOLUTION as ONE metadata commit (VERDICT r9
+    task 2 — Iceberg's evolve-spec semantics on the manifest
+    protocol): change what NEW writes partition by, touching zero
+    data files at any table size.
+
+    Mechanics: every tuple currently stored in LIST form (positional
+    against the outgoing spec) is re-keyed into self-describing DICT
+    form ({col: value}), then ``partition_cols`` swaps to
+    ``new_cols`` (or is removed for ``None`` — de-partitioning).
+    From that commit on:
+
+    - pre-evolution parts keep pruning EXACTLY on their own columns
+      (every by-value consumer resolves tuples by name —
+      ``_part_value``); predicates on new-spec columns treat them
+      like untupled parts (conservative keep, loud drop_partition
+      refusal);
+    - appends must carry ``.option("partitionby", <new spec>)`` —
+      the structural-contract check is unchanged, just pointed at
+      the new spec;
+    - OPTIMIZE is the MIGRATION verb: old-generation parts normalize
+      to no-current-tuple (``_tuple_as_current``), so the re-tuple
+      path splits their rows by the NEW spec's values in the
+      one-pass shape — after which drop_partition and exact pruning
+      work across the whole table;
+    - time travel is untouched (the evolve entry adds/removes no
+      files), and the re-keyed dicts remain valid for every
+      historical version because they are value-addressed.
+
+    Rare-verb storage shape: fold-then-run under the lock (like
+    rename/drop), one O(parts) in-memory re-key of the tuple map —
+    metadata-sized, no data IO."""
+    if new_cols is not None:
+        new_cols = list(new_cols)
+        if not new_cols:
+            raise ValueError(
+                "evolve_partition_spec: new_cols must be a non-empty "
+                "list or None (de-partition)"
+            )
+        if len(set(new_cols)) != len(new_cols):
+            raise ValueError(
+                f"evolve_partition_spec: duplicate column in "
+                f"{new_cols}"
+            )
+    with _manifest_lock(path):
+        from . import commit_log
+
+        commit_log.fold_pending_locked(path)
+        manifest = _manifest_read(path)
+        old_cols = manifest.get("partition_cols") or None
+        if new_cols == old_cols:
+            raise ValueError(
+                f"evolve_partition_spec at {path}: the spec is "
+                f"already {old_cols} — nothing to evolve"
+            )
+        pmap = manifest.get("partitions") or {}
+        if pmap and old_cols:
+            manifest["partitions"] = {
+                b: (t if isinstance(t, dict) else dict(zip(old_cols, t)))
+                for b, t in pmap.items()
+            }
+        if new_cols is None:
+            manifest.pop("partition_cols", None)
+        else:
+            manifest["partition_cols"] = new_cols
+        history = sorted(
+            manifest.get("history") or (), key=lambda e: e["v"]
+        )
+        if not history and manifest.get("files"):
+            history = [{"v": 0, "files": sorted(manifest["files"])}]
+        next_v = (max(e["v"] for e in history) + 1) if history else 0
+        import time as _time
+
+        history.append(
+            {
+                "v": next_v,
+                "files": [],
+                "op": "evolve_spec",
+                "spec_from": old_cols,
+                "spec_to": new_cols,
+                "rows_total": int(manifest.get("rows", 0)),
+                "ts": _time.time(),
+            }
+        )
+        manifest["history"] = history
+        mpath = os.path.join(path, MANIFEST)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mpath)
+    return {
+        "spec_from": old_cols,
+        "spec_to": new_cols,
+        "version": next_v,
+        "retupled": 0,  # evolution never rewrites; OPTIMIZE migrates
+    }
 
 
 def _json_cell(v):
@@ -867,6 +1013,7 @@ class _BatchWriter(DataSourceWriter):
                     "constraints",
                     "column_aliases",
                     "column_drops",
+                    "column_adds",
                 ):
                     if prev.get(carry):
                         manifest[carry] = prev[carry]
@@ -1436,6 +1583,94 @@ def drop_column(path: str, name: str) -> dict:
     return {"dropped": name, "version": next_v}
 
 
+def add_column(path: str, name: str, type_ddl: str) -> dict:
+    """ADD COLUMN as ONE metadata commit (VERDICT r9 task 5 — the
+    fourth zero-rewrite evolution verb beside RENAME, type-WIDEN and
+    DROP): record {name, Spark typeName, commit version} in the
+    manifest's ``column_adds`` and append an op='add_column' history
+    entry. No data file is touched at any table size.
+
+    What the record buys — the manifest is the schema AUTHORITY, not
+    per-read footer merging:
+
+    - readers need no ``mergeSchema``-style footer pass: parts are
+      resolved per-file by the Data Source reader, and a part written
+      before the add backfills a TYPED null column on the vectorized
+      Arrow path (``_null_array``/``_read_part``) — read-planning
+      cost stays O(manifest), identical pre- and post-add;
+    - the audit trail shows WHEN the column appeared (time travel to
+      pre-add versions + the current schema simply NULL-fills, the
+      Delta semantics);
+    - re-adding a DROPPED name stays safe: the drop's per-part
+      tombstones already mask the dead physical bytes, so the new
+      identity NULL-fills on pre-drop parts (pinned in
+      tests/test_drop_column.py).
+
+    ``type_ddl`` is the Spark typeName the readers will declare
+    (``string``, ``long``, ``timestamp``, ``decimal(10,2)``, ...) —
+    validated here against the backfill mapping so an ADD the reader
+    could not NULL-fill vectorized is refused up front."""
+    from ..sources.manifest_source import _null_array
+
+    kind = type_ddl.strip().lower()
+    if _null_array(kind, 0) is None:
+        raise ValueError(
+            f"add_column at {path}: type {type_ddl!r} has no typed "
+            "NULL backfill — use a primitive Spark typeName (string/"
+            "long/double/boolean/date/timestamp/decimal(p,s)/...)"
+        )
+    with _manifest_lock(path):
+        from . import commit_log
+
+        commit_log.fold_pending_locked(path)
+        manifest = _manifest_read(path)
+        taken = set(manifest.get("column_aliases") or ())
+        taken |= {
+            a
+            for v in (manifest.get("column_aliases") or {}).values()
+            for a in v
+        }
+        if name in taken:
+            raise ValueError(
+                f"add_column at {path}: {name!r} is a live logical "
+                "name or a historical alias — adding it would make "
+                "pre-rename parts ambiguous"
+            )
+        adds = list(manifest.get("column_adds") or ())
+        if any(a["name"] == name for a in adds):
+            raise ValueError(
+                f"add_column at {path}: {name!r} was already added "
+                f"(column_adds: {[a['name'] for a in adds]})"
+            )
+        history = sorted(
+            manifest.get("history") or (), key=lambda e: e["v"]
+        )
+        if not history and manifest.get("files"):
+            history = [{"v": 0, "files": sorted(manifest["files"])}]
+        next_v = (max(e["v"] for e in history) + 1) if history else 0
+        import time as _time
+
+        adds.append({"name": name, "type": kind, "v": next_v})
+        manifest["column_adds"] = adds
+        history.append(
+            {
+                "v": next_v,
+                "files": [],
+                "op": "add_column",
+                "added": {"name": name, "type": kind},
+                "rows_total": int(manifest.get("rows", 0)),
+                "ts": _time.time(),
+            }
+        )
+        manifest["history"] = history
+        mpath = os.path.join(path, MANIFEST)
+        tmp = mpath + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, mpath)
+    return {"added": {"name": name, "type": kind}, "version": next_v}
+
+
 def dead_columns_for_part(
     manifest: dict, basename: str, version: int | None
 ) -> tuple:
@@ -1564,6 +1799,7 @@ def clone_sink(src: str, dst: str) -> dict:
         "partitions",
         "partition_cols",
         "blooms",
+        "column_adds",
     ):
         if src_manifest.get(carry):
             manifest[carry] = src_manifest[carry]
@@ -2353,13 +2589,14 @@ def _optimize_sink_once(
                 f"optimize_sink at {path}: partition= given but the "
                 "table has no partition columns"
             )
-        # scope to EXACT tuple matches; untupled parts cannot be
-        # proven in-partition, so a scoped OPTIMIZE never touches them
+        # scope to EXACT tuple matches; untupled parts (and old-spec
+        # tuples that cannot decide) cannot be proven in-partition,
+        # so a scoped OPTIMIZE never touches them
         old = [
             f
             for f in old
             if (tup := pmap.get(os.path.basename(f))) is not None
-            and _tuple_matches(tuple(tup), pcols, partition)
+            and _tuple_matches(tup, pcols, partition) is True
         ]
     # merge-on-read deletion vectors are MATERIALIZED by the rewrite:
     # the compacted parts carry no deleted rows and the vectors are
@@ -2374,10 +2611,13 @@ def _optimize_sink_once(
     if pcols:
         by: dict = {}
         for f in old:
-            tup = pmap.get(os.path.basename(f))
-            by.setdefault(
-                tuple(tup) if tup is not None else None, []
-            ).append(f)
+            # normalize to the CURRENT spec: old-spec dict tuples land
+            # in the None group and get RE-TUPLED under the new spec —
+            # OPTIMIZE is the spec-evolution migration verb
+            tup = _tuple_as_current(
+                pmap.get(os.path.basename(f)), pcols
+            )
+            by.setdefault(tup, []).append(f)
         groups = sorted(by.items(), key=lambda kv: repr(kv[0]))
         if aliases0 or drops0:
             # the mapping-aware (alias/drop-resolving) group read is
@@ -2392,7 +2632,10 @@ def _optimize_sink_once(
             untupled_live = [
                 f
                 for f in manifest["files"]
-                if os.path.basename(f) not in pmap
+                if _tuple_as_current(
+                    pmap.get(os.path.basename(f)), pcols
+                )
+                is None
             ]
             if untupled_live:
                 raise ValueError(
@@ -2861,7 +3104,6 @@ def prune_files(
     stats = manifest.get("stats") or {}
     pcols = manifest.get("partition_cols") or []
     parts_map = manifest.get("partitions") or {}
-    p_idx = pcols.index(column) if column in pcols else None
     # entries as stored: plain filenames normally, absolute paths for
     # shallow-clone references — recovered from the resolved full
     # paths so callers can re-join them (join passes absolutes
@@ -2895,17 +3137,29 @@ def prune_files(
 
     keep: list[str] = []
     for name in names:
-        if p_idx is not None:
-            tup = parts_map.get(os.path.basename(name))
-            if tup is not None:
-                v = tup[p_idx]
+        tup = parts_map.get(os.path.basename(name))
+        if tup is not None:
+            # resolve the probed column (or its pre-rename aliases)
+            # against the tuple BY NAME — works for current-spec list
+            # tuples and any-generation dict tuples alike; a tuple
+            # lacking the column falls through to stats
+            v = next(
+                (
+                    pv
+                    for c in lookup
+                    if (pv := _part_value(tup, pcols, c))
+                    is not _NO_VALUE
+                ),
+                _NO_VALUE,
+            )
+            if v is not _NO_VALUE:
                 if v is None:  # null partition: range never matches
                     continue
                 if lo_k is not None and v < lo_k:
                     continue
                 if hi_k is not None and v > hi_k:
                     continue
-                keep.append(name)
+                keep.append(name)  # tuple match is exact: no bloom
                 continue
         fstats = stats.get(os.path.basename(name)) or {}
         st = next(
@@ -3672,6 +3926,7 @@ class _StreamBatchWriter(DataSourceStreamWriter):
                 "constraints",
                 "column_aliases",
                 "column_drops",
+                "column_adds",
             ):
                 if prev.get(carry):
                     manifest[carry] = prev[carry]

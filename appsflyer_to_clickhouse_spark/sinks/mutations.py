@@ -65,6 +65,7 @@ from .datasource_sink import (
     _refuse_if_foreign,
     _refuse_if_dropped,
     _refuse_if_renamed,
+    _tuple_as_current,
     _tuple_matches,
     dv_current,
     dv_for_version,
@@ -300,9 +301,14 @@ def _partition_scope(
     pmap = manifest.get("partitions") or {}
 
     def keep(f: str) -> bool:
+        # tri-state: only a provable NON-match excludes a part from
+        # the scan — untupled parts and old-spec tuples that cannot
+        # decide stay in (rows could hide there; the residual filter
+        # keeps semantics exact)
         tup = pmap.get(os.path.basename(f))
-        return tup is None or _tuple_matches(
-            tuple(tup), pcols, partition
+        return (
+            tup is None
+            or _tuple_matches(tup, pcols, partition) is not False
         )
 
     residual = None
@@ -359,12 +365,14 @@ def _inherited_tuple(manifest: dict, touched: list[str]):
     exactly the partition-scoped production case. Otherwise outputs
     land untupled: reads keep them conservatively (pruning quality,
     never correctness), and OPTIMIZE re-tuples the partition."""
-    if not manifest.get("partition_cols"):
+    pcols = manifest.get("partition_cols")
+    if not pcols:
         return None
     pmap = manifest.get("partitions") or {}
+    # normalize to the CURRENT spec: an old-spec dict tuple cannot
+    # stamp a current-spec output (None -> untupled, like today)
     tups = {
-        tuple(t) if (t := pmap.get(os.path.basename(f))) is not None
-        else None
+        _tuple_as_current(pmap.get(os.path.basename(f)), pcols)
         for f in touched
     }
     if len(tups) == 1 and (one := next(iter(tups))) is not None:
@@ -1277,24 +1285,29 @@ def drop_partition(
             "columns"
         )
     pmap = manifest.get("partitions") or {}
+    # a part with NO tuple — or an old-spec tuple that cannot DECIDE
+    # the predicate (partition spec evolution) — could hide rows of
+    # the dropped partition: refuse, naming the migration verb
     untupled = [
         f
         for f in manifest["files"]
-        if os.path.basename(f) not in pmap
+        if (t := pmap.get(os.path.basename(f))) is None
+        or _tuple_matches(t, pcols, partition) is None
     ]
     if untupled:
         raise ValueError(
             f"drop_partition at {path}: {len(untupled)} live part(s) "
-            f"carry no partition tuple (e.g. {untupled[:3]}) — rows "
-            "of the dropped partition could hide in them. OPTIMIZE "
-            "the partition to re-tuple, or use "
-            "delete_where(partition=...) which scans conservatively"
+            f"carry no partition tuple deciding this predicate (e.g. "
+            f"{untupled[:3]}) — rows of the dropped partition could "
+            "hide in them. OPTIMIZE the partition to re-tuple/"
+            "migrate, or use delete_where(partition=...) which scans "
+            "conservatively"
         )
     matching0 = sorted(
         f
         for f in manifest["files"]
         if _tuple_matches(
-            tuple(pmap[os.path.basename(f)]), pcols, partition
+            pmap[os.path.basename(f)], pcols, partition
         )
     )
     if not matching0:
@@ -1326,19 +1339,21 @@ def drop_partition(
         missing_tuple = [
             f
             for f in cur["files"]
-            if os.path.basename(f) not in pmap
+            if (t := pmap.get(os.path.basename(f))) is None
+            or _tuple_matches(t, pcols, partition) is None
         ]
         if missing_tuple:
             _discard(path, cdf_files)
             raise ValueError(
-                f"drop_partition at {path}: untupled part(s) appeared "
-                f"during the commit (e.g. {missing_tuple[:3]}); re-run"
+                f"drop_partition at {path}: undecidable part(s) "
+                f"appeared during the commit (e.g. "
+                f"{missing_tuple[:3]}); re-run"
             )
         matching = sorted(
             f
             for f in cur["files"]
             if _tuple_matches(
-                tuple(pmap[os.path.basename(f)]), pcols, partition
+                pmap[os.path.basename(f)], pcols, partition
             )
         )
         if write_cdf and set(matching) != set(matching0):

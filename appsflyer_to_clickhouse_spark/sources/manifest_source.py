@@ -134,6 +134,43 @@ _ARROW_CTOR = {
 }
 
 
+def _null_array(kind: str, n: int):
+    """A typed all-null Arrow array for one MISSING column of a
+    pre-ADD part (VERDICT r9 task 5) — the NULL backfill stays on
+    the vectorized batch path instead of dropping the whole part to
+    the per-row Python path (after an ADD COLUMN, every historical
+    part takes this branch until OPTIMIZE rewrites it: at 100 TB
+    that IS the hot path, not a rare case). Returns None for a type
+    this mapping can't express — the caller then falls back to the
+    row path, which handles anything."""
+    import pyarrow as pa
+
+    simple = {
+        "byte": pa.int8(),
+        "short": pa.int16(),
+        "integer": pa.int32(),
+        "long": pa.int64(),
+        "float": pa.float32(),
+        "double": pa.float64(),
+        "string": pa.string(),
+        "boolean": pa.bool_(),
+        "binary": pa.binary(),
+        "date": pa.date32(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
+    }
+    t = simple.get(kind)
+    if t is None and kind.startswith("decimal("):
+        try:
+            p, s = kind[8:-1].split(",")
+            t = pa.decimal128(int(p), int(s))
+        except (ValueError, pa.ArrowInvalid):
+            return None
+    if t is None:
+        return None
+    return pa.nulls(n, t)
+
+
 def _widen_table(table, convs, fullpath: str):
     """TYPE-WIDENING schema evolution at read time (the only
     affordable evolution at 100 TB, like the additive NULL-fill
@@ -231,14 +268,47 @@ def _read_part(
         avail = set(pf.schema_arrow.names)
         resolved = _resolve_physical(avail, convs, aliases, dead)
         want = [c for c, _ in convs]
-        if all(phys is not None for _, phys, _ in resolved):
-            batches = _widen_table(
+        missing = [(c, k) for c, phys, k in resolved if phys is None]
+        table = None
+        if not missing:
+            table = _widen_table(
                 pq.read_table(
                     fullpath, columns=[p for _, p, _ in resolved]
                 ).rename_columns(want),
                 convs,
                 fullpath,
-            ).to_batches()
+            )
+        elif all(
+            _null_array(k, 0) is not None for _, k in missing
+        ):
+            # ADDITIVE evolution, vectorized (VERDICT r9 task 5): a
+            # part written before a column existed backfills typed
+            # NULL arrays Arrow-side and stays on the batch path —
+            # after ADD COLUMN this is every historical part, so the
+            # per-row fallback below would be the table's hot path
+            import pyarrow as pa
+
+            present = [
+                (c, phys, k) for c, phys, k in resolved if phys is not None
+            ]
+            t = pq.read_table(
+                fullpath, columns=[p for _, p, _ in present]
+            ).rename_columns([c for c, _, _ in present])
+            t = _widen_table(
+                t, [(c, k) for c, _, k in present], fullpath
+            )
+            table = pa.table(
+                {
+                    c: (
+                        t.column(c)
+                        if phys is not None
+                        else _null_array(k, t.num_rows)
+                    )
+                    for c, phys, k in resolved
+                }
+            )
+        if table is not None:
+            batches = table.to_batches()
             if not len(deleted):
                 yield from batches
                 return
@@ -258,8 +328,9 @@ def _read_part(
                     yield b
                 offset += n
             return
-        # pre-evolution part: NULL-fill the missing columns (row path —
-        # the rare case; complete parts stay on the Arrow fast path).
+        # pre-evolution part with a missing column whose type the
+        # Arrow backfill can't express (nested/exotic) — the per-row
+        # fallback; everything expressible stays vectorized above.
         # The same widen/refuse rules apply to the columns present
         # (python scalars widen naturally once the check passes)
         present = [
@@ -500,12 +571,29 @@ def _prune_names(
             col = flt.attribute[0]
             # partition tuple first: exact by-value decision,
             # independent of stats degeneration under interleaved
-            # appends; untupled parts fall through to stats
-            if tup is not None and col in pcols:
-                if not _tuple_survives(tup[pcols.index(col)], flt):
-                    ok = False
-                    break
-                continue
+            # appends. Tuples resolve BY NAME (current-spec lists and
+            # any-generation dicts alike — spec evolution); a tuple
+            # lacking the column falls through to stats.
+            if tup is not None:
+                from ..sinks.datasource_sink import (
+                    _NO_VALUE,
+                    _part_value,
+                )
+
+                v = next(
+                    (
+                        pv
+                        for c in (col, *amap.get(col, ()))
+                        if (pv := _part_value(tup, pcols, c))
+                        is not _NO_VALUE
+                    ),
+                    _NO_VALUE,
+                )
+                if v is not _NO_VALUE:
+                    if not _tuple_survives(v, flt):
+                        ok = False
+                        break
+                    continue
             # a pre-rename part's stats live under its physical name
             st = fstats.get(col)
             if st is None:
@@ -634,9 +722,11 @@ class ManifestBatchReader(DataSourceReader):
         pcols = tuple(manifest.get("partition_cols") or ())
         partitions = manifest.get("partitions") or {}
         if self._partition_filter:
-            # by-value subscription: keep exact tuple matches; parts
-            # with NO tuple are kept conservatively (the residual
-            # row filter is still the caller's job, as with stats)
+            # by-value subscription: only a provable NON-match drops
+            # a part; untupled parts and old-spec tuples that cannot
+            # decide (tri-state None) are kept conservatively (the
+            # residual row filter is still the caller's job, as with
+            # stats)
             from ..sinks.datasource_sink import _tuple_matches
 
             fulls = [
@@ -644,8 +734,9 @@ class ManifestBatchReader(DataSourceReader):
                 for p in fulls
                 if (tup := partitions.get(os.path.basename(p))) is None
                 or _tuple_matches(
-                    tuple(tup), list(pcols), self._partition_filter
+                    tup, list(pcols), self._partition_filter
                 )
+                is not False
             ]
         if self._filters:
             stats = manifest.get("stats") or {}
@@ -863,8 +954,9 @@ class ManifestTailReader(DataSourceStreamReader):
                 for f in files
                 if (tup := pmap.get(os.path.basename(f))) is None
                 or _tuple_matches(
-                    tuple(tup), pcols, self._partition_filter
+                    tup, pcols, self._partition_filter
                 )
+                is not False
             ]
 
         for e in self._history():
