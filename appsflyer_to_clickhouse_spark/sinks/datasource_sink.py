@@ -1089,7 +1089,9 @@ def _manifest_read(path: str) -> dict:
         return json.load(fh)
 
 
-def _manifest_files(path: str, version: int | None = None) -> list[str]:
+def _manifest_files(
+    path: str, version: int | None = None, manifest: dict | None = None
+) -> list[str]:
     """Resolve the manifest's published part list to absolute paths —
     the single definition of the manifest protocol's read side, shared
     by the JSONL and parquet tiers.
@@ -1099,8 +1101,12 @@ def _manifest_files(path: str, version: int | None = None) -> list[str]:
     added, then its ``removes`` (REPLACE commits: optimize_sink logs the
     compacted-away parts there) subtracted. Resolution is pure
     manifest metadata — no directory listing, no data IO — so an as-of
-    read plans exactly like a current read, just over fewer parts."""
-    manifest = _manifest_read(path)
+    read plans exactly like a current read, just over fewer parts.
+    ``manifest`` lets a caller that already read the state skip the
+    second parse (at a 200k-part table the JSON parse is ~half the
+    metadata-planning cost)."""
+    if manifest is None:
+        manifest = _manifest_read(path)
     if version is None:
         return [os.path.join(path, f) for f in manifest["files"]]
     history = manifest.get("history")
@@ -3109,12 +3115,24 @@ def prune_files(
     # paths so callers can re-join them (join passes absolutes
     # through). Stats stay keyed by part basename in both cases.
     base = os.path.normpath(path)
-    names = [
-        os.path.basename(p)
-        if os.path.dirname(os.path.normpath(p)) == base
-        else p
-        for p in _manifest_files(path, version)
-    ]
+    names = []
+    raw = (
+        manifest["files"]
+        if version is None
+        else _manifest_files(path, version, manifest=manifest)
+    )
+    for f in raw:
+        if os.sep not in f:
+            # flat part name (the writers' own entries): nothing to
+            # join or normalize — the 200k-part fast path
+            names.append(f)
+            continue
+        p = os.path.join(path, f)
+        names.append(
+            os.path.basename(p)
+            if os.path.dirname(os.path.normpath(p)) == base
+            else p
+        )
     # a renamed column's stats live under each part's PHYSICAL name:
     # try the logical name first, then its alias trail
     lookup = [column, *column_aliases(manifest).get(column, [])]
@@ -3124,34 +3142,47 @@ def prune_files(
     blooms = manifest.get("blooms") or {}
     point = lo is not None and lo_k == hi_k
 
-    def _bloom_keeps(name: str) -> bool:
+    if point and blooms:
+        from .bloom_index import might_contain
+
+    def _bloom_keeps(base: str) -> bool:
         if not point or not blooms:
             return True
-        refs = blooms.get(os.path.basename(name)) or {}
+        refs = blooms.get(base) or {}
         ref = next((refs[c] for c in lookup if c in refs), None)
         if ref is None:
             return True
-        from .bloom_index import might_contain
-
         return might_contain(path, ref, lo)
+
+    # Positional indices of the probed column (and its alias trail)
+    # under the CURRENT spec, hoisted out of the per-part loop:
+    # list-form tuples are spec-aligned by invariant (the evolve verb
+    # re-keys every stored list), so their value is one list index —
+    # the generic ``_part_value`` path builds a {col: value} dict per
+    # part, which at a 200k-part table is the difference between
+    # sub-second and multi-second metadata pruning. Dict-form tuples
+    # (pre-evolution) stay a by-name probe; both resolve the alias
+    # trail in the same first-match order as ``_part_value``.
+    idx_list = [pcols.index(c) for c in lookup if c in pcols]
 
     keep: list[str] = []
     for name in names:
-        tup = parts_map.get(os.path.basename(name))
+        base = os.path.basename(name)
+        tup = parts_map.get(base)
         if tup is not None:
             # resolve the probed column (or its pre-rename aliases)
             # against the tuple BY NAME — works for current-spec list
             # tuples and any-generation dict tuples alike; a tuple
             # lacking the column falls through to stats
-            v = next(
-                (
-                    pv
-                    for c in lookup
-                    if (pv := _part_value(tup, pcols, c))
-                    is not _NO_VALUE
-                ),
-                _NO_VALUE,
-            )
+            if isinstance(tup, dict):
+                v = next(
+                    (tup[c] for c in lookup if c in tup), _NO_VALUE
+                )
+            else:
+                v = next(
+                    (tup[i] for i in idx_list if i < len(tup)),
+                    _NO_VALUE,
+                )
             if v is not _NO_VALUE:
                 if v is None:  # null partition: range never matches
                     continue
@@ -3161,12 +3192,12 @@ def prune_files(
                     continue
                 keep.append(name)  # tuple match is exact: no bloom
                 continue
-        fstats = stats.get(os.path.basename(name)) or {}
+        fstats = stats.get(base) or {}
         st = next(
             (fstats[c] for c in lookup if c in fstats), None
         )
         if st is None:
-            if _bloom_keeps(name):
+            if _bloom_keeps(base):
                 keep.append(name)  # unknown stats: conservative
             continue
         mn, mx = st["min"], st["max"]
@@ -3176,7 +3207,7 @@ def prune_files(
             continue
         if hi_k is not None and mn > hi_k:
             continue
-        if _bloom_keeps(name):
+        if _bloom_keeps(base):
             keep.append(name)
     return keep
 
