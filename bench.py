@@ -419,7 +419,13 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             failed.append(name)
             print(f"[bench] {name}: FAILED {exc}", file=sys.stderr)
+        # metrics collection reads the JVM SQL-metrics store over py4j
+        # (~0.2-0.4 s per query at a 278-query registry) — planned
+        # harness work, accounted untimed so the wall-vs-sum gap
+        # keeps measuring machine NOISE, not the harness's own design
+        _m0 = time.perf_counter()
         last_eid, m = _metrics_since(spark, last_eid)
+        untimed_overhead += time.perf_counter() - _m0
         if m is not None:
             if runs > 1 and samples:
                 # metrics accumulated over all 3 runs — normalize so
