@@ -10,7 +10,9 @@ watermark-eviction behavior is pinned in tests/test_streaming.py.
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
+import time
 from contextlib import contextmanager
 
 from pyspark.sql import functions as F
@@ -746,3 +748,160 @@ def q_stream_sink_arrow_datasource(spark, sf_dir):
         ]
     )
     return read_committed_parquet(spark, sink, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# stream_temporal_join — event-time as-of enrichment (Flink temporal join)
+# ---------------------------------------------------------------------------
+
+
+def _temporal_replay_src(spark, sf_dir: str) -> str:
+    """Replay dir for the temporal join: events split into ts-RANGE-
+    DISJOINT files (repartitionByRange on the event time) with an
+    explicit mtime staircase so the file source replays them in time
+    order — the property that makes watermark-gated flushing exact
+    (see streaming/temporal.py: a flushed probe's matches are final
+    because every later file holds strictly later rows). A last
+    sentinel file carries one far-future '__flush__' row per distinct
+    user so bounded replays drain every key's buffer. Round-robin
+    ``_replay_src`` is deliberately NOT reused: its files interleave
+    the full time range, which models unbounded disorder — fine for
+    dedup/window demos, wrong for a correctness-critical as-of flush."""
+    key = ("events_temporal_replay", sf_dir)
+    cached = _SRC_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    src = tempfile.mkdtemp(prefix="spark_graft_temporal_src_")
+    df = load(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    for f in df.schema.fields:
+        if isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
+    df.repartitionByRange(4, "ts").write.mode("overwrite").parquet(src)
+    max_ts = df.agg(F.max("ts")).collect()[0][0]  # one scalar
+    sentinel = (
+        df.select("user_id")
+        .distinct()
+        .select(
+            F.lit(-1).cast("long").alias("event_id"),
+            F.lit(max_ts).cast("timestamp").alias("ts"),
+            "user_id",
+            F.lit("__flush__").alias("event_type"),
+        )
+        .withColumn("ts", F.col("ts") + F.expr("INTERVAL 30 DAYS"))
+    )
+    tmp = tempfile.mkdtemp(prefix="spark_graft_temporal_sent_")
+    sentinel.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(
+        p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+    )
+    sent_path = os.path.join(src, "zzz-flush.snappy.parquet")
+    shutil.move(os.path.join(tmp, part), sent_path)
+    shutil.rmtree(tmp, ignore_errors=True)
+    # mtime staircase: range files in name order (= ts order for
+    # repartitionByRange output), sentinel strictly last — the file
+    # source orders its backlog by modification time
+    t0 = int(time.time()) - 1000
+    mains = sorted(
+        p
+        for p in os.listdir(src)
+        if p.startswith("part-") and p.endswith(".parquet")
+    )
+    for i, p in enumerate(mains):
+        os.utime(os.path.join(src, p), (t0 + i, t0 + i))
+    os.utime(sent_path, (t0 + 100, t0 + 100))
+    _SRC_CACHE[key] = src
+    return src
+
+
+@register(
+    "stream_temporal_join",
+    """
+    WITH clicks AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_id
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT c.event_id, c.user_id, c.ts, p.p_id, p.p_ts,
+             row_number() OVER (PARTITION BY c.event_id
+                                ORDER BY p.p_ts DESC, p.p_id DESC) AS rn
+      FROM clicks c
+      JOIN p ON p.user_id = c.user_id AND p.p_ts <= c.ts
+    )
+    SELECT event_id AS click_id, user_id, ts,
+           p_id AS purchase_id, p_ts AS purchase_ts,
+           CAST(epoch_us(ts) - epoch_us(p_ts) AS BIGINT) AS micros_since
+    FROM m WHERE rn = 1
+    UNION ALL
+    SELECT c.event_id AS click_id, c.user_id, c.ts,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS TIMESTAMP) AS purchase_ts,
+           CAST(NULL AS BIGINT) AS micros_since
+    FROM clicks c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM p
+      WHERE p.user_id = c.user_id AND p.p_ts <= c.ts
+    )
+    """,
+)
+def q_stream_temporal_join(spark, sf_dir):
+    """Event-time TEMPORAL (as-of) stream join — the Flink temporal
+    table join Structured Streaming has no built-in for: every click
+    is enriched with its user's purchase version CURRENT at the
+    click's event time (latest purchase ts <= click ts, ties to the
+    greatest id), exactly once, with watermark-gated incremental
+    emission and per-key state bounded by the watermark lag
+    (streaming/temporal.py — the batch twin is join_asof's
+    union+ordered-window in plans/advanced_queries.py; the oracle is
+    the same rank-over-range-join both are checked against). The
+    replay is ts-range-split with a sentinel flush file
+    (_temporal_replay_src), so intermediate batches exercise the
+    watermark flush path and the tail drains deterministically."""
+    src = _temporal_replay_src(spark, sf_dir)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .filter(
+            F.col("event_type").isin("click", "purchase", "__flush__")
+        )
+        .withWatermark("ts", "1 second")
+        .select(
+            "ts",
+            "user_id",
+            F.when(F.col("event_type") == "purchase", F.lit(0))
+            .when(F.col("event_type") == "click", F.lit(1))
+            .otherwise(F.lit(2))
+            .cast("long")
+            .alias("side"),
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.col("event_id").alias("row_id"),
+        )
+    )
+    from ..streaming.temporal import temporal_join_stream
+
+    out = temporal_join_stream(stream)
+    name = f"stream_temporal_join_{next(_RUN_SEQ)}"
+    ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
+    with stream_shuffle_partitions(spark):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    res = spark.table(name)
+    return res.select(
+        F.col("click_id"),
+        "user_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "purchase_id",
+        F.timestamp_micros(F.col("purchase_ts_us")).alias("purchase_ts"),
+        (F.col("ts_us") - F.col("purchase_ts_us")).alias("micros_since"),
+    )
