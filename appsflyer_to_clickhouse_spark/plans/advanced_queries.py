@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import load, load_fanout, register
 
 # ---------------------------------------------------------------------------
 # join_asof — most recent prior event (the time-series workhorse)
@@ -915,8 +915,20 @@ def q_agg_corr_exact(spark, sf_dir):
     run-dependent and can never hash-match an independent engine; the
     five decimal sums are exact and the closed form then runs in one
     fixed double expression. Same one-exchange partial/final aggregate
-    plan as any groupBy."""
-    li = load(spark, sf_dir, "lineitem")
+    plan as any groupBy.
+
+    Scan side is fanned out, projected to the three consumed columns
+    first (opt guide §2.3/§2.5): the five wide-decimal product-sums
+    are the most expensive per-row arithmetic in the relational suite,
+    and a single-row-group parquet file would otherwise run ALL of it
+    on one core (measured 1.4-22.5 s swing at sf0.1 depending on JIT
+    state; fanned out, the partials parallelize). Decimal sums are
+    exact integers at fixed scale, so the round-robin exchange cannot
+    change the result."""
+    li = load_fanout(
+        spark, sf_dir, "lineitem",
+        cols=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
     m = li.groupBy("l_returnflag").agg(
         F.count("*").cast("double").alias("n"),
         F.expr(f"CAST(SUM({_CX}) AS DOUBLE)").alias("sx"),

@@ -1213,6 +1213,12 @@ SELECT n_triangles, n_wedges,
 FROM tri, w
 """
 
+# Broadcast ceiling for the degree-oriented adjacency table: one array
+# entry per oriented edge, so ~30M edges is a few hundred MB framed —
+# comfortably under the 8 GB broadcast cap with headroom for executor
+# copies. Same pattern as graph.py's pagerank rank-state ceiling.
+_ADJ_BROADCAST_MAX_EDGES = 30_000_000
+
 
 @register("graph_triangle_count", _TRIANGLE_ORACLE)
 def q_graph_triangle_count(spark, sf_dir):
@@ -1249,13 +1255,26 @@ def q_graph_triangle_count(spark, sf_dir):
         .unionAll(edges.select(F.col("b").alias("node")))
         .groupBy("node")
         .agg(F.count("*").alias("d"))
+        # node-sized, consumed three times (two orientation joins +
+        # the wedge total) — materialize once instead of re-running
+        # the 2|E|-record degree aggregation per consumer
+        .localCheckpoint()
     )
     # orient: src = (deg, id)-smaller endpoint; dst = larger. deg is
     # node-sized — AQE broadcasts it onto the edge scan.
     da, db = F.col("da"), F.col("db")
+    # node-sized build side, explicitly broadcast under the same
+    # ceiling the adjacency uses (nodes <= oriented edges) so the two
+    # orientation joins never shuffle the edge list; past the ceiling
+    # the planner keeps the shuffled fallback
+    degb = (
+        F.broadcast(deg)
+        if deg.count() <= _ADJ_BROADCAST_MAX_EDGES
+        else deg
+    )
     with_deg = (
-        edges.join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
-        .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+        edges.join(degb.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+        .join(degb.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
     )
     a_first = (da < db) | ((da == db) & (F.col("a") < F.col("b")))
     oriented = with_deg.select(
@@ -1264,7 +1283,24 @@ def q_graph_triangle_count(spark, sf_dir):
     ).localCheckpoint()  # consumed twice: adjacency build + edge scan
     adj = oriented.groupBy("src").agg(
         F.sort_array(F.collect_list("dst")).alias("nbrs")
-    )
+        # consumed twice (u-side and w-side probes) and exchange reuse
+        # does not fire across AQE-replanned broadcast subtrees —
+        # materialize the node-sized table once
+    ).localCheckpoint()
+    # Deliberate join strategy (opt guide §3.1): the adjacency table
+    # holds exactly ONE array entry per oriented edge, so its size
+    # tracks |E| — node-bounded row count, edge-bounded payload. Up to
+    # ~30M edges (a few hundred MB framed) broadcasting it to both
+    # probe joins removes BOTH edge-sized shuffles, which otherwise
+    # carry every neighbor array once per incident edge (measured
+    # 1.27 GB / 41M records shuffled at sf0.1 for a 1.2M-edge graph —
+    # the Σ deg² blow-up the wedge ban was meant to avoid, sneaking
+    # back in through the exchange). Past the ceiling, fall back to
+    # the sort-merge path: at that scale the arrays no longer fit on
+    # every executor and the shuffle is the honest cost. The count is
+    # free — `oriented` is localCheckpoint'd.
+    if oriented.count() <= _ADJ_BROADCAST_MAX_EDGES:
+        adj = F.broadcast(adj)
     tri = (
         oriented.join(
             adj.select(F.col("src").alias("u"), F.col("nbrs").alias("nu")),

@@ -318,18 +318,19 @@ def q_sink_partition_evolve(spark, sf_dir):
     # which may legitimately prune sparse days; no assertion there
     # NEW key: a day present in BOTH gen-B appends (deterministic:
     # the smallest such day), so exactly 2 gen-B parts match
+    # one job, not one per append: a day present in both gen-B
+    # appends is one whose (day, residue) pairs count 2 distinct
+    # residues — day-bounded rows, never collected raw
     days_b = sorted(
-        set.intersection(
-            *[
-                {
-                    r["day"]
-                    for r in ev.filter(F.col("event_id") % 4 == i)
-                    .select("day")
-                    .distinct()
-                    .collect()
-                }
-                for i in (2, 3)
-            ]
+        r["day"]
+        for r in (
+            ev.filter((F.col("event_id") % 4).isin(2, 3))
+            .select("day", (F.col("event_id") % 4).alias("i"))
+            .distinct()
+            .groupBy("day")
+            .count()
+            .filter(F.col("count") == 2)
+            .collect()
         )
     )
     probe_day = days_b[0]

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import load, register
+from .registry import load, load_fanout, register
 
 # ---------------------------------------------------------------------------
 # profile_null_stats — per-column null ratio + exact cardinality
@@ -102,8 +102,16 @@ def q_agg_approx_distinct_bounded(spark, sf_dir):
     partitions with no distinct shuffle, while exact COUNT(DISTINCT)
     re-shuffles the keyspace. The low-cardinality column (user_id,
     ~hundreds) exercises HLL's sparse/exact regime; event_id (millions
-    at scale) the dense estimating regime."""
-    ev = load(spark, sf_dir, "events")
+    at scale) the dense estimating regime.
+
+    Fanned out (projected to the two profiled columns): the plan
+    Expands every row once per distinct-aggregate before the partial
+    aggregation, and a single-row-group input would run that whole
+    blow-up plus both HLL sketch builds on one core (opt guide §2.5 —
+    input skew). Sketch merges and exact distincts are
+    order-independent, so the round-robin exchange cannot change the
+    result."""
+    ev = load_fanout(spark, sf_dir, "events", cols=["user_id", "event_id"])
 
     def ok(est, exact):
         # try_divide: empty input (exact=0) yields NULL, not a crash

@@ -58,7 +58,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-def load_fanout(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+def load_fanout(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    cols: list[str] | None = None,
+) -> DataFrame:
     """``load()`` plus a round-robin fan-out when the scan yields fewer
     input splits than cores.
 
@@ -73,8 +78,14 @@ def load_fanout(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
     Use for queries whose cost is per-row hashing (signature families,
     n-gram decontamination); keep plain ``load`` for cheap map-only
-    kernels so their zero-Exchange plan pins stay meaningful."""
+    kernels so their zero-Exchange plan pins stay meaningful.
+
+    ``cols``: project to exactly these columns BEFORE the fan-out
+    exchange (opt guide §2.3 — shuffle only the bytes the query
+    consumes; the scan prunes to the same set)."""
     df = load(spark, sf_dir, table)
+    if cols is not None:
+        df = df.select(*cols)
     n = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < n:
         df = df.repartition(n)

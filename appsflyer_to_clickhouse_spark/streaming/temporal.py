@@ -44,7 +44,6 @@ one Arrow round trip per active key.
 
 from __future__ import annotations
 
-from bisect import bisect_right, insort
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
@@ -78,63 +77,97 @@ STATE_SCHEMA = T.StructType(
 
 
 def _temporal_update(key, pdfs: Iterable, state: GroupState):
+    # Vectorized (opt guide §4.2): the whole batch is appended, sorted,
+    # matched and pruned with numpy array ops — the per-row Python
+    # loop (insort + bisect per event) this replaced was the hot path
+    # of every micro-batch. Semantics are bit-identical: the version
+    # store sorts by (ts, id) via a stable lexsort, and because every
+    # real row_id < 2**62, ``bisect_right(versions, (ts, 1 << 62))``
+    # over (ts, id) tuples equals ``searchsorted(v_ts, ts, 'right')``
+    # over the ts array — same latest-at-or-before, same
+    # greatest-id-on-tie rule.
+    import numpy as np
     import pandas as pd
 
     if state.exists:
         r_ts, r_id, l_ts, l_id = state.get
-        versions = sorted(zip(r_ts, r_id))
-        buffered = list(zip(l_ts, l_id))
+        v_ts = np.asarray(r_ts, dtype=np.int64)
+        v_id = np.asarray(r_id, dtype=np.int64)
+        b_ts = np.asarray(l_ts, dtype=np.int64)
+        b_id = np.asarray(l_id, dtype=np.int64)
     else:
-        versions, buffered = [], []
+        v_ts = v_id = b_ts = b_id = np.empty(0, dtype=np.int64)
 
     saw_sentinel = False
     for pdf in pdfs:
-        for side, ts_us, row_id in zip(
-            pdf["side"], pdf["ts_us"], pdf["row_id"]
-        ):
-            if side == 0:
-                insort(versions, (int(ts_us), int(row_id)))
-            elif side == 1:
-                buffered.append((int(ts_us), int(row_id)))
-            else:
-                saw_sentinel = True
+        side = pdf["side"].to_numpy(dtype=np.int64)
+        ts = pdf["ts_us"].to_numpy(dtype=np.int64)
+        rid = pdf["row_id"].to_numpy(dtype=np.int64)
+        bm = side == 0
+        if bm.any():
+            v_ts = np.concatenate([v_ts, ts[bm]])
+            v_id = np.concatenate([v_id, rid[bm]])
+        pm = side == 1
+        if pm.any():
+            b_ts = np.concatenate([b_ts, ts[pm]])
+            b_id = np.concatenate([b_id, rid[pm]])
+        if not saw_sentinel and (side == 2).any():
+            saw_sentinel = True
+
+    if v_ts.size:
+        order = np.lexsort((v_id, v_ts))  # (ts, id) ascending
+        v_ts, v_id = v_ts[order], v_id[order]
 
     wm_us = state.getCurrentWatermarkMs() * 1000
-    flush = (
-        buffered
+    fm = (
+        np.ones(b_ts.size, dtype=bool)
         if saw_sentinel
-        else [p for p in buffered if p[0] <= wm_us]
+        else b_ts <= wm_us
     )
-    out = {k: [] for k in OUTPUT_SCHEMA.fieldNames()}
-    for ts_us, click_id in flush:
-        # latest version at-or-before ts_us; ties on ts resolve to the
-        # greatest id because the store sorts by (ts, id) and we take
-        # the element left of the upper bound
-        i = bisect_right(versions, (ts_us, 1 << 62))
-        out["user_id"].append(key[0])
-        out["click_id"].append(click_id)
-        out["ts_us"].append(ts_us)
-        out["purchase_id"].append(versions[i - 1][1] if i else None)
-        out["purchase_ts_us"].append(versions[i - 1][0] if i else None)
+    f_ts, f_id = b_ts[fm], b_id[fm]
+    out = None
+    if f_ts.size:
+        # latest version at-or-before each flushed probe ts; ties on
+        # ts resolve to the greatest id (store is (ts, id)-sorted and
+        # we take the element left of the upper bound)
+        if v_ts.size:
+            idx = np.searchsorted(v_ts, f_ts, side="right")
+            has = idx > 0
+            at = np.maximum(idx - 1, 0)
+            pid = np.where(has, v_id[at], 0)
+            pts = np.where(has, v_ts[at], 0)
+        else:  # probe rows before any version: all-NULL enrichment
+            has = np.zeros(f_ts.size, dtype=bool)
+            pid = pts = np.zeros(f_ts.size, dtype=np.int64)
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(f_ts.size, key[0], dtype=np.int64),
+                "click_id": f_id,
+                "ts_us": f_ts,
+                "purchase_id": pd.array(pid, dtype="Int64"),
+                "purchase_ts_us": pd.array(pts, dtype="Int64"),
+            }
+        )
+        out.loc[~has, ["purchase_id", "purchase_ts_us"]] = pd.NA
 
     if saw_sentinel:
         state.remove()
     else:
-        buffered = [p for p in buffered if p[0] > wm_us]
+        km = b_ts > wm_us
         # keep the newest at-or-below-watermark version: every future
         # probe has ts > watermark and may still need it
-        cut = bisect_right(versions, (wm_us, 1 << 62))
-        versions = versions[max(0, cut - 1) :]
+        cut = int(np.searchsorted(v_ts, wm_us, side="right"))
+        keep = max(0, cut - 1)
         state.update(
             (
-                [v[0] for v in versions],
-                [v[1] for v in versions],
-                [p[0] for p in buffered],
-                [p[1] for p in buffered],
+                v_ts[keep:].tolist(),
+                v_id[keep:].tolist(),
+                b_ts[km].tolist(),
+                b_id[km].tolist(),
             )
         )
-    if out["user_id"]:
-        yield pd.DataFrame(out)
+    if out is not None:
+        yield out
 
 
 def temporal_join_stream(tagged: DataFrame) -> DataFrame:
