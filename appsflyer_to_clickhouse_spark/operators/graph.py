@@ -24,8 +24,9 @@ def pagerank(
     edges: DataFrame,
     iters: int = 3,
     damping: float = 0.85,
-    ckpt_every: int = 4,
+    ckpt_every: int = 1,
     repartition_at: int = 8,
+    every_node_a_source: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over a directed edge list (``src``,
     ``dst``); returns (node, pr) after ``iters`` rounds from a uniform
@@ -47,18 +48,33 @@ def pagerank(
     with edges AND ranks hash-partitioned on src so the join is
     co-located — the GraphFrames/Pregel layout.
 
-    Checkpoint cadence: an EAGER localCheckpoint is a full job
-    (materialize + fixed scheduling cost), so taking one every
-    iteration triples the wall clock of a 3-iteration run (measured:
-    12.2 s -> the chained form at sf0.1). But letting lineage run
-    unbounded re-plans a linearly growing DAG and, past ~10 chained
-    shuffles, trips Catalyst re-optimization cost and executor stack
-    depth. ``ckpt_every`` cuts lineage every N iterations — the loop
-    runs chained within a window and pays one materialization per
-    window, which preserves the bounded-lineage contract at iters=30
-    while a short run executes as a single job."""
+    Checkpoint cadence: every iteration's ``broadcast(pr)`` is built
+    in its OWN job, and a broadcast build re-executes its input
+    subtree — so within a chained (un-checkpointed) window, iteration
+    k's broadcast re-runs iterations 1..k-1's edge joins all over
+    again: the loop's total edge work is QUADRATIC in the window
+    length. Checkpointing the node-sized pr every iteration caps each
+    broadcast build at exactly one edge join (re-measured at sf0.1,
+    iters=3: ckpt_every=4 ran 9-10 edge-scale jobs in 5.7-8.3 s /
+    306 MB shuffled; ckpt_every=1 runs 3 in 4.0-5.9 s / 211 MB — the
+    earlier 12.2 s per-iteration-checkpoint measurement predates the
+    checkpointed-e/broadcast-pr layout and is superseded). The
+    parameter stays for graphs where the rank state is large enough
+    that the per-iteration materialization job dominates — raise it
+    and pay the chained re-execution instead.
+
+    ``every_node_a_source=True`` is a caller-supplied structural fact
+    (e.g. a symmetrized undirected edge list): every node appears as a
+    source, so the node set IS deg's key set and the edge-sized
+    dst-distinct pass is skipped. Only a hint for work elision — a
+    caller that misstates it would drop pure-sink nodes, so leave it
+    False for genuinely directed graphs.
+    """
     spark = edges.sparkSession
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    # node-sized and consumed twice (the edge join AND the node set) —
+    # materialize once instead of re-running the edge-sized degree
+    # aggregation per consumer
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     # deg is node-sized — the same broadcastability argument as the
     # rank state below. Broadcasting it means the edge list is NEVER
     # shuffled in this whole operator (measured at sf0.1: the SMJ
@@ -117,11 +133,16 @@ def pagerank(
         # (a sink in a directed graph) still accumulates rank and must
         # appear in the result — building nodes from src alone would
         # silently drop it (and disagree with the dst-keyed oracle)
-        nodes = (
-            deg.select(F.col("src").alias("node"))
-            .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-        )
+        if every_node_a_source:
+            # structural fact from the caller: sources cover the node
+            # set, so skip the edge-sized dst-distinct pass entirely
+            nodes = deg.select(F.col("src").alias("node"))
+        else:
+            nodes = (
+                deg.select(F.col("src").alias("node"))
+                .union(e.select(F.col("dst").alias("node")))
+                .distinct()
+            )
         if iters >= repartition_at:
             # persist nodes on the same hash(node) layout so the
             # per-iteration nodes-vs-recv join starts co-partitioned

@@ -677,7 +677,9 @@ def q_graph_pagerank(spark, sf_dir):
     ).union(
         prs.select(F.col("part_b").alias("src"), F.col("part_a").alias("dst"))
     )
-    pr = pagerank(edges, iters=3, damping=0.85)
+    # the union symmetrizes the edge list, so every node appears as a
+    # source — pagerank can skip its edge-sized dst-distinct pass
+    pr = pagerank(edges, iters=3, damping=0.85, every_node_a_source=True)
     return pr.select(
         F.col("node").alias("part"), F.round("pr", 6).alias("pagerank")
     )

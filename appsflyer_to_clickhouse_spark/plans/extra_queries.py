@@ -352,6 +352,14 @@ def _bucketed_tables(spark, sf_dir: str) -> tuple[str, str]:
         path = tempfile.mkdtemp(prefix=f"spark_graft_bucket_{name}_")
         (
             load(spark, sf_dir, table)
+            # repartition by the bucket key with the bucket count:
+            # HashPartitioning(key, N) is exactly the bucket spec, so
+            # each task holds whole buckets — the write parallelizes
+            # across N tasks and emits ONE file per bucket, instead of
+            # a single scan task sorting and writing all N buckets
+            # serially (the docstring's own file-count advice applied
+            # to the fixture; measured 6.8 s -> see OPTIMIZATION_r10)
+            .repartition(_N_BUCKETS, F.col(bkey))
             .write.mode("overwrite")
             .option("path", path)
             .bucketBy(_N_BUCKETS, bkey)

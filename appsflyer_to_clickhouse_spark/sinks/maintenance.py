@@ -162,21 +162,33 @@ def compact_partitions(
     }
     if not counts:
         return
+
+    def _rewrite_one(item) -> None:
+        pdate, n = item
+        n_files = max(1, -(-n // target_rows_per_file))
+        part = df.filter(F.col(PARTITION_COL) == pdate)
+        if sort_by:
+            part = part.repartitionByRange(
+                n_files, *sort_by
+            ).sortWithinPartitions(*sort_by)
+        else:
+            part = part.repartition(n_files)
+        (
+            part.write.mode("overwrite")
+            .partitionBy(PARTITION_COL)
+            .parquet(path)
+        )
+
     with _dynamic_overwrite(spark):
-        for pdate, n in counts.items():
-            n_files = max(1, -(-n // target_rows_per_file))
-            part = df.filter(F.col(PARTITION_COL) == pdate)
-            if sort_by:
-                part = part.repartitionByRange(
-                    n_files, *sort_by
-                ).sortWithinPartitions(*sort_by)
-            else:
-                part = part.repartition(n_files)
-            (
-                part.write.mode("overwrite")
-                .partitionBy(PARTITION_COL)
-                .parquet(path)
-            )
+        # per-date rewrites touch DISJOINT directories, so overlap a
+        # few of them (opt guide §2.6): one date's commit/rename tail
+        # no longer leaves the cluster idle while the next date waits.
+        # 3 in flight fills the tail without fighting for executors;
+        # dynamic-overwrite scoping is session-wide and set once here.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            list(pool.map(_rewrite_one, counts.items()))
 
 
 def refresh_rollup_incremental(
