@@ -298,34 +298,21 @@ def main() -> int:
             return 1
         return 0
 
-    def _python_worker_warmup() -> None:
-        """Untimed warmups for EACH Python worker kind group 3 uses,
-        exactly as the JVM warmup above absorbs codegen/scan startup —
-        without them each kind's fleet spin-up (~4-10s once per JVM)
-        lands in whichever query of that kind runs first (r4:
-        dedup_embedding_cosine recorded 13.6s vs 2.4s judge-measured
-        warm; sink_datasource_arrow 5.4s cold vs 0.8s warm even after
-        a pandas warmup — the Data Source write path pools its own
-        workers)."""
+    def _ds_worker_warmup() -> None:
+        """Untimed warmup for the Python DATA SOURCE worker fleets
+        (planner + per-partition reader/writer). Runs BEFORE group 0,
+        not with the group-3 pandas warmup: the manifest-sink queries
+        in group 0 (sink_add_column is alphabetically first) use these
+        fleets long before group 3 starts, so gating this warmup on
+        group 3 charged the spin-up (~5 s once per JVM) to whichever
+        sink query ran first — measured r10-opt: sink_add_column
+        7.3 s in-bench vs 1.5 s isolated, pure fleet spin-up. This is
+        a measurement-protocol fix per the module docstring's own
+        charged-to-nobody rule; pre-fix numbers live in
+        BENCH_r09.json and OPTIMIZATION_r10.md."""
         import tempfile
 
-        # 1. pandas/Arrow eval workers (pandas_udf, mapInPandas, ...)
-        try:
-
-            def _identity_batches(it):
-                yield from it
-
-            (
-                spark.range(0, 100_000, 1, 32)
-                .mapInPandas(_identity_batches, "id long")
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
-        except Exception as exc:  # noqa: BLE001
-            print(f"[bench] pandas warmup failed: {exc}", file=sys.stderr)
-        # 2. Python Data Source WRITE workers (planner + per-partition
-        #    writer modules)
+        # Data Source WRITE workers (planner + per-partition writers)
         try:
             from appsflyer_to_clickhouse_spark.sinks.datasource_sink import (
                 ClickHouseArrowDataSource,
@@ -346,7 +333,7 @@ def main() -> int:
                 )
         except Exception as exc:  # noqa: BLE001
             print(f"[bench] ds-write warmup failed: {exc}", file=sys.stderr)
-        # 3. Python Data Source READ workers (plan + partition readers)
+        # Data Source READ workers (plan + partition readers)
         try:
             from pyspark.sql.datasource import (
                 DataSource,
@@ -383,8 +370,36 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"[bench] ds-read warmup failed: {exc}", file=sys.stderr)
 
+    def _python_worker_warmup() -> None:
+        """Untimed warmups for the pandas/Arrow eval worker kind group
+        3 uses, exactly as the JVM warmup above absorbs codegen/scan
+        startup — without it the fleet spin-up (~4-10s once per JVM)
+        lands in whichever query of that kind runs first (r4:
+        dedup_embedding_cosine recorded 13.6s vs 2.4s judge-measured
+        warm). The Data Source fleets are warmed separately before
+        group 0 (_ds_worker_warmup) because group-0 sink queries use
+        them first."""
+        # pandas/Arrow eval workers (pandas_udf, mapInPandas, ...)
+        try:
+
+            def _identity_batches(it):
+                yield from it
+
+            (
+                spark.range(0, 100_000, 1, 32)
+                .mapInPandas(_identity_batches, "id long")
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+        except Exception as exc:  # noqa: BLE001
+            print(f"[bench] pandas warmup failed: {exc}", file=sys.stderr)
+
     exec_metrics: dict[str, dict] = {}
     headline_medians: dict[str, float] = {}
+    # Data Source fleets warm BEFORE the loop: group-0 sink queries
+    # use them first (see _ds_worker_warmup docstring)
+    _ds_worker_warmup()
     last_eid, _ = _metrics_since(spark, -1)  # skip warmup executions
     order = sorted(QUERIES, key=lambda n: (group(n), n))
     warmed_python = False
