@@ -469,8 +469,13 @@ def _basket_pairs(spark, sf_dir):
 
     def build():
         li = load(spark, sf_dir, "lineitem")
-        items = li.select("l_orderkey", "l_partkey").distinct()
-        baskets = items.groupBy("l_orderkey").agg(
+        # no .distinct() before the groupBy: collect_SET dedups
+        # within each basket, so a prior (orderkey, partkey) distinct
+        # is a second full exchange of the fact table for the same
+        # baskets — one shuffle builds them directly
+        baskets = li.select("l_orderkey", "l_partkey").groupBy(
+            "l_orderkey"
+        ).agg(
             F.sort_array(F.collect_set("l_partkey")).alias("parts")
         )
         return (
