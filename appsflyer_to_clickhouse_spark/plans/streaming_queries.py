@@ -883,7 +883,15 @@ def q_stream_temporal_join(spark, sf_dir):
     )
     from ..streaming.temporal import temporal_join_stream
 
-    out = temporal_join_stream(stream)
+    # key-bucketed state (r11, guide §4.1): this replay is DENSE —
+    # every user appears in every micro-batch — so per-user state
+    # groups pay ~1,500 Arrow frame + state-commit round trips per
+    # batch for ~25k rows (the measured r10 floor). Bucketing by
+    # pmod(user, K) amortizes the framing; K scales with the cluster
+    # (2 groups per core, floor 64) so state groups keep shrinking as
+    # parallelism grows instead of pinning to a local constant.
+    buckets = max(64, spark.sparkContext.defaultParallelism * 2)
+    out = temporal_join_stream(stream, buckets=buckets)
     name = f"stream_temporal_join_{next(_RUN_SEQ)}"
     ckpt = tempfile.mkdtemp(prefix=f"spark_graft_ckpt_{name}_")
     with stream_shuffle_partitions(spark):

@@ -655,6 +655,85 @@ _PUSHABLE = (
 )
 
 
+# -- multi-part reader tasks (opt guide §2.2/§6) ----------------------------
+# One InputPartition per committed part plans one Spark task — and one
+# Python-worker round trip (~10-30 ms) — per part. On small-part sinks
+# (a stream of trigger-sized commits, a batch writer flushing every
+# ``batchsize`` rows) the per-task overhead dwarfs the read itself. Pack
+# parts into read splits exactly the way Spark's native FilePartition
+# packing does: sort by size descending, greedy-fill against a
+# maxPartitionBytes-style target with an openCostInBytes charge per
+# file. Tiny parts share one task; a production-sized part still gets
+# its own task, so scan parallelism at scale is unchanged.
+#
+# JSONL and parquet parts never share a split: a parquet part yields
+# Arrow RecordBatches while a JSONL part yields tuples, and the Python
+# DS worker commits to one framing per task from the first yielded
+# element.
+_PACK_TARGET_BYTES = 128 * 1024 * 1024  # spark.sql.files.maxPartitionBytes
+_PACK_OPEN_COST = 4 * 1024 * 1024  # spark.sql.files.openCostInBytes
+
+
+def _normalize_batches(items: Iterator, spark_schema) -> Iterator:
+    """Cast Arrow RecordBatches to ONE canonical schema (the reader
+    schema's Arrow form). A packed task reads several parts, and
+    Spark's Arrow output writer requires every batch in a task to
+    carry an identical schema — but parts of different generations
+    legitimately differ (typed-NULL backfill vs physical column,
+    nullability flags, timestamp tz spelling). Matching batches pass
+    through untouched; tz-only and nullability-only casts are
+    metadata-speed. Tuple-yield (JSONL) items pass through unchanged —
+    a packed task never mixes framings."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = None
+    for item in items:
+        if not isinstance(item, pa.RecordBatch):
+            yield item
+            continue
+        if target is None:
+            target = to_arrow_schema(spark_schema)
+        yield item if item.schema.equals(target) else item.cast(target)
+
+
+def _pack_specs(
+    specs: Sequence[tuple],
+    target: int = _PACK_TARGET_BYTES,
+    open_cost: int = _PACK_OPEN_COST,
+) -> list[tuple]:
+    """Pack per-part read specs (element 0 = full file path) into task
+    groups; returns a list of spec-tuples, each one InputPartition
+    value. A part whose size cannot be stat-ed is charged a full
+    target so it is isolated rather than mis-packed."""
+    groups: list[tuple] = []
+    by_kind: dict[str, list] = {}
+    for s in specs:
+        kind = "pq" if s[0].endswith(".parquet") else "row"
+        by_kind.setdefault(kind, []).append(s)
+    for kind_specs in by_kind.values():
+        sized = []
+        for s in kind_specs:
+            try:
+                sz = os.path.getsize(s[0])
+            except OSError:
+                sz = target
+            sized.append((sz, s))
+        sized.sort(key=lambda t: -t[0])
+        cur: list = []
+        cur_bytes = 0
+        for sz, s in sized:
+            charged = sz + open_cost
+            if cur and cur_bytes + charged > target:
+                groups.append(tuple(cur))
+                cur, cur_bytes = [], 0
+            cur.append(s)
+            cur_bytes += charged
+        if cur:
+            groups.append(tuple(cur))
+    return groups
+
+
 class ManifestBatchReader(DataSourceReader):
     """Batch reader over the manifest's CURRENT (or as-of) snapshot,
     with stats-based file skipping driven by Catalyst's own pushed
@@ -683,6 +762,7 @@ class ManifestBatchReader(DataSourceReader):
             self._version = _version_for_timestamp(self._path, ts_val)
         else:
             self._version = int(v) if v is not None else None
+        self._schema = schema
         self._convs = _part_converters(schema)
         self._filters: list = []
         # explicit by-value partition subscription:
@@ -771,27 +851,33 @@ class ManifestBatchReader(DataSourceReader):
                 n for s, ph in dsets if b in s for n in ph
             )
 
-        return [
-            InputPartition(
-                (
-                    p,
-                    _dv_spec(
-                        self._path, dv.get(os.path.basename(p), ())
-                    ),
-                    aliases,
-                    dead_for(os.path.basename(p)),
-                )
+        specs = [
+            (
+                p,
+                _dv_spec(
+                    self._path, dv.get(os.path.basename(p), ())
+                ),
+                aliases,
+                dead_for(os.path.basename(p)),
             )
             for p in fulls
         ]
+        return [InputPartition(g) for g in _pack_specs(specs)]
 
     def read(self, partition: InputPartition) -> Iterator:
         if partition is None:  # Spark's stand-in when partitions()==[]
             return
-        fullpath, deleted, aliases, dead = partition.value
-        yield from _read_part(
-            fullpath, self._convs, deleted, aliases, dead
-        )
+
+        def _gen():
+            for fullpath, deleted, aliases, dead in partition.value:
+                yield from _read_part(
+                    fullpath, self._convs, deleted, aliases, dead
+                )
+
+        if len(partition.value) == 1:  # one part: schema self-consistent
+            yield from _gen()
+            return
+        yield from _normalize_batches(_gen(), self._schema)
 
 
 class ManifestTailReader(DataSourceStreamReader):
@@ -847,6 +933,7 @@ class ManifestTailReader(DataSourceStreamReader):
         # conservatively; cdf/dv change rows always pass through.
         pf = options.get("partitionfilter")
         self._partition_filter = json.loads(pf) if pf else None
+        self._schema = schema
         if self._cdf:
             names = [f.name for f in schema.fields]
             if names[-2:] != ["_change_type", "_commit_version"]:
@@ -904,7 +991,7 @@ class ManifestTailReader(DataSourceStreamReader):
                 "reset beneath a running stream — restart the stream "
                 "with a fresh checkpoint against the new sink state"
             )
-        out: list[InputPartition] = []
+        out: list[tuple] = []  # raw per-part specs; packed at return
         from ..sinks.datasource_sink import MANIFEST as _M
         from ..sinks.datasource_sink import _manifest_read as _mr
 
@@ -978,43 +1065,37 @@ class ManifestTailReader(DataSourceStreamReader):
                     # the commit materialized its change rows — serve
                     # the sidecars directly, rewrite-style or not
                     out.extend(
-                        InputPartition(
-                            (
-                                os.path.join(self._path, f),
-                                (),
-                                "cdf",
-                                v,
-                                aliases,
-                                (),  # sidecars are commit-fresh
-                            )
+                        (
+                            os.path.join(self._path, f),
+                            (),
+                            "cdf",
+                            v,
+                            aliases,
+                            (),  # sidecars are commit-fresh
                         )
                         for f in e["cdf_files"]
                     )
                 elif op in (None, "append"):
                     out.extend(
-                        InputPartition(
-                            (
-                                os.path.join(self._path, f),
-                                (),
-                                "insert",
-                                v,
-                                aliases,
-                                _dead_for(f, v),
-                            )
+                        (
+                            os.path.join(self._path, f),
+                            (),
+                            "insert",
+                            v,
+                            aliases,
+                            _dead_for(f, v),
                         )
                         for f in _pfiles(e["files"])
                     )
                 elif op == "delete" and e.get("dv_add"):
                     out.extend(
-                        InputPartition(
-                            (
-                                os.path.join(self._path, f),
-                                _dv_spec(self._path, idxs),
-                                "delete",
-                                v,
-                                aliases,
-                                _dead_for(f, v),
-                            )
+                        (
+                            os.path.join(self._path, f),
+                            _dv_spec(self._path, idxs),
+                            "delete",
+                            v,
+                            aliases,
+                            _dead_for(f, v),
                         )
                         for f, idxs in sorted(e["dv_add"].items())
                     )
@@ -1057,30 +1138,42 @@ class ManifestTailReader(DataSourceStreamReader):
                 # duplicate downstream
                 continue
             out.extend(
-                InputPartition(
-                    (
-                        os.path.join(self._path, f),
-                        aliases,
-                        _dead_for(f, e["v"]),
-                    )
+                (
+                    os.path.join(self._path, f),
+                    aliases,
+                    _dead_for(f, e["v"]),
                 )
                 for f in _pfiles(e["files"])
             )
-        return out
+        return [InputPartition(g) for g in _pack_specs(out)]
 
     def read(self, partition: InputPartition) -> Iterator:
         if partition is None:  # Spark's stand-in when partitions()==[]
             return
-        if self._cdf:
-            fullpath, positions, kind, v, aliases, dead = partition.value
-            yield from _read_part_changes(
-                fullpath, self._convs, positions, kind, v, aliases, dead
-            )
+
+        def _gen():
+            if self._cdf:
+                for spec in partition.value:
+                    fullpath, positions, kind, v, aliases, dead = spec
+                    yield from _read_part_changes(
+                        fullpath,
+                        self._convs,
+                        positions,
+                        kind,
+                        v,
+                        aliases,
+                        dead,
+                    )
+                return
+            for fullpath, aliases, dead in partition.value:
+                yield from _read_part(
+                    fullpath, self._convs, aliases=aliases, dead=dead
+                )
+
+        if len(partition.value) == 1:  # one part: schema self-consistent
+            yield from _gen()
             return
-        fullpath, aliases, dead = partition.value
-        yield from _read_part(
-            fullpath, self._convs, aliases=aliases, dead=dead
-        )
+        yield from _normalize_batches(_gen(), self._schema)
 
     def commit(self, end: dict) -> None:
         pass  # the manifest is the source of truth; nothing to ack

@@ -14,32 +14,52 @@ solves it with union + ordered window; this operator is the streaming
 form of the same idea: both sides arrive TAGGED in one keyed stream,
 and per-key state replaces the sort.
 
-Protocol (per key group, every micro-batch invocation):
+Protocol (per state group, every micro-batch invocation):
 
-- append incoming build rows to the per-key version store, incoming
-  probe rows to the per-key buffer (both flat LongType arrays in the
-  GroupState — timestamps as epoch micros, so no tz arithmetic ever
-  happens Python-side);
+- append incoming build rows to the version store, incoming probe
+  rows to the probe buffer (flat LongType arrays in the GroupState —
+  timestamps as epoch micros, so no tz arithmetic ever happens
+  Python-side). Both stores carry the USER alongside (ts, id): one
+  state group may hold many users (see "key bucketing" below);
 - FLUSH every buffered probe row with ``ts <= watermark``: the
   source contract (ts-range-split replay files + a watermark delay
   > 0) guarantees every build row at-or-before that ts has already
-  arrived, so the match is FINAL — resolve it by binary search over
-  the version store sorted by (ts, id), tie-broken to the greatest
-  id (identical to the batch join_asof tie rule);
-- PRUNE the version store to nothing older than the newest version
-  at-or-below the watermark: any still-buffered probe has
-  ts > watermark, so older versions can never be its latest-at-or-
-  before — state is O(versions inside the watermark lag + buffered
-  probes), never O(history);
-- a SENTINEL row per key (far-future ts, injected as the replay's
-  last file) flushes whatever the final watermark left behind and
-  removes the state — bounded replays terminate with empty state,
-  and each probe row was emitted exactly once.
+  arrived, so the match is FINAL — resolved per user by a vectorized
+  rank-merge over the version store sorted by (user, ts, id),
+  tie-broken to the greatest id (identical to the batch join_asof
+  tie rule);
+- PRUNE the version store per user to nothing older than that user's
+  newest version at-or-below the watermark: any still-buffered probe
+  has ts > watermark, so older versions can never be its
+  latest-at-or-before — state is O(versions inside the watermark lag
+  + buffered probes), never O(history);
+- a SENTINEL row per user (far-future ts, side >= 2, injected as the
+  replay's last file) flushes whatever the final watermark left
+  behind for THAT user and drops the user's state — bounded replays
+  terminate with empty state, and each probe row was emitted exactly
+  once.
+
+Key bucketing (opt guide §4.1 — fewer, larger Arrow exchanges):
+``applyInPandasWithState`` frames one pandas DataFrame and one state
+round trip PER KEY per micro-batch; at thousands of active keys the
+per-key framing dominates the batch (measured ~1.5 s/batch at 1,500
+keys for ~25 k rows — the r10 floor). ``temporal_join_stream(...,
+buckets=K)`` groups the stream by ``pmod(user_id, K)`` instead of by
+user, so one group carries MANY users and the per-key framing
+amortizes; the state machine is exactly the same (the per-user layout
+is the K=None special case where every group holds one user).
+Trade-off, stated honestly: with DENSE traffic (most keys active
+every batch — this operator's replay shape, and the enrichment
+workloads it models) total state IO per batch is O(active state)
+under either layout, so bucketing only removes framing overhead; with
+SPARSE traffic (few active keys) a bucket rewrite touches its
+inactive cohabitants' state too, so per-user keying is the right
+layout — which is why ``buckets`` is a caller choice, not hardwired.
 
 At 100 TB the state is keyed and store-backed (RocksDB provider),
 sized by per-key churn within the watermark lag — the same bound
 Flink's temporal join state carries — while the per-batch work is
-one Arrow round trip per active key.
+one Arrow round trip per active state group.
 """
 
 from __future__ import annotations
@@ -47,11 +67,14 @@ from __future__ import annotations
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-# input rows (one tagged union stream, keyed by user_id):
-#   side: 0 = build (purchase version), 1 = probe (click), 2 = sentinel
+# input rows (one tagged union stream, keyed by user_id or bucket):
+#   side: 0 = build (purchase version), 1 = probe (click),
+#   >= 2 = sentinel (ADVICE r10: any out-of-contract tag flushes
+#   loudly-by-draining rather than silently stranding state)
 # timestamps are epoch MICROS (long) — the caller converts once,
 # JVM-side, and converts back on the way out.
 INPUT_FIELDS = ["user_id", "side", "ts_us", "row_id"]
@@ -68,8 +91,10 @@ OUTPUT_SCHEMA = T.StructType(
 
 STATE_SCHEMA = T.StructType(
     [
+        T.StructField("r_user", T.ArrayType(T.LongType())),
         T.StructField("r_ts", T.ArrayType(T.LongType())),
         T.StructField("r_id", T.ArrayType(T.LongType())),
+        T.StructField("l_user", T.ArrayType(T.LongType())),
         T.StructField("l_ts", T.ArrayType(T.LongType())),
         T.StructField("l_id", T.ArrayType(T.LongType())),
     ]
@@ -77,104 +102,159 @@ STATE_SCHEMA = T.StructType(
 
 
 def _temporal_update(key, pdfs: Iterable, state: GroupState):
-    # Vectorized (opt guide §4.2): the whole batch is appended, sorted,
-    # matched and pruned with numpy array ops — the per-row Python
-    # loop (insort + bisect per event) this replaced was the hot path
-    # of every micro-batch. Semantics are bit-identical: the version
-    # store sorts by (ts, id) via a stable lexsort, and because every
-    # real row_id < 2**62, ``bisect_right(versions, (ts, 1 << 62))``
-    # over (ts, id) tuples equals ``searchsorted(v_ts, ts, 'right')``
-    # over the ts array — same latest-at-or-before, same
-    # greatest-id-on-tie rule.
+    # Vectorized (opt guide §4.2) and MULTI-USER: the whole batch is
+    # appended, sorted, matched and pruned with numpy array ops over
+    # (user, ts, id)-keyed flat arrays. Semantics are identical to the
+    # per-user form: the version store sorts by (user, ts, id) via a
+    # stable lexsort, and each flushed probe takes the store's last
+    # entry at-or-before (user, ts) — same latest-at-or-before, same
+    # greatest-id-on-tie rule, NULL enrichment when the user has no
+    # version yet. The match itself is a rank merge: sort versions and
+    # flushed probes together by (user, ts, version-before-probe); a
+    # probe's upper bound in its user's version segment is then the
+    # running version count at its sorted position minus the segment
+    # start — no per-user Python loop.
     import numpy as np
     import pandas as pd
 
     if state.exists:
-        r_ts, r_id, l_ts, l_id = state.get
-        v_ts = np.asarray(r_ts, dtype=np.int64)
-        v_id = np.asarray(r_id, dtype=np.int64)
-        b_ts = np.asarray(l_ts, dtype=np.int64)
-        b_id = np.asarray(l_id, dtype=np.int64)
+        r_user, r_ts, r_id, l_user, l_ts, l_id = state.get
+        vu = np.asarray(r_user, dtype=np.int64)
+        vt = np.asarray(r_ts, dtype=np.int64)
+        vi = np.asarray(r_id, dtype=np.int64)
+        bu = np.asarray(l_user, dtype=np.int64)
+        bt = np.asarray(l_ts, dtype=np.int64)
+        bi = np.asarray(l_id, dtype=np.int64)
     else:
-        v_ts = v_id = b_ts = b_id = np.empty(0, dtype=np.int64)
+        vu = vt = vi = bu = bt = bi = np.empty(0, dtype=np.int64)
 
-    saw_sentinel = False
+    done = np.empty(0, dtype=np.int64)  # users whose sentinel arrived
     for pdf in pdfs:
         side = pdf["side"].to_numpy(dtype=np.int64)
         ts = pdf["ts_us"].to_numpy(dtype=np.int64)
         rid = pdf["row_id"].to_numpy(dtype=np.int64)
+        usr = pdf["user_id"].to_numpy(dtype=np.int64)
         bm = side == 0
         if bm.any():
-            v_ts = np.concatenate([v_ts, ts[bm]])
-            v_id = np.concatenate([v_id, rid[bm]])
+            vu = np.concatenate([vu, usr[bm]])
+            vt = np.concatenate([vt, ts[bm]])
+            vi = np.concatenate([vi, rid[bm]])
         pm = side == 1
         if pm.any():
-            b_ts = np.concatenate([b_ts, ts[pm]])
-            b_id = np.concatenate([b_id, rid[pm]])
-        if not saw_sentinel and (side == 2).any():
-            saw_sentinel = True
+            bu = np.concatenate([bu, usr[pm]])
+            bt = np.concatenate([bt, ts[pm]])
+            bi = np.concatenate([bi, rid[pm]])
+        sm = side >= 2
+        if sm.any():
+            done = np.concatenate([done, usr[sm]])
 
-    if v_ts.size:
-        order = np.lexsort((v_id, v_ts))  # (ts, id) ascending
-        v_ts, v_id = v_ts[order], v_id[order]
+    if done.size:
+        done = np.unique(done)
+    if vt.size:
+        order = np.lexsort((vi, vt, vu))  # (user, ts, id) ascending
+        vu, vt, vi = vu[order], vt[order], vi[order]
 
     wm_us = state.getCurrentWatermarkMs() * 1000
-    fm = (
-        np.ones(b_ts.size, dtype=bool)
-        if saw_sentinel
-        else b_ts <= wm_us
-    )
-    f_ts, f_id = b_ts[fm], b_id[fm]
+    fm = bt <= wm_us
+    if done.size and bt.size:
+        fm |= np.isin(bu, done)
+    f_u, f_t, f_i = bu[fm], bt[fm], bi[fm]
     out = None
-    if f_ts.size:
-        # latest version at-or-before each flushed probe ts; ties on
-        # ts resolve to the greatest id (store is (ts, id)-sorted and
-        # we take the element left of the upper bound)
-        if v_ts.size:
-            idx = np.searchsorted(v_ts, f_ts, side="right")
-            has = idx > 0
-            at = np.maximum(idx - 1, 0)
-            pid = np.where(has, v_id[at], 0)
-            pts = np.where(has, v_ts[at], 0)
+    if f_t.size:
+        n = f_t.size
+        if vt.size:
+            m = vt.size
+            au = np.concatenate([vu, f_u])
+            at = np.concatenate([vt, f_t])
+            flag = np.concatenate(
+                [np.zeros(m, dtype=np.int8), np.ones(n, dtype=np.int8)]
+            )
+            order = np.lexsort((flag, at, au))  # versions before probes
+            sflag = flag[order]
+            csum = np.cumsum(sflag == 0)
+            ppos = np.nonzero(sflag == 1)[0]
+            orig = order[ppos] - m  # original probe index
+            vb = csum[ppos]  # versions (any user) sorted before probe
+            lo = np.searchsorted(vu, f_u[orig], side="left")
+            within = vb - lo  # user's versions at-or-before probe ts
+            has_s = within > 0
+            hit = lo + np.maximum(within, 1) - 1
+            pid_s = np.where(has_s, vi[hit], 0)
+            pts_s = np.where(has_s, vt[hit], 0)
+            has = np.empty(n, dtype=bool)
+            pid = np.empty(n, dtype=np.int64)
+            pts = np.empty(n, dtype=np.int64)
+            has[orig], pid[orig], pts[orig] = has_s, pid_s, pts_s
         else:  # probe rows before any version: all-NULL enrichment
-            has = np.zeros(f_ts.size, dtype=bool)
-            pid = pts = np.zeros(f_ts.size, dtype=np.int64)
+            has = np.zeros(n, dtype=bool)
+            pid = pts = np.zeros(n, dtype=np.int64)
         out = pd.DataFrame(
             {
-                "user_id": np.full(f_ts.size, key[0], dtype=np.int64),
-                "click_id": f_id,
-                "ts_us": f_ts,
+                "user_id": f_u,
+                "click_id": f_i,
+                "ts_us": f_t,
                 "purchase_id": pd.array(pid, dtype="Int64"),
                 "purchase_ts_us": pd.array(pts, dtype="Int64"),
             }
         )
         out.loc[~has, ["purchase_id", "purchase_ts_us"]] = pd.NA
 
-    if saw_sentinel:
-        state.remove()
+    # prune: per user keep versions above the watermark plus the
+    # newest at-or-below one (every future probe has ts > watermark
+    # and may still need it); drop everything owned by a done user
+    if vt.size:
+        below = vt <= wm_us
+        nxt_same = np.empty(vt.size, dtype=bool)
+        nxt_same[:-1] = vu[1:] == vu[:-1]
+        nxt_same[-1] = False
+        nxt_below = np.empty(vt.size, dtype=bool)
+        nxt_below[:-1] = below[1:]
+        nxt_below[-1] = False
+        keepv = ~below | (below & ~(nxt_same & nxt_below))
+        if done.size:
+            keepv &= ~np.isin(vu, done)
+        vu, vt, vi = vu[keepv], vt[keepv], vi[keepv]
+    km = ~fm
+    bu, bt, bi = bu[km], bt[km], bi[km]
+
+    if not (vt.size or bt.size):
+        state.remove()  # drained group: bounded replays end empty
     else:
-        km = b_ts > wm_us
-        # keep the newest at-or-below-watermark version: every future
-        # probe has ts > watermark and may still need it
-        cut = int(np.searchsorted(v_ts, wm_us, side="right"))
-        keep = max(0, cut - 1)
         state.update(
             (
-                v_ts[keep:].tolist(),
-                v_id[keep:].tolist(),
-                b_ts[km].tolist(),
-                b_id[km].tolist(),
+                vu.tolist(),
+                vt.tolist(),
+                vi.tolist(),
+                bu.tolist(),
+                bt.tolist(),
+                bi.tolist(),
             )
         )
     if out is not None:
         yield out
 
 
-def temporal_join_stream(tagged: DataFrame) -> DataFrame:
+def temporal_join_stream(
+    tagged: DataFrame, buckets: int | None = None
+) -> DataFrame:
     """Apply the temporal-join state machine to a watermarked tagged
     union stream with columns ``user_id, side, ts_us, row_id`` (plus
-    the TIMESTAMP event-time column the watermark rides on)."""
-    return tagged.groupBy("user_id").applyInPandasWithState(
+    the TIMESTAMP event-time column the watermark rides on).
+
+    ``buckets=None`` keys state per user (the framing-heavy layout,
+    right for sparse traffic); ``buckets=K`` keys state by
+    ``pmod(user_id, K)`` so each state group serves many users and the
+    per-key Arrow framing amortizes (right for dense traffic — see the
+    module docstring). The state machine and its semantics are
+    IDENTICAL under both; tests/test_temporal_join.py replays the same
+    corners through each."""
+    if buckets is None:
+        keyed = tagged.groupBy("user_id")
+    else:
+        keyed = tagged.withColumn(
+            "_bkt", F.pmod(F.col("user_id"), F.lit(int(buckets)))
+        ).groupBy("_bkt")
+    return keyed.applyInPandasWithState(
         _temporal_update,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,

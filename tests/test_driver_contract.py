@@ -113,7 +113,7 @@ def test_pandas_safe_guard_trips_on_list():
         assert_pandas_safe(rel)
 
 
-def test_no_complex_typed_result_columns(spark):
+def test_no_complex_typed_result_columns(spark, built_queries):
     """External canonicalizers hash result CELLS and die on
     list/struct/map-typed values (round-2's agg_percentiles err row:
     pandas TypeError on unhashable list). Pin the whole registry to
@@ -123,8 +123,8 @@ def test_no_complex_typed_result_columns(spark):
     import re
 
     bad = []
-    for name, fn in entry_mod.queries().items():
-        df = fn(spark, SF_SMALL)
+    for name in entry_mod.queries():
+        df = built_queries(name)
         for f in df.schema.fields:
             if re.match(r"array|map|struct|variant|binary",
                         f.dataType.simpleString()):

@@ -75,9 +75,12 @@ def test_log_operations_stay_metadata_speed_at_10k_commits():
     r = ManifestTailReader({"path": tmpdir}, _schema())
     assert r.latestOffset() == {"version": N_COMMITS - 1}
     parts = r.partitions({"version": 8_899}, {"version": 8_999})
-    assert len(parts) == 100
-    # tail partitions carry (fullpath, column_aliases) since renames
-    assert parts[0].value[0].endswith(files[8_900])
+    # each partition packs one or more (fullpath, aliases, dead) specs
+    # (r11: multi-part reader tasks); synthetic parts have no bytes on
+    # disk so each is charged a full split and stays isolated
+    specs = [s for p in parts for s in p.value]
+    assert len(specs) == 100
+    assert specs[0][0].endswith(files[8_900])
 
     # history fold: 9,900 commits collapse into one base; retained
     # tail still resolves exactly, fold base = net prefix

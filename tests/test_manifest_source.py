@@ -76,6 +76,61 @@ def test_batch_read_resolves_manifest_both_tiers(spark, fmt):
     assert got.agg(F.sum("v")).first()[0] == 499 * 500 // 2
 
 
+def test_small_parts_pack_into_few_reader_tasks(spark):
+    """r11 optimization pin: many tiny committed parts plan FAR fewer
+    reader tasks than parts (Spark's own file-split packing applied to
+    the Python DS reader), while a part too big to stat-pack stays
+    isolated and JSONL/parquet never share a task (their read paths
+    yield different framings)."""
+    from appsflyer_to_clickhouse_spark.sources.manifest_source import (
+        _pack_specs,
+    )
+
+    path = tempfile.mkdtemp(prefix="mpack_") + "/sink"
+    for lo in range(0, 600, 100):  # 6 single-part tiny commits
+        _append(spark, path, lo, lo + 100)
+    r = ManifestBatchReader({"path": path}, _SCHEMA)
+    parts = r.partitions()
+    specs = [s for p in parts for s in p.value]
+    assert len(specs) == 6  # every committed part is still read
+    assert len(parts) == 1  # ...by one packed task, not six
+    got = (
+        spark.read.format("chbatch")
+        .schema(_SCHEMA)
+        .option("path", path)
+        .load()
+    )
+    assert got.count() == 600
+    assert got.agg(F.sum("v")).first()[0] == 599 * 600 // 2
+
+    # pure packing rules: an over-target part is isolated; mixed
+    # formats split by framing; unknown sizes charge a full target
+    d = tempfile.mkdtemp(prefix="mpacku_")
+    small = os.path.join(d, "a.jsonl")
+    with open(small, "w") as fh:
+        fh.write("x" * 10)
+    big = os.path.join(d, "b.jsonl")
+    with open(big, "w") as fh:
+        fh.write("x" * 300)
+    pq = os.path.join(d, "c.parquet")
+    with open(pq, "w") as fh:
+        fh.write("x" * 10)
+    groups = _pack_specs(
+        [(small,), (big,), (pq,)], target=200, open_cost=10
+    )
+    # the over-target jsonl is isolated, the small jsonl won't join it
+    # (budget), and the parquet part never groups with jsonl
+    flat = sorted(tuple(s[0] for s in g) for g in groups)
+    assert flat == sorted([(big,), (small,), (pq,)])
+    # under a roomy budget the two jsonl parts DO share one task while
+    # the parquet framing stays separate
+    groups2 = _pack_specs(
+        [(small,), (big,), (pq,)], target=10_000, open_cost=10
+    )
+    flat2 = sorted(tuple(sorted(s[0] for s in g)) for g in groups2)
+    assert flat2 == sorted([tuple(sorted([small, big])), (pq,)])
+
+
 def test_batch_read_version_as_of(spark):
     path = tempfile.mkdtemp(prefix="mreadv_") + "/sink"
     _append(spark, path, 0, 100)
@@ -150,7 +205,9 @@ def test_pushed_filters_prune_partitions_via_stats(spark):
         returned = r.pushFilters(filters)
         # every filter is handed back to Spark: pruning is advisory
         assert list(returned) == filters
-        return r.partitions()
+        # count PART SPECS, not InputPartitions: tiny parts pack into
+        # shared reader tasks (r11), but pruning is per part
+        return [s for p in r.partitions() for s in p.value]
 
     assert len(parts_for([])) == 3
     assert (

@@ -16,8 +16,8 @@ ALL = sorted(QUERIES)
 
 
 @pytest.mark.parametrize("name", ALL)
-def test_query_matches_oracle(spark, name):
-    df = QUERIES[name](spark, SF_SMALL)
+def test_query_matches_oracle(spark, built_queries, name):
+    df = built_queries(name)
     if name in ORACLE:
         compare(df, ORACLE[name], SF_SMALL)
     else:

@@ -14,6 +14,9 @@ from .conftest import SF_SMALL
 
 
 def _plan(spark, name: str) -> str:
+    # plan pins need a FRESH build: a DataFrame the differential sweep
+    # already collected reports its post-execution AQE final plan,
+    # which changes the text these assertions match
     df = QUERIES[name](spark, SF_SMALL)
     return spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"

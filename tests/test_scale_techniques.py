@@ -368,7 +368,10 @@ def test_triangle_count_shuffles_edges_not_wedges(spark):
     import appsflyer_to_clickhouse_spark.plans.analytics_queries as aq
     from appsflyer_to_clickhouse_spark.plans import QUERIES
 
-    n_cliques, k = 50, 100
+    # k=100 keeps the wedge/edge ratio at (k-2)=98x — the property the
+    # bound separates; n_cliques only scales volume (r11: 50 -> 20 for
+    # suite wall time, every assertion below is n_cliques-relative)
+    n_cliques, k = 20, 100
     nodes = spark.range(n_cliques * k).select(
         (F.col("id") / k).cast("long").alias("clique"),
         F.col("id").alias("node"),

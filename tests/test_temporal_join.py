@@ -52,7 +52,7 @@ def _write_replay(spark, files: list[list[tuple]]) -> str:
     return src
 
 
-def _run_stream(spark, src: str, sink=None):
+def _run_stream(spark, src: str, sink=None, buckets=None):
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)
@@ -71,7 +71,7 @@ def _run_stream(spark, src: str, sink=None):
             F.col("event_id").alias("row_id"),
         )
     )
-    out = temporal_join_stream(stream)
+    out = temporal_join_stream(stream, buckets=buckets)
     ckpt = tempfile.mkdtemp(prefix="tj_ckpt_")
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
@@ -101,12 +101,21 @@ def _run_stream(spark, src: str, sink=None):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def test_temporal_semantics_controlled(spark):
+import pytest
+
+
+@pytest.mark.parametrize("buckets", [None, 1, 7])
+def test_temporal_semantics_controlled(spark, buckets):
     # file 0: ts in [09:00, 10:00] — a tied purchase pair at 10:00,
     #         a click before any purchase, a click exactly AT the tie
     # file 1: ts in [11:00, 11:30] — a newer version and a click after
     # file 2: sentinel (far future), one row per key incl. a
     #         clicks-only user and a purchases-only user
+    #
+    # buckets=None keys state per user; buckets=1 forces ALL users
+    # through ONE multi-user state group; buckets=7 mixes them across
+    # partial groups — same answers required from every layout (r11
+    # key bucketing).
     f0 = [
         (1, _ts("2024-03-01T09:00:00"), 10, "click"),
         (100, _ts("2024-03-01T10:00:00"), 10, "purchase"),
@@ -124,7 +133,7 @@ def test_temporal_semantics_controlled(spark):
         for u in (10, 20, 30)
     ]
     src = _write_replay(spark, [f0, f1, sent])
-    res = _run_stream(spark, src)
+    res = _run_stream(spark, src, buckets=buckets)
     got = {
         r["click_id"]: r["purchase_id"]
         for r in res.select("click_id", "purchase_id").collect()
@@ -140,7 +149,8 @@ def test_temporal_semantics_controlled(spark):
     assert res.count() == 4
 
 
-def test_temporal_incremental_watermark_flush(spark):
+@pytest.mark.parametrize("buckets", [None, 4])
+def test_temporal_incremental_watermark_flush(spark, buckets):
     # 3 range files + sentinel: the watermark computed from file k
     # must flush file k's clicks during batch k+1 — emission happens
     # across MULTIPLE batches, and the sentinel batch drains only the
@@ -161,7 +171,7 @@ def test_temporal_incremental_watermark_flush(spark):
     def sink(df, epoch_id):
         per_batch[int(epoch_id)] = df.count()
 
-    _run_stream(spark, src, sink=sink)
+    _run_stream(spark, src, sink=sink, buckets=buckets)
     emitted = {b: n for b, n in per_batch.items() if n}
     assert sum(emitted.values()) == 15  # every click exactly once
     assert len(emitted) >= 2, per_batch  # incremental, not one burst
