@@ -636,12 +636,10 @@ def q_fuzzy_levenshtein(spark, sf_dir):
     """Edit-distance verification over LSH candidate pairs (never all
     pairs — Levenshtein is O(len^2) per pair, so the candidate bound is
     what makes it usable at scale; prefixes cap the per-pair cost)."""
-    from ..operators.dedup import lsh_candidate_pairs, minhash_signatures
-    from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND
+    from .dedup_queries import cand_pairs_frame
 
     docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
-    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    cand = cand_pairs_frame(spark, sf_dir)
     texts = docs.select("doc_id", F.substring("text", 1, 40).alias("prefix"))
     return (
         cand.join(texts.withColumnRenamed("doc_id", "id_a").withColumnRenamed("prefix", "p_a"), "id_a")

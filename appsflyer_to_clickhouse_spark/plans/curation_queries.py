@@ -647,17 +647,10 @@ def q_split_leakage_safe(spark, sf_dir):
     LSH-bounded, fixpoint shuffles sized to the EDGE LIST); the split
     itself stays a map-side hash of the component id. Oracle recomputes
     identical components via a recursive transitive-closure CTE."""
-    from ..operators.dedup import (
-        connected_components as _cc,
-        lsh_candidate_pairs as _lsh,
-        minhash_signatures as _mh,
-    )
-    from .dedup_queries import BANDS, NUM_HASHES, ROWS_PER_BAND
+    from .dedup_queries import cc_star_frame
 
     docs = load_fanout(spark, sf_dir, "documents")
-    sigs = _mh(docs, "text", NUM_HASHES, 3)
-    pairs = _lsh(sigs, "doc_id", BANDS, ROWS_PER_BAND)
-    comp = _cc(pairs).withColumnRenamed("id", "doc_id")
+    comp = cc_star_frame(spark, sf_dir).withColumnRenamed("id", "doc_id")
     full = (
         docs.select("doc_id")
         .join(comp, "doc_id", "left")

@@ -38,6 +38,52 @@ ROWS_PER_BAND = 2
 JACCARD_THRESHOLD = 0.8
 MAX_HAMMING = 3
 
+
+def cand_pairs_frame(spark, sf_dir):
+    """The (id_a, id_b) MinHash-LSH candidate-pair stage, shared by
+    ten registered queries via the session stage cache (r11, guide
+    §2.4): pairs are two longs per row, so materialization is tiny,
+    while the per-shingle md5 signature fold + banded join it saves is
+    the dedup family's dominant repeated cost. Same contract as
+    _simhash_frame below: at 100 TB the candidate graph is computed
+    once per corpus snapshot and stored; sharing here is that
+    materialize-once shape. The FULL signature frame (with shingle
+    arrays) stays deliberately unpersisted — see dedup_ngram_jaccard's
+    measured note — only the narrow pair list is shared."""
+    return shared_stage(
+        spark,
+        ("lsh_cand_pairs", sf_dir),
+        lambda: lsh_candidate_pairs(
+            minhash_signatures(
+                load_fanout(spark, sf_dir, "documents"),
+                "text",
+                NUM_HASHES,
+                3,
+            ),
+            "doc_id",
+            BANDS,
+            ROWS_PER_BAND,
+        ),
+    )
+
+
+def cc_star_frame(spark, sf_dir):
+    """Connected components (large-star/small-star engine) over the
+    shared candidate pairs — the (id, component) cluster assignment
+    three queries derive identically (dedup_clusters,
+    dedup_cluster_representatives, split_leakage_safe). The iterative
+    CC loop re-run per consumer was each query's dominant cost; the
+    assignment itself is two longs per clustered doc. The min-label
+    engine variant (dedup_clusters_minlabel) deliberately does NOT
+    share this: exercising the second engine is its point."""
+    from ..operators.dedup import connected_components
+
+    return shared_stage(
+        spark,
+        ("cc_star", sf_dir),
+        lambda: connected_components(cand_pairs_frame(spark, sf_dir)),
+    )
+
 # ---------------------------------------------------------------------------
 # shared DuckDB oracle fragments (mirror functions/text.py exactly)
 # ---------------------------------------------------------------------------
@@ -181,9 +227,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     pairs over documents.text word 3-shingles. Signatures are map-only
     (zero shuffle); the only shuffle is the (band, bucket) join — never
     an all-pairs product."""
-    docs = load_fanout(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
-    return lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    return cand_pairs_frame(spark, sf_dir)
 
 
 @register(
@@ -216,7 +260,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
     persist pays."""
     docs = load_fanout(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
-    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    cand = cand_pairs_frame(spark, sf_dir)
     return jaccard_verify(cand, sigs, "doc_id", JACCARD_THRESHOLD)
 
 
@@ -250,7 +294,7 @@ def q_dedup_containment(spark, sf_dir):
     names the contained side. operators/dedup.py:containment_verify."""
     docs = load_fanout(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
-    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    cand = cand_pairs_frame(spark, sf_dir)
     return containment_verify(cand, sigs, "doc_id", CONTAINMENT_THRESHOLD)
 
 
@@ -827,7 +871,7 @@ def q_dedup_minhash_estimate(spark, sf_dir):
     mean absolute error against the {NUM_HASHES}-hash theory bound)."""
     docs = load_fanout(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
-    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    cand = cand_pairs_frame(spark, sf_dir)
     sg = sigs.select("doc_id", "shingles", "sig")
     joined = cand.join(
         sg.select(
@@ -900,7 +944,7 @@ def q_dedup_rate_by_source(spark, sf_dir):
     #source-pairs-sized."""
     docs = load_fanout(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
-    cand = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
+    cand = cand_pairs_frame(spark, sf_dir)
     src = load(spark, sf_dir, "documents").select("doc_id", "source")
     pairs = (
         cand.join(

@@ -78,12 +78,11 @@ def q_dedup_clusters(spark, sf_dir):
     (template drift), where label propagation would need
     diameter-many shuffles; candidate graphs are sparse (LSH-bounded),
     so the edge list — not the corpus — is the working set."""
-    docs = load_fanout(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
     from pyspark.sql import functions as F2
 
-    return connected_components(pairs).select(
+    from .dedup_queries import cc_star_frame
+
+    return cc_star_frame(spark, sf_dir).select(
         F2.col("id").alias("doc_id"), "component"
     )
 
@@ -259,11 +258,11 @@ def q_dedup_clusters_minlabel(spark, sf_dir):
     (LSH candidate graphs are dense and shallow, so min-label is
     competitive here; the star engine wins on chain-shaped components
     — round-count pins in tests/test_connected_components.py)."""
-    docs = load_fanout(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
     from pyspark.sql import functions as F2
 
+    from .dedup_queries import cand_pairs_frame
+
+    pairs = cand_pairs_frame(spark, sf_dir)
     return connected_components(pairs, algorithm="minlabel").select(
         F2.col("id").alias("doc_id"), "component"
     )
@@ -714,10 +713,9 @@ def q_dedup_cluster_representatives(spark, sf_dir):
     corpus^2."""
     from pyspark.sql import Window as W
 
-    docs = load_fanout(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs, "text", NUM_HASHES, 3)
-    pairs = lsh_candidate_pairs(sigs, "doc_id", BANDS, ROWS_PER_BAND)
-    clusters = connected_components(pairs).select(
+    from .dedup_queries import cc_star_frame
+
+    clusters = cc_star_frame(spark, sf_dir).select(
         F.col("id").alias("doc_id"), "component"
     )
     joined = clusters.join(

@@ -300,12 +300,16 @@ def q_sink_partition_evolve(spark, sf_dir):
             .save()
         )
 
-    for i in (0, 1):
-        _append(i, "event_type")
+    # the two appends WITHIN a generation are independent (uniquely
+    # named parts, commit serialized on the manifest lock) — overlap
+    # them (opt guide §2.6); the evolve commit stays a hard barrier
+    # between the generations
+    from .registry import run_overlapped
+
+    run_overlapped(spark, lambda i: _append(i, "event_type"), (0, 1))
     gen_a = set(_manifest_read(path)["files"])
     evolve_partition_spec(path, ["day"])
-    for i in (2, 3):
-        _append(i, "day")
+    run_overlapped(spark, lambda i: _append(i, "day"), (2, 3))
     m = _manifest_read(path)
     gen_b = set(m["files"]) - gen_a
     # OLD key: gen-A parts prune by their re-keyed dict tuples

@@ -92,6 +92,28 @@ def load_fanout(
     return df
 
 
+def run_overlapped(spark: SparkSession, fn, items, max_workers: int = 2):
+    """Run independent Spark jobs over ``items`` from a small thread
+    pool (opt guide §2.6) so one job's commit/teardown tail back-fills
+    with the next job's tasks. Each worker pins the JVM-side ACTIVE
+    session first: Python Data Source lookup resolves through the
+    thread-local active session, which a fresh py4j worker thread does
+    not inherit (plain pools raise DATA_SOURCE_NOT_FOUND for every
+    registered Python source). Safe only for jobs whose effects are
+    order-free — uniquely named outputs, commits serialized by their
+    own lock."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    jss = spark._jsparkSession
+
+    def run(item):
+        spark._jvm.org.apache.spark.sql.SparkSession.setActiveSession(jss)
+        return fn(item)
+
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        return list(pool.map(run, items))
+
+
 def load_windowed(
     spark: SparkSession,
     sf_dir: str,

@@ -643,7 +643,8 @@ def q_stream_cdc_loop(spark, sf_dir):
     spark.dataSource.register(ClickHouseBatchDataSource)
     ev = load(spark, sf_dir, "events")
     path = tempfile.mkdtemp(prefix="spark_graft_cdcloop_") + "/staged"
-    for residue in (0, 1, 0):  # third commit replays the first
+
+    def _append(residue: int) -> None:
         out = ev.filter(F.col("event_id") % 10 == residue).select(
             F.col("event_id").cast("string").alias("appsflyer_id"),
             F.col("ts").cast("timestamp").alias("ts"),
@@ -655,6 +656,15 @@ def q_stream_cdc_loop(spark, sf_dir):
             .mode("append")
             .save()
         )
+
+    # the two ORIGINAL commits are independent — overlap them (opt
+    # guide §2.6; parts uniquely named, commits lock-serialized); the
+    # REPLAY of residue 0 must stay a later commit than its original,
+    # so it runs after the pool joins
+    from .registry import run_overlapped
+
+    run_overlapped(spark, _append, (0, 1))
+    _append(0)  # third commit replays the first
     schema = T.StructType(
         [
             T.StructField("appsflyer_id", T.StringType()),

@@ -141,7 +141,18 @@ def compact_partitions(
     if partitions is not None:
         df = df.filter(F.col(PARTITION_COL).isin(partitions))
     if one_pass:
-        shuffled = df.repartition(F.col(PARTITION_COL))
+        # PIN the shuffle partition count (r11, guide §2.2/§2.4): an
+        # unpinned repartition(col) lets AQE coalesce the post-shuffle
+        # partitions by byte size — on a small-file rewrite that folds
+        # EVERY date into one task, which then creates all output
+        # files serially (measured 5.2s -> 1.2s at sf0.1, 512 files).
+        # A compaction rewrite wants its write parallelism to be the
+        # session's configured width: at production scale each date is
+        # large enough that coalescing would never fold dates anyway,
+        # so the pin is a no-op there; rolls stay deterministic under
+        # any N because hashing keeps each date whole in one task.
+        n_write = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        shuffled = df.repartition(n_write, F.col(PARTITION_COL))
         if sort_by:
             shuffled = shuffled.sortWithinPartitions(
                 PARTITION_COL, *sort_by

@@ -84,10 +84,14 @@ def dedup_append_batch_fn(sink_path: str, keys: list[str]) -> BatchFn:
         batch = batch.localCheckpoint()
         batch.write.mode("append").parquet(sink_path)
         new_keys = batch.select(*keys).distinct()
+        # no distinct over the union (r11, guide §2.4): both sides are
+        # already distinct and the anti-join made them DISJOINT, so
+        # the union is duplicate-free by construction — the distinct
+        # was a full extra exchange of the key state every micro-batch
         state["keys"] = (
             new_keys
             if state["keys"] is None
-            else state["keys"].unionByName(new_keys).distinct()
+            else state["keys"].unionByName(new_keys)
         ).localCheckpoint()
         state["last_batch_id"] = batch_id
 

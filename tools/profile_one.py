@@ -65,7 +65,7 @@ def main() -> int:
     )
 
     last_eid, _ = bench._metrics_since(spark, -1)
-    out_dir = REPO / "plans" / "r10"
+    out_dir = REPO / "plans" / "r11"
     out_dir.mkdir(parents=True, exist_ok=True)
     for name in names:
         for r in range(runs):
@@ -91,7 +91,7 @@ def main() -> int:
                 df._jdf.queryExecution(), "formatted"
             )
             (out_dir / f"{name}_{plan_suffix}.txt").write_text(plan)
-            print(f"[profile] wrote plans/r10/{name}_{plan_suffix}.txt")
+            print(f"[profile] wrote plans/r11/{name}_{plan_suffix}.txt")
     spark.stop()
     return 0
 
