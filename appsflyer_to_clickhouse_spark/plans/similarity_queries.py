@@ -1336,6 +1336,12 @@ def refresh_pq_index(spark, index_path: str, base_path: str, seeds):
         )
         .filter(F.col("_rn") == 1)
         .drop("_rn")
+        # materialize ONCE (r11, guide §5): four downstream consumers
+        # (tombstone count, tombstone merge, re-encode append, applied
+        # count) each re-ran the whole change-feed read + window
+        # otherwise; the checkpointed state is bounded by the CHANGED
+        # row count, never the corpus
+        .localCheckpoint()
     )
     dels = latest.filter(F.col("_change_type") == "delete")
     ins = latest.filter(F.col("_change_type") == "insert")
@@ -1359,11 +1365,17 @@ def refresh_pq_index(spark, index_path: str, base_path: str, seeds):
             keys=["vec_id"],
             delete_predicate="_tomb",
         )
-    # re-encode ONLY the inserted/updated rows with the frozen book
+    # re-encode ONLY the inserted/updated rows with the frozen book;
+    # checkpointed so the Arrow-UDF encode runs ONCE — the append and
+    # the applied-count below both consume it (r11, guide §5)
     kernel = pq_code_udf([seeds[f"c{k}v"] for k in range(K_CENT)])
-    coded = ins.select("vec_id", kernel("v").alias("c")).select(
-        "vec_id",
-        *[F.col("c")[s].alias(f"c{s}") for s in range(M_SUB)],
+    coded = (
+        ins.select("vec_id", kernel("v").alias("c"))
+        .select(
+            "vec_id",
+            *[F.col("c")[s].alias(f"c{s}") for s in range(M_SUB)],
+        )
+        .localCheckpoint()
     )
     (
         coded.write.format("chbatch_arrow")

@@ -18,10 +18,21 @@ import duckdb
 from appsflyer_to_clickhouse_spark.schemas import TESTDATA_TABLES
 
 
+_CONN_CACHE: dict[str, "duckdb.DuckDBPyConnection"] = {}
+
+
 def duckdb_conn(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    # one connection per sf_dir per process: ~300 compare() calls per
+    # suite each paid a fresh connect + 10 view binds otherwise. Views
+    # are read-only over immutable parquet, so reuse cannot leak state
+    # between tests.
+    con = _CONN_CACHE.get(sf_dir)
+    if con is not None:
+        return con
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    _CONN_CACHE[sf_dir] = con
     return con
 
 

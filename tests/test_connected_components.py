@@ -172,9 +172,10 @@ def test_star_and_minlabel_agree_on_random_graphs(spark):
     import random
 
     rng = random.Random(0x5CC7)
-    for trial, (n, m) in enumerate(
-        [(30, 18), (40, 44), (25, 60), (60, 55), (50, 30)]
-    ):
+    # one graph per adversarial SHAPE (sparse forest, dense blob,
+    # chain-heavy) — r11 dropped the two redundant mid-density trials
+    # for suite wall time; each kept trial runs both engines
+    for trial, (n, m) in enumerate([(30, 18), (25, 60), (60, 55)]):
         pairs = [
             (rng.randrange(n), rng.randrange(n)) for _ in range(m)
         ]

@@ -82,7 +82,10 @@ def test_pagerank_repartition_path_cuts_shuffle_records(spark):
     1.21 GB -> 176 MB shuffle written, identical ranks)."""
     from bench import _metrics_since
 
-    edges = _dense_edges(spark)  # 50k nodes x fan 6 = 300k edges -> npart=4
+    # 25k nodes x fan 6 = 150k edges: still the many-nodes/modest-
+    # degree shape where partial-agg fan-out dominates (r11 halved the
+    # node count for suite wall time; the pinned RATIO is size-free)
+    edges = _dense_edges(spark, n_nodes=25_000)
     edges.persist().count()
     try:
         results, records = {}, {}
