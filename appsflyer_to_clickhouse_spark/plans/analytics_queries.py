@@ -1221,9 +1221,16 @@ FROM tri, w
 """
 
 # Broadcast ceiling for the degree-oriented adjacency table: one array
-# entry per oriented edge, so ~30M edges is a few hundred MB framed —
-# comfortably under the 8 GB broadcast cap with headroom for executor
-# copies. Same pattern as graph.py's pagerank rank-state ceiling.
+# entry per oriented edge. Byte-derived sizing (ADVICE r10): an edge
+# costs ~24 B in the built hash relation (8 B node id + array/UnsafeRow
+# framing), so 30M edges ≈ 720 MB resident on the DRIVER and on EVERY
+# executor — sized against this repo's 16 GB driver / local-mode heap
+# (~4.5% of it), not merely the 8 GB broadcast hard cap. A deployment
+# with small executor heaps (e.g. 4 GB) should scale the constant to
+# ~heap/20: ceiling_edges ≈ executor_heap_bytes / (24 * 20). Past the
+# ceiling the SMJ fallback is the honest cost (exercised at K=64 in
+# plans/r11/scaling_sf_spotcheck.md). Same pattern as graph.py's
+# pagerank rank-state ceiling.
 _ADJ_BROADCAST_MAX_EDGES = 30_000_000
 
 

@@ -194,12 +194,34 @@ def compact_partitions(
         # per-date rewrites touch DISJOINT directories, so overlap a
         # few of them (opt guide §2.6): one date's commit/rename tail
         # no longer leaves the cluster idle while the next date waits.
-        # 3 in flight fills the tail without fighting for executors;
-        # dynamic-overwrite scoping is session-wide and set once here.
+        # 3 in flight fills the tail without fighting for executors.
+        # NOTE the two scoping caveats (ADVICE r10): the
+        # dynamic-overwrite conf is session-wide while the pool runs —
+        # do not share the session with unrelated writers during a
+        # compaction pass — and on failure the completed dates stay
+        # rewritten (the same partial-completion contract as the old
+        # serial loop; which dates completed is simply unordered). All
+        # submitted rewrites are awaited and every failure is
+        # surfaced, not just the first.
         from concurrent.futures import ThreadPoolExecutor
 
         with ThreadPoolExecutor(max_workers=3) as pool:
-            list(pool.map(_rewrite_one, counts.items()))
+            futures = [
+                pool.submit(_rewrite_one, item)
+                for item in counts.items()
+            ]
+            errs = [
+                e
+                for f in futures
+                if (e := f.exception()) is not None
+            ]
+        if errs:
+            if len(errs) == 1:
+                raise errs[0]
+            raise RuntimeError(
+                f"{len(errs)} of {len(futures)} per-date rewrites "
+                f"failed; first: {errs[0]!r}"
+            ) from errs[0]
 
 
 def refresh_rollup_incremental(
